@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference distributes work via Accumulo tablets + a 15-thread
+BatchScanner (reference: api/ExecuteAccumulo.kt:120-149); here Spark's
+own scheduler takes that role. These configs are the knobs that matter
+at 100 TB: AQE (runtime re-planning, skew-join splitting, partition
+coalescing), a broadcast threshold so dimension tables never shuffle,
+and Arrow for any Python-side exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "laradb-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Local tests run ``local[N]``; on a real cluster the master comes from
+    the environment (spark-submit), so we only set master when none is
+    configured. Shuffle partitions default to the local core count —
+    on a 1000-executor cluster this must be raised (AQE coalesces down,
+    never up from too-few initial partitions).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Runtime re-planning: coalesce small shuffle partitions, split skewed
+        # ones, convert sort-merge → broadcast when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables (region/nation/supplier/part at any SF that fits)
+        # should broadcast, never shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # DuckDB oracle comparability: timestamps must not be session-TZ-shifted.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()
