@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (sensor covariance pipeline, the
+reference's first-party benchmark, reference: sensor/SensorCalc.kt:119-143)
+on sf0.001. ``queries()`` / ``oracle_sql()`` — every implemented operator
+from SURVEY.md §2, each as (Spark plan, DuckDB ANSI-SQL oracle) — see
+laradb_spark/workloads/.
 """
 
 from __future__ import annotations
@@ -14,25 +14,34 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    # Oracle comparability + sane local defaults (idempotent, runtime-safe).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from laradb_spark.workloads.lara_demos import sensor_covariance_events
+
+    return sensor_covariance_events(_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from laradb_spark.workloads import all_specs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, fn=fn: fn(_configure(spark), sf_dir))
+        for name, (fn, _sql) in all_specs().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omitted keys get a rows-only check."""
+    from laradb_spark.workloads import all_specs
+
+    return {name: sql for name, (_fn, sql) in all_specs().items() if sql is not None}

@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Cross-engine determinism: every hash bottoms out in md5 (bit-stable in
+Spark and DuckDB); hex→int is Spark ``conv(hex,16,10)`` ≡ DuckDB
+``('0x'||hex)::BIGINT`` (verified identical). MinHash permutations are
+fixed literal (a,b) pairs over a >2^32 prime, so oracles can replay them.
+
+Scale design:
+  * exact dedup — one hash-shuffle on the digest; at 100 TB shuffle only
+    (digest, id), never the payload.
+  * minhash signatures — map-only (higher-order expressions, no UDF);
+    LSH banding turns all-pairs O(n²) into a groupBy on (band, hash) —
+    the shuffle key is the band bucket, and skewed buckets (boilerplate
+    docs) are exactly what AQE skew-split handles.
+  * n-gram Jaccard all-pairs is provided for verification and small
+    tables; production flow is minhash_lsh_pairs → jaccard on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SEP, tokens
+
+# MinHash parameters — frozen literals (the oracle embeds the same values).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+NUM_PERM = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+_A = [
+    2946901401, 3733118389, 2546091183, 1537970091, 1336117351, 2699978677, 3683455469,
+    2126739653, 3681294037, 1147297823, 3752143063, 2350680571, 3368653217, 2828672783,
+    3877742507, 1133999011, 2513596241, 3827373293, 1222972351, 3311392021, 2146798463,
+    1716862723, 3629379941, 2834395141, 3540370171, 2147934911, 1938953189, 3571288073,
+    2780366567, 1281872813, 3920717293, 2300076001,
+]
+_B = [
+    1163945558, 2525445144, 3698413170, 1520437606, 2568907826, 3346912824, 1102465520,
+    2247129644, 3764508926, 1780200226, 2944006574, 3432044514, 1682894872, 2168662428,
+    3542300888, 1922336672, 3174466262, 1436055766, 2851777264, 3994442236, 1374156898,
+    2364337826, 3811932432, 1108975262, 2909025874, 3145994172, 1840013750, 2590123566,
+    3960229870, 1286495950, 2415043780, 3696218774,
+]
+# Guard: a*s must not overflow int64 (DuckDB errors on BIGINT overflow).
+# s < 2^32 and a < 2^32 would overflow; reduce s to 31 bits first.
+SHINGLE_BITS_MOD = 2147483647  # 2^31 - 1
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(TOKEN_SEP, F.slice(toks, i, n)))
+    )
+
+
+def shingle_hash(sh: Column) -> Column:
+    """Cross-engine-stable 31-bit shingle hash."""
+    h32 = F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+    return h32 % F.lit(SHINGLE_BITS_MOD)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one row per content cluster with the
+    representative (min id) and the cluster size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return df minus non-representative duplicate rows (keeps min id)."""
+    keep = exact_duplicates(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    O(pairs-sharing-a-shingle): fine for verification / small tables; the
+    100 TB path is minhash_lsh_pairs → this computation on candidates only.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def _perm(a: int, b: int):
+    # NB: closure factory, not default-arg lambdas — PySpark derives the
+    # higher-order-function arity from the Python signature.
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature(hashes: Column, num_perm: int = NUM_PERM) -> Column:
+    """array<long> MinHash signature over a pre-hashed shingle array.
+
+    Takes the *hashed* shingles (see ``shingle_hash``) rather than raw text:
+    the md5 stage must live in its own projection so it is evaluated once,
+    not once per permutation — higher-order functions run interpreted (no
+    whole-stage-codegen subexpression elimination), so a fused expression
+    tree would recompute the shingle hashing ``num_perm`` times (measured
+    ~40× slowdown)."""
+    return F.array(
+        *[F.array_min(F.transform(hashes, _perm(_A[i], _B[i]))) for i in range(num_perm)]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per band; docs sharing a
+    (band_idx, band_hash) bucket are near-dup candidates."""
+    rows = num_perm // bands
+    # Staged projections: shingles → md5 hashes → signature. Each stage's
+    # output is a named column, so the expensive md5 array is computed once
+    # (CollapseProject does not inline non-cheap aliases).
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), n), shingle_hash).alias("hs"),
+    )
+    with_sig = hashed.select("id", minhash_signature(F.col("hs"), num_perm).alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)])).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    return with_sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH banding — the
+    scalable dedup path: shuffle on band buckets, never all-pairs."""
+    bb = minhash_band_buckets(df, n, id_col, text_col, num_perm, bands)
+    a, b = bb.alias("a"), bb.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # oracle-reproducible width; production would use 64
+
+
+def token_hashes(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-token md5-derived ``bits``-wide integer hashes."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("long"),
+    )
+
+
+def simhash(toks_h: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over pre-hashed tokens: bit b of the signature is the sign of
+    Σ_tokens (±1 by token-hash bit b). Takes the hashed-token array column
+    so md5 evaluates once, not once per bit (see minhash_signature note)."""
+    def bit_step(b: int):
+        return lambda s, h: s + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(toks_h, F.lit(0).cast("long"), bit_step(b))
+        acc = acc + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
+    return staged.select("id", simhash(F.col("hs")).alias("simhash"))
+
+
+# --- embedding near-dup ---------------------------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, block_col: str = "label",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, blocked on ``block_col``
+    (block-join, not all-pairs; at scale the block key is an LSH bucket —
+    see similarity.py)."""
+    from .similarity import cosine
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the full corpus; 100% recall, scan-bound, embarrassingly
+parallel (no shuffle on the corpus side; the window ranks within each
+query partition).
+
+Scale path: random-hyperplane LSH — deterministic planes, bucket the
+corpus once (map-only), then search only matching buckets. At 100 TB the
+bucketed corpus is written partitioned by bucket so a query probe prunes
+partitions; multi-probe (flipping low-margin bits) trades recall for
+probes. An IVF variant would k-means the corpus; centroid training needs
+an iterative job, so LSH is the shipped scale path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate — JVM-side, sequential fold (bit-stable
+    across engines for oracle comparison)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set across the corpus scan.
+    Output: (query_id, neighbor_id, rank) — rank 1 = most similar;
+    deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+# --- random-hyperplane LSH -----------------------------------------------------
+
+LSH_PLANES = 12  # 2^12 buckets
+
+
+def _plane_component(p: int, d: int) -> Column:
+    """Deterministic pseudo-random plane component — sin-hash formula shared
+    verbatim with the oracle (no RNG dependency across engines)."""
+    return F.sin(F.lit(float(p * 131 + d * 7 + 1)))
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
+    """Sign-pattern bucket id of a vector under ``planes`` fixed hyperplanes."""
+    acc = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            proj = proj + vec[d] * _plane_component(p, d)
+        acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine + rank within candidates. Recall < 1 by construction (single
+    probe); raise ``planes`` ↓bucket size, add probes ↑recall."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim, planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )

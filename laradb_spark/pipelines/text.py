@@ -1,0 +1,134 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting. Everything is built-in-expression based (JVM,
+whole-stage codegen) — at 100 TB these run as map-only stages with zero
+shuffle, so the only cost is the parquet scan + codegen throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Single-space tokenization — chosen (over \s+) because it is exactly
+# reproducible in every engine (DuckDB STRING_SPLIT) for oracle parity.
+TOKEN_SEP = " "
+
+PUNCT_RE = r"[.,!?;:]"
+DIGIT_RE = r"[0-9]"
+
+# Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
+# Deliberately small and frozen: the lists are part of the operator contract
+# (the oracle embeds the same constants).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "a", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"],
+}
+CJK_RE = r"[一-鿿]"
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, TOKEN_SEP), lambda w: w != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces plus one token per
+    4 chars of long words — a cheap, deterministic stand-in for a BPE
+    tokenizer's token count (real BPE is a table lookup; this keeps the
+    statistic JVM-side and oracle-reproducible)."""
+    words = tokens(text)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4)).cast("long"),
+    )
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length/punctuation/stopword/digit ratios — the standard cheap quality
+    signals for pretraining-data filtering.
+
+    The token array is staged in its own projection so it's computed once,
+    not once per derived column (HOFs don't get codegen subexpr elimination)."""
+    staged = df.select("doc_id", F.col(text).alias("_t"), tokens(F.col(text)).alias("_toks"))
+    t = F.col("_t")
+    toks = F.col("_toks")
+    n_tok = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+    return staged.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(F.concat_ws("", toks)) / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all(t, F.lit(DIGIT_RE), 0))
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short docs, low stopword
+    density, high punctuation/digit noise."""
+    q = quality_features(df, text)
+    score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.1
+        + (1 - F.least(F.col("digit_ratio") * 10.0, F.lit(1.0))) * 0.1
+    )
+    return q.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-voting language ID with a CJK character override.
+    Deterministic argmax with fixed tie-break order en>es>de>fr; no hits →
+    'und'. (A real system uses fastText/CLD3 — not in this container; the
+    voting scheme is the classic n-gram heuristic and is fully
+    oracle-reproducible.)"""
+    t = F.col(text)
+    toks = F.transform(tokens(t), lambda w: F.lower(w))
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(F.size(F.regexp_extract_all(t, F.lit(CJK_RE), 0)) > 0, F.lit("zh"))
+        .when(best <= 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .when(scores["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text: str = "text", ngram: int = 5) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-gram shingles (a
+    winnowing-style rolling fingerprint; md5 is the cross-engine-stable
+    hash). Docs shorter than one shingle fingerprint the whole text."""
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))
+    )
+    return df.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+    )

@@ -44,6 +44,9 @@ def get_spark(app_name: str = "laradb-spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # DuckDB oracle comparability: timestamps must not be session-TZ-shifted.
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet, which
+        # Spark rejects by default; read as epoch-nanos long (exact).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,50 @@
+"""Workload registry: every implemented query/operator from SURVEY.md §2
+as a (spark_fn, oracle_sql) pair.
+
+``spark_fn(spark, sf_dir) -> DataFrame`` builds the engine's plan;
+``oracle_sql`` is the ANSI-SQL equivalent DuckDB runs on the same parquet
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). ``oracle_sql=None`` marks genuinely
+non-SQL-expressible ops (driver records a rows-only check).
+
+Column-name and value discipline (driver hashes sorted columns):
+  * alias every computed column identically on both sides;
+  * round doubles (sums→2dp, avgs/ratios→4-6dp) identically on both sides;
+  * emit BIGINT counts on both sides (DuckDB: CAST(count/sum AS BIGINT));
+  * prefer DATE / epoch-ms BIGINT over raw timestamps (events.ts is ns —
+    DuckDB keeps ns, Spark truncates to µs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as epoch-nanos long (nanosAsLong) plus a derived
+    ``ts_ms`` epoch-millis column (exact integer division — floor for the
+    positive epoch range, matching DuckDB ``epoch_ms(CAST(ts AS TIMESTAMP))``)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts_ms", F.expr("ts div 1000000"))
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    from . import lara_demos, pipelines_q, relational, windows_q
+
+    specs: dict[str, QuerySpec] = {}
+    for mod in (relational, lara_demos, windows_q, pipelines_q):
+        overlap = specs.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
+        specs.update(mod.QUERIES)
+    return specs

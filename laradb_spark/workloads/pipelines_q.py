@@ -1,0 +1,289 @@
+"""Training-data pipeline queries with DuckDB oracles: dedup (exact,
+jaccard, minhash-LSH, simhash, embedding), similarity search (brute-force
++ LSH top-k), text analysis (quality, lang-id, token counts, fingerprint).
+
+Every hash bottoms out in md5 and every permutation/plane constant is a
+shared literal, so the oracle replays the exact computation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines import dedup as dd
+from ..pipelines import similarity as sim
+from ..pipelines import text as tx
+from . import load
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_features(load(spark, sf_dir, "documents"))
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(LENGTH(list_aggregate(toks, 'string_agg', '')) / GREATEST(len(toks), 1), 4) AS avg_token_len,
+       ROUND(len(regexp_extract_all(text, '[.,!?;:]')) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(len(regexp_extract_all(text, '[0-9]')) / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+       ROUND(len(list_filter(toks, w -> lower(w) IN ({_STOP_EN}))) / GREATEST(len(toks), 1), 4) AS stopword_ratio
+FROM t
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_words"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(toks, w -> GREATEST(1, CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT)))), 0) AS BIGINT) AS n_bpe_ish
+FROM t
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _stop_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+
+
+TEXT_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform(list_filter(string_split(text, ' '), w -> w <> ''), w -> lower(w)) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         len(list_filter(toks, w -> w IN ({_stop_list('en')}))) AS s_en,
+         len(list_filter(toks, w -> w IN ({_stop_list('es')}))) AS s_es,
+         len(list_filter(toks, w -> w IN ({_stop_list('de')}))) AS s_de,
+         len(list_filter(toks, w -> w IN ({_stop_list('fr')}))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+            WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+            WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(len(toks) - 5 + 1, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 5 - 1), ' ')) AS shingles
+  FROM t
+)
+SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY digest
+"""
+
+_SHINGLE_SQL = """
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - {n} + 1, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    rows = dd.NUM_PERM // dd.LSH_BANDS
+    perm_rows = ", ".join(f"({i}, {dd._A[i]}, {dd._B[i]})" for i in range(dd.NUM_PERM))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {dd.SHINGLE_BITS_MOD}) AS hs
+  FROM sh
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT id, pi,
+         list_min(list_transform(hs, h -> (a * h + b) % {dd.MINHASH_PRIME})) AS mh
+  FROM hashed, perms
+),
+bands AS (
+  SELECT id, pi // {rows} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)) AS bh
+  FROM sig
+  GROUP BY id, band
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_table(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    bits = dd.SIMHASH_BITS
+    terms = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)), 0) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> ('0x' || substr(md5(w), 1, {bits // 4}))::BIGINT) AS hs
+  FROM documents
+)
+SELECT id, CAST({terms} AS BIGINT) AS simhash FROM t
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, label AS blk,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_cosine_similarity(a.vec, b.vec) AS c
+  FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cos
+FROM pairs WHERE ROUND(c, 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+ANN_BRUTE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qvec, v.vec) AS c
+  FROM v, q
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+}

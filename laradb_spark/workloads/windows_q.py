@@ -1,0 +1,153 @@
+"""Window/analytic + time-window queries — the surface the reference lacks
+entirely (SURVEY.md §2.4: no window/ranking functions, no streaming; its
+only time op is batch binning, reference: sensor/SensorCalc.kt:361-394).
+All are single-shuffle window plans or binned hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load
+
+
+# --- cumulative sum per key --------------------------------------------------
+
+def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM orders
+"""
+
+
+# --- lag: inter-order gap ------------------------------------------------------
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+GAPS_SQL = """
+SELECT o_orderkey, o_custkey,
+       DATE_DIFF('day',
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+"""
+
+
+# --- sessionization: gap > 30 min starts a new session -------------------------
+# (SURVEY pattern: lag + cumulative boundary count; streaming variant uses
+# session_window — see laradb_spark/streaming/.)
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts_ms").alias("tms"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60_000
+    boundary = (
+        (F.col("tms") - F.lag("tms").over(w) > gap_ms)
+        | F.lag("tms").over(w).isNull()
+    ).cast("long")
+    sess = ev.withColumn("session_id", F.sum(boundary).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("tms").alias("session_start_ms"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, value FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN tms - LAG(tms) OVER w > {SESSION_GAP_MIN * 60_000}
+                OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+),
+sess AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value,
+       MIN(tms) AS session_start_ms
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# --- tumbling time window (batch form; streaming twin in streaming/) -----------
+
+TUMBLE_MIN = 60
+
+
+def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events
+
+    ev = load_events(spark, sf_dir)
+    win = F.window(F.timestamp_millis(F.col("ts_ms")), f"{TUMBLE_MIN} minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+TUMBLE_SQL = f"""
+SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // {TUMBLE_MIN * 60_000}) * {TUMBLE_MIN * 60_000} AS window_start_ms,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY window_start_ms, event_type
+"""
+
+
+QUERIES = {
+    "running_customer_totals": (running_customer_totals, RUNNING_SQL),
+    "customer_order_gaps": (customer_order_gaps, GAPS_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "tumbling_event_stats": (tumbling_event_stats, TUMBLE_SQL),
+}
