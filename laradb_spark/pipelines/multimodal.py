@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
+
+The Spark-side plumbing is real and tested: schema convention, batch
+iteration, partition sizing, UDF signatures. The codec step itself is
+STUBBED — image/audio libraries are not in this container — behind
+``decode_image`` which raises NotImplementedError unless the deterministic
+fake codec is requested (tests use the fake; production swaps in
+PIL/torchaudio/ffmpeg in the same mapInPandas slot).
+
+Schema convention (one column family per modality):
+    content     BINARY      -- opaque payload
+    media_type  STRING      -- 'image/png', 'audio/wav', ...
+    meta        STRING      -- JSON sidecar (width/height/sample rate/...)
+
+Scale notes: payload bytes never enter a shuffle — feature extraction is
+map-only (mapInPandas), and downstream joins/aggs carry only the extracted
+features. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
+memory (binary payloads can be MBs each; at 100 TB set it low, e.g. 64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+FEATURE_DIM = 8
+
+
+def decode_image(payload: bytes, media_type: str, fake: bool = False) -> dict:
+    """Codec stub. Real implementation: PIL.Image.open(BytesIO(payload)).
+
+    ``fake=True`` returns a deterministic decode derived from the payload
+    digest so pipelines are testable without codec libraries.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True (tests) or swap in PIL here (production)"
+        )
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": 16 + digest[0] % 64,
+        "height": 16 + digest[1] % 64,
+        # 8-dim 'embedding' from digest bytes, deterministic
+        "feature": [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]],
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    type_col: str = "media_type",
+    fake_codec: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract each payload — the canonical mapInPandas
+    multimodal operator: per-partition Arrow batches in, feature rows out;
+    no shuffle; payload never leaves the scan stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "n_bytes", "digest", "width", "height", "feature")}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                dec = decode_image(payload, row[type_col], fake=fake_codec)
+                out["doc_id"].append(row[id_col])
+                out["media_type"].append(row[type_col])
+                out["n_bytes"].append(len(payload))
+                out["digest"].append(hashlib.md5(payload).hexdigest())
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["feature"].append(dec["feature"])
+            yield pd.DataFrame(out)
+
+    cols = [id_col, content_col, type_col]
+    return media.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents fixture: payload =
+    utf-8 text bytes, media_type by doc_id. Exercises the real plumbing
+    (binary column through Arrow) with reproducible content."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("image/jpeg"))
+        .alias("media_type"),
+        F.to_json(F.struct(F.col("n_chars"))).alias("meta"),
+    )
+
+
+def frame_sample(
+    media: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video frame-sampling plumbing: emit ``n_frames`` byte-slices per
+    payload (stand-in for ffmpeg keyframe extraction — same explode shape,
+    same partition behavior). Output: one row per (doc, frame_idx)."""
+    n_bytes = F.length(F.col(content_col))
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(
+                F.col(content_col).cast("string"),
+                (i * (n_bytes / n_frames)).cast("int") + 1,
+                8,
+            ).alias("frame_stub"),
+        ),
+    )
+    return media.select(id_col, F.explode(frames).alias("f")).select(
+        id_col, F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame_stub").alias("frame_stub")
+    )

@@ -145,8 +145,77 @@ GROUP BY window_start_ms, event_type
 """
 
 
+# --- native session_window (batch mode; same op runs streaming) ---------------
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events
+    from ..streaming import session_window_agg
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("ts_ms").alias("ts"), "user_id", "value"
+    )
+    return session_window_agg(ev, gap=f"{SESSION_GAP_MIN} minutes")
+
+
+SESSION_WINDOW_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, value FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN tms - LAG(tms) OVER w >= {SESSION_GAP_MIN * 60_000}
+                OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+),
+sess AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT MIN(tms) AS session_start_ms, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+# --- sliding window (batch twin of the streaming op) ---------------------------
+
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events
+    from ..streaming import sliding_window_agg
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("ts_ms").alias("ts"), "event_type", "value"
+    )
+    return sliding_window_agg(ev, window="60 minutes", slide="30 minutes")
+
+
+SLIDING_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events
+),
+expanded AS (
+  -- each event belongs to 2 windows (60 min window, 30 min slide)
+  SELECT event_type, value,
+         (tms // 1800000) * 1800000 - s.off AS window_start_ms
+  FROM ev, (SELECT UNNEST([0, 1800000]) AS off) s
+  WHERE (tms // 1800000) * 1800000 - s.off > tms - 3600000
+)
+SELECT window_start_ms, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM expanded
+GROUP BY window_start_ms, event_type
+"""
+
+
 QUERIES = {
     "running_customer_totals": (running_customer_totals, RUNNING_SQL),
+    "session_window_stats": (session_window_stats, SESSION_WINDOW_SQL),
+    "sliding_event_stats": (sliding_event_stats, SLIDING_SQL),
     "customer_order_gaps": (customer_order_gaps, GAPS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "tumbling_event_stats": (tumbling_event_stats, TUMBLE_SQL),
