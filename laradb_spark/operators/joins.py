@@ -1,0 +1,130 @@
+"""Custom join operators the reference and vanilla Spark both lack
+(SURVEY.md §2.4: the reference has only natural inner equi-join on key
+prefix) — implemented as compositions of built-in ops chosen for scale.
+
+asof_join: the union-sort trick — O(n log n) via ONE shuffle on
+(key, time), no fat intermediate. The naive formulation (join all earlier
+rows then rank) explodes to |L|×|matching R| rows; this one never
+materializes more than |L|+|R|.
+
+range_join_pairs: bucketed range self-join — equi-join on (key, bucket ±1)
+then exact filter, the standard rewrite that turns a non-equi predicate
+into a shuffle-friendly equi-join with bounded fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right_time <= left_time`` (direction='backward'; 'forward' takes the
+    earliest right row ≥).
+
+    Implementation: tag and union both sides, sort within key by time (one
+    shuffle), carry the most recent right payload forward with
+    ``last(ignorenulls)`` — the merge-scan an ASOF JOIN does natively in
+    engines that have one (e.g. DuckDB), expressed as a window.
+    Equal timestamps: the right row sorts before the left row, so a
+    same-instant right row IS visible to the left row (inclusive bound);
+    among same-time right rows the largest ``tiebreak`` wins.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = [c for c in left.columns]
+    tb = tiebreak or payload[0]
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}") for p in payload],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(tb).cast("long").alias("_tb"),
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_lrow"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload],
+    )
+    both = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows first at equal t (inclusive ≤), later right rows win
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.asc("_is_left"), F.asc_nulls_first("_tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
+        ]
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.desc("_t"), F.asc("_is_left"), F.desc_nulls_first("_tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
+        ]
+
+    out = both.select("_is_left", "_lrow", *carried).filter(F.col("_is_left") == 1)
+    return out.select(*[F.col(f"_lrow.{c}").alias(c) for c in lcols], *payload)
+
+
+def range_self_join(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    id_col: str,
+    max_gap: int,
+) -> DataFrame:
+    """Pairs (a, b) within the same ``key`` whose ``order_col`` values lie
+    within ``max_gap`` of each other (a.id < b.id).
+
+    Rewrite: bucket = order_col div max_gap; the probe side explodes to
+    {b−1, b, b+1} (pair order is by id, not time, so the partner may sit in
+    either neighbor bucket); equi-join on (key, bucket), exact |Δ| ≤ max_gap
+    filter + distinct afterwards. One shuffle on (key, bucket), fanout
+    bounded by bucket occupancy (AQE splits skewed buckets).
+    """
+    b = (F.col(order_col) - (F.col(order_col) % max_gap)) / max_gap
+    a = df.select(
+        F.col(key).alias("_k"),
+        F.col(order_col).alias("_ta"),
+        F.col(id_col).alias("id_a"),
+        F.explode(
+            F.array((b - 1).cast("long"), b.cast("long"), (b + 1).cast("long"))
+        ).alias("_bkt"),
+    )
+    bb = df.select(
+        F.col(key).alias("_k"),
+        F.col(order_col).alias("_tb"),
+        F.col(id_col).alias("id_b"),
+        b.cast("long").alias("_bkt"),
+    )
+    return (
+        a.join(bb, on=["_k", "_bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_ta") - F.col("_tb")) <= max_gap)
+        )
+        .select(F.col("_k").alias(key), "id_a", "id_b")
+        .distinct()
+    )

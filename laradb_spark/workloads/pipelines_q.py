@@ -195,6 +195,12 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 """
 
 
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (NumPy pandas_udf) minhash — bit-identical to
+    dedup_minhash_lsh, shares its oracle."""
+    return dd.minhash_lsh_pairs_vectorized(load(spark, sf_dir, "documents"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_table(load(spark, sf_dir, "documents"))
 
@@ -283,6 +289,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),

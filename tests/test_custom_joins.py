@@ -1,0 +1,60 @@
+"""As-of and range join operators against hand-computed fixtures."""
+
+from pyspark.sql import functions as F
+
+from laradb_spark.operators import asof_join, range_self_join
+
+
+def test_asof_backward_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 150, "t3"), (3, 50, "t4")],
+        "sym long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 10), (1, 100, 11), (1, 200, 12), (2, 160, 20)],
+        "sym long, t long, px long",
+    )
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                    payload=["px"], tiebreak="px")
+    got = {r.trade: r.px for r in out.collect()}
+    # t1@100: quote@100 visible (inclusive) → 11; t2@205 → quote@200 → 12
+    # t3@150: only quote@160 is later → None; t4: no quotes for sym 3 → None
+    assert got == {"t1": 11, "t2": 12, "t3": None, "t4": None}
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 90, 1), (1, 120, 2), (1, 150, 3)], "k long, t long, v long"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    payload=["v"], direction="forward", tiebreak="v")
+    assert out.collect()[0].v == 2  # earliest at/after 100
+
+
+def test_asof_equal_time_tiebreak(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 100, 7), (1, 100, 9)], "k long, t long, v long")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    payload=["v"], tiebreak="v")
+    assert out.collect()[0].v == 9  # largest tiebreak among same-time rows
+
+
+def test_range_self_join_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 25, 11), (1, 31, 12), (1, 100, 13), (2, 0, 20)],
+        "k long, t long, id long",
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             range_self_join(df, key="k", order_col="t", id_col="id", max_gap=30).collect()}
+    # |0-25|<=30 ✓, |25-31|<=30 ✓, |0-31|>30 ✗, 100 isolated, key 2 alone
+    assert pairs == {(10, 11), (11, 12)}
+
+
+def test_range_join_cross_bucket(spark):
+    # partner in the EARLIER bucket than the smaller id (regression: probe
+    # must cover b-1)
+    df = spark.createDataFrame([(1, 29, 5), (1, 31, 4)], "k long, t long, id long")
+    pairs = {(r.id_a, r.id_b) for r in
+             range_self_join(df, key="k", order_col="t", id_col="id", max_gap=30).collect()}
+    assert pairs == {(4, 5)}
