@@ -1,0 +1,176 @@
+"""Surface-completion queries: outer joins (the reference reaches these
+only via Merger.emitNoMatches, reference: opt/TupleImpl.kt:35,74), native
+pivot, SQL-front-door passthrough, union-all, and approximate aggregates
+(rows-only checks — HLL/KLL sketches differ across engines by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+
+# --- outer joins ------------------------------------------------------------
+
+def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every customer, order count possibly 0 — emitNoMatches
+    on the left input."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+
+
+LEFT_SQL = """
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def nation_region_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with a deliberately partial dimension (regions > 2) —
+    emitNoMatches on both inputs."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 2)
+    region = load(spark, sf_dir, "region")
+    return nation.join(region, nation.n_regionkey == region.r_regionkey, "full").select(
+        "n_name", "r_name"
+    )
+
+
+FULL_SQL = """
+SELECT n_name, r_name
+FROM (SELECT * FROM nation WHERE n_regionkey <= 2) n
+FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# --- native pivot -------------------------------------------------------------
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "total_F", "O": "total_O", "P": "total_P"})
+    )
+
+
+PIVOT_NATIVE_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_F,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_O,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- union all ----------------------------------------------------------------
+
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        cust.unionAll(supp)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("acctbal"), 4).alias("avg_bal"))
+    )
+
+
+UNION_ALL_SQL = """
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(acctbal), 4) AS avg_bal
+FROM (
+  SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+)
+GROUP BY kind
+"""
+
+
+# --- SQL front door (spark.sql is itself part of the engine surface) ----------
+
+def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import LaraContext
+
+    ctx = LaraContext(spark)
+    ctx.register_dir(sf_dir, ["orders", "customer"])
+    return ctx.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+SQL_FRONT_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY c_mktsegment
+"""
+
+
+# --- approximate aggregates (rows-only: sketch internals are engine-specific) --
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# --- multimodal features (fake codec is digest-derived → SQL-expressible) ------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.multimodal import extract_features, synthesize_media_from_documents
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    feats = extract_features(media, fake_codec=True)
+    return feats.select("doc_id", "media_type", "n_bytes", "digest", "width", "height")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+       CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height
+FROM documents
+"""
+
+
+QUERIES = {
+    "customer_order_counts_left": (customer_order_counts_left, LEFT_SQL),
+    "nation_region_full_outer": (nation_region_full_outer, FULL_SQL),
+    "order_status_pivot": (order_status_pivot, PIVOT_NATIVE_SQL),
+    "all_account_balances": (all_account_balances, UNION_ALL_SQL),
+    "sql_front_door_q": (sql_front_door_q, SQL_FRONT_SQL),
+    "approx_stats": (approx_stats, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+}

@@ -1,0 +1,114 @@
+"""Plan-quality audits: assert the physical plans are the plans we want at
+scale — pushdown reaches the scan, column pruning works, small dims
+broadcast, partial aggregation happens, no unexpected cartesian products.
+(The '.explain and iterate' discipline, mechanized.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from laradb_spark.operators.skew import salted_agg, salted_join_hot_keys
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sfq(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return {name: fn for name, fn in e.queries().items()}, sf_dir
+
+
+def test_q1_pushdown_and_pruning(spark, sfq):
+    qs, sf = sfq
+    df = qs["q1_pricing_summary"](spark, sf)
+    plan = _plan(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    # column pruning: only the 7 needed columns are read, not all 11
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # partial+final hash aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_dimensions(spark, sfq):
+    qs, sf = sfq
+    plan = _plan(qs["q5_local_supplier_volume"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sensor_covariance_no_cartesian(spark, sfq):
+    qs, sf = sfq
+    plan = _plan(qs["sensor_covariance_events"](spark, sf))
+    # the c×c self-join goes through the t' equi-join, never a cartesian
+    assert "CartesianProduct" not in plan
+    # per-class means broadcast into the mean-center join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_single_window_shuffle(spark, sfq):
+    qs, sf = sfq
+    plan = _plan(qs["topk_parts_per_brand"](spark, sf))
+    assert plan.count("Exchange") <= 2  # one hash exchange for the window (+AQE read)
+
+
+def test_lara_join_pushes_column_pruning(spark, sf_dir):
+    from laradb_spark import LaraSchema, LaraTable
+    from laradb_spark.workloads import load
+
+    li = LaraTable(
+        load(spark, sf_dir, "lineitem"),
+        LaraSchema.of(
+            [("l_orderkey", "LONG"), ("l_linenumber", "INT")],
+            [("l_quantity", "DOUBLE", None)],
+        ),
+    )
+    agg = li.agg(["l_orderkey"], {"l_quantity": "sum_null"})
+    plan = _plan(agg.df)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from laradb_spark.workloads import load
+
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag): (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("l_quantity").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.l_quantity_s, r.l_quantity_n)
+        for r in salted_agg(
+            li.select("l_returnflag",
+                      F.col("l_quantity").alias("l_quantity_s"),
+                      F.col("l_quantity").alias("l_quantity_n")),
+            ["l_returnflag"],
+            {"l_quantity_s": "sum", "l_quantity_n": "count"},
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert salted[k][0] == pytest.approx(plain[k][0], rel=1e-12)
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "never")], "k long, tag string")
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(
+        tuple(r) for r in salted_join_hot_keys(big, small, "k", hot_keys=[1]).collect()
+    )
+    assert plain == salted
