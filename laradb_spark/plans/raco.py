@@ -261,9 +261,12 @@ class RacoCompiler:
                 return F.lit(e.args[0])
             if e.name == "PLUS":
                 a, b = (self._expr(x, df) for x in e.args)
-                # string PLUS = concat (reference: RacoToAccumulo.kt:71-126)
+                # string PLUS = concat; boolean PLUS = || (reference:
+                # RacoToAccumulo.kt:71-126)
                 if self._is_string(e.args[0], df) and self._is_string(e.args[1], df):
                     return F.concat(a, b)
+                if self._type_of(e.args[0], df) == "boolean":
+                    return a | b
                 return a + b
             if e.name == "DIVIDE":
                 a, b = (self._expr(x, df) for x in e.args)

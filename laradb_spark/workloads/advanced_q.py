@@ -183,12 +183,16 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(avg_q), on="l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 4
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 4) AS avg_yearly
 FROM lineitem l
 WHERE l_quantity < (
   SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey

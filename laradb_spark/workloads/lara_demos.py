@@ -80,14 +80,22 @@ SELECT o_custkey, ROUND(SUM(rev), 2) AS rev FROM (
 
 def lara_matmul_event_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    m = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("v"))
+    # Integer-exact intermediate: m in ten-thousandths as BIGINT. Decimal
+    # addends can sum to EXACTLY a .xx5 boundary, where the summation-order
+    # ulp decides the final round — a cross-run coin flip (observed). With
+    # integer products (≤2.5e16, no overflow) the Gram sum is exact and
+    # order-independent; one final division is correctly rounded identically
+    # on both engines.
+    m = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value") * 10000).cast("long").alias("v")
+    )
     a = LaraTable(
         m.select("user_id", F.col("event_type").alias("e1"), "v"),
-        LaraSchema.of([("user_id", "LONG"), ("e1", "STRING")], [("v", "DOUBLE", 0.0)]),
+        LaraSchema.of([("user_id", "LONG"), ("e1", "STRING")], [("v", "LONG", 0)]),
     )
     b = LaraTable(
         m.select("user_id", F.col("event_type").alias("e2"), "v"),
-        LaraSchema.of([("user_id", "LONG"), ("e2", "STRING")], [("v", "DOUBLE", 0.0)]),
+        LaraSchema.of([("user_id", "LONG"), ("e2", "STRING")], [("v", "LONG", 0)]),
     )
     # join on shared key prefix (user_id), ⊗ = multiply; then agg out user_id
     # with ⊕ = sum — the TableMult fusion. Upper triangle (O10).
@@ -97,15 +105,18 @@ def lara_matmul_event_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort(["e1", "e2", "user_id"])
         .agg(["e1", "e2"], {"v": "sum"})
     )
-    return g.df.select("e1", "e2", F.round("v", 2).alias("v"))
+    return g.df.select(
+        "e1", "e2", F.round(F.col("v").cast("double") / 1e8, 2).alias("v")
+    )
 
 
 MATMUL_SQL = """
 WITH m AS (
-  SELECT user_id, event_type, SUM(value) AS v
+  SELECT user_id, event_type, CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS v
   FROM events GROUP BY user_id, event_type
 )
-SELECT a.event_type AS e1, b.event_type AS e2, ROUND(SUM(a.v * b.v), 2) AS v
+SELECT a.event_type AS e1, b.event_type AS e2,
+       ROUND(CAST(CAST(SUM(a.v * b.v) AS BIGINT) AS DOUBLE) / 1e8, 2) AS v
 FROM m a JOIN m b ON a.user_id = b.user_id
 WHERE a.event_type <= b.event_type
 GROUP BY e1, e2
@@ -168,8 +179,51 @@ GROUP BY c1, c2
 """
 
 
+def lara_wordcount_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same WordCount through the general (arbitrary-Python) ExtFun path —
+    mapInPandas, Arrow-batched — proving the slow path is still correct
+    against the identical oracle."""
+    docs = LaraTable(
+        load(spark, sf_dir, "documents"),
+        LaraSchema.of([("doc_id", "LONG")], [("text", "STRING", None)]),
+    )
+    tokenize = ExtFun(
+        "tokenize_py",
+        LaraSchema.of([("word", "STRING")], [("cnt", "LONG", 0)]),
+        py_fn=lambda rec: [
+            {"word": w, "cnt": 1} for w in (rec["text"] or "").split(" ") if w
+        ],
+    )
+    return docs.ext(tokenize).agg(["word"], {"cnt": "sum_long"}).df
+
+
+# --- MergeUnion with ⊕=max: per-customer peak order across two periods -------
+
+def lara_union_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    h1 = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    h2 = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    schema = LaraSchema.of([("o_custkey", "LONG")], [("peak", "DOUBLE", None)])
+
+    def to_lara(df: DataFrame) -> LaraTable:
+        return LaraTable(
+            df.groupBy("o_custkey").agg(F.max("o_totalprice").alias("peak")), schema
+        )
+
+    u = to_lara(h1).union(to_lara(h2), {"peak": "max"})
+    return u.df.select("o_custkey", F.round("peak", 2).alias("peak"))
+
+
+UNION_MAX_SQL = """
+SELECT o_custkey, ROUND(MAX(o_totalprice), 2) AS peak
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "lara_wordcount": (lara_wordcount, WORDCOUNT_SQL),
+    "lara_wordcount_py": (lara_wordcount_py, WORDCOUNT_SQL),
+    "lara_union_max": (lara_union_max, UNION_MAX_SQL),
     "lara_union_revenue": (lara_union_revenue, UNION_SQL),
     "lara_matmul_event_gram": (lara_matmul_event_gram, MATMUL_SQL),
     "sensor_covariance_events": (sensor_covariance_events, SENSOR_SQL),

@@ -11,7 +11,7 @@ stats prune.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load
@@ -19,35 +19,48 @@ from . import load
 
 # --- TPC-H Q1 shape: big scan + 8-agg rollup ------------------------------
 
+# Money columns are exact decimals (2dp; products 4-6dp). A double SUM's
+# result depends on addend order, and when the TRUE sum lands exactly on a
+# rounding boundary (.xx5) the order-dependent ulp decides the round — a
+# cross-run/cross-engine coin flip. Fix: sum SCALED INTEGERS (exact,
+# order-independent), divide once at the end (single correctly-rounded op).
+
+def _iscale(col: Column | str, scale: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral: exact
+            F.round(F.sum(_iscale("l_extendedprice", 100)) / 1e2, 2).alias("sum_base_price"),
+            F.round(F.sum(_iscale(disc_price, 10_000)) / 1e4, 2).alias("sum_disc_price"),
+            F.round(F.sum(_iscale(charge, 1_000_000)) / 1e6, 2).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
+            F.round(F.sum(_iscale("l_extendedprice", 100)) / n / 1e2, 4).alias("avg_price"),
+            F.round(F.sum(_iscale("l_discount", 100)) / n / 1e2, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-       ROUND(AVG(l_discount), 6)                                        AS avg_disc,
-       CAST(COUNT(*) AS BIGINT)                                         AS count_order
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2, 2) AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1e6, 2) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*) / 1e2, 4) AS avg_price,
+       ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / COUNT(*) / 1e2, 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -68,7 +81,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)) / 1e4, 2
+            ).alias("revenue")
+        )
         .select("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "revenue")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -78,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = """
 SELECT l_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -111,12 +128,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)) / 1e4, 2
+            ).alias("revenue")
+        )
     )
 
 
 Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

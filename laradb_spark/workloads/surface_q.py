@@ -89,12 +89,19 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.unionAll(supp)
         .groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("acctbal"), 4).alias("avg_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # scaled-integer sum → exact, order-independent (see relational.py)
+            F.round(
+                F.sum(F.round(F.col("acctbal") * 100).cast("long")) / F.count(F.lit(1)) / 1e2, 4
+            ).alias("avg_bal"),
+        )
     )
 
 
 UNION_ALL_SQL = """
-SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(acctbal), 4) AS avg_bal
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(ROUND(acctbal * 100) AS BIGINT)) / COUNT(*) / 1e2, 4) AS avg_bal
 FROM (
   SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
   UNION ALL

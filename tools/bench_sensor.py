@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Reference-fidelity benchmark: the sensor covariance pipeline timed per
+stage (X/U/C), mirroring the reference's SensorCalcTimes CSV row
+``opts,toX,toU,toC,total`` (reference: sensor/SensorCalc.kt:119-143;
+driver sweep sensor/SensorCalcDriver.kt:54-70).
+
+Data: synthetic two-table (t,c,v) fixture generated deterministically at a
+size scaled by --rows (default ~the reference's month of AoT data shape:
+~50 classes, 25 s cadence). Stages are materialized with the noop sink so
+each timing covers exactly one stage's computation (X is persisted, as the
+reference materializes it into a temp table).
+
+Usage: python tools/bench_sensor.py [--rows 2000000] [--classes 50]
+Emits one JSON line: {"metric": "sensor_covariance_stages", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--classes", type=int, default=50)
+    ap.add_argument("--bin-ms", type=int, default=120_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from laradb_spark.sensor import binned_mean, covariance, diff_x, mean_center
+    from laradb_spark.session import get_spark
+
+    spark = get_spark("bench-sensor")
+
+    # Deterministic synthetic (t, c, v): irregular ~25 s cadence over 31
+    # days (the reference's benchmark window), gaussian-ish v per class.
+    t0 = 1_484_000_000_000
+    span = 31 * 86_400_000
+
+    def gen(seed: int):
+        base = spark.range(args.rows).select(
+            (t0 + (F.hash(F.col("id") + seed) % span + span) % span).alias("t"),
+            F.concat(F.lit("class_"), (F.pmod(F.hash(F.col("id") * 31 + seed), args.classes)).cast("string")).alias("c"),
+            (F.pmod(F.hash(F.col("id") * 7 + seed), 10_000) / 100.0).alias("v"),
+        )
+        return base
+
+    a, b = gen(1), gen(2)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm (codegen + shuffle machinery)
+    force(binned_mean(gen(3).limit(10_000), args.bin_ms))
+
+    times = {}
+    t = time.time()
+    x = diff_x(binned_mean(a, args.bin_ms), binned_mean(b, args.bin_ms)).persist()
+    force(x)
+    times["toX"] = round(time.time() - t, 3)
+
+    t = time.time()
+    u = mean_center(x).persist()
+    force(u)
+    times["toU"] = round(time.time() - t, 3)
+
+    t = time.time()
+    c = covariance(u)
+    force(c)
+    times["toC"] = round(time.time() - t, 3)
+
+    times["total"] = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "sensor_covariance_stages",
+        "value": times["total"],
+        "unit": "sec",
+        "queries": times,
+        "opts": "spark-catalyst",  # the reference's opt flags are Catalyst built-ins
+        "rows_per_table": args.rows,
+        "classes": args.classes,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
