@@ -15,8 +15,6 @@ an iterative job, so LSH is the shipped scale path.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window

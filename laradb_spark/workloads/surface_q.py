@@ -140,6 +140,52 @@ GROUP BY c_mktsegment
 """
 
 
+# --- D4M range/set filter: column-set semi-join (reference:
+#     opt/D4mRangeFilter.kt:18-94 keeps entries whose column falls in a
+#     D4M range set; here the set is a table → left-semi join, and a small
+#     literal set → pushed-down IN filter) -------------------------------------
+
+def d4m_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # range set = brands 'Brand#1'..'Brand#3' parts (semi-join) plus an
+    # explicit leading-key range (l_orderkey < 5000) — the reference's
+    # RangeSet intersection (opt/RangeSet.kt:10-101).
+    parts = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey")
+    return (
+        li.filter(F.col("l_orderkey") < 5000)
+        .join(parts, li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+D4M_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_orderkey < 5000
+  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1','Brand#2','Brand#3'))
+GROUP BY l_returnflag
+"""
+
+
+# --- map transform (reference: examples/rainysunny/MapRainToSunIterator.kt —
+#     string-replace apply op over the value column) ---------------------------
+
+def text_replace_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("data"), F.lit("DATA")).alias("text2"),
+    )
+
+
+REPLACE_SQL = """
+SELECT doc_id, REPLACE(text, 'data', 'DATA') AS text2 FROM documents
+"""
+
+
 # --- approximate aggregates (rows-only: sketch internals are engine-specific) --
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +224,8 @@ QUERIES = {
     "order_status_pivot": (order_status_pivot, PIVOT_NATIVE_SQL),
     "all_account_balances": (all_account_balances, UNION_ALL_SQL),
     "sql_front_door_q": (sql_front_door_q, SQL_FRONT_SQL),
+    "d4m_set_filter": (d4m_set_filter, D4M_SQL),
+    "text_replace_map": (text_replace_map, REPLACE_SQL),
     "approx_stats": (approx_stats, None),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
 }
