@@ -173,20 +173,40 @@ def minhash_band_buckets(
     )
 
 
+def _bucket_pairs(bb: DataFrame) -> DataFrame:
+    """(band, bh, id) rows → distinct (id_a < id_b) pairs sharing a bucket.
+
+    One groupBy + in-bucket pair expansion instead of a self-join: the
+    self-join recomputes the entire upstream (signature) pipeline for BOTH
+    sides (~2× the dominant cost) and shuffles twice. Bucket membership
+    lists are small by construction (good bands ⇒ few collisions); a
+    pathological giant bucket means the banding parameters are wrong for
+    the corpus, not that the expansion should be distributed."""
+    ids = F.array_sort(F.collect_set("id")).alias("ids")
+    buckets = bb.groupBy("band", "bh").agg(ids).filter(F.size("ids") > 1)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH banding — the
     scalable dedup path: shuffle on band buckets, never all-pairs."""
-    bb = minhash_band_buckets(df, n, id_col, text_col, num_perm, bands)
-    a, b = bb.alias("a"), bb.alias("b")
-    return (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(minhash_band_buckets(df, n, id_col, text_col, num_perm, bands))
 
 
 def minhash_signature_vectorized(num_perm: int = NUM_PERM):
@@ -243,13 +263,8 @@ def minhash_lsh_pairs_vectorized(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
 ) -> DataFrame:
-    bb = minhash_band_buckets_vectorized(df, n, id_col, text_col, num_perm, bands)
-    a, b = bb.alias("a"), bb.alias("b")
-    return (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    return _bucket_pairs(
+        minhash_band_buckets_vectorized(df, n, id_col, text_col, num_perm, bands)
     )
 
 

@@ -157,6 +157,20 @@ class LaraTable:
         out = both.groupBy(*key_names).agg(*aggs)
         return LaraTable(out, LaraSchema(tuple(keys), tuple(vals)))
 
+    @staticmethod
+    def union_many(tables: list["LaraTable"], plus_funs: Mapping[str, str | PlusFun]) -> "LaraTable":
+        """n-way MergeUnion (the reference's Merger aligns n sorted inputs,
+        reference: opt/TupleImpl.kt:24-140). Folding binary unions is
+        semantically exact (⊕ is associative-commutative by contract) and
+        Catalyst flattens the unions into one n-child Union + a single
+        aggregate — no per-step shuffles."""
+        if not tables:
+            raise ValueError("union_many needs at least one table")
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.union(t, plus_funs)
+        return out
+
     def agg(self, keys_kept: list[str], plus_funs: Mapping[str, str | PlusFun]) -> "LaraTable":
         """MergeAgg: drop keys not kept, fold values with ⊕
         (reference: api/TupleOp.kt:296,353-366). Spark's hash aggregate does

@@ -281,6 +281,49 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+EMB_DIM = 64
+LSH_PLANES_Q = 8
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucket join + exact cosine within
+    the bucket. Single-probe (recall<1 by design); the oracle replays the
+    identical sin-formula planes so even the approximation is checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM, k=TOP_K, planes=LSH_PLANES_Q
+    )
+
+
+def _ann_lsh_sql() -> str:
+    # bucket(v) = Σ_p [ (Σ_d v[d]·sin(p·131+d·7+1)) > 0 ] · 2^p — the exact
+    # formula in similarity._plane_component, machine-generated per plane.
+    proj = lambda p: " + ".join(
+        f"vec[{d + 1}] * sin({float(p * 131 + d * 7 + 1)})" for d in range(EMB_DIM)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(LSH_PLANES_Q)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+bucketed AS (SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qvec, c.vec) AS cos
+  FROM bucketed c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
@@ -293,4 +336,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
 }
