@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import asof_join, range_self_join
 from . import load
+from .relational import ratio_k
 
 
 # --- as-of join -----------------------------------------------------------
@@ -184,15 +185,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(avg_q), on="l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0, 4
-            ).alias("avg_yearly")
+            # exact: round_int(100·s/7)/1e4 where s = cents sum (see
+            # relational._round_int for why ROUND(double) is unsafe here)
+            ratio_k(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")), 2, F.lit(7), 4).alias(
+                "avg_yearly"
+            )
         )
     )
 
 
 Q17_SQL = """
-SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 4) AS avg_yearly
+SELECT ((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 100 + 7) // 14) / 10000.0 AS avg_yearly
 FROM lineitem l
 WHERE l_quantity < (
   SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey

@@ -30,6 +30,29 @@ def _iscale(col: Column | str, scale: int) -> Column:
     return F.round(c * scale).cast("long")
 
 
+def _round_int(a: Column, b: Column | int) -> Column:
+    """Half-up integer rounding of a/b for nonnegative exact-integer
+    columns: (2a+b) div 2b — computed with %-and-subtract so every double
+    step is an exact multiple (requires 2a+b < 2^53, true for all uses
+    here). Why not ROUND(double): Spark rounds the shortest decimal string
+    of the double, DuckDB rounds the binary value — at an exact half
+    boundary (which scaled-decimal data hits routinely) they disagree."""
+    t = 2 * a + b
+    den = 2 * b if isinstance(b, int) else b * 2
+    return ((t - t % den) / den).cast("long")
+
+
+def money2(scaled: Column, m: int) -> Column:
+    """Exact round-to-2dp of an integer sum in 10^-m units (m ≥ 2)."""
+    return _round_int(scaled, 10 ** (m - 2)) / F.lit(100.0)
+
+
+def ratio_k(scaled: Column, m: int, n: Column, k: int) -> Column:
+    """Exact round-to-k of (scaled/10^m)/n for k ≥ m: integer-round
+    (scaled·10^(k-m))/n, then one exact division."""
+    return _round_int(scaled * 10 ** (k - m), n) / F.lit(float(10 ** k))
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -40,26 +63,43 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral: exact
-            F.round(F.sum(_iscale("l_extendedprice", 100)) / 1e2, 2).alias("sum_base_price"),
-            F.round(F.sum(_iscale(disc_price, 10_000)) / 1e4, 2).alias("sum_disc_price"),
-            F.round(F.sum(_iscale(charge, 1_000_000)) / 1e6, 2).alias("sum_charge"),
-            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
-            F.round(F.sum(_iscale("l_extendedprice", 100)) / n / 1e2, 4).alias("avg_price"),
-            F.round(F.sum(_iscale("l_discount", 100)) / n / 1e2, 6).alias("avg_disc"),
+            (F.sum(_iscale("l_extendedprice", 100)) / F.lit(100.0)).alias("sum_base_price"),
+            money2(F.sum(_iscale(disc_price, 10_000)), 4).alias("sum_disc_price"),
+            money2(F.sum(_iscale(charge, 10_000)), 4).alias("sum_charge"),
+            ratio_k(F.sum("l_quantity").cast("long"), 0, n, 4).alias("avg_qty"),
+            ratio_k(F.sum(_iscale("l_extendedprice", 100)), 2, n, 4).alias("avg_price"),
+            ratio_k(F.sum(_iscale("l_discount", 100)), 2, n, 6).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
 
 
-Q1_SQL = """
+# SQL twin of _round_int: (2a+b)//(2b), exact in DuckDB HUGEINT.
+def _sql_round_int(a: str, b: str) -> str:
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
+
+
+def _sql_money2(sum_expr: str, m: int) -> str:
+    return f"{_sql_round_int(sum_expr, str(10 ** (m - 2)))} / 100.0"
+
+
+def _sql_ratio_k(sum_expr: str, m: int, n_expr: str, k: int) -> str:
+    return f"{_sql_round_int(f'({sum_expr}) * {10 ** (k - m)}', n_expr)} / {float(10 ** k)}"
+
+
+_S_PRICE = "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+_S_DISC_PRICE = "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))"
+_S_CHARGE = "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT))"
+
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2, 2) AS sum_base_price,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1e6, 2) AS sum_charge,
-       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*) / 1e2, 4) AS avg_price,
-       ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / COUNT(*) / 1e2, 6) AS avg_disc,
+       {_S_PRICE} / 100.0 AS sum_base_price,
+       {_sql_money2(_S_DISC_PRICE, 4)} AS sum_disc_price,
+       {_sql_money2(_S_CHARGE, 4)} AS sum_charge,
+       {_sql_ratio_k('SUM(CAST(l_quantity AS BIGINT))', 0, 'COUNT(*)', 4)} AS avg_qty,
+       {_sql_ratio_k(_S_PRICE, 2, 'COUNT(*)', 4)} AS avg_price,
+       {_sql_ratio_k("SUM(CAST(ROUND(l_discount * 100) AS BIGINT))", 2, 'COUNT(*)', 6)} AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -82,8 +122,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)) / 1e4, 2
+            money2(
+                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)), 4
             ).alias("revenue")
         )
         .select("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "revenue")
@@ -95,7 +135,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = """
 SELECT l_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS revenue
+       ((2 * SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -129,8 +169,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)) / 1e4, 2
+            money2(
+                F.sum(_iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)), 4
             ).alias("revenue")
         )
     )
@@ -138,7 +178,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 1e4, 2) AS revenue
+       ((2 * SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load
+from .relational import ratio_k
 
 
 # --- outer joins ------------------------------------------------------------
@@ -91,9 +92,9 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # scaled-integer sum → exact, order-independent (see relational.py)
-            F.round(
-                F.sum(F.round(F.col("acctbal") * 100).cast("long")) / F.count(F.lit(1)) / 1e2, 4
+            # integer-exact rounding (see relational._round_int)
+            ratio_k(
+                F.sum(F.round(F.col("acctbal") * 100).cast("long")), 2, F.count(F.lit(1)), 4
             ).alias("avg_bal"),
         )
     )
@@ -101,7 +102,7 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNION_ALL_SQL = """
 SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(CAST(ROUND(acctbal * 100) AS BIGINT)) / COUNT(*) / 1e2, 4) AS avg_bal
+       ((2 * SUM(CAST(ROUND(acctbal * 100) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_bal
 FROM (
   SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
   UNION ALL
