@@ -38,6 +38,9 @@ HEADLINE = [
     "asof_last_order",
     "orders_within_30_days",
     "graph_brand_gram",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q8_market_share",
 ]
 
 

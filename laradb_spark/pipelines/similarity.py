@@ -90,6 +90,122 @@ def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
     return acc
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH: each query also probes the buckets reachable by
+    flipping one of the first ``probes-1`` sign bits (the classic recall
+    booster — ~probes× candidates for the same corpus bucketing; corpus
+    is still hashed exactly once)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
+    q0 = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("_b", lsh_bucket(F.col("qvec"), dim, planes))
+    flips = F.array(
+        F.col("_b"), *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(probes - 1)]
+    )
+    q = q0.select(query_id_col, "qvec", F.explode(flips).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: k-means-lite centroids (deterministic init = the
+    ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds), corpus
+    partitioned by nearest centroid, queries probe the ``n_probe``
+    nearest lists.
+
+    Scale shape: centroids are tiny (driver-side after a distributed
+    aggregate per round — the one legitimate collect, bounded by
+    n_centroids·dim); assignment is a broadcast-join map stage; at 100 TB
+    the assigned corpus is written partitioned by ``centroid`` so probes
+    prune partitions."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = (
+        c.orderBy("neighbor_id").limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _assign(c, cents)
+        # new centroid = element-wise mean of members (posexplode + avg)
+        cents = (
+            assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
+        )
+    assigned = _assign(c, cents)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    # each query probes its n_probe nearest centroids
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
+    probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
+    scored = (
+        assigned.join(F.broadcast(probes.select(query_id_col, "qvec", "cid")), on="cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (broadcast join + window argmax)."""
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id", "cvec", "cid", cosine(F.col("cvec"), F.col("cent")).alias("_cc")
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.desc("_cc"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("cid", "neighbor_id", "cvec")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -324,6 +324,51 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk_multiprobe(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM, k=TOP_K, planes=LSH_PLANES_Q, probes=4
+    )
+
+
+def _ann_multiprobe_sql() -> str:
+    proj = lambda p: " + ".join(
+        f"vec[{d + 1}] * sin({float(p * 131 + d * 7 + 1)})" for d in range(EMB_DIM)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(LSH_PLANES_Q)
+    )
+    flips = ", ".join(["b"] + [f"xor(b, {1 << p})" for p in range(3)])
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+bucketed AS (SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS b FROM v),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec, UNNEST([{flips}]) AS b
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qvec, c.vec) AS cos
+  FROM bucketed c JOIN q ON c.b = q.b
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (iterative Lloyd rounds → genuinely non-SQL-expressible;
+    rows-only check by design, deterministic across reruns)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, _queries_df(spark, sf_dir), n_centroids=16, n_probe=4, k=TOP_K)
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
@@ -337,4 +382,6 @@ QUERIES = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
+    "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
+    "ann_ivf_topk": (ann_ivf_topk, None),
 }
