@@ -87,6 +87,11 @@ class TimesFun:
     def apply(self, a: Column, b: Column) -> Column:
         return self.times(a, b)
 
+    def with_annihilators(self, left: Any, right: Any) -> "TimesFun":
+        """Rebind annihilators to match new parent defaults (reference:
+        TimesFun.withAnnihilators, api/Schema.kt:362-377)."""
+        return TimesFun(self.name, left, right, self.times, self.result_type, self.result_default)
+
 
 @dataclass(frozen=True)
 class ExtFun:

@@ -187,6 +187,30 @@ SELECT doc_id, REPLACE(text, 'data', 'DATA') AS text2 FROM documents
 """
 
 
+# --- JSON column surface: extract typed fields from the events props sidecar --
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- approximate aggregates (rows-only: sketch internals are engine-specific) --
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +250,7 @@ QUERIES = {
     "all_account_balances": (all_account_balances, UNION_ALL_SQL),
     "sql_front_door_q": (sql_front_door_q, SQL_FRONT_SQL),
     "d4m_set_filter": (d4m_set_filter, D4M_SQL),
+    "events_json_stats": (events_json_stats, JSON_SQL),
     "text_replace_map": (text_replace_map, REPLACE_SQL),
     "approx_stats": (approx_stats, None),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
