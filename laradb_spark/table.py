@@ -257,9 +257,11 @@ class LaraTable:
         vals = tuple(
             ValAttribute(mapping.get(a.name, a.name), a.type, a.default) for a in self.schema.vals
         )
-        df = self.df
-        for old, new in mapping.items():
-            df = df.withColumnRenamed(old, new)
+        # single select, not sequential withColumnRenamed: a swap mapping
+        # like {src: dst, dst: src} would otherwise collide mid-sequence
+        df = self.df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in self.df.columns]
+        )
         return LaraTable(df, LaraSchema(keys, vals))
 
     def sort(self, new_key_order: list[str], physical: bool = False) -> "LaraTable":
