@@ -74,6 +74,10 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError(
+                "raco parse: unexpected end of input (unbalanced parentheses/brackets?)"
+            )
         t = self.toks[self.i]
         self.i += 1
         return t

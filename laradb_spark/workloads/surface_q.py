@@ -187,6 +187,44 @@ SELECT doc_id, REPLACE(text, 'data', 'DATA') AS text2 FROM documents
 """
 
 
+# --- Raco front-door through the correctness gate: a Raco logical plan
+#     (Scan → Select(GT) → Apply with DIVIDE/PLUS) compiled and executed,
+#     hash-checked against plain SQL ---------------------------------------
+
+RACO_PLAN = """
+Dump(Apply([
+    ('o_custkey', NamedAttributeRef('o_custkey')),
+    ('o_totalprice', NamedAttributeRef('o_totalprice')),
+    ('price_k', DIVIDE(NamedAttributeRef('o_totalprice'), NumericLiteral(1000.0))),
+    ('tag', PLUS(NamedAttributeRef('o_orderstatus'), StringLiteral('-BIG')))
+  ],
+  Select(GT(NamedAttributeRef('o_totalprice'), NumericLiteral(400000.0)),
+    Scan(RelationKey('public','adhoc','orders'),
+         Scheme([('o_orderkey', 'LONG_TYPE'), ('o_custkey', 'LONG_TYPE'),
+                 ('o_orderstatus', 'STRING_TYPE'), ('o_totalprice', 'DOUBLE_TYPE')]),
+         10000, RepresentationProperties(frozenset([]), None, None)))))
+"""
+
+
+def raco_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.raco import RacoCompiler
+
+    orders = load(spark, sf_dir, "orders")
+    out = RacoCompiler(spark, {"orders": orders}).compile(RACO_PLAN).run()
+    return out.select(
+        "o_custkey", "o_totalprice", F.round("price_k", 6).alias("price_k"), "tag"
+    )
+
+
+RACO_Q_SQL = """
+SELECT o_custkey, o_totalprice,
+       ROUND(o_totalprice / 1000.0, 6) AS price_k,
+       o_orderstatus || '-BIG' AS tag
+FROM orders
+WHERE o_totalprice > 400000.0
+"""
+
+
 # --- JSON column surface: extract typed fields from the events props sidecar --
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +289,7 @@ QUERIES = {
     "sql_front_door_q": (sql_front_door_q, SQL_FRONT_SQL),
     "d4m_set_filter": (d4m_set_filter, D4M_SQL),
     "events_json_stats": (events_json_stats, JSON_SQL),
+    "raco_front_door_q": (raco_front_door_q, RACO_Q_SQL),
     "text_replace_map": (text_replace_map, REPLACE_SQL),
     "approx_stats": (approx_stats, None),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),

@@ -101,3 +101,8 @@ def test_filestore_roundtrip(spark, netflow_csv, tmp_path):
     RacoCompiler(spark).compile(plan).run()
     back = spark.read.option("header", "true").csv(out_dir)
     assert back.count() == 3
+
+
+def test_unbalanced_plan_clear_error():
+    with pytest.raises(ValueError, match="unexpected end of input"):
+        parse_raco("Dump(Apply([('a', NamedAttributeRef('b'))]")
