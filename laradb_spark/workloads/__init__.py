@@ -39,10 +39,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    from . import advanced_q, lara_demos, pipelines_q, relational, surface_q, tpch_more, windows_q
+    from . import (
+        advanced_q,
+        lara_demos,
+        misc_q,
+        pipelines_q,
+        relational,
+        surface_q,
+        tpch_more,
+        windows_q,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, lara_demos, windows_q, pipelines_q, advanced_q, surface_q, tpch_more):
+    for mod in (relational, lara_demos, windows_q, pipelines_q, advanced_q, surface_q,
+                tpch_more, misc_q):
         overlap = specs.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,130 @@
+"""Remaining relational-surface breadth: unpivot (stack), EXCEPT ALL,
+ntile quantile bucketing, date_trunc calendar rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load
+from .relational import money2, _iscale
+
+
+# --- unpivot / melt -----------------------------------------------------------
+
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: per order, (measure, value) rows via unpivot/stack."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_d"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("o_orderkey", "measure", F.round("value", 2).alias("value"))
+
+
+UNPIVOT_SQL = """
+SELECT o_orderkey, measure, ROUND(value, 2) AS value FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+  FROM orders WHERE o_orderkey < 1000
+  UNION ALL
+  SELECT o_orderkey, 'custkey_d' AS measure, CAST(o_custkey AS DOUBLE) AS value
+  FROM orders WHERE o_orderkey < 1000
+)
+"""
+
+
+# --- EXCEPT ALL ----------------------------------------------------------------
+
+def status_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: order statuses of 1997 minus those of 1996 —
+    surviving multiplicity preserved (EXCEPT ALL)."""
+    orders = load(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_orderstatus")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_orderstatus")
+    return (
+        y97.exceptAll(y96)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+    )
+
+
+EXCEPT_ALL_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS surplus FROM (
+  SELECT o_orderstatus FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1997
+  EXCEPT ALL
+  SELECT o_orderstatus FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
+)
+GROUP BY o_orderstatus
+"""
+
+
+# --- ntile quantile buckets -----------------------------------------------------
+
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_iscale("o_totalprice", 100)).alias("_cents")
+    )
+    w = Window.orderBy(F.desc("_cents"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money2(F.sum("_cents"), 2).alias("quartile_spend"),
+        )
+    )
+
+
+NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT o_custkey, cents,
+         NTILE(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS quartile
+  FROM spend
+)
+SELECT CAST(quartile AS INT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ((2 * SUM(cents) + 1) // 2) / 100.0 AS quartile_spend
+FROM q
+GROUP BY quartile
+"""
+
+
+# --- calendar rollup (date_trunc) -------------------------------------------------
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = _iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(money2(F.sum(rev), 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+MONTHLY_SQL = """
+SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+       ((2 * SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY month
+"""
+
+
+QUERIES = {
+    "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
+    "status_except_all": (status_except_all, EXCEPT_ALL_SQL),
+    "customer_spend_quartiles": (customer_spend_quartiles, NTILE_SQL),
+    "monthly_revenue": (monthly_revenue, MONTHLY_SQL),
+}
