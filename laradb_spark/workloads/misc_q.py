@@ -122,7 +122,58 @@ GROUP BY month
 """
 
 
+# --- TPC-H Q6: the scan-bound filtered aggregate --------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money2(F.sum(_iscale(F.col("l_extendedprice") * F.col("l_discount"), 10_000)), 4).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT ((2 * SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- histogram bucketing ----------------------------------------------------------
+
+HIST_BUCKET = 50_000.0
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_BUCKET).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+HIST_SQL = f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_BUCKET}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY bucket
+"""
+
+
 QUERIES = {
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "order_price_histogram": (order_price_histogram, HIST_SQL),
     "unpivot_order_measures": (unpivot_order_measures, UNPIVOT_SQL),
     "status_except_all": (status_except_all, EXCEPT_ALL_SQL),
     "customer_spend_quartiles": (customer_spend_quartiles, NTILE_SQL),
