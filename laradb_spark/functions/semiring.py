@@ -48,6 +48,10 @@ class PlusFun:
     agg: AggBuilder | None = None  # fast path: built-in aggregate
     combine: BinOp | None = None  # general path: binary fold
     result_type: str = "DOUBLE"
+    # True for aggregates whose output type is input-independent
+    # (count → LONG, any/all → BOOLEAN, concat → STRING): the schema must
+    # record result_type, not the input attribute's type.
+    fixed_result: bool = False
 
     def aggregate(self, col: Column) -> Column:
         if self.agg is not None:
@@ -64,7 +68,7 @@ class PlusFun:
 
     def with_identity(self, identity: Any) -> "PlusFun":
         """Rebind identity (reference: PlusFun.withIdentity, api/Schema.kt:287-300)."""
-        return PlusFun(self.name, identity, self.agg, self.combine, self.result_type)
+        return PlusFun(self.name, identity, self.agg, self.combine, self.result_type, self.fixed_result)
 
 
 @dataclass(frozen=True)
@@ -143,14 +147,15 @@ PLUS: dict[str, PlusFun] = {
     "sum": PlusFun("sum", 0.0, agg=lambda c: F.sum(c)),
     "sum_null": PlusFun("sum_null", None, agg=lambda c: F.sum(c)),
     "sum_long": PlusFun("sum_long", 0, agg=lambda c: F.sum(c), result_type="LONG"),
-    "count": PlusFun("count", 0, agg=lambda c: F.count(c), result_type="LONG"),
+    "count": PlusFun("count", 0, agg=lambda c: F.count(c), result_type="LONG", fixed_result=True),
     "min": PlusFun("min", None, agg=lambda c: F.min(c)),
     "max": PlusFun("max", None, agg=lambda c: F.max(c)),
     "first": PlusFun("first", None, agg=lambda c: F.first(c, ignorenulls=True)),
-    "any": PlusFun("any", False, agg=lambda c: F.max(c), result_type="BOOLEAN"),
-    "all": PlusFun("all", True, agg=lambda c: F.min(c), result_type="BOOLEAN"),
+    "any": PlusFun("any", False, agg=lambda c: F.max(c), result_type="BOOLEAN", fixed_result=True),
+    "all": PlusFun("all", True, agg=lambda c: F.min(c), result_type="BOOLEAN", fixed_result=True),
     "concat": PlusFun(
-        "concat", "", agg=lambda c: F.concat_ws("", F.collect_list(c)), result_type="STRING"
+        "concat", "", agg=lambda c: F.concat_ws("", F.collect_list(c)),
+        result_type="STRING", fixed_result=True,
     ),
     # plusErrorFun: the reference's "collisions are a bug" monoid
     # (reference: api/Schema.kt:311-319) — raise if two tuples collide.

@@ -39,53 +39,64 @@ def asof_join(
     engines that have one (e.g. DuckDB), expressed as a window.
     Equal timestamps: the right row sorts before the left row, so a
     same-instant right row IS visible to the left row (inclusive bound);
-    among same-time right rows the largest ``tiebreak`` wins.
+    among same-time right rows the largest ``tiebreak`` wins (both
+    directions).
+
+    The whole right payload rides in ONE struct, carried atomically with
+    ``last(ignorenulls)`` — per-column carry would stitch together fields
+    from different right rows whenever a payload field is legitimately
+    NULL (an older row's value would leak into the newer row's slot).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     lcols = [c for c in left.columns]
     tb = tiebreak or payload[0]
+    tb_type = dict(right.dtypes)[tb]
+    if tb_type not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not (
+        tb_type.startswith("decimal") or tb_type in ("date", "timestamp")
+    ):
+        raise ValueError(
+            f"asof_join tiebreak column {tb!r} must be numeric/temporal, got {tb_type}"
+        )
+
+    pay_struct = F.struct(*[F.col(p) for p in payload])
+    pay_type = right.select(pay_struct).schema[0].dataType
+    lrow_type = left.select(F.struct(*lcols)).schema[0].dataType
 
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.struct(*lcols).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}") for p in payload],
+        F.lit(None).cast(pay_type).alias("_pay"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
-        F.col(tb).cast("long").alias("_tb"),
-        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_lrow"),
-        *[F.col(p).alias(f"_p_{p}") for p in payload],
+        F.col(tb).alias("_tb"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        pay_struct.alias("_pay"),
     )
     both = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        # right rows first at equal t (inclusive ≤), later right rows win
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.asc("_t"), F.asc("_is_left"), F.asc_nulls_first("_tb"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
-        ]
-    else:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.desc("_t"), F.asc("_is_left"), F.desc_nulls_first("_tb"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
-        ]
+    # Right rows sort before left rows at equal _t (inclusive bound); among
+    # same-time right rows, ascending _tb puts the largest tiebreak LAST so
+    # last() picks it — in both directions.
+    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(t_order, F.asc("_is_left"), F.asc_nulls_first("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_pay", ignorenulls=True).over(w).alias("_pay")
 
-    out = both.select("_is_left", "_lrow", *carried).filter(F.col("_is_left") == 1)
-    return out.select(*[F.col(f"_lrow.{c}").alias(c) for c in lcols], *payload)
+    out = both.select("_is_left", "_lrow", carried).filter(F.col("_is_left") == 1)
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_pay.{p}").alias(p) for p in payload],
+    )
 
 
 def range_self_join(

@@ -173,17 +173,62 @@ def minhash_band_buckets(
     )
 
 
-def _bucket_pairs(bb: DataFrame) -> DataFrame:
+# In-bucket pair expansion is quadratic in bucket size and happens inside
+# ONE task — bounded only if bucket size is. Above this cap, buckets route
+# through the distributed self-join path instead (see _bucket_pairs).
+MAX_LSH_BUCKET = 512
+
+
+def lsh_oversize_report(bb: DataFrame, max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """(band, bh, n) for buckets larger than the in-memory expansion cap —
+    the "log what was capped" companion to ``_bucket_pairs``: at 100 TB,
+    boilerplate/empty documents WILL produce giant buckets no matter the
+    banding parameters, and a pipeline owner needs to see them."""
+    return (
+        bb.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def _bucket_pairs(
+    bb: DataFrame, max_bucket: int = MAX_LSH_BUCKET, oversize: str = "join"
+) -> DataFrame:
     """(band, bh, id) rows → distinct (id_a < id_b) pairs sharing a bucket.
 
-    One groupBy + in-bucket pair expansion instead of a self-join: the
-    self-join recomputes the entire upstream (signature) pipeline for BOTH
-    sides (~2× the dominant cost) and shuffles twice. Bucket membership
-    lists are small by construction (good bands ⇒ few collisions); a
-    pathological giant bucket means the banding parameters are wrong for
-    the corpus, not that the expansion should be distributed."""
+    Small buckets (≤ ``max_bucket``): in-bucket array pair expansion — the
+    quadratic work stays bounded by max_bucket² per task, so no giant
+    bucket can OOM an executor on pair blowup.
+
+    Oversized buckets (boilerplate/empty docs — inevitable at 100 TB):
+      * ``oversize='join'`` (default): re-explode the membership array and
+        self-join on the bucket key — the quadratic OUTPUT is unavoidable
+        if those pairs are wanted, but it streams through the shuffle
+        machinery (AQE skew-split) instead of materializing inside one
+        task. Result set is identical to the uncapped expansion.
+      * ``oversize='drop'``: exclude giant buckets entirely (members are
+        all mutual near-dup candidates anyway — callers usually want the
+        cluster, not 10⁸ pairs); ``lsh_oversize_report`` says what was
+        dropped.
+
+    Plan shape: in 'join' mode the plan reads bb three times (expansion +
+    both self-join sides), and exchange/stage reuse does NOT dedupe plans
+    containing Arrow-evaluated UDFs (measured: the signature pipeline ran
+    3×, tripling runtime) — so bb, the minimal (id, band, bh) projection,
+    is persisted (MEMORY_AND_DISK, spillable): the smallest possible
+    candidate-set materialization, and the signature pipeline runs exactly
+    once. 'drop' mode consumes bb once and persists nothing. The membership
+    array is linear in bucket size; it is the *quadratic* expansion that
+    kills executors, and that is what the cap bounds.
+    """
+    if oversize not in ("join", "drop"):
+        raise ValueError("oversize must be 'join' or 'drop'")
+    if oversize == "join":
+        bb = bb.persist()
     ids = F.array_sort(F.collect_set("id")).alias("ids")
     buckets = bb.groupBy("band", "bh").agg(ids).filter(F.size("ids") > 1)
+
+    small = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -193,20 +238,38 @@ def _bucket_pairs(bb: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
+    out = (
+        small.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+
+    if oversize == "join":
+        big = buckets.filter(F.size("ids") > max_bucket).select(
+            "band", "bh", F.explode("ids").alias("id")
+        )
+        a, b = big.alias("a"), big.alias("b")
+        big_pairs = (
+            a.join(b, on=["band", "bh"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        out = out.unionByName(big_pairs)
+    return out.distinct()
 
 
 def minhash_lsh_pairs(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+    max_bucket: int = MAX_LSH_BUCKET, oversize: str = "join",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH banding — the
-    scalable dedup path: shuffle on band buckets, never all-pairs."""
-    return _bucket_pairs(minhash_band_buckets(df, n, id_col, text_col, num_perm, bands))
+    scalable dedup path: shuffle on band buckets, never all-pairs. Giant
+    buckets are capped out of the in-task expansion (see _bucket_pairs)."""
+    return _bucket_pairs(
+        minhash_band_buckets(df, n, id_col, text_col, num_perm, bands),
+        max_bucket=max_bucket,
+        oversize=oversize,
+    )
 
 
 def minhash_signature_vectorized(num_perm: int = NUM_PERM):
@@ -262,9 +325,12 @@ def minhash_band_buckets_vectorized(
 def minhash_lsh_pairs_vectorized(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+    max_bucket: int = MAX_LSH_BUCKET, oversize: str = "join",
 ) -> DataFrame:
     return _bucket_pairs(
-        minhash_band_buckets_vectorized(df, n, id_col, text_col, num_perm, bands)
+        minhash_band_buckets_vectorized(df, n, id_col, text_col, num_perm, bands),
+        max_bucket=max_bucket,
+        oversize=oversize,
     )
 
 

@@ -276,8 +276,10 @@ class RacoCompiler:
                 a, b = (self._expr(x, df) for x in e.args)
                 # LONG/LONG stays LONG in the reference (integer division,
                 # RacoToAccumulo.kt:128-213); mixed upcasts to double.
+                # Integral `div` (truncating, exact at any magnitude) — a
+                # double-divide-then-cast mis-rounds past 2^53.
                 if self._is_long(e.args[0], df) and self._is_long(e.args[1], df):
-                    return (a / b).cast("long")
+                    return F.call_function("div", a.cast("long"), b.cast("long"))
                 return a / b
             if e.name == "GT":
                 a, b = (self._expr(x, df) for x in e.args)

@@ -61,11 +61,18 @@ def read_csv(
         body = raw.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") > skip
         )
+        # from_csv needs a DDL string; 'struct<a:bigint,...>' stripped to
+        # colon syntax is NOT valid DDL (DataType.fromDDL rejects it) —
+        # build 'name type' pairs from the StructType fields instead.
+        if isinstance(schema, str):
+            ddl = schema
+        else:
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
         return (
             body.select(
                 F.from_csv(
                     F.col("value"),
-                    schema.simpleString()[7:-1] if hasattr(schema, "simpleString") else str(schema),
+                    ddl,
                     {"delimiter": delimiter, "quote": quote, "escape": escape},
                 ).alias("_r")
             ).select("_r.*")

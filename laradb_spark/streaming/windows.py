@@ -28,6 +28,14 @@ def stream_from_parquet_dir(
     )
 
 
+def _exact_sum2(col: str = "value"):
+    """Order-independent 2dp sum over exact 2-decimal data: sum scaled longs
+    (exact regardless of partition/addend order), divide once. A double SUM
+    is addend-order-dependent and flips the round on .xx5 boundaries across
+    runs — fatal for the batch/streaming parity these ops promise."""
+    return F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(100.0)
+
+
 def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Normalize the event-time column to TimestampType named ``_etime``.
     Accepts epoch-millis longs, epoch-nanos longs, or native timestamps."""
@@ -56,7 +64,7 @@ def tumbling_window_agg(
         src = src.withWatermark("_etime", watermark)
     return (
         src.groupBy(F.window("_etime", window).alias("w"), *keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum2("value").alias("sum_value"))
         .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), *keys, "n", "sum_value")
     )
 
@@ -76,7 +84,7 @@ def sliding_window_agg(
         src = src.withWatermark("_etime", watermark)
     return (
         src.groupBy(F.window("_etime", window, slide).alias("w"), *keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum2("value").alias("sum_value"))
         .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), *keys, "n", "sum_value")
     )
 
@@ -97,7 +105,7 @@ def session_window_agg(
         src = src.withWatermark("_etime", watermark)
     return (
         src.groupBy(F.session_window("_etime", gap).alias("w"), *keys)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _exact_sum2("value").alias("session_value"))
         .select(
             F.unix_millis(F.col("w.start")).alias("session_start_ms"),
             *keys,

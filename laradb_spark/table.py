@@ -155,7 +155,15 @@ class LaraTable:
         both = side(self).unionByName(side(other))
         aggs = [funs[v.name].aggregate(F.col(v.name)).alias(v.name) for v in vals]
         out = both.groupBy(*key_names).agg(*aggs)
-        return LaraTable(out, LaraSchema(tuple(keys), tuple(vals)))
+        # Same result-type rule as agg(): fixed-result builtins (count/any/
+        # all/concat) change the column's type; the schema must follow.
+        out_vals = tuple(
+            ValAttribute(v.name, funs[v.name].result_type, funs[v.name].identity)
+            if funs[v.name].fixed_result
+            else v
+            for v in vals
+        )
+        return LaraTable(out, LaraSchema(tuple(keys), out_vals))
 
     @staticmethod
     def union_many(tables: list["LaraTable"], plus_funs: Mapping[str, str | PlusFun]) -> "LaraTable":
@@ -187,7 +195,18 @@ class LaraTable:
             if v.name not in funs:
                 continue
             f = funs[v.name]
-            vals.append(ValAttribute(v.name, f.result_type if f.agg is None else v.type, v.default))
+            # Builtins with input-independent output (count/any/all/concat)
+            # record result_type, not the input attr's type — the DataFrame
+            # column IS e.g. LONG for count over DOUBLE, and downstream
+            # default-cast/union logic must agree with it.
+            fixed = f.agg is None or f.fixed_result
+            vals.append(
+                ValAttribute(
+                    v.name,
+                    f.result_type if fixed else v.type,
+                    f.identity if f.fixed_result else v.default,
+                )
+            )
             aggs.append(f.aggregate(F.col(v.name)).alias(v.name))
         out = self.df.groupBy(*[a.name for a in keys]).agg(*aggs)
         return LaraTable(out, LaraSchema(keys, tuple(vals)))

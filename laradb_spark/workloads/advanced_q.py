@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import asof_join, range_self_join
 from . import load
-from .relational import ratio_k
+from .relational import _iscale, ratio_k
 
 
 # --- as-of join -----------------------------------------------------------
@@ -124,7 +124,8 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # scaled-integer sum: order-independent (see relational._iscale)
+        (F.sum(_iscale("o_totalprice", 100)) / F.lit(100.0)).alias("total"),
         F.grouping_id().alias("gid"),
     )
 
@@ -132,7 +133,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)

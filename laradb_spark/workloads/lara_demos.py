@@ -53,23 +53,29 @@ def lara_union_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     half1 = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     half2 = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-    schema = LaraSchema.of([("o_custkey", "LONG")], [("rev", "DOUBLE", 0.0)])
+    # Money kept in exact cents (LONG) through the ⊕=sum fold so the result
+    # is summation-order-independent; one division at the end (see
+    # relational._iscale for why double sums flip on .xx5 boundaries).
+    schema = LaraSchema.of([("o_custkey", "LONG")], [("rev", "LONG", 0)])
 
     def to_lara(df: DataFrame) -> LaraTable:
         return LaraTable(
-            df.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev")), schema
+            df.groupBy("o_custkey").agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+            ),
+            schema,
         )
 
     u = to_lara(half1).union(to_lara(half2), {"rev": "sum"})
-    return u.df.select("o_custkey", F.round("rev", 2).alias("rev"))
+    return u.df.select("o_custkey", (F.col("rev") / F.lit(100.0)).alias("rev"))
 
 
 UNION_SQL = """
-SELECT o_custkey, ROUND(SUM(rev), 2) AS rev FROM (
-  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders
+SELECT o_custkey, SUM(rev) / 100.0 AS rev FROM (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev FROM orders
   WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
   UNION ALL
-  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev FROM orders
   WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
 ) GROUP BY o_custkey
 """

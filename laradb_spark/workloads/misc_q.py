@@ -69,14 +69,59 @@ GROUP BY o_orderstatus
 # --- ntile quantile buckets -----------------------------------------------------
 
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global NTILE(4) without a global window.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row through
+    ONE task — a scale-killer. Instead: two-phase global ranking (the
+    classic distributed order-statistics pattern):
+
+      1. ``repartitionByRange`` on the sort key — each partition holds a
+         contiguous key range, sorted ranges across partitions.
+      2. per-partition ``row_number`` (parallel; no global exchange).
+      3. global rank = partition offset + local row number, where offsets
+         come from a tiny per-partition count (#partitions rows collected —
+         bounded, never data-sized).
+      4. NTILE(k) is a pure function of (rank, n): the first n%k tiles get
+         n//k+1 rows, the rest n//k — computed map-side.
+
+    Result is bit-identical to the oracle's NTILE and every stage is
+    parallel at any scale.
+    """
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_iscale("o_totalprice", 100)).alias("_cents")
     )
-    w = Window.orderBy(F.desc("_cents"), F.asc("o_custkey"))
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = (
+        spend.repartitionByRange(nparts, F.desc("_cents"), F.asc("o_custkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+
+    base, rem = n // 4, n % 4
+    lw = Window.partitionBy("_pid").orderBy(F.desc("_cents"), F.asc("o_custkey"))
+    rank = (F.col("_off") + F.row_number().over(lw)).alias("_rank")
+    ranked = ranged.join(F.broadcast(off_df), "_pid").select("_cents", rank)
+    # Exact-int ceil via double division: operands ≤ 2^53, quotient at an
+    # integer is exactly representable, so ceil never mis-rounds.
+    head = rem * (base + 1)
+    tile = (
+        F.when(F.col("_rank") <= head, F.ceil(F.col("_rank") / F.lit(float(base + 1))))
+        .otherwise(rem + F.ceil((F.col("_rank") - head) / F.lit(float(max(base, 1)))))
+        .cast("int")
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        ranked.groupBy(tile.alias("quartile"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             money2(F.sum("_cents"), 2).alias("quartile_spend"),

@@ -285,14 +285,14 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     aggs = [
         F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in EVENT_TYPES
-    ] + [F.round(F.sum("value"), 2).alias("sum_value")]
+    ] + [(F.sum(_iscale("value", 100)) / F.lit(100.0)).alias("sum_value")]
     return ev.groupBy(F.to_date(F.timestamp_millis(F.col("ts_ms"))).alias("day")).agg(*aggs)
 
 
 PIVOT_SQL = """
 SELECT CAST(ts AS DATE) AS day,
        {counts},
-       ROUND(SUM(value), 2) AS sum_value
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY day
 """.format(

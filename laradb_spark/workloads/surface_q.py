@@ -63,16 +63,17 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        # scaled-integer sum: order-independent (see relational._iscale)
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0))
         .withColumnsRenamed({"F": "total_F", "O": "total_O", "P": "total_P"})
     )
 
 
 PIVOT_NATIVE_SQL = """
 SELECT o_orderpriority,
-       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_F,
-       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_O,
-       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_P
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') / 100.0 AS total_F,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') / 100.0 AS total_O,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') / 100.0 AS total_P
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -123,7 +124,7 @@ def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
-               ROUND(SUM(o.o_totalprice), 2) AS revenue
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY c_mktsegment
@@ -134,7 +135,7 @@ def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FRONT_SQL = """
 SELECT c_mktsegment,
        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
-       ROUND(SUM(o.o_totalprice), 2) AS revenue
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY c_mktsegment

@@ -6,11 +6,24 @@ All are single-shuffle window plans or binned hash aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import load
+from .relational import _iscale
+
+
+def _exact_sum2(col: str = "value") -> Column:
+    """Order-independent 2dp sum (DEVNOTES gotcha #4): events.value is exact
+    2-decimal data, so sum scaled longs (exact, order-independent) and divide
+    once — a double SUM's last ulp is addend-order-dependent and flips the
+    round on .xx5 boundaries between Spark and DuckDB runs."""
+    return F.sum(_iscale(col, 100)) / F.lit(100.0)
+
+
+# SQL twin of _exact_sum2 for the DuckDB oracle.
+_EXACT_SUM2_SQL = "SUM(CAST(ROUND({c} * 100) AS BIGINT)) / 100.0"
 
 
 # --- cumulative sum per key --------------------------------------------------
@@ -25,15 +38,18 @@ def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        # Scaled-integer running sum: a double cumulative sum is summation-
+        # order-dependent inside the engine's frame evaluation (DuckDB uses
+        # segment-tree combines, Spark sequential adds) — exact longs aren't.
+        (F.sum(_iscale("o_totalprice", 100)).over(w) / F.lit(100.0)).alias("cum_spend"),
     )
 
 
 RUNNING_SQL = """
 SELECT o_orderkey, o_custkey,
-       ROUND(SUM(o_totalprice) OVER (
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cum_spend
 FROM orders
 """
 
@@ -83,7 +99,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev.withColumn("session_id", F.sum(boundary).over(w))
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        _exact_sum2("value").alias("session_value"),
         F.min("tms").alias("session_start_ms"),
     )
 
@@ -106,7 +122,7 @@ sess AS (
 )
 SELECT user_id, session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS session_value,
+       {_EXACT_SUM2_SQL.format(c="value")} AS session_value,
        MIN(tms) AS session_start_ms
 FROM sess
 GROUP BY user_id, session_id
@@ -125,7 +141,7 @@ def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window(F.timestamp_millis(F.col("ts_ms")), f"{TUMBLE_MIN} minutes")
     return (
         ev.groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum2("value").alias("sum_value"))
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
@@ -139,7 +155,7 @@ TUMBLE_SQL = f"""
 SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // {TUMBLE_MIN * 60_000}) * {TUMBLE_MIN * 60_000} AS window_start_ms,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS sum_value
+       {_EXACT_SUM2_SQL.format(c="value")} AS sum_value
 FROM events
 GROUP BY window_start_ms, event_type
 """
@@ -175,7 +191,7 @@ sess AS (
 )
 SELECT MIN(tms) AS session_start_ms, user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       {_EXACT_SUM2_SQL.format(c="value")} AS session_value
 FROM sess
 GROUP BY user_id, sid
 """
@@ -206,7 +222,7 @@ expanded AS (
 )
 SELECT window_start_ms, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS sum_value
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM expanded
 GROUP BY window_start_ms, event_type
 """

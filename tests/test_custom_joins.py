@@ -58,3 +58,37 @@ def test_range_join_cross_bucket(spark):
     pairs = {(r.id_a, r.id_b) for r in
              range_self_join(df, key="k", order_col="t", id_col="id", max_gap=30).collect()}
     assert pairs == {(4, 5)}
+
+
+def test_asof_payload_rides_as_one_row(spark):
+    # Regression: payload columns must come from the SAME right row. Here
+    # the latest quote has px=NULL, qty=5 — per-column carry would leak the
+    # older row's px=11 into it.
+    left = spark.createDataFrame([(1, 200, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 11, 3), (1, 150, None, 5)], "k long, t long, px long, qty long"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    payload=["px", "qty"], tiebreak="qty")
+    row = out.collect()[0]
+    assert row.px is None and row.qty == 5
+
+
+def test_asof_forward_equal_time_tiebreak(spark):
+    # forward direction: among same-time right rows the LARGEST tiebreak
+    # wins (regression: desc ordering made the smallest win).
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 100, 7), (1, 100, 9)], "k long, t long, v long")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    payload=["v"], direction="forward", tiebreak="v")
+    assert out.collect()[0].v == 9
+
+
+def test_asof_rejects_string_tiebreak(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 90, "x")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, on="k", left_time="t", right_time="t",
+                  payload=["v"], tiebreak="v")

@@ -126,3 +126,49 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_codec_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes", "image/png", fake=False)
+
+
+# --- LSH giant-bucket cap (scale hardening) ---------------------------------
+
+def _bucket_rows(spark, n_big, n_small=4):
+    """One giant LSH bucket with n_big members + one small bucket."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 0, "BIG") for i in range(n_big)]
+    rows += [(10_000_000 + i, 1, "SMALL") for i in range(n_small)]
+    return spark.createDataFrame(rows, "id long, band int, bh string")
+
+
+def test_lsh_giant_bucket_join_path_matches_expansion(spark):
+    """oversize='join' must produce exactly the pairs the unbounded
+    expansion would — here verified on a 10^4-member bucket, far above the
+    cap, which completes because pair generation is distributed."""
+    from laradb_spark.pipelines.dedup import _bucket_pairs
+
+    bb = _bucket_rows(spark, n_big=10_000)
+    out = _bucket_pairs(bb, max_bucket=64, oversize="join")
+    # 10^4 choose 2 from the big bucket + 6 from the small one
+    assert out.count() == 10_000 * 9_999 // 2 + 6
+
+
+def test_lsh_giant_bucket_drop_path(spark):
+    from laradb_spark.pipelines.dedup import _bucket_pairs, lsh_oversize_report
+
+    bb = _bucket_rows(spark, n_big=200)
+    out = _bucket_pairs(bb, max_bucket=64, oversize="drop")
+    assert out.count() == 6  # only the small bucket's pairs survive
+    report = lsh_oversize_report(bb, max_bucket=64).collect()
+    assert len(report) == 1 and report[0].n == 200
+
+
+def test_lsh_capped_equals_uncapped_on_real_docs(spark, sf_dir):
+    """On the real documents table the capped path (tiny cap → every bucket
+    takes the join route) must equal the in-memory expansion path."""
+    from laradb_spark.pipelines.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = minhash_lsh_pairs(docs)  # default cap, expansion path
+    forced = minhash_lsh_pairs(docs, max_bucket=1)  # everything via join
+    a = {(r.id_a, r.id_b) for r in fast.collect()}
+    b = {(r.id_a, r.id_b) for r in forced.collect()}
+    assert a == b and len(a) > 0

@@ -107,3 +107,20 @@ def test_register_lara_roundtrip(spark):
     ctx.register_lara("t1", t)
     assert ctx.sql("SELECT sum(v) AS s FROM t1").collect()[0].s == 3.0
     assert ctx.lara("t1").schema.key_names == ["k"]
+
+
+def test_skip_multiple_rows_struct_schema(spark, tmp_path):
+    # Regression: a StructType schema through the skip>1 path must survive
+    # the from_csv DDL conversion (stripped 'a:bigint' colon syntax is
+    # rejected by DataType.fromDDL) — this is what a Raco FileScan passes.
+    import os
+
+    p = os.path.join(str(tmp_path), "skip2_struct.csv")
+    with open(p, "w") as f:
+        f.write("junk line 1\njunk line 2\n1,alpha\n2,beta\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = read_csv(spark, p, schema, skip=2)
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "alpha"), (2, "beta")]
