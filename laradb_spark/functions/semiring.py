@@ -103,8 +103,13 @@ class ExtFun:
     (reference: api/Schema.kt:229-250). The Ext operator prepends parent keys.
 
     Fast path: ``expr`` maps input columns to an ``array<struct<...>>``
-    Column that Ext explodes (pure JVM). General path: ``py_fn`` is a
-    plain-python ``dict -> list[dict]`` executed via mapInPandas (Arrow).
+    Column that Ext explodes (pure JVM). General paths, both via
+    mapInPandas (Arrow): ``batch_fn`` is the vectorized contract — whole
+    input pandas batch in, output batch (parent keys + ext attrs, 0..n
+    rows per input) out — preferred, since per-batch pandas/NumPy ops
+    amortize the Python overhead; ``py_fn`` is the per-tuple
+    ``dict -> list[dict]`` compatibility shim (the reference's ExtFun is
+    also per-tuple, api/Schema.kt:229-250).
     """
 
     name: str
@@ -112,10 +117,11 @@ class ExtFun:
     expr: Callable[..., Column] | None = None  # (*parent cols as Column) -> array<struct>
     expr_cols: tuple[str, ...] = ()  # parent columns fed to expr
     py_fn: Callable[[dict], list[dict]] | None = None
+    batch_fn: Callable[..., Any] | None = None  # (pd.DataFrame) -> pd.DataFrame
 
     def __post_init__(self) -> None:
-        if self.expr is None and self.py_fn is None:
-            raise ValueError(f"ExtFun {self.name!r} needs expr or py_fn")
+        if self.expr is None and self.py_fn is None and self.batch_fn is None:
+            raise ValueError(f"ExtFun {self.name!r} needs expr, batch_fn, or py_fn")
 
 
 @dataclass(frozen=True)

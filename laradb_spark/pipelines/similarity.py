@@ -159,10 +159,11 @@ def ivf_topk(
         c.orderBy("neighbor_id").limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
     )
+    spark = corpus.sparkSession
     for _ in range(lloyd_iters):
         assigned = _assign(c, cents)
         # new centroid = element-wise mean of members (posexplode + avg)
-        cents = (
+        new_cents = (
             assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
             .groupBy("cid", "d")
             .agg(F.avg("x").alias("m"))
@@ -170,6 +171,11 @@ def ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
             .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
         )
+        # Truncate lineage each round: without this, every round's plan
+        # embeds the previous round's assignment join — O(2^iters) plan
+        # growth. Centroids are ≤ n_centroids·dim values (the documented
+        # bounded collect), so rebind them as a literal frame.
+        cents = spark.createDataFrame(new_cents.collect(), new_cents.schema)
     assigned = _assign(c, cents)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")

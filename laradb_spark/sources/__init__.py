@@ -1,4 +1,15 @@
 from .csv_io import read_csv, write_csv
+from .graph_io import graph_tables, ingest_graph_files, read_triple_files
 from .registry import LaraContext
+from .sensor_io import read_sensor_csv, sensor_covariance_from_files
 
-__all__ = ["read_csv", "write_csv", "LaraContext"]
+__all__ = [
+    "read_csv",
+    "write_csv",
+    "LaraContext",
+    "read_sensor_csv",
+    "sensor_covariance_from_files",
+    "read_triple_files",
+    "graph_tables",
+    "ingest_graph_files",
+]

@@ -88,24 +88,39 @@ class LaraTable:
             exploded = self.df.select(*pkeys, F.explode(arr).alias("_ext"))
             out = exploded.select(*pkeys, *[F.col(f"_ext.{n}") for n in fn.ext_schema.names])
             return LaraTable(out, out_schema)
-        # General path: arbitrary Python flatMap via Arrow-batched mapInPandas.
-        import pandas as pd  # noqa: F401
+        # General path: arbitrary Python flatMap via Arrow-batched
+        # mapInPandas. Vectorized batch contract preferred; the per-tuple
+        # py_fn is wrapped into a batch function (compatibility shim).
+        import pandas as pd
 
         struct = out_schema.to_struct()
         in_cols = list(self.df.columns)
-        py_fn = fn.py_fn
         ext_names = fn.ext_schema.names
+        out_names = out_schema.names
 
-        def run(batches):
-            for pdf in batches:
+        if fn.batch_fn is not None:
+            batch_fn = fn.batch_fn
+        else:
+            py_fn = fn.py_fn
+
+            def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
                 rows = []
                 for rec in pdf.to_dict("records"):
                     for emitted in py_fn(rec):
                         rows.append({**{k: rec[k] for k in pkeys},
                                      **{n: emitted.get(n) for n in ext_names}})
-                import pandas as _pd
-                yield _pd.DataFrame(rows, columns=out_schema.names) if rows else _pd.DataFrame(
-                    {n: [] for n in out_schema.names}
+                return pd.DataFrame(rows, columns=out_names)
+
+        def run(batches):
+            for pdf in batches:
+                out = batch_fn(pdf)
+                missing = [n for n in out_names if n not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"ExtFun {fn.name!r} batch output lacks columns {missing}"
+                    )
+                yield out[out_names] if len(out) else pd.DataFrame(
+                    {n: [] for n in out_names}
                 )
 
         return LaraTable(self.df.select(*in_cols).mapInPandas(run, struct), out_schema)

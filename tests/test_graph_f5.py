@@ -102,3 +102,70 @@ def test_sparse_gram_vs_numpy(spark, edges_raw):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+# --- file-based ingest (reference: util/TripleFileWriter.kt:21-45) ----------
+
+@pytest.fixture(scope="module")
+def triple_files(tmp_path_factory, edges_raw):
+    """The F5 edge set written in the reference's component-file format:
+    one comma-delimited token stream per file (10Ar.txt/10Ac.txt shape)."""
+    import os
+
+    _df, rows, _schema = edges_raw
+    d = tmp_path_factory.mktemp("triples")
+    pr, pc = os.path.join(str(d), "Ar.txt"), os.path.join(str(d), "Ac.txt")
+    with open(pr, "w") as f:
+        f.write(",".join(s for s, _d2, _c in rows))
+    with open(pc, "w") as f:
+        f.write(",".join(d2 for _s, d2, _c in rows))
+    return pr, pc
+
+
+def test_file_ingest_edges_match_inmemory(spark, edges_raw, triple_files):
+    from laradb_spark.sources import ingest_graph_files
+
+    _df, rows, _schema = edges_raw
+    tables = ingest_graph_files(spark, *triple_files)
+    want = _adj(rows)
+    got = {(r.row, r.col): r.v for r in tables["edge"].collect()}
+    assert got == {k: float(v) for k, v in want.items()}
+    # transpose mirrors the dup-summed adjacency
+    got_t = {(r.row, r.col): r.v for r in tables["edge_t"].collect()}
+    assert got_t == {(d, s): float(c) for (s, d), c in want.items()}
+
+
+def test_file_ingest_degree_counts_triples(spark, edges_raw, triple_files):
+    # degree counts one +1 per ingested triple (multi-edges counted) —
+    # D4MTableWriter degreeUseValue=false default.
+    from laradb_spark.sources import ingest_graph_files
+
+    _df, rows, _schema = edges_raw
+    deg = ingest_graph_files(spark, *triple_files)["degree"]
+    want_out, want_in = {}, {}
+    for s, d, _c in rows:
+        want_out[s] = want_out.get(s, 0) + 1
+        want_in[d] = want_in.get(d, 0) + 1
+    got = {r.node: (r.out_deg, r.in_deg) for r in deg.collect()}
+    assert got == {
+        n: (want_out.get(n, 0), want_in.get(n, 0))
+        for n in set(want_out) | set(want_in)
+    }
+
+
+def test_file_ingest_with_value_file(spark, tmp_path):
+    import os
+
+    from laradb_spark.sources import ingest_graph_files
+
+    pr = os.path.join(str(tmp_path), "r.txt")
+    pc = os.path.join(str(tmp_path), "c.txt")
+    pv = os.path.join(str(tmp_path), "v.txt")
+    with open(pr, "w") as f:
+        f.write("a,a,b")
+    with open(pc, "w") as f:
+        f.write("x,x,y")
+    with open(pv, "w") as f:
+        f.write("2,3,5")
+    edge = ingest_graph_files(spark, pr, pc, pv)["edge"]
+    assert {(r.row, r.col): r.v for r in edge.collect()} == {("a", "x"): 5.0, ("b", "y"): 5.0}
