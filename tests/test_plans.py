@@ -112,3 +112,18 @@ def test_salted_join_matches_plain(spark):
         tuple(r) for r in salted_join_hot_keys(big, small, "k", hot_keys=[1]).collect()
     )
     assert plain == salted
+
+
+def test_quartiles_no_global_single_partition_window(spark, sfq):
+    """customer_spend_quartiles must not funnel all rows through one task:
+    no SinglePartition exchange, no partition-less Window sort — the
+    two-phase rank (range partition + local row_number + offsets) keeps
+    every stage parallel."""
+    qs, sf = sfq
+    df = qs["customer_spend_quartiles"](spark, sf)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    # the only window is partitioned by _pid (local rank), never global
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line
