@@ -55,6 +55,11 @@ _PRIORITY = [
     "order_status_pivot",
     "sql_front_door_q",
     "lara_union_revenue",
+    # new this round
+    "lara_union_quarters",
+    "lara_cross_grid",
+    "nation_presence_trio",
+    "customer_order_counts_left",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

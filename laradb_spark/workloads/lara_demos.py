@@ -234,11 +234,71 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# --- n-way MergeUnion (the reference's Merger aligns n inputs in one pass,
+#     reference: opt/TupleImpl.kt:24-140) -------------------------------------
+
+def lara_union_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way union_many with ⊕=sum: per-customer revenue folded across the
+    four calendar quarters — Catalyst flattens to one n-child Union + one
+    aggregate (no per-step shuffles). Money rides as exact cents (LONG)."""
+    orders = load(spark, sf_dir, "orders")
+    schema = LaraSchema.of([("o_custkey", "LONG")], [("rev", "LONG", 0)])
+    quarters = [
+        LaraTable(
+            orders.filter(F.quarter("o_orderdate") == q)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")),
+            schema,
+        )
+        for q in (1, 2, 3, 4)
+    ]
+    u = LaraTable.union_many(quarters, {"rev": "sum"})
+    return u.df.select("o_custkey", (F.col("rev") / F.lit(100.0)).alias("rev"))
+
+
+UNION_QUARTERS_SQL = """
+SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- CartesianIterator: join with NO shared keys → cross product
+#     (reference: opt/CartesianIterator.kt:5-14; MergeJoin key-union rule
+#     api/TupleOp.kt:625-640 with empty intersection) -------------------------
+
+def lara_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority × market-segment grid with ⊗=multiply on the two
+    group counts — a Lara join of tables sharing no key attrs, which
+    lowers to crossJoin (both sides are tiny pre-aggregates; the cross of
+    5×5 rows is trivially safe at any corpus scale)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a = LaraTable(
+        orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("double").alias("n")),
+        LaraSchema.of([("o_orderpriority", "STRING")], [("n", "DOUBLE", 0.0)]),
+    )
+    b = LaraTable(
+        cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("double").alias("n")),
+        LaraSchema.of([("c_mktsegment", "STRING")], [("n", "DOUBLE", 0.0)]),
+    )
+    g = a.join(b, {"n": "multiply"})
+    return g.df.select("o_orderpriority", "c_mktsegment", F.col("n").alias("pairs"))
+
+
+CROSS_GRID_SQL = """
+SELECT o_orderpriority, c_mktsegment, CAST(po.n * cs.n AS DOUBLE) AS pairs
+FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) po
+CROSS JOIN (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) cs
+"""
+
+
 QUERIES = {
     "lara_wordcount": (lara_wordcount, WORDCOUNT_SQL),
     "lara_wordcount_py": (lara_wordcount_py, WORDCOUNT_SQL),
     "lara_union_max": (lara_union_max, UNION_MAX_SQL),
     "lara_union_revenue": (lara_union_revenue, UNION_SQL),
+    "lara_union_quarters": (lara_union_quarters, UNION_QUARTERS_SQL),
+    "lara_cross_grid": (lara_cross_grid, CROSS_GRID_SQL),
     "lara_matmul_event_gram": (lara_matmul_event_gram, MATMUL_SQL),
     "sensor_covariance_events": (sensor_covariance_events, SENSOR_SQL),
 }

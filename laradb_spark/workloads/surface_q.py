@@ -25,7 +25,13 @@ def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+            # scaled-integer sum: order-independent (see relational._iscale)
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+                )
+                / F.lit(100.0)
+            ).alias("total"),
         )
     )
 
@@ -33,7 +39,7 @@ def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEFT_SQL = """
 SELECT c_custkey,
        CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total
+       COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0) / 100.0 AS total
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
@@ -53,6 +59,48 @@ FULL_SQL = """
 SELECT n_name, r_name
 FROM (SELECT * FROM nation WHERE n_regionkey <= 2) n
 FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def nation_presence_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way FULL OUTER chain (the reference's Merger is n-ary with
+    emitNoMatches per input, opt/TupleImpl.kt:24-140): per-nation supplier
+    and customer counts, nations present even when a side is empty."""
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cus = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        nation.join(sup, on="nk", how="full")
+        .join(cus, on="nk", how="full")
+        .select(
+            F.col("nk").alias("n_nationkey"),
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+TRIO_SQL = """
+SELECT n.n_nationkey,
+       n.n_name,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_suppliers,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_customers
+FROM nation n
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY s_nationkey) s
+  ON n.n_nationkey = s.s_nationkey
+FULL OUTER JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey) c
+  ON n.n_nationkey = c.c_nationkey
 """
 
 
@@ -285,6 +333,7 @@ FROM documents
 QUERIES = {
     "customer_order_counts_left": (customer_order_counts_left, LEFT_SQL),
     "nation_region_full_outer": (nation_region_full_outer, FULL_SQL),
+    "nation_presence_trio": (nation_presence_trio, TRIO_SQL),
     "order_status_pivot": (order_status_pivot, PIVOT_NATIVE_SQL),
     "all_account_balances": (all_account_balances, UNION_ALL_SQL),
     "sql_front_door_q": (sql_front_door_q, SQL_FRONT_SQL),
