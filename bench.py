@@ -33,7 +33,7 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh_fast",
-    "dedup_simhash",
+    "dedup_simhash_fast",
     "ann_brute_force",
     "asof_last_order",
     "orders_within_30_days",

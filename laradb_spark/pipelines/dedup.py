@@ -334,6 +334,35 @@ def minhash_lsh_pairs_vectorized(
     )
 
 
+def lsh_candidate_jaccard(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """THE production dedup flow: LSH banding proposes candidate pairs
+    (shuffles band buckets, never all-pairs), exact n-gram Jaccard then
+    verifies ONLY the candidates — |candidates| ≪ |all pairs| is the whole
+    point of banding, so the verification join is small at any corpus
+    size. Result ≡ ngram_jaccard_pairs restricted to LSH candidates."""
+    pairs = minhash_lsh_pairs(df, n, id_col, text_col, **lsh_kwargs)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 
 SIMHASH_BITS = 16  # oracle-reproducible width; production would use 64
@@ -364,6 +393,40 @@ def simhash(toks_h: Column, bits: int = SIMHASH_BITS) -> Column:
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
     return staged.select("id", simhash(F.col("hs")).alias("simhash"))
+
+
+def simhash_vectorized(bits: int = SIMHASH_BITS):
+    """NumPy pandas_udf simhash — bit-identical to the expression path
+    (same md5 token hashes cross Arrow as ints; same sign rule: bit set
+    iff Σ±1 > 0, empty/null docs → 0) but one broadcasted shift/sum per
+    batch instead of ``bits`` interpreted array folds."""
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+
+    @F.pandas_udf(LongType())
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for row in hs:
+            if row is None or len(row) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(row, dtype=np.int64)[:, None]
+            s = (((h >> shifts) & 1) * 2 - 1).sum(axis=0)
+            out.append(int(((s > 0) * weights).sum()))
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash_table_vectorized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """simhash_table with the NumPy kernel (the fast path for wide
+    corpora; md5 token hashing stays JVM-side)."""
+    staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
+    return staged.select("id", simhash_vectorized()(F.col("hs")).alias("simhash"))
 
 
 # --- embedding near-dup ---------------------------------------------------------

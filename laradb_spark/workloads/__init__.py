@@ -60,6 +60,8 @@ _PRIORITY = [
     "lara_cross_grid",
     "nation_presence_trio",
     "customer_order_counts_left",
+    "dedup_lsh_jaccard",
+    "dedup_simhash_fast",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

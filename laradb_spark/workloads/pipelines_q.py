@@ -201,8 +201,65 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs_vectorized(load(spark, sf_dir, "documents"))
 
 
+def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup flow: LSH candidates → exact Jaccard verification
+    on candidates only."""
+    return dd.lsh_candidate_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _lsh_jaccard_sql() -> str:
+    rows = dd.NUM_PERM // dd.LSH_BANDS
+    perm_rows = ", ".join(f"({i}, {dd._A[i]}, {dd._B[i]})" for i in range(dd.NUM_PERM))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {dd.SHINGLE_BITS_MOD}) AS hs
+  FROM sh
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT id, pi,
+         list_min(list_transform(hs, h -> (a * h + b) % {dd.MINHASH_PRIME})) AS mh
+  FROM hashed, perms
+),
+bands AS (
+  SELECT id, pi // {rows} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)) AS bh
+  FROM sig
+  GROUP BY id, band
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ex a ON a.id = c.id_a
+  JOIN ex b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_table(load(spark, sf_dir, "documents"))
+
+
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (NumPy pandas_udf) simhash — bit-identical to
+    dedup_simhash, shares its oracle."""
+    return dd.simhash_table_vectorized(load(spark, sf_dir, "documents"))
 
 
 def _simhash_sql() -> str:
@@ -378,7 +435,9 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
+    "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "dedup_simhash_fast": (dedup_simhash_fast, _simhash_sql()),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
