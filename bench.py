@@ -34,7 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_fast",
     "dedup_simhash_fast",
-    "ann_brute_force",
+    "ann_brute_force_fast",
     "asof_last_order",
     "orders_within_30_days",
     "graph_brand_gram",

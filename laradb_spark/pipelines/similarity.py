@@ -68,6 +68,60 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """brute_force_topk with an Arrow-batched NumPy scorer: the (small)
+    query matrix is normalized once on the driver and captured in the
+    closure; each corpus batch scores against ALL queries with one
+    matmul. Same output contract (rank ties by neighbor id); the corpus
+    never shuffles — mapInPandas then the per-query ranking window."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()  # bounded by the query set, the documented small side
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf["cvec"].tolist(), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch × queries) cosine matrix
+            nb = pdf["neighbor_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], len(nb), axis=0).ravel(),
+                    "neighbor_id": np.repeat(nb, len(qids)),
+                    "cos": S.ravel(),
+                }
+            )
+
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias(query_id_col), "neighbor_id", "rank")
+    )
+
+
 # --- random-hyperplane LSH -----------------------------------------------------
 
 LSH_PLANES = 12  # 2^12 buckets

@@ -62,6 +62,7 @@ _PRIORITY = [
     "customer_order_counts_left",
     "dedup_lsh_jaccard",
     "dedup_simhash_fast",
+    "ann_brute_force_fast",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

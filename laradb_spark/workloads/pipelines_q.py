@@ -319,6 +319,13 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, _queries_df(spark, sf_dir), k=TOP_K)
 
 
+def ann_brute_force_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy-matmul scorer — same ranks as ann_brute_force, shares its
+    oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_vectorized(emb, _queries_df(spark, sf_dir), k=TOP_K)
+
+
 ANN_BRUTE_SQL = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -440,6 +447,7 @@ QUERIES = {
     "dedup_simhash_fast": (dedup_simhash_fast, _simhash_sql()),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+    "ann_brute_force_fast": (ann_brute_force_fast, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, None),
