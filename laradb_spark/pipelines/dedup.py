@@ -363,6 +363,67 @@ def lsh_candidate_jaccard(
     )
 
 
+def near_dup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """(id, component) for every id appearing in the near-dup pair list,
+    where component = min id of its connected component.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels — converges in ≤ graph-diameter rounds (dedup
+    components are shallow: near-dup clusters of a document cluster around
+    its variants). Each round is one join + one groupBy shuffle; labels are
+    persisted and the previous round unpersisted so lineage stays flat
+    (same discipline as ivf_topk's Lloyd rounds). At extreme scale swap in
+    large-star/small-star (Kiveris et al.) — same API, fewer rounds.
+    """
+    und = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr, on="id", how="left")
+            .select("id", F.least("label", F.coalesce("_nl", F.col("label"))).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component plus every
+    unpaired document — the keeper step after candidate generation
+    (lsh_candidate_jaccard → here). Anti-join on the non-representative
+    set, so the corpus shuffles only its id column."""
+    comp = near_dup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # --- SimHash ------------------------------------------------------------------
 
 SIMHASH_BITS = 16  # oracle-reproducible width; production would use 64

@@ -172,3 +172,48 @@ def test_lsh_capped_equals_uncapped_on_real_docs(spark, sf_dir):
     a = {(r.id_a, r.id_b) for r in fast.collect()}
     b = {(r.id_a, r.id_b) for r in forced.collect()}
     assert a == b and len(a) > 0
+
+
+# --- near-dup components + keeper --------------------------------------------
+
+def test_near_dup_components_vs_union_find(spark):
+    from laradb_spark.pipelines.dedup import near_dup_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (7, 3), (20, 21), (21, 22), (22, 20)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got = {r.id: r.component for r in near_dup_components(pairs).collect()}
+    assert got == want
+
+
+def test_drop_near_duplicates_keeps_representatives(spark, sf_dir):
+    from laradb_spark.pipelines.dedup import (
+        drop_near_duplicates,
+        lsh_candidate_jaccard,
+        near_dup_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_jaccard(docs, threshold=0.5).select("id_a", "id_b")
+    kept = drop_near_duplicates(docs, pairs)
+    comp = {r.id: r.component for r in near_dup_components(pairs).collect()}
+    losers = {i for i, c in comp.items() if i != c}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == all_ids - losers
+    assert losers  # the fixture does contain near-dups
