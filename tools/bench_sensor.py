@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--classes", type=int, default=50)
     ap.add_argument("--bin-ms", type=int, default=120_000)
+    ap.add_argument(
+        "--from-files",
+        action="store_true",
+        help="write the synthetic tables as reference-format sensor CSVs "
+        "first and time the ingest stage too (the reference driver's "
+        "end-to-end shape: SensorFileAction parse → X → U → C)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -53,6 +60,46 @@ def main() -> None:
 
     a, b = gen(1), gen(2)
 
+    ingest_time = None
+    if args.from_files:
+        import shutil
+        import tempfile
+
+        from laradb_spark.sources import read_sensor_csv
+
+        tmp = tempfile.mkdtemp(prefix="bench_sensor_")
+        try:
+            # reference line shape: date;node;class;family;value;unit —
+            # class_N splits into (class_N, f) so c round-trips as
+            # "class;family" per SensorFileAction.kt:179
+            def dump(df, name):
+                line = F.concat_ws(
+                    ";",
+                    F.date_format(F.timestamp_millis(F.col("t")), "yyyy-MM-dd HH:mm:ss"),
+                    F.lit("node:0"),
+                    F.col("c"),
+                    F.lit("f"),
+                    F.col("v").cast("string"),
+                    F.lit("NO_UNIT"),
+                )
+                df.select(line.alias("value")).write.mode("overwrite").text(f"{tmp}/{name}")
+
+            dump(a, "a")
+            dump(b, "b")
+            t = time.time()
+            a = read_sensor_csv(spark, f"{tmp}/a").select(
+                "t", F.substring_index("c", ";", 1).alias("c"), "v"
+            ).persist()
+            b = read_sensor_csv(spark, f"{tmp}/b").select(
+                "t", F.substring_index("c", ";", 1).alias("c"), "v"
+            ).persist()
+            a.write.format("noop").mode("overwrite").save()
+            b.write.format("noop").mode("overwrite").save()
+            ingest_time = round(time.time() - t, 3)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
@@ -60,6 +107,8 @@ def main() -> None:
     force(binned_mean(gen(3).limit(10_000), args.bin_ms))
 
     times = {}
+    if ingest_time is not None:
+        times["ingest"] = ingest_time
     t = time.time()
     x = diff_x(binned_mean(a, args.bin_ms), binned_mean(b, args.bin_ms)).persist()
     force(x)
@@ -75,6 +124,10 @@ def main() -> None:
     force(c)
     times["toC"] = round(time.time() - t, 3)
 
+    if args.from_files:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # all stages forced above
     times["total"] = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "sensor_covariance_stages",
