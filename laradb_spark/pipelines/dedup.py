@@ -364,26 +364,37 @@ def lsh_candidate_jaccard(
 
 
 def near_dup_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every id appearing in the near-dup pair list,
     where component = min id of its connected component.
 
-    Min-label propagation: each round every node takes the min of its own
-    and its neighbors' labels — converges in ≤ graph-diameter rounds (dedup
-    components are shallow: near-dup clusters of a document cluster around
-    its variants). Each round is one join + one groupBy shuffle; labels are
-    persisted and the previous round unpersisted so lineage stays flat
-    (same discipline as ivf_topk's Lloyd rounds). At extreme scale swap in
-    large-star/small-star (Kiveris et al.) — same API, fewer rounds.
+    ``algorithm='label'`` (default): min-label propagation — each round
+    every node takes the min of its own and its neighbors' labels;
+    converges in ≤ graph-diameter rounds (dedup components are shallow:
+    near-dup clusters of a document cluster around its variants). Each
+    round is one join + one groupBy shuffle, ending in ``localCheckpoint``
+    — each round joins labels against labels-derived neighbors, so without
+    a true lineage cut the logical plan DOUBLES per round (persist caches
+    data, not the plan) and deep graphs OOM on plan stringification alone.
+
+    ``algorithm='star'``: alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds regardless of diameter; the scale path for deep graphs.
     """
+    if algorithm == "star":
+        return star_components(pairs, id_a, id_b, max_iters)
     und = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = (
         und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iters):
         nbr = (
             und.join(labels, und.src == labels.id)
@@ -393,7 +404,7 @@ def near_dup_components(
         new_labels = (
             labels.join(nbr, on="id", how="left")
             .select("id", F.least("label", F.coalesce("_nl", F.col("label"))).alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -402,12 +413,86 @@ def near_dup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation would return WRONG components
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds — the "
+            "graph is deeper than expected; raise max_iters or use "
+            "algorithm='star' (O(log n) rounds on any shape)"
+        )
     und.unpersist()
     return labels.select("id", F.col("label").alias("component"))
+
+
+def star_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al.): each round hangs nodes off the minimum of their
+    neighborhood, halving tree heights — O(log n) rounds on ANY graph
+    shape, vs diameter rounds for label propagation. Each star operation
+    is one groupBy + one join on the same key (exchange reused); each
+    round ends in ``localCheckpoint`` — persist alone caches data but the
+    LOGICAL plan still doubles per round (exceptAll references old and
+    new edges) until even plan stringification OOMs; checkpointing
+    truncates it. Converges to star graphs rooted at each component's
+    min id."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        b = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("_m"))
+        )
+        return (
+            b.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m = d.groupBy("u").agg(F.min("v").alias("_m"))
+        hang = (
+            d.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        )
+        own = m.select("u", F.col("_m").alias("v"))
+        return (
+            hang.unionByName(own)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        new_e = small_star(large_star(e)).localCheckpoint()
+        # set-equality convergence: symmetric difference empty
+        grew = new_e.exceptAll(e).limit(1).count()
+        shrank = e.exceptAll(new_e).limit(1).count()
+        e = new_e
+        if grew == 0 and shrank == 0:
+            break
+
+    roots = e.select(F.col("v").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    return e.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        roots
+    ).distinct()
 
 
 def drop_near_duplicates(

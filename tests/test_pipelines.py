@@ -217,3 +217,50 @@ def test_drop_near_duplicates_keeps_representatives(spark, sf_dir):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {r.doc_id for r in kept.select("doc_id").collect()} == all_ids - losers
     assert losers  # the fixture does contain near-dups
+
+
+def test_star_components_vs_union_find_random_graphs(spark):
+    """large/small-star CC on random graphs (chains force depth — the case
+    label propagation is slow on and star contraction must still get
+    right) vs a union-find oracle."""
+    import random
+
+    from laradb_spark.pipelines.dedup import near_dup_components
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges += [(100 + i, 101 + i) for i in range(30)]  # a 31-node chain
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r.id: r.component
+        for r in near_dup_components(pairs, algorithm="star").collect()
+    }
+    assert got == want
+    # and the two algorithms agree (the chain's diameter is 30, so label
+    # propagation needs ≥30 rounds — its documented weakness vs star)
+    lbl = {
+        r.id: r.component
+        for r in near_dup_components(pairs, max_iters=40).collect()
+    }
+    assert got == lbl
+    # default round budget on a too-deep graph must raise, not silently
+    # return wrong components
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(pairs, max_iters=5).collect()
