@@ -9,8 +9,9 @@ Scale path: random-hyperplane LSH — deterministic planes, bucket the
 corpus once (map-only), then search only matching buckets. At 100 TB the
 bucketed corpus is written partitioned by bucket so a query probe prunes
 partitions; multi-probe (flipping low-margin bits) trades recall for
-probes. An IVF variant would k-means the corpus; centroid training needs
-an iterative job, so LSH is the shipped scale path.
+probes. IVF-flat (``ivf_topk``) k-means the corpus instead;
+``ivf_build_index``/``ivf_search_index`` persist that assignment as a
+cid-partitioned parquet layout so probes become partition-pruned scans.
 """
 
 from __future__ import annotations
@@ -185,35 +186,19 @@ def lsh_topk_multiprobe(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    k: int = 5,
-    lloyd_iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF-flat ANN: k-means-lite centroids (deterministic init = the
-    ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds), corpus
-    partitioned by nearest centroid, queries probe the ``n_probe``
-    nearest lists.
-
-    Scale shape: centroids are tiny (driver-side after a distributed
-    aggregate per round — the one legitimate collect, bounded by
-    n_centroids·dim); assignment is a broadcast-join map stage; at 100 TB
-    the assigned corpus is written partitioned by ``centroid`` so probes
-    prune partitions."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
-    )
+def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFrame:
+    """k-means-lite centroid training (deterministic init = the
+    ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds) over a
+    ``(neighbor_id, cvec)`` frame. Returns a lineage-free literal
+    ``(cid, cent)`` frame: each round rebinds centroids via
+    collect + createDataFrame — the one legitimate collect, bounded by
+    n_centroids·dim values — because otherwise every round's plan embeds
+    the previous round's assignment join (O(2^iters) plan growth)."""
+    spark = c.sparkSession
     cents = (
         c.orderBy("neighbor_id").limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
     )
-    spark = corpus.sparkSession
     for _ in range(lloyd_iters):
         assigned = _assign(c, cents)
         # new centroid = element-wise mean of members (posexplode + avg)
@@ -225,11 +210,34 @@ def ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
             .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
         )
-        # Truncate lineage each round: without this, every round's plan
-        # embeds the previous round's assignment join — O(2^iters) plan
-        # growth. Centroids are ≤ n_centroids·dim values (the documented
-        # bounded collect), so rebind them as a literal frame.
         cents = spark.createDataFrame(new_cents.collect(), new_cents.schema)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: k-means-lite centroids (see ``_train_centroids``),
+    corpus partitioned by nearest centroid, queries probe the ``n_probe``
+    nearest lists.
+
+    Scale shape: centroids are tiny (driver-side after a distributed
+    aggregate per round); assignment is a broadcast-join map stage; at
+    100 TB the assigned corpus is written partitioned by ``cid`` so
+    probes prune partitions — that stored layout is ``ivf_build_index``
+    / ``ivf_search_index`` below."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
     assigned = _assign(c, cents)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
@@ -242,6 +250,79 @@ def ivf_topk(
     probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
     scored = (
         assigned.join(F.broadcast(probes.select(query_id_col, "qvec", "cid")), on="cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train centroids and persist the IVF index as a stored layout:
+    ``{path}/corpus`` = the assigned corpus written
+    ``partitionBy("cid")`` (one parquet directory per inverted list) and
+    ``{path}/centroids`` = the tiny ``(cid, cent)`` table.
+
+    This is the 100 TB shape: the expensive part (train + assign + write)
+    runs once; every subsequent search touches only the probed ``cid=``
+    directories via partition pruning instead of re-scanning and
+    re-hashing the corpus per query batch (compare ``ivf_topk``, which
+    recomputes the assignment inline)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
+    _assign(c, cents).write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a stored IVF index (``ivf_build_index`` layout).
+
+    The union of probed centroid ids across the query batch is collected
+    driver-side (bounded by n_centroids — centroids are by construction
+    a tiny table) and pushed as a LITERAL ``cid IN (...)`` predicate on
+    the partition column, so the parquet scan reads only the probed
+    ``cid=`` directories (PartitionFilters — asserted in test_ann). The
+    per-query restriction to its own n_probe lists then happens in the
+    broadcast equi-join on ``cid``."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, "qvec", "cid")
+        .persist()
+    )
+    probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
+    idx = spark.read.parquet(f"{path}/corpus").filter(F.col("cid").isin(probe_cids))
+    scored = (
+        idx.join(F.broadcast(probes), on="cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )

@@ -1,3 +1,5 @@
+from .dedup import dedup_stream
+from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
 from .windows import (
     session_window_agg,
     sliding_window_agg,
@@ -10,4 +12,8 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "dedup_stream",
+    "kafka_source_options",
+    "kafka_stream_source",
+    "kafka_value_json",
 ]

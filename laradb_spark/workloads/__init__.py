@@ -63,6 +63,8 @@ _PRIORITY = [
     "dedup_lsh_jaccard",
     "dedup_simhash_fast",
     "ann_brute_force_fast",
+    "dedup_components",
+    "dedup_keep_representatives",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

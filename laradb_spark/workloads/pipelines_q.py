@@ -163,6 +163,81 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pairs → connected components by
+    alternating large-star/small-star contraction (O(log n) rounds).
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs —
+    so the distributed star contraction is hash-checked against an exact
+    closure, not just row-counted."""
+    pairs = dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return dd.near_dup_components(pairs, algorithm="star")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLE_SQL.format(n=3)}),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(LEAST(id, MIN(r)) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after near-dup removal: one representative (min id) per
+    component plus all unpaired documents — the keeper step a training-
+    data pipeline runs after candidate generation."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dd.drop_near_duplicates(docs, pairs, id_col="doc_id").select("doc_id")
+
+
+DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLE_SQL.format(n=3)}),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING LEAST(id, MIN(r)) <> id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
@@ -440,6 +515,8 @@ QUERIES = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),

@@ -104,3 +104,59 @@ def test_ivf_exact_vs_numpy(spark, clustered):
         ).collect()
     }
     assert got == want
+
+
+def test_ivf_stored_index_prunes_partitions(spark, clustered, tmp_path):
+    """The stored layout returns exactly what inline ivf_topk computes
+    (same deterministic training), and the probe scan reads ONLY the
+    probed cid= directories — partition pruning, the reason the layout
+    exists."""
+    path = str(tmp_path / "ivf")
+    q = _queries(clustered)
+    sim.ivf_build_index(clustered, path, n_centroids=8, lloyd_iters=2)
+    got = sim.ivf_search_index(spark, path, q, n_probe=3, k=5)
+    want = _pairs_ranked(sim.ivf_topk(clustered, q, n_centroids=8, n_probe=3, k=5))
+    assert _pairs_ranked(got) == want
+
+    # pruning: a 1-query 1-probe search carries the literal cid predicate
+    # as a PARTITION filter (not a data filter), and the executed scan's
+    # numFiles metric shows it read fewer files than the full layout
+    # (inputFiles() can't show this — it lists the pre-pruning relation).
+    one = sim.ivf_search_index(spark, path, q.limit(1), n_probe=1, k=5)
+    one.collect()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cid" in part and ("IN" in part or "=" in part)
+    total_files = len(spark.read.parquet(f"{path}/corpus").inputFiles())
+    read_files = _scan_num_files(one, "cvec")
+    assert 0 < read_files < total_files
+
+
+def _pairs_ranked(df):
+    return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+
+def _scan_num_files(df, col_marker: str) -> int:
+    """numFiles metric of the executed FileScan whose output columns
+    contain ``col_marker`` (post-execution, so partition pruning is
+    reflected; toString truncates file locations, so match on a column).
+    Walks through AQE wrappers: AdaptiveSparkPlanExec holds the final
+    plan, QueryStageExec nodes hold materialized subplans."""
+    nodes = []
+
+    def walk(node):
+        nodes.append(node)
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.finalPhysicalPlan())
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    for node in nodes:
+        if node.getClass().getSimpleName() == "FileSourceScanExec" and col_marker in node.toString().split("]")[0]:
+            return node.metrics().apply("numFiles").value()
+    raise AssertionError(f"no FileScan outputting {col_marker!r} found in executed plan")

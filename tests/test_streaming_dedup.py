@@ -1,0 +1,118 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark) and the Kafka source
+surface (options + JSON value decoding; the connector jars are absent, so
+load() must fail with actionable guidance)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from laradb_spark.streaming import (
+    dedup_stream,
+    kafka_source_options,
+    kafka_stream_source,
+    kafka_value_json,
+    stream_from_parquet_dir,
+)
+from laradb_spark.streaming.windows import run_stream_to_memory
+
+EV_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+M = 60_000
+BASE = 1_700_000_000_000 - (1_700_000_000_000 % 3_600_000)
+
+
+@pytest.fixture(scope="module")
+def dup_stream_dir(spark, tmp_path_factory):
+    # event 1 delivered 3×, event 2 delivered 2× (at-least-once transport);
+    # split across two files so re-deliveries span micro-batches.
+    d = str(tmp_path_factory.mktemp("dup_events"))
+    batch1 = [
+        (1, BASE + 1 * M, 1, "click", 1.0),
+        (1, BASE + 1 * M, 1, "click", 1.0),
+        (2, BASE + 2 * M, 1, "view", 2.0),
+        (3, BASE + 3 * M, 2, "click", 3.0),
+    ]
+    batch2 = [
+        (1, BASE + 1 * M, 1, "click", 1.0),
+        (2, BASE + 2 * M, 1, "view", 2.0),
+        (4, BASE + 4 * M, 2, "view", 4.0),
+    ]
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1).write.parquet(f"{d}/f=1")
+    spark.createDataFrame(batch2, EV_SCHEMA).coalesce(1).write.parquet(f"{d}/f=2")
+    return d
+
+
+def test_dedup_stream_drops_redeliveries(spark, dup_stream_dir):
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(dup_stream_dir)
+    )
+    out = dedup_stream(stream, id_cols=("event_id",), watermark="10 minutes")
+    q = run_stream_to_memory(out, "dedup_out", "append")
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        assert sorted(r.event_id for r in got) == [1, 2, 3, 4]
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_batch_twin(spark, dup_stream_dir):
+    batch = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(EV_SCHEMA)
+        .parquet(dup_stream_dir)
+    )
+    out = dedup_stream(batch, id_cols=("event_id",))
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
+    assert out.columns == batch.columns  # _etime helper column removed
+
+
+def test_kafka_source_options():
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", "events", max_offsets_per_trigger=100_000,
+        fail_on_data_loss=False,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "100000",
+    }
+    with pytest.raises(ValueError):
+        kafka_source_options("", "events")
+
+
+def test_kafka_stream_source_missing_connector(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream_source(spark, "localhost:9092", "events")
+
+
+def test_kafka_value_json_decoding(spark):
+    # kafka-shaped batch frame: the decode plan is identical for a real stream
+    rows = [
+        (b"k1", b'{"event_id": 1, "value": 2.5}', "events", 0, 0,
+         __import__("datetime").datetime(2024, 1, 1, 0, 0, 0)),
+        (b"k2", b'{"event_id": 2, "value": 3.5}', "events", 0, 1,
+         __import__("datetime").datetime(2024, 1, 1, 0, 0, 1)),
+        (b"k3", b"not json", "events", 1, 0,
+         __import__("datetime").datetime(2024, 1, 1, 0, 0, 2)),
+    ]
+    kdf = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    out = kafka_value_json(kdf, "event_id long, value double").collect()
+    by_id = {r.event_id: r for r in out}
+    assert by_id[1].value == 2.5 and by_id[2].value == 3.5
+    assert by_id[1].kafka_ts is not None
+    # malformed payload → NULL struct fields, row retained (inspectable), not a crash
+    assert None in by_id
