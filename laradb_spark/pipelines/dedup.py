@@ -480,11 +480,14 @@ def star_components(
 
     for _ in range(max_iters):
         new_e = small_star(large_star(e)).localCheckpoint()
-        # set-equality convergence: symmetric difference empty
-        grew = new_e.exceptAll(e).limit(1).count()
-        shrank = e.exceptAll(new_e).limit(1).count()
+        # set-equality convergence: symmetric difference empty — both
+        # directions in ONE job (each action has fixed scheduler cost;
+        # this loop's wall-clock is action-count-bound, not data-bound)
+        diff = (
+            new_e.exceptAll(e).unionAll(e.exceptAll(new_e)).limit(1).count()
+        )
         e = new_e
-        if grew == 0 and shrank == 0:
+        if diff == 0:
             break
 
     roots = e.select(F.col("v").alias("id")).distinct().select(

@@ -93,6 +93,61 @@ def extract_features(
     return media.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Codec stub for resizing. Real implementation:
+    PIL.Image.open(BytesIO(payload)).resize((width, height)) → re-encode.
+
+    ``fake=True`` produces a deterministic width*height-byte payload
+    cycled from the source digest, so the binary-out plumbing (Arrow
+    binary columns in BOTH directions) is exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True (tests) or swap in PIL here (production)"
+        )
+    digest = hashlib.md5(payload).digest()
+    n = width * height
+    return bytes(digest[i % len(digest)] for i in range(n))
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    type_col: str = "media_type",
+    fake_codec: bool = False,
+) -> DataFrame:
+    """Resize each payload to (width, height) — binary in, binary out
+    through Arrow batches, map-only (payloads never shuffle). The row
+    count is preserved; output schema carries the new dimensions so
+    downstream consumers need not re-decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "content", "width", "height")}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                out["doc_id"].append(row[id_col])
+                out["media_type"].append(row[type_col])
+                out["content"].append(resize_image(payload, width, height, fake=fake_codec))
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col, type_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table from the documents fixture: payload =
     utf-8 text bytes, media_type by doc_id. Exercises the real plumbing

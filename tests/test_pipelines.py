@@ -123,9 +123,30 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.filter(F.col("frame_idx") == 0).count() == 5
 
 
+def test_multimodal_resize_plumbing(spark, docs):
+    """Binary in AND binary out through Arrow: row count preserved, payload
+    deterministic from source digest, dims stamped without re-decode."""
+    media = mm.synthesize_media_from_documents(
+        docs.withColumn("n_chars", F.length("text"))
+    )
+    out = mm.resize_images(media, width=4, height=3, fake_codec=True)
+    assert dict(out.dtypes)["content"] == "binary"
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 5
+    assert all(len(r.content) == 12 and (r.width, r.height) == (4, 3) for r in rows.values())
+    # same source payload → same resized bytes (docs 1 and 4 share text)
+    assert bytes(rows[1].content) == bytes(rows[4].content)
+    import hashlib as _h
+
+    want = _h.md5(DOCS[0][1].encode()).digest()
+    assert bytes(rows[1].content) == bytes(want[i % 16] for i in range(12))
+
+
 def test_multimodal_codec_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes", "image/png", fake=False)
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"bytes", 4, 4, fake=False)
 
 
 # --- LSH giant-bucket cap (scale hardening) ---------------------------------
