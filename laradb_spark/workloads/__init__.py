@@ -81,6 +81,15 @@ _PRIORITY = [
     "q14_promo_share",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",
+    # new this round: the remaining TPC-H query shapes (full 22 coverage)
+    "q9_profit_by_nation_year",
+    "q11_nation_balance_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_sole_fault_suppliers",
+    "q22_idle_rich_customers",
     "raco_front_door_q",
     "status_except_all",
     "text_replace_map",

@@ -127,3 +127,21 @@ def test_quartiles_no_global_single_partition_window(spark, sfq):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line
+
+
+def test_no_query_plans_cartesian(spark, sfq):
+    """Sweep EVERY registered query: no CartesianProduct in any physical
+    plan (broadcast scalar/tiny cross-joins lower to
+    BroadcastNestedLoopJoin, which is fine). lara_cross_grid is the one
+    intentional cross product (Lara join on disjoint key sets)."""
+    qs, sf = sfq
+    offenders = []
+    for name, fn in qs.items():
+        if name == "lara_cross_grid":
+            continue
+        try:
+            if "CartesianProduct" in _plan(fn(spark, sf)):
+                offenders.append(name)
+        except Exception as e:  # building the plan must not fail either
+            offenders.append(f"{name} (plan build failed: {e})")
+    assert not offenders, offenders
