@@ -65,6 +65,7 @@ _PRIORITY = [
     "ann_brute_force_fast",
     "dedup_components",
     "dedup_keep_representatives",
+    "ann_ivf_topk",  # oracle upgraded from rows-only to unrolled-Lloyd SQL
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

@@ -502,10 +502,65 @@ QUALIFY rank <= {TOP_K}
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (iterative Lloyd rounds → genuinely non-SQL-expressible;
-    rows-only check by design, deterministic across reruns)."""
+    """IVF-flat ANN. The training loop is iterative, but with a FIXED
+    deterministic recipe (init = 16 lowest ids, exactly 2 Lloyd rounds),
+    so the oracle UNROLLS the rounds as chained CTEs — assignment →
+    per-dimension mean → assignment → mean → final assignment — and the
+    whole index build + probe + rank is hash-checked, not just row-counted."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, _queries_df(spark, sf_dir), n_centroids=16, n_probe=4, k=TOP_K)
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
+    # one Lloyd round = nearest-centroid assignment + per-dimension mean;
+    # DuckDB zips parallel UNNESTs, giving (dimension, value) pairs.
+    def assign(src: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, vec, cid FROM (
+    SELECT v.vec_id, v.vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.vec, c.cent) DESC, c.cid ASC) AS rn
+    FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1
+"""
+
+    def mean(src: str) -> str:
+        return f"""
+  SELECT cid, list(m ORDER BY d) AS cent FROM (
+    SELECT cid, d, AVG(x) AS m
+    FROM (SELECT cid, UNNEST(vec) AS x, UNNEST(range(1, len(vec) + 1)) AS d FROM {src})
+    GROUP BY cid, d)
+  GROUP BY cid
+"""
+
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, vec AS cent FROM v ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i} AS ({assign('v', f'c{i}')})")
+        ctes.append(f"c{i + 1} AS ({mean(f'a{i}')})")
+    ctes.append(f"af AS ({assign('v', f'c{iters}')})")
+    ctes.append(f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES})")
+    ctes.append(f"""probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe}
+)""")
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qvec, a.vec) AS cos
+  FROM af a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
 
 
 QUERIES = {
@@ -527,5 +582,5 @@ QUERIES = {
     "ann_brute_force_fast": (ann_brute_force_fast, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
 }

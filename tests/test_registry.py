@@ -24,4 +24,6 @@ def test_rows_only_queries_are_the_documented_ones():
     # every oracle-less query is a deliberate rows-only check, not an
     # accidentally-dropped oracle
     no_oracle = {n for n, (_f, sql) in all_specs().items() if sql is None}
-    assert no_oracle == {"ann_ivf_topk", "approx_stats"}
+    # approx_stats is the ONLY rows-only query (engine-specific sketches);
+    # ann_ivf_topk gained a real oracle (unrolled Lloyd rounds in SQL)
+    assert no_oracle == {"approx_stats"}
