@@ -334,6 +334,68 @@ def ivf_search_index(
     )
 
 
+def lsh_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH-bucketed corpus partitioned by ``bucket`` — the
+    stored analog of ``lsh_topk``'s inline bucketing (same fixed planes,
+    so a later probe recomputes identical query buckets). Hash once,
+    write once; every search after that is a partition-pruned scan."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
+    c.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/corpus")
+
+
+def lsh_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a stored LSH index (``lsh_build_index`` layout), optionally
+    multi-probe (flip one low bit per extra probe, as in
+    ``lsh_topk_multiprobe``). The union of probed buckets is a literal
+    ``bucket IN (...)`` on the partition column → partition-pruned scan;
+    per-query bucket restriction happens in the broadcast equi-join."""
+    q0 = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn("_b", lsh_bucket(F.col("qvec"), dim, planes))
+    flips = F.array(
+        F.col("_b"), *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(probes - 1)]
+    )
+    q = (
+        q0.select(query_id_col, "qvec", F.explode(flips).alias("bucket"))
+        .dropDuplicates([query_id_col, "bucket"])
+        .persist()
+    )
+    probe_buckets = sorted(r.bucket for r in q.select("bucket").distinct().collect())
+    idx = spark.read.parquet(f"{path}/corpus").filter(F.col("bucket").isin(probe_buckets))
+    scored = (
+        idx.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
 def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast join + window argmax)."""
     scored = c.crossJoin(F.broadcast(cents)).select(

@@ -1,4 +1,5 @@
 from .dedup import dedup_stream
+from .joins import interval_join
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
 from .windows import (
     session_window_agg,
@@ -13,6 +14,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_stream",
+    "interval_join",
     "kafka_source_options",
     "kafka_stream_source",
     "kafka_value_json",

@@ -37,9 +37,22 @@ from .schema import Attribute, LaraSchema, ValAttribute
 
 
 class LaraTable:
+    # O2 — auto-persist shared subplans: when the same derived table feeds
+    # two or more downstream operators, persist it so the shared prefix
+    # computes once (the reference materializes common subexpressions as
+    # temp tables, reference: api/Lower.kt:107,118-126). Base loads are
+    # exempt (caching a 100 TB scan is not a win; Catalyst already reuses
+    # exchanges where partitioning lines up). persist() is lazy and
+    # MEMORY_AND_DISK, so the cache spills rather than OOMs and the
+    # CacheManager substitutes it into ALL plans over this subtree —
+    # including ones built before the second consumer triggered it.
+    AUTO_PERSIST = True
+
     def __init__(self, df: DataFrame, schema: LaraSchema, check: bool = True):
         self.df = df
         self.schema = schema
+        self._consumers = 0
+        self._base = False
         if check:
             missing = [n for n in schema.names if n not in df.columns]
             if missing:
@@ -47,6 +60,16 @@ class LaraTable:
             # Keep only schema columns, in schema order.
             if df.columns != schema.names:
                 self.df = df.select(*schema.names)
+
+    def _consume(self) -> None:
+        self._consumers += 1
+        if (
+            LaraTable.AUTO_PERSIST
+            and self._consumers == 2
+            and not self._base
+            and not self.df.is_cached
+        ):
+            self.df.persist()
 
     # --- sources (reference: api/TupleOp.kt:274-290, 829-867) ---------------
 
@@ -57,17 +80,23 @@ class LaraTable:
             df = spark.read.parquet(path_or_table)
         else:
             df = spark.table(path_or_table)
-        return LaraTable(df, schema)
+        t = LaraTable(df, schema)
+        t._base = True
+        return t
 
     @staticmethod
     def from_rows(spark: SparkSession, rows: Iterable[tuple], schema: LaraSchema) -> "LaraTable":
         """LoadData: in-memory source (reference: api/TupleOp.kt:829-846)."""
-        return LaraTable(spark.createDataFrame(list(rows), schema.to_struct()), schema)
+        t = LaraTable(spark.createDataFrame(list(rows), schema.to_struct()), schema)
+        t._base = True
+        return t
 
     @staticmethod
     def empty(spark: SparkSession, schema: LaraSchema) -> "LaraTable":
         """Empty relation (reference: api/TupleOp.kt:285-290)."""
-        return LaraTable(spark.createDataFrame([], schema.to_struct()), schema)
+        t = LaraTable(spark.createDataFrame([], schema.to_struct()), schema)
+        t._base = True
+        return t
 
     # --- Ext / map (reference: api/TupleOp.kt:183-272) -----------------------
 
@@ -75,6 +104,7 @@ class LaraTable:
         """Extension (flatMap): emit 0..n tuples per input; parent keys are
         prepended; ext keys must be disjoint from parent keys
         (reference: api/TupleOp.kt:198)."""
+        self._consume()
         clash = set(self.schema.key_names) & set(fn.ext_schema.names)
         if clash:
             raise ValueError(f"ext attrs {sorted(clash)} clash with parent keys "
@@ -127,6 +157,7 @@ class LaraTable:
 
     def map(self, fn: MapFun) -> "LaraTable":
         """1→1 value transform (reference: api/TupleOp.kt:184 via MapFun)."""
+        self._consume()
         out_schema = LaraSchema(self.schema.keys, fn.out_vals)
         cols = [F.col(k) for k in self.schema.key_names]
         cols += [fn.exprs[v.name](self.df).alias(v.name) for v in fn.out_vals]
@@ -134,6 +165,7 @@ class LaraTable:
 
     def map_vals(self, **exprs: Column) -> "LaraTable":
         """Convenience map: keep keys, replace vals with named Column exprs."""
+        self._consume()
         vals = tuple(ValAttribute(n, "DOUBLE") for n in exprs)
         cols = [F.col(k) for k in self.schema.key_names] + [c.alias(n) for n, c in exprs.items()]
         return LaraTable(self.df.select(*cols), LaraSchema(self.schema.keys, vals), check=False)
@@ -145,6 +177,8 @@ class LaraTable:
         val attrs; colliding tuples fold value-wise with per-attr ⊕
         (reference: api/TupleOp.kt:295-521). Identity must equal the attr
         default (reference: api/TupleOp.kt:313-319)."""
+        self._consume()
+        other._consume()
         keys = self.schema.common_key_prefix(other.schema)
         vals = self.schema.union_vals(other.schema)
         funs = {v.name: _plus(plus_funs[v.name]) for v in vals}
@@ -199,6 +233,7 @@ class LaraTable:
         (reference: api/TupleOp.kt:296,353-366). Spark's hash aggregate does
         the partial/final (combiner) split automatically — the reference's
         AggregatePush optimization (reference: sensor/SensorCalc.kt:313-337)."""
+        self._consume()
         unknown = set(keys_kept) - set(self.schema.key_names)
         if unknown:
             raise ValueError(f"agg keys {sorted(unknown)} not in {self.schema.key_names}")
@@ -247,6 +282,8 @@ class LaraTable:
         (reference: sensor/SensorCalc.kt:619-623): drop results equal to
         the annihilating default.
         """
+        self._consume()
+        other._consume()
         keys = self.schema.union_keys_prefix(other.schema)
         shared = [a.name for a in self.schema.keys if a.name in set(other.schema.key_names)]
         val_names = self.schema.intersect_val_names(other.schema)
@@ -287,6 +324,7 @@ class LaraTable:
 
     def rename(self, mapping: Mapping[str, str]) -> "LaraTable":
         """Rename attributes (reference: api/TupleOp.kt:523-567)."""
+        self._consume()
         keys = tuple(Attribute(mapping.get(a.name, a.name), a.type) for a in self.schema.keys)
         vals = tuple(
             ValAttribute(mapping.get(a.name, a.name), a.type, a.default) for a in self.schema.vals
@@ -305,6 +343,7 @@ class LaraTable:
         full-materialize re-sort (its pipeline breaker) compiles to
         nothing. ``physical=True`` additionally range-partitions and sorts
         within partitions (for sorted sinks)."""
+        self._consume()
         if sorted(new_key_order) != sorted(self.schema.key_names):
             raise ValueError(f"sort must permute keys {self.schema.key_names}")
         by_name = {a.name: a for a in self.schema.keys}
@@ -319,6 +358,7 @@ class LaraTable:
         """Row filter (reference Select lowering only supports leading-key
         ranges, reference: opt/RacoToAccumulo.kt:541-643; Spark pushes any
         predicate to the scan)."""
+        self._consume()
         return LaraTable(self.df.filter(predicate), self.schema, check=False)
 
     # --- sink (reference: api/TupleOp.kt:595-605) -----------------------------
@@ -326,6 +366,7 @@ class LaraTable:
     def store(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
         """Store: write parquet (reference: api/TupleOp.kt:595-605 writes an
         Accumulo table via RemoteWriteIterator)."""
+        self._consume()
         w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -66,6 +66,7 @@ _PRIORITY = [
     "dedup_components",
     "dedup_keep_representatives",
     "ann_ivf_topk",  # oracle upgraded from rows-only to unrolled-Lloyd SQL
+    "corpus_clean",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

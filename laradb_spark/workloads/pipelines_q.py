@@ -238,6 +238,64 @@ WHERE doc_id NOT IN (SELECT id FROM losers)
 """
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep — the flow a pretraining pipeline
+    actually runs, as ONE oracled query: quality filter (n_tokens ≥ 20,
+    integer compare → engine-exact boundary) → exact dedup (keep min
+    doc_id per content digest) → near-dup keeper (min id per Jaccard≥0.5
+    component). Every stage shuffles ids/digests only, never payloads."""
+    docs = load(spark, sf_dir, "documents")
+    filtered = docs.filter(F.size(tx.tokens(F.col("text"))) >= 20)
+    # fan-out point: kept_exact feeds the pair pipeline AND the final
+    # anti-join — persist so filter+md5-dedup compute once (DEVNOTES #3)
+    kept_exact = dd.drop_exact_duplicates(filtered).persist()
+    pairs = dd.ngram_jaccard_pairs(kept_exact, threshold=0.5)
+    return dd.drop_near_duplicates(kept_exact, pairs).select("doc_id")
+
+
+CORPUS_CLEAN_SQL = """
+WITH RECURSIVE filt AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 20
+),
+keepers AS (
+  SELECT doc_id, toks FROM filt
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM filt GROUP BY md5(text))
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - 3 + 1, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM keepers
+),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT e.a AS id, r.r AS r FROM edges e JOIN reach r ON r.id = e.b
+),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING LEAST(id, MIN(r)) <> id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM keepers
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
@@ -572,6 +630,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
+    "corpus_clean": (corpus_clean, CORPUS_CLEAN_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),

@@ -99,3 +99,28 @@ def test_union_error_plusfun(spark):
     u = a.union(b, {"s": "error"})
     with pytest.raises(Exception):
         u.df.collect()
+
+
+def test_auto_persist_shared_subplan(spark):
+    """O2: a derived table consumed by TWO operators is persisted
+    automatically (the reference's common-subexpression temp tables,
+    Lower.kt:107); base loads are exempt."""
+    from laradb_spark.schema import LaraSchema
+    from laradb_spark.table import LaraTable
+
+    sch = LaraSchema.of([("k", "LONG")], [("v", "DOUBLE", 0.0)])
+    base = LaraTable.from_rows(spark, [(1, 1.0), (2, 2.0), (1, 3.0)], sch)
+    derived = base.map_vals(v=F.col("v") * 2)
+    a = derived.agg(["k"], {"v": "sum"})          # first consumer
+    assert not derived.df.is_cached
+    b = derived.filter(F.col("v") > 2.0)          # second consumer → persist
+    assert derived.df.is_cached
+    # the cache substitutes into the FIRST consumer's plan too
+    assert "InMemoryTableScan" in a.df._jdf.queryExecution().executedPlan().toString()
+    assert {tuple(r) for r in a.df.collect()} == {(1, 8.0), (2, 4.0)}
+    assert {tuple(r) for r in b.df.collect()} == {(1, 6.0), (2, 4.0)}
+    # base sources are never auto-persisted, however often they're consumed
+    base.map_vals(v=F.col("v"))
+    base.map_vals(v=F.col("v"))
+    assert not base.df.is_cached
+    derived.df.unpersist()

@@ -3,6 +3,7 @@ retrieval quality on clustered data."""
 
 import numpy as np
 import pytest
+from plan_helpers import scan_num_files
 from pyspark.sql import functions as F
 
 from laradb_spark.pipelines import similarity as sim
@@ -128,35 +129,35 @@ def test_ivf_stored_index_prunes_partitions(spark, clustered, tmp_path):
     part = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "cid" in part and ("IN" in part or "=" in part)
     total_files = len(spark.read.parquet(f"{path}/corpus").inputFiles())
-    read_files = _scan_num_files(one, "cvec")
+    read_files = scan_num_files(one, "cvec")
+    assert 0 < read_files < total_files
+
+
+def test_lsh_stored_index_matches_inline_and_prunes(spark, clustered, tmp_path):
+    """The stored LSH layout reproduces the inline lsh_topk /
+    lsh_topk_multiprobe results exactly (same fixed planes), and a
+    single-query probe reads only its bucket partitions."""
+    path = str(tmp_path / "lsh")
+    q = _queries(clustered)
+    sim.lsh_build_index(clustered, path, dim=8, planes=6)
+    single = sim.lsh_search_index(spark, path, q, dim=8, k=5, planes=6)
+    assert _pairs_ranked(single) == _pairs_ranked(
+        sim.lsh_topk(clustered, q, dim=8, k=5, planes=6)
+    )
+    multi = sim.lsh_search_index(spark, path, q, dim=8, k=5, planes=6, probes=4)
+    assert _pairs_ranked(multi) == _pairs_ranked(
+        sim.lsh_topk_multiprobe(clustered, q, dim=8, k=5, planes=6, probes=4)
+    )
+
+    one = sim.lsh_search_index(spark, path, q.limit(1), dim=8, k=5, planes=6)
+    one.collect()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in part
+    total_files = len(spark.read.parquet(f"{path}/corpus").inputFiles())
+    read_files = scan_num_files(one, "cvec")
     assert 0 < read_files < total_files
 
 
 def _pairs_ranked(df):
     return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
-
-
-def _scan_num_files(df, col_marker: str) -> int:
-    """numFiles metric of the executed FileScan whose output columns
-    contain ``col_marker`` (post-execution, so partition pruning is
-    reflected; toString truncates file locations, so match on a column).
-    Walks through AQE wrappers: AdaptiveSparkPlanExec holds the final
-    plan, QueryStageExec nodes hold materialized subplans."""
-    nodes = []
-
-    def walk(node):
-        nodes.append(node)
-        name = node.getClass().getSimpleName()
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.finalPhysicalPlan())
-        if name.endswith("QueryStageExec"):
-            walk(node.plan())
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    for node in nodes:
-        if node.getClass().getSimpleName() == "FileSourceScanExec" and col_marker in node.toString().split("]")[0]:
-            return node.metrics().apply("numFiles").value()
-    raise AssertionError(f"no FileScan outputting {col_marker!r} found in executed plan")
