@@ -1,0 +1,151 @@
+"""Corpus curation operators a pretraining pipeline runs between raw
+ingest and tokenization: benchmark decontamination, deterministic
+train/validation splitting, per-source mixture sampling, PII redaction.
+
+Green-field relative to the reference (its surface stops at the Lara
+algebra + sensor/graph workloads); these follow the same contract as the
+rest of ``pipelines/``: built-in expressions only (JVM, whole-stage
+codegen), every hash bottoms out in md5 so a SQL oracle can replay the
+exact decision, and the 100 TB shape is stated per operator.
+
+Scale notes
+-----------
+* ``decontaminate``: the benchmark side is an eval set — thousands of
+  documents, megabytes — so its distinct n-gram set broadcasts; the
+  corpus is scanned once, and the only shuffled payload is the distinct
+  set of contaminated doc ids (then itself broadcast for the anti-join).
+  The 100 TB corpus never shuffles its text.
+* ``hash_split`` / ``mix_sources``: pure map-side expressions — no
+  shuffle, no RNG state. Reproducibility across runs, engines, and
+  cluster sizes comes from hashing the row key, not from a seeded RNG
+  (Spark's ``sample`` is partition-layout-dependent; a hash split is
+  not).
+* ``redact_pii``: map-only regexp rewrites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# Fraction denominators: splits are decided by md5(key) mod BUCKETS.
+# 15 hex digits = 60 bits, positive in both engines' BIGINT.
+BUCKETS = 10_000
+_HEX_DIGITS = 15
+
+# PII patterns — shared literals with the oracle; plain ASCII classes so
+# Java regex (Spark) and RE2 (DuckDB) agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+REDACTIONS = (("email", EMAIL_RE), ("phone", PHONE_RE), ("ip", IPV4_RE))
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, BUCKETS): md5 of the key's string form,
+    top 60 bits, mod BUCKETS. DuckDB twin:
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT % 10000``."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS), 16, 10)
+    return (h.cast("long") % BUCKETS).alias("bucket")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined token windows) of ``text``.
+    A document shorter than ``n`` tokens contributes its whole text as
+    one gram (floor of 1 — Spark ``sequence(1, 0)`` would count DOWN,
+    not empty; the oracle mirrors with ``GREATEST(..., 1)``)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus documents that share any word ``n``-gram with the
+    benchmark set — eval-set decontamination, the step that keeps test
+    questions out of the training corpus.
+
+    Physical shape: benchmark n-grams are exploded, made distinct, and
+    broadcast; the corpus explodes (id, n-gram) pairs into a broadcast
+    inner join, so a contamination hit never leaves its scan task. The
+    distinct contaminated-id set (tiny) broadcasts back into a left-anti
+    join against the corpus — the full corpus payload is never shuffled.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("_g")).distinct()
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g"))
+        .join(F.broadcast(bench_grams), on="_g")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
+
+
+def hash_split(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    key: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation split: a row is ``val`` iff
+    md5-bucket(key) < val_frac * BUCKETS. Stable under reruns, engine
+    changes, repartitioning, and corpus growth (a doc's split never
+    changes when other docs are added — unlike ``randomSplit``)."""
+    cut = int(val_frac * BUCKETS)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(F.col(key)) < cut, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted mixture sampling: keep a ``rates[source]`` fraction of
+    each source, decided per-row by md5-bucket(source || ':' || key) —
+    the data-mixing step that up/down-weights domains in a training
+    corpus. Unlisted sources keep ``default_rate``. Deterministic and
+    map-only (contrast ``DataFrame.sampleBy``, which draws from a seeded
+    RNG whose outcome depends on partition layout)."""
+    bucket = hash_bucket(F.concat_ws(":", F.col(source_col), F.col(key).cast("string")))
+    cut = None
+    for src, rate in rates.items():
+        cond = F.col(source_col) == src
+        lit = F.lit(int(rate * BUCKETS))
+        cut = F.when(cond, lit) if cut is None else cut.when(cond, lit)
+    cut = F.lit(int(default_rate * BUCKETS)) if cut is None else cut.otherwise(
+        F.lit(int(default_rate * BUCKETS))
+    )
+    return df.filter(bucket < cut)
+
+
+def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """Replace emails / phone numbers / IPv4 literals with ``<TYPE>``
+    tokens and count replacements per kind. Map-only; patterns are the
+    module constants (ASCII classes → Java/RE2 agree)."""
+    out = df
+    redacted = F.col(text)
+    for kind, pat in REDACTIONS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0))).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn(text, redacted)

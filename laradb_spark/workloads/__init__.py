@@ -45,14 +45,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
     # red in r01 (float-flake, now integer-exact) + its changed siblings
+    # (events_daily_pivot / order_status_pivot — same scaled-int rewrite,
+    # green in r01 — wait at the tail; the family re-verifies via these)
     "sessionize_events",
     "tumbling_event_stats",
     "session_window_stats",
     "sliding_event_stats",
-    "events_daily_pivot",
     "running_customer_totals",
     "cube_order_stats",
-    "order_status_pivot",
     "sql_front_door_q",
     "lara_union_revenue",
     # new this round
@@ -67,6 +67,10 @@ _PRIORITY = [
     "dedup_keep_representatives",
     "ann_ivf_topk",  # oracle upgraded from rows-only to unrolled-Lloyd SQL
     "corpus_clean",
+    "decontaminate_docs",
+    "train_val_split_stats",
+    "mix_sources_counts",
+    "redact_pii_stats",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

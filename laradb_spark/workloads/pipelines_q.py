@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..pipelines import curation as cu
 from ..pipelines import dedup as dd
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
@@ -621,6 +622,130 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# curation: decontamination, splitting, mixing, redaction
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 23  # every 23rd doc plays the held-out eval set
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_VAL_FRAC = 0.1
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing any word 5-gram with the
+    benchmark slice (doc_id % 23 == 0) are dropped from the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return cu.decontaminate(corpus, bench, n=5).select("doc_id")
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - 4, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gs
+  FROM t
+),
+bench AS (SELECT DISTINCT UNNEST(gs) AS ng FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+corp AS (SELECT doc_id, UNNEST(gs) AS ng FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+hits AS (SELECT DISTINCT doc_id FROM corp WHERE ng IN (SELECT ng FROM bench))
+SELECT doc_id FROM documents
+WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split, summarized per split (the split itself is
+    row-level; aggregating keeps the oracle row count small while hashing
+    every per-row decision)."""
+    docs = load(spark, sf_dir, "documents")
+    split = cu.hash_split(docs, val_frac=_VAL_FRAC)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+HASH_SPLIT_SQL = f"""
+SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {cu.BUCKETS}
+            < {int(_VAL_FRAC * cu.BUCKETS)} THEN 'val' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY split
+"""
+
+
+def mix_sources_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source mixture; surviving doc count per source."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = cu.mix_sources(docs, _MIX_RATES, default_rate=_MIX_DEFAULT)
+    return mixed.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {int(r * cu.BUCKETS)}" for s, r in _MIX_RATES.items()
+)
+
+MIX_SOURCES_SQL = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {cu.BUCKETS}
+      < (CASE {_MIX_CASE} ELSE {int(_MIX_DEFAULT * cu.BUCKETS)} END)
+GROUP BY source
+"""
+
+
+def redact_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with synthetic contact lines appended
+    (the corpus itself is clean prose, so the fixture injects one email +
+    one phone per doc to exercise every pattern); returns per-doc match
+    counts and the redacted length."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = cu.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.length("text").cast("long").alias("redacted_len"),
+    )
+
+
+REDACT_PII_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-000-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{cu.PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{cu.IPV4_RE}')) AS BIGINT) AS n_ip,
+       CAST(LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+              '{cu.EMAIL_RE}', '<EMAIL>', 'g'),
+              '{cu.PHONE_RE}', '<PHONE>', 'g'),
+              '{cu.IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM aug
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
@@ -631,6 +756,10 @@ QUERIES = {
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, CORPUS_CLEAN_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),
+    "mix_sources_counts": (mix_sources_counts, MIX_SOURCES_SQL),
+    "redact_pii_stats": (redact_pii_stats, REDACT_PII_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),

@@ -1,0 +1,84 @@
+"""Curation operators: decontamination, hash split, mixture sampling,
+PII redaction. Semantics against hand-computed sets; physical shape
+against the executed plan (the corpus payload must never shuffle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from laradb_spark.pipelines import curation as cu
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "src0"),
+        (2, "pack my box with five dozen liquor jugs", "src0"),
+        (3, "the quick brown fox jumps over the moon tonight ok", "src1"),  # shares 5-gram with 1
+        (4, "completely unrelated text about sparkly distributed engines", "src1"),
+        (5, "tiny doc", "src2"),  # < n tokens
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_word_ngrams_short_doc_floor(spark):
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    [row] = df.select(cu.word_ngrams(F.col("text"), 5).alias("g")).collect()
+    assert row.g == ["a b c"]  # whole text as one gram, never a countdown
+
+
+def test_decontaminate_semantics(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    clean = cu.decontaminate(corpus, bench, n=5)
+    # doc 3 shares "the quick brown fox jumps" with the benchmark
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {2, 4, 5}
+    # both joins broadcast: the corpus text is never exchanged
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_deterministic_and_layout_independent(spark, docs):
+    a = cu.hash_split(docs, val_frac=0.5)
+    b = cu.hash_split(docs.repartition(7), val_frac=0.5)
+    amap = {r.doc_id: r.split for r in a.collect()}
+    bmap = {r.doc_id: r.split for r in b.collect()}
+    assert amap == bmap  # partition layout cannot change the split
+    assert set(amap.values()) <= {"train", "val"}
+    # growing the corpus never reassigns existing docs
+    grown = docs.union(
+        spark.createDataFrame([(99, "new doc arriving later", "src9")], docs.columns)
+    )
+    gmap = {r.doc_id: r.split for r in cu.hash_split(grown, val_frac=0.5).collect()}
+    assert all(gmap[k] == v for k, v in amap.items())
+
+
+def test_hash_split_frac_zero_and_one(spark, docs):
+    assert cu.hash_split(docs, val_frac=0.0).filter(F.col("split") == "val").count() == 0
+    assert cu.hash_split(docs, val_frac=1.0).filter(F.col("split") == "train").count() == 0
+
+
+def test_mix_sources_rates(spark, docs):
+    kept = cu.mix_sources(docs, {"src0": 1.0, "src1": 0.0}, default_rate=1.0)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert {1, 2} <= ids          # rate 1.0 keeps everything
+    assert not ({3, 4} & ids)     # rate 0.0 drops everything
+    assert 5 in ids               # unlisted source honors default_rate
+    # map-only: no exchange anywhere in the executed plan
+    assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.io or +1 555-123-4567 from 10.0.0.1 now"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in cu.redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (1, 1, 1)
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text and "<IP>" in out[1].text
+    assert "bob@corp.io" not in out[1].text and "10.0.0.1" not in out[1].text
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
+    assert out[2].text == "no pii here at all"
