@@ -41,6 +41,7 @@ HEADLINE = [
     "q7_nation_volume",
     "q10_returned_items",
     "q8_market_share",
+    "decontaminate_docs",
 ]
 
 

@@ -68,8 +68,19 @@ class LaraTable:
             and self._consumers == 2
             and not self._base
             and not self.df.is_cached
+            and not self._plan_already_cached()
         ):
             self.df.persist()
+
+    def _plan_already_cached(self) -> bool:
+        """True when the CacheManager already holds a plan-equal entry
+        (e.g. a twin LaraTable over the same subtree persisted first) —
+        persisting again would warn and register a redundant cache."""
+        try:
+            jdf = self.df._jdf
+            return jdf.sparkSession().sharedState().cacheManager().lookupCachedData(jdf).isDefined()
+        except Exception:  # py4j surface moved — persist() stays correct
+            return False
 
     # --- sources (reference: api/TupleOp.kt:274-290, 829-867) ---------------
 

@@ -243,18 +243,25 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep — the flow a pretraining pipeline
     actually runs, as ONE oracled query: quality filter (n_tokens ≥ 20,
     integer compare → engine-exact boundary) → exact dedup (keep min
-    doc_id per content digest) → near-dup keeper (min id per Jaccard≥0.5
-    component). Every stage shuffles ids/digests only, never payloads."""
+    doc_id per content digest) → near-dup keeper (min id per component of
+    LSH-candidate pairs verified at exact Jaccard ≥ 0.5). The pair stage
+    is the production path — banding proposes, exact Jaccard verifies
+    candidates only — so no stage is all-pairs and no stage shuffles
+    payloads (the oracle replays the minhash permutations + banding, so
+    the approximation itself is hash-checked)."""
     docs = load(spark, sf_dir, "documents")
     filtered = docs.filter(F.size(tx.tokens(F.col("text"))) >= 20)
     # fan-out point: kept_exact feeds the pair pipeline AND the final
     # anti-join — persist so filter+md5-dedup compute once (DEVNOTES #3)
     kept_exact = dd.drop_exact_duplicates(filtered).persist()
-    pairs = dd.ngram_jaccard_pairs(kept_exact, threshold=0.5)
+    pairs = dd.lsh_candidate_jaccard(kept_exact, threshold=0.5)
     return dd.drop_near_duplicates(kept_exact, pairs).select("doc_id")
 
 
-CORPUS_CLEAN_SQL = """
+def _corpus_clean_sql() -> str:
+    rows = dd.NUM_PERM // dd.LSH_BANDS
+    perm_rows = ", ".join(f"({i}, {dd._A[i]}, {dd._B[i]})" for i in range(dd.NUM_PERM))
+    return f"""
 WITH RECURSIVE filt AS (
   SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS toks
   FROM documents
@@ -270,18 +277,42 @@ sh AS (
                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
   FROM keepers
 ),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {dd.SHINGLE_BITS_MOD}) AS hs
+  FROM sh
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT id, pi,
+         list_min(list_transform(hs, h -> (a * h + b) % {dd.MINHASH_PRIME})) AS mh
+  FROM hashed, perms
+),
+bands AS (
+  SELECT id, pi // {rows} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)) AS bh
+  FROM sig
+  GROUP BY id, band
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
 ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
 sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
 inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-  GROUP BY id_a, id_b
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ex a ON a.id = c.id_a
+  JOIN ex b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
 ),
 p AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5 AND i.id_a <> i.id_b
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
@@ -755,7 +786,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
-    "corpus_clean": (corpus_clean, CORPUS_CLEAN_SQL),
+    "corpus_clean": (corpus_clean, _corpus_clean_sql()),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),
     "mix_sources_counts": (mix_sources_counts, MIX_SOURCES_SQL),

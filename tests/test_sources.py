@@ -124,3 +124,43 @@ def test_skip_multiple_rows_struct_schema(spark, tmp_path):
     ])
     df = read_csv(spark, p, schema, skip=2)
     assert sorted((r.id, r.name) for r in df.collect()) == [(1, "alpha"), (2, "beta")]
+
+
+def test_jsonl_roundtrip_and_dropmalformed(spark, tmp_path):
+    from laradb_spark.sources import read_jsonl, write_jsonl
+
+    p = os.path.join(str(tmp_path), "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "alpha"}\n')
+        f.write('this line is not json at all\n')
+        f.write('{"id": 2, "name": "beta"}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = read_jsonl(spark, p, schema)
+    # force full-row parse (see csv DROPMALFORMED + count() gotcha)
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "alpha"), (2, "beta")]
+
+    out = os.path.join(str(tmp_path), "out_jsonl")
+    write_jsonl(df, out, single_file=True)
+    back = read_jsonl(spark, out, schema)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "alpha"), (2, "beta")]
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
+    from laradb_spark.sources import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], ["id", "grp", "v"]
+    )
+    path = os.path.join(str(tmp_path), "orc_part")
+    write_orc(src, path, partition_by=["grp"])
+    back = read_orc(spark, path)
+    assert back.count() == 3
+    q = back.filter((F.col("grp") == "a") & (F.col("id") > 1)).select("id", "v")
+    assert [(r.id, r.v) for r in q.collect()] == [(3, 30.0)]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on grp; id predicate pushed to the ORC scan
+    assert "PartitionFilters: [" in plan and "grp" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters: [")[1].split("]")[0]
