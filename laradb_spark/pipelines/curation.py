@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -134,6 +134,97 @@ def mix_sources(
         F.lit(int(default_rate * BUCKETS))
     )
     return df.filter(bucket < cut)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by md5(key) order — the
+    "at most k documents per domain" curation cap. Deterministic (no RNG,
+    no partition-layout dependence) and scale-safe: the window partitions
+    by group, so ranking is parallel across groups; a group larger than
+    one task's memory streams through Spark's window operator (rank-only
+    frames don't buffer the partition)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def global_exclusive_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "offset",
+) -> DataFrame:
+    """Exact global running total (exclusive) of ``value_col`` in
+    ``order_cols`` order, without a global single-task window.
+
+    Two-phase scan (same pattern as customer_spend_quartiles):
+    range-repartition on the order key → per-partition window (parallel)
+    → add per-partition offsets from a #partitions-sized collect (bounded
+    by the cluster's partition count, never by data size). The result is
+    bit-identical to ``SUM() OVER (ORDER BY ...)`` at any scale; the
+    sampled range boundaries affect the partitioning, never the output.
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid])
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(lw), F.lit(0))
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + local).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``id_col`` order and cut every ``context_len`` tokens — the standard
+    pretraining packing (documents may span a chunk boundary). Emits each
+    doc's global ``start_tok``, its first chunk ``pack_id``, and how many
+    chunks it spans. Built on the two-phase cumsum, so every stage is
+    parallel at any corpus size."""
+    cum = global_exclusive_cumsum(df, [id_col], n_tokens_col, out_col="start_tok")
+    # integral `div`, not double-divide-then-cast: exact past 2^53 (a
+    # 100 TB corpus is ~10^13 tokens; headroom matters)
+    pack_first = F.expr(f"start_tok div {int(context_len)}")
+    pack_last = F.expr(f"(start_tok + {n_tokens_col} - 1) div {int(context_len)}")
+    return cum.withColumn("pack_id", pack_first).withColumn(
+        "n_packs_spanned",
+        F.when(F.col(n_tokens_col) == 0, F.lit(1).cast("long")).otherwise(
+            pack_last - F.col("pack_id") + 1
+        ),
+    )
 
 
 def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:

@@ -45,16 +45,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
     # red in r01 (float-flake, now integer-exact) + its changed siblings
-    # (events_daily_pivot / order_status_pivot — same scaled-int rewrite,
-    # green in r01 — wait at the tail; the family re-verifies via these)
+    # (events_daily_pivot / order_status_pivot / cube_order_stats /
+    # lara_union_revenue — same scaled-int rewrite, green in r01 — wait at
+    # the tail; the family re-verifies via these)
     "sessionize_events",
     "tumbling_event_stats",
     "session_window_stats",
     "sliding_event_stats",
     "running_customer_totals",
-    "cube_order_stats",
     "sql_front_door_q",
-    "lara_union_revenue",
     # new this round
     "lara_union_quarters",
     "lara_cross_grid",
@@ -71,6 +70,8 @@ _PRIORITY = [
     "train_val_split_stats",
     "mix_sources_counts",
     "redact_pii_stats",
+    "cap_docs_per_source",
+    "pack_sequences_q",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

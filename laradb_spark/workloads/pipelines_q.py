@@ -733,6 +733,56 @@ GROUP BY source
 """
 
 
+_CAP_K = 10
+_CONTEXT_LEN = 512
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 10 docs per source, md5-chosen — deterministic per-domain cap."""
+    docs = load(spark, sf_dir, "documents")
+    return cu.cap_per_group(docs, "source", _CAP_K).select("doc_id", "source")
+
+
+CAP_PER_SOURCE_SQL = f"""
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_CAP_K}
+"""
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 512-token contexts;
+    per-doc global start offset, first pack, packs spanned. The global
+    cumsum is the two-phase parallel scan — the oracle's single
+    ``SUM() OVER (ORDER BY doc_id)`` is what it must equal."""
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    return cu.pack_sequences(counted, _CONTEXT_LEN).select(
+        "doc_id", "n_tokens", "start_tok", "pack_id", "n_packs_spanned"
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {_CONTEXT_LEN} AS pack_id,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start_tok + n_tokens - 1) // {_CONTEXT_LEN} - start_tok // {_CONTEXT_LEN} + 1
+       END AS n_packs_spanned
+FROM c
+"""
+
+
 def redact_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with synthetic contact lines appended
     (the corpus itself is clean prose, so the fixture injects one email +
@@ -791,6 +841,8 @@ QUERIES = {
     "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),
     "mix_sources_counts": (mix_sources_counts, MIX_SOURCES_SQL),
     "redact_pii_stats": (redact_pii_stats, REDACT_PII_SQL),
+    "cap_docs_per_source": (cap_docs_per_source, CAP_PER_SOURCE_SQL),
+    "pack_sequences_q": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),

@@ -82,3 +82,36 @@ def test_redact_pii(spark):
     assert "bob@corp.io" not in out[1].text and "10.0.0.1" not in out[1].text
     assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
     assert out[2].text == "no pii here at all"
+
+
+def test_cap_per_group(spark, docs):
+    capped = cu.cap_per_group(docs, "source", 1)
+    rows = capped.groupBy("source").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    # deterministic: same choice on rerun and after repartition
+    a = {r.doc_id for r in capped.collect()}
+    b = {r.doc_id for r in cu.cap_per_group(docs.repartition(5), "source", 1).collect()}
+    assert a == b
+    # k larger than the group keeps everything
+    assert cu.cap_per_group(docs, "source", 99).count() == docs.count()
+
+
+def test_global_exclusive_cumsum_matches_sequential(spark):
+    rows = [(i, (i * 7) % 5 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "n"])
+    out = {r.id: r.offset for r in cu.global_exclusive_cumsum(df, ["id"], "n").collect()}
+    acc = 0
+    for i, n in rows:
+        assert out[i] == acc, f"id {i}"
+        acc += n
+
+
+def test_pack_sequences(spark):
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 1000)], ["doc_id", "n_tokens"]
+    )
+    got = {r.doc_id: r for r in cu.pack_sequences(df, 512).collect()}
+    assert (got[1].start_tok, got[1].pack_id, got[1].n_packs_spanned) == (0, 0, 1)
+    assert (got[2].start_tok, got[2].pack_id, got[2].n_packs_spanned) == (300, 0, 2)
+    assert (got[3].start_tok, got[3].pack_id, got[3].n_packs_spanned) == (600, 1, 1)
+    assert (got[4].start_tok, got[4].pack_id, got[4].n_packs_spanned) == (600, 1, 3)
