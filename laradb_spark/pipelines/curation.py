@@ -227,6 +227,31 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training: each row gets a
+    ``shard`` (md5-bucket of key mod n_shards) and a ``pos`` within its
+    shard (rank by a second, independent md5 — salted so shard routing
+    and intra-shard order don't correlate). The (shard, pos) order is a
+    reproducible pseudo-random permutation of the corpus — same result
+    on any cluster layout, unlike ``orderBy(rand())``. Scale shape: one
+    hash expression plus a window partitioned by shard (parallel across
+    shards; a shard streams through the rank-only window)."""
+    route = F.md5(F.col(key).cast("string"))
+    order = F.md5(F.concat(F.lit("pos:"), F.col(key).cast("string")))
+    shard = (
+        F.conv(F.substring(route, 1, _HEX_DIGITS), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(order, F.col(key))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
 def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
     """Replace emails / phone numbers / IPv4 literals with ``<TYPE>``
     tokens and count replacements per kind. Map-only; patterns are the

@@ -53,7 +53,6 @@ _PRIORITY = [
     "session_window_stats",
     "sliding_event_stats",
     "running_customer_totals",
-    "sql_front_door_q",
     # new this round
     "lara_union_quarters",
     "lara_cross_grid",
@@ -72,6 +71,7 @@ _PRIORITY = [
     "redact_pii_stats",
     "cap_docs_per_source",
     "pack_sequences_q",
+    "shuffle_shards_q",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

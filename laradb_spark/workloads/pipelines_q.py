@@ -783,6 +783,29 @@ FROM c
 """
 
 
+_N_SHARDS = 8
+
+
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: shard + intra-shard position
+    for every doc (the full permutation is hashed by the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    return cu.shuffle_shards(docs, _N_SHARDS).select("doc_id", "shard", "pos")
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {_N_SHARDS} AS shard,
+         md5('pos:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+FROM t
+"""
+
+
 def redact_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with synthetic contact lines appended
     (the corpus itself is clean prose, so the fixture injects one email +
@@ -843,6 +866,7 @@ QUERIES = {
     "redact_pii_stats": (redact_pii_stats, REDACT_PII_SQL),
     "cap_docs_per_source": (cap_docs_per_source, CAP_PER_SOURCE_SQL),
     "pack_sequences_q": (pack_sequences_q, PACK_SEQUENCES_SQL),
+    "shuffle_shards_q": (shuffle_shards_q, SHUFFLE_SHARDS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),

@@ -115,3 +115,22 @@ def test_pack_sequences(spark):
     assert (got[2].start_tok, got[2].pack_id, got[2].n_packs_spanned) == (300, 0, 2)
     assert (got[3].start_tok, got[3].pack_id, got[3].n_packs_spanned) == (600, 1, 1)
     assert (got[4].start_tok, got[4].pack_id, got[4].n_packs_spanned) == (600, 1, 3)
+
+
+def test_shuffle_shards_deterministic_permutation(spark, docs):
+    out = cu.shuffle_shards(docs, 3)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    # every doc routed; positions within a shard are 0..len-1 dense
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # layout-independent: identical assignment after repartition
+    again = {(r.doc_id, r.shard, r.pos)
+             for r in cu.shuffle_shards(docs.repartition(7), 3).collect()}
+    assert {(r.doc_id, r.shard, r.pos) for r in rows} == again
+    # order decorrelated from doc_id: at least one shard isn't id-sorted
+    id_order = {s: [r.doc_id for r in sorted(rows, key=lambda x: x.pos) if r.shard == s]
+                for s in by_shard}
+    assert any(lst != sorted(lst) for lst in id_order.values())
