@@ -94,6 +94,46 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
 
 
+def decon_build_index(
+    benchmark: DataFrame,
+    path: str,
+    n: int = 5,
+    text: str = "text",
+) -> None:
+    """Materialize the benchmark's distinct n-gram set as parquet — the
+    stored counterpart of ``decontaminate`` (same pattern as the stored
+    LSH/IVF indexes): hash the eval set once, then screen any number of
+    corpus batches against the frozen index without re-reading the
+    benchmark."""
+    (
+        benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("_g"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def decon_filter_indexed(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """``decontaminate`` against a stored index: identical result, same
+    broadcast shape (gram set + contaminated-id set both broadcast; the
+    corpus payload never shuffles). ``n`` must match the build."""
+    bench_grams = spark.read.parquet(path)
+    hits = (
+        corpus.select(F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g"))
+        .join(F.broadcast(bench_grams), on="_g")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
+
+
 def hash_split(
     df: DataFrame,
     val_frac: float = 0.1,

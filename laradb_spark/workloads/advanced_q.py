@@ -269,6 +269,60 @@ GROUP BY brand1, brand2
 """
 
 
+# --- fixed-point PageRank on the supplier↔part graph ---------------------
+
+_PR_ITERS = 2
+_PR_DAMP = 85
+
+
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (integer rank units — bit-exact across
+    engines; operators/graph.py) on the undirected supplier↔part graph
+    (each lineitem relation yields both directed edges; string-prefixed
+    ids keep the two key spaces disjoint)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+    )
+    edges = li.select(F.col("s").alias("src"), F.col("p").alias("dst")).union(
+        li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=_PR_ITERS, damping_pct=_PR_DAMP)
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import SCALE
+
+    d = _PR_DAMP
+    ctes = [
+        """le AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                       'p' || CAST(l_partkey AS VARCHAR) AS p FROM lineitem)""",
+        "edges AS (SELECT s AS src, p AS dst FROM le UNION SELECT p, s FROM le)",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)",
+        f"base AS (SELECT id, {SCALE} // (SELECT COUNT(*) FROM nodes) AS base FROM nodes)",
+        "pr0 AS (SELECT id, base AS pr FROM base)",
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"""c{k + 1} AS (
+  SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS c
+  FROM edges e JOIN pr{k} p ON p.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr{k + 1} AS (
+  SELECT b.id, ({100 - d} * b.base) // 100 + ({d} * COALESCE(c.c, 0)) // 100 AS pr
+  FROM base b LEFT JOIN c{k + 1} c ON c.id = b.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(pr AS BIGINT) AS pr FROM pr{_PR_ITERS}"
+    )
+
+
 QUERIES = {
     "asof_last_order": (asof_last_order, ASOF_SQL),
     "orders_within_30_days": (orders_within_30_days, RANGE_SQL),
@@ -279,4 +333,5 @@ QUERIES = {
     "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "graph_brand_degree": (graph_brand_degree, DEGREE_SQL),
     "graph_brand_gram": (graph_brand_gram, GRAM_SQL),
+    "pagerank_supplier_part": (pagerank_supplier_part, _pagerank_sql()),
 }

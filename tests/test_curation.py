@@ -134,3 +134,15 @@ def test_shuffle_shards_deterministic_permutation(spark, docs):
     id_order = {s: [r.doc_id for r in sorted(rows, key=lambda x: x.pos) if r.shard == s]
                 for s in by_shard}
     assert any(lst != sorted(lst) for lst in id_order.values())
+
+
+def test_decon_stored_index_matches_inline(spark, docs, tmp_path):
+    path = str(tmp_path / "decon_idx")
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    cu.decon_build_index(bench, path, n=5)
+    stored = cu.decon_filter_indexed(spark, path, corpus, n=5)
+    inline = cu.decontaminate(corpus, bench, n=5)
+    assert {r.doc_id for r in stored.collect()} == {r.doc_id for r in inline.collect()}
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

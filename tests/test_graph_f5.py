@@ -169,3 +169,26 @@ def test_file_ingest_with_value_file(spark, tmp_path):
         f.write("2,3,5")
     edge = ingest_graph_files(spark, pr, pc, pv)["edge"]
     assert {(r.row, r.col): r.v for r in edge.collect()} == {("a", "x"): 5.0, ("b", "y"): 5.0}
+
+
+def test_pagerank_fixed_point_matches_reference_loop(spark):
+    """Bit-exact vs a sequential integer reference on a hand graph
+    (includes a dangling node d and a two-node cycle)."""
+    from laradb_spark.operators.graph import SCALE, pagerank_fixed_point
+
+    E = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    got = {r.id: r.pr for r in pagerank_fixed_point(edges, iters=3).collect()}
+
+    nodes = sorted({x for e in E for x in e})
+    outdeg = {}
+    for s, _ in E:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = SCALE // len(nodes)
+    pr = {v: base for v in nodes}
+    for _ in range(3):
+        contrib = {}
+        for s, t in E:
+            contrib[t] = contrib.get(t, 0) + pr[s] // outdeg[s]
+        pr = {v: (15 * base) // 100 + (85 * contrib.get(v, 0)) // 100 for v in nodes}
+    assert got == pr
