@@ -132,3 +132,24 @@ def fingerprint(df: DataFrame, text: str = "text", ngram: int = 5) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    filters): the fraction of all word n-grams taken by the single most
+    frequent n-gram, and the fraction of n-gram occurrences that are
+    duplicates. High values flag boilerplate/degenerate text.
+
+    Shape: explode (doc_id, n-gram) → one groupBy — the only shuffled
+    payload is the n-grams of one document per group, never full text.
+    Ratios are integer parts-per-million (integral div — a rounded
+    double would flake on power-of-two denominators, gotcha #4b)."""
+    toks = tokens(F.col(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    g = df.select("doc_id", F.explode(grams).alias("_g"))
+    per = g.groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.expr("(1000000 * max(c)) div sum(c)").alias("top_ngram_ppm"),
+        F.expr("(1000000 * (sum(c) - count(*))) div sum(c)").alias("dup_ngram_ppm"),
+    )

@@ -98,6 +98,27 @@ FROM s
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (Gopher-style boilerplate signal), ppm ints."""
+    return tx.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+TEXT_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id, UNNEST(
+    list_transform(range(1, GREATEST(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ng
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+),
+per AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, ng)
+SELECT doc_id,
+       (1000000 * MAX(c)) // SUM(c) AS top_ngram_ppm,
+       (1000000 * (SUM(c) - COUNT(*))) // SUM(c) AS dup_ngram_ppm
+FROM per GROUP BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load(spark, sf_dir, "documents"))
 
@@ -854,6 +875,7 @@ QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

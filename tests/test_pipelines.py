@@ -285,3 +285,20 @@ def test_star_components_vs_union_find_random_graphs(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         near_dup_components(pairs, max_iters=5).collect()
+
+
+def test_repetition_stats(spark):
+    from laradb_spark.pipelines import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab → top 3/5, dup 3/5
+            (2, "w x y z"),            # all distinct → top 1/3, dup 0
+            (3, "solo"),               # short-doc floor: one 1-token gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    assert (out[1].top_ngram_ppm, out[1].dup_ngram_ppm) == (600000, 600000)
+    assert (out[2].top_ngram_ppm, out[2].dup_ngram_ppm) == (333333, 0)
+    assert (out[3].top_ngram_ppm, out[3].dup_ngram_ppm) == (1000000, 0)
