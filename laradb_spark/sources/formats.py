@@ -68,3 +68,31 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake scan. The delta-spark jars are not in this image; the
+    call surface exists so a cluster with the connector gets the right
+    plan, and a cluster without it gets an actionable error instead of a
+    ClassNotFound stack (same contract as the Kafka surface)."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as e:  # noqa: BLE001 — rewrap with remedy
+        raise RuntimeError(
+            "Delta connector not available in this Spark session. Add the "
+            "io.delta:delta-spark package (spark.jars.packages) and the "
+            "DeltaSparkSessionExtension, then retry."
+        ) from e
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg table scan via catalog name (``catalog.db.table``); jars
+    absent here — clear error, see read_delta."""
+    try:
+        return spark.read.format("iceberg").load(table)
+    except Exception as e:  # noqa: BLE001 — rewrap with remedy
+        raise RuntimeError(
+            "Iceberg connector not available in this Spark session. Add the "
+            "org.apache.iceberg:iceberg-spark-runtime package and a catalog "
+            "config (spark.sql.catalog.<name>), then retry."
+        ) from e

@@ -4,6 +4,8 @@ fixture FIXTURES.md F4)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -164,3 +166,12 @@ def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
     # partition pruning on grp; id predicate pushed to the ORC scan
     assert "PartitionFilters: [" in plan and "grp" in plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_delta_iceberg_stubs_raise_actionable_errors(spark, tmp_path):
+    from laradb_spark.sources.formats import read_delta, read_iceberg
+
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        read_delta(spark, str(tmp_path / "nope"))
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_iceberg(spark, "cat.db.t")
