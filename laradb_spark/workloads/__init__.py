@@ -50,7 +50,6 @@ _PRIORITY = [
     # the tail; the family re-verifies via these)
     "sessionize_events",
     "tumbling_event_stats",
-    "running_customer_totals",
     # new this round
     "lara_union_quarters",
     "lara_cross_grid",
@@ -72,6 +71,7 @@ _PRIORITY = [
     "shuffle_shards_q",
     "pagerank_supplier_part",
     "text_repetition",
+    "ann_sq8_topk",
     # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",

@@ -531,6 +531,41 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized ANN: integer-dot ranking over int8 codes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(emb, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+ANN_SQ8_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_max(list_transform(vec, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(vec, x -> abs(x))) = 0
+              THEN list_transform(vec, x -> 0)
+              ELSE list_transform(vec,
+                     x -> CAST(floor(x * 127.0 / list_max(list_transform(vec, y -> abs(y)))) AS BIGINT))
+         END AS q
+  FROM v
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, s AS qsc FROM qz WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         (list_sum(list_transform(range(1, len(c.q) + 1), i -> qs.qq[i] * c.q[i])) * qs.qsc) * c.s AS iscore
+  FROM qz c, qs
+  WHERE c.vec_id <> qs.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 EMB_DIM = 64
 LSH_PLANES_Q = 8
 
@@ -897,6 +932,7 @@ QUERIES = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_brute_force_fast": (ann_brute_force_fast, ANN_BRUTE_SQL),
+    "ann_sq8_topk": (ann_sq8_topk, ANN_SQ8_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),

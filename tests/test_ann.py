@@ -161,3 +161,31 @@ def test_lsh_stored_index_matches_inline_and_prunes(spark, clustered, tmp_path):
 
 def _pairs_ranked(df):
     return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+
+def test_sq8_quantization_and_recall(spark, clustered):
+    """Codes stay in int8 range, zero vectors quantize to zeros, and on
+    clustered data SQ8 ranking recovers most of exact-cosine top-5."""
+    qz = sim.quantize_sq8(clustered, vec_col="embedding")
+    rows = qz.select(F.array_min("qvec").alias("lo"), F.array_max("qvec").alias("hi")).collect()
+    assert all(-128 <= r.lo and r.hi <= 127 for r in rows)
+    zero = spark.createDataFrame([(99, [0.0] * 8)], ["vec_id", "embedding"])
+    assert sim.quantize_sq8(zero).collect()[0].qvec == [0] * 8
+
+    q = _queries(clustered)
+    # exact MIPS baseline (sq8 ranks by inner product, not cosine)
+    scored = (
+        clustered.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").cast("array<double>").alias("cvec"))
+        .crossJoin(F.broadcast(q.select("query_id",
+                   F.col("embedding").cast("array<double>").alias("qvec"))))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.dot(F.col("qvec"), F.col("cvec")).alias("d"))
+    )
+    from pyspark.sql.window import Window as W
+    win = W.partitionBy("query_id").orderBy(F.desc("d"), F.asc("neighbor_id"))
+    exact = scored.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= 5)
+    sq8 = sim.sq8_topk(clustered, q, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    s = {(r.query_id, r.neighbor_id) for r in sq8.collect()}
+    assert len(e & s) / len(e) >= 0.8  # quantization barely moves the MIPS top-k
