@@ -146,3 +146,24 @@ def test_decon_stored_index_matches_inline(spark, docs, tmp_path):
     assert {r.doc_id for r in stored.collect()} == {r.doc_id for r in inline.collect()}
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_conservation_property(spark):
+    """Invariant: packing is a bijection onto [0, total_tokens) — each
+    doc's [start, start+n) interval tiles the line with no gaps/overlaps
+    regardless of value distribution (exercises the two-phase cumsum on
+    skewed and zero-heavy inputs)."""
+    cases = [
+        [(i, 0) for i in range(50)],                      # all-zero docs
+        [(i, 10**9) for i in range(20)],                  # huge uniform
+        [(i, (37 * i) % 97) for i in range(300)],         # skewed mix w/ zeros
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = sorted(
+            ((r.doc_id, r.start_tok) for r in cu.pack_sequences(df, 512).collect())
+        )
+        acc = 0
+        for (i, n), (gid, start) in zip(rows, out):
+            assert (gid, start) == (i, acc)
+            acc += n
