@@ -18,7 +18,8 @@ def _configure(spark: SparkSession) -> SparkSession:
     # Oracle comparability + sane local defaults (idempotent, runtime-safe).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long.
+    # Spark 3.x: TIMESTAMP(NANOS) parquet → epoch-nanos long. Spark 4.x
+    # ignores this conf (ts arrives timestamp_ntz); load_events handles both.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 

@@ -215,10 +215,11 @@ def global_exclusive_cumsum(
     sampled range boundaries affect the partitioning, never the output.
     """
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    from ..util import persist_once
+
+    ranged = persist_once(
         df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     totals = {
         r["_pid"]: r["tot"]

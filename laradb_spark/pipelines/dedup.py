@@ -224,7 +224,9 @@ def _bucket_pairs(
     if oversize not in ("join", "drop"):
         raise ValueError("oversize must be 'join' or 'drop'")
     if oversize == "join":
-        bb = bb.persist()
+        from ..util import persist_once
+
+        bb = persist_once(bb)
     ids = F.array_sort(F.collect_set("id")).alias("ids")
     buckets = bb.groupBy("band", "bh").agg(ids).filter(F.size("ids") > 1)
 
@@ -369,9 +371,12 @@ def near_dup_components(
     id_b: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in the near-dup pair list,
     where component = min id of its connected component.
+    ``checkpoint_dir`` (star algorithm): use reliable ``checkpoint()``
+    instead of executor-local ``localCheckpoint`` — see star_components.
 
     ``algorithm='label'`` (default): min-label propagation — each round
     every node takes the min of its own and its neighbors' labels;
@@ -387,7 +392,7 @@ def near_dup_components(
     rounds regardless of diameter; the scale path for deep graphs.
     """
     if algorithm == "star":
-        return star_components(pairs, id_a, id_b, max_iters)
+        return star_components(pairs, id_a, id_b, max_iters, checkpoint_dir)
     und = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -428,23 +433,39 @@ def near_dup_components(
 
 
 def star_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al.): each round hangs nodes off the minimum of their
     neighborhood, halving tree heights — O(log n) rounds on ANY graph
     shape, vs diameter rounds for label propagation. Each star operation
     is one groupBy + one join on the same key (exchange reused); each
-    round ends in ``localCheckpoint`` — persist alone caches data but the
+    round ends in a checkpoint — persist alone caches data but the
     LOGICAL plan still doubles per round (exceptAll references old and
     new edges) until even plan stringification OOMs; checkpointing
     truncates it. Converges to star graphs rooted at each component's
-    min id."""
-    e = (
+    min id.
+
+    ``checkpoint_dir``: when given, rounds use RELIABLE ``checkpoint()``
+    (blocks written to that fault-tolerant path). The default
+    ``localCheckpoint`` stores blocks on executors only — fine on
+    local[N], but on a real cluster losing one executor mid-iteration
+    kills the lineage with no recompute path; pass an HDFS/S3 dir there."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    e = ckpt(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     def large_star(edges: DataFrame) -> DataFrame:
@@ -479,7 +500,7 @@ def star_components(
         )
 
     for _ in range(max_iters):
-        new_e = small_star(large_star(e)).localCheckpoint()
+        new_e = ckpt(small_star(large_star(e)))
         # set-equality convergence: symmetric difference empty — both
         # directions in ONE job (each action has fixed scheduler cost;
         # this loop's wall-clock is action-count-bound, not data-bound)

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..util import persist_once
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ via zip_with + aggregate — JVM-side, sequential fold (bit-stable
@@ -384,11 +386,10 @@ def ivf_search_index(
         query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
-    probes = (
+    probes = persist_once(
         qc.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
         .select(query_id_col, "qvec", "cid")
-        .persist()
     )
     probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("cid").isin(probe_cids))
@@ -446,10 +447,9 @@ def lsh_search_index(
     flips = F.array(
         F.col("_b"), *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(probes - 1)]
     )
-    q = (
+    q = persist_once(
         q0.select(query_id_col, "qvec", F.explode(flips).alias("bucket"))
         .dropDuplicates([query_id_col, "bucket"])
-        .persist()
     )
     probe_buckets = sorted(r.bucket for r in q.select("bucket").distinct().collect())
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("bucket").isin(probe_buckets))

@@ -85,7 +85,7 @@ def mean_center(x: DataFrame, c: str = "c", v: str = "v") -> DataFrame:
 
 
 def covariance(u: DataFrame, n_rows: int | None = None, c: str = "c", v: str = "v",
-               upper_triangle: bool = True) -> DataFrame:
+               upper_triangle: bool = True, zero_discard: bool = False) -> DataFrame:
     """C = Uᵀ·U / (N−1) — self-join on t' + hash agg on (c1,c2)
     (reference: SensorCalc.kt:324-330 TableMult with Multiply +
     DoubleSummingCombiner, then DivideApply SensorCalc.kt:744-783).
@@ -93,7 +93,20 @@ def covariance(u: DataFrame, n_rows: int | None = None, c: str = "c", v: str = "
     ``upper_triangle`` applies the SymmetricCovariance optimization
     (reference: SensorCalc.kt:326,733): emit only c1 ≤ c2 *before* the
     aggregate, halving shuffle volume.
+
+    ``zero_discard`` is the reference's Multiply zero-discard (O11,
+    SensorCalc.kt Z flag): drop exact-zero entries before the self-join —
+    zero terms contribute nothing to the product-sums. Sparse semantics:
+    a (c1,c2) pair with NO nonzero co-occurrence vanishes from the output
+    (the reference's model treats 0 as the absent default). N is counted
+    pre-discard, so surviving covariances are unchanged.
     """
+    # N as a broadcast scalar subquery — keeps the builder action-free
+    # (never .collect() inside a plan; reference computes N client-side via
+    # RowCountReduce, SensorCalc.kt:560-584). Counted BEFORE zero-discard.
+    n_df = u.select(F.count_distinct("tp").alias("_n"))
+    if zero_discard:
+        u = u.filter(F.col(v) != 0.0)
     left = u.select("tp", F.col(c).alias("c1"), F.col(v).alias("_v1"))
     right = u.select("tp", F.col(c).alias("c2"), F.col(v).alias("_v2"))
     pairs = left.join(right, on="tp")
@@ -102,10 +115,6 @@ def covariance(u: DataFrame, n_rows: int | None = None, c: str = "c", v: str = "
     sums = pairs.groupBy("c1", "c2").agg(F.sum(F.col("_v1") * F.col("_v2")).alias("_s"))
     if n_rows is not None:
         return sums.select("c1", "c2", (F.col("_s") / F.lit(n_rows - 1)).alias("cov"))
-    # N as a broadcast scalar subquery — keeps the builder action-free
-    # (never .collect() inside a plan; reference computes N client-side via
-    # RowCountReduce, SensorCalc.kt:560-584).
-    n_df = u.select(F.count_distinct("tp").alias("_n"))
     return sums.crossJoin(F.broadcast(n_df)).select(
         "c1", "c2", (F.col("_s") / (F.col("_n") - 1)).alias("cov")
     )
@@ -118,6 +127,8 @@ def sensor_covariance_pipeline(
     t_min: int | None = None,
     t_max: int | None = None,
     upper_triangle: bool = True,
+    persist_x: bool = True,
+    zero_discard: bool = False,
 ) -> DataFrame:
     """Full A,B → C pipeline (reference: sensor/SensorCalc.kt:119-143).
 
@@ -140,6 +151,10 @@ def sensor_covariance_pipeline(
     # the distinct-t' count) consume it without re-shuffling either side —
     # measured ~30% on the C stage locally, and the avoided shuffle is the
     # dominant cost at scale (reference analogue: PropagatePartition, O8).
-    x = x.repartition("tp").persist()
+    x = x.repartition("tp")
+    if persist_x:
+        from .util import persist_once
+
+        x = persist_once(x)
     u = mean_center(x)
-    return covariance(u, upper_triangle=upper_triangle)
+    return covariance(u, upper_triangle=upper_triangle, zero_discard=zero_discard)

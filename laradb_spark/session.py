@@ -44,8 +44,10 @@ def get_spark(app_name: str = "laradb-spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # DuckDB oracle comparability: timestamps must not be session-TZ-shifted.
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver's events table carries TIMESTAMP(NANOS) parquet, which
-        # Spark rejects by default; read as epoch-nanos long (exact).
+        # Spark 3.x only: TIMESTAMP(NANOS) parquet reads as epoch-nanos long.
+        # Spark 4.x accepts-and-IGNORES this conf (ts arrives as
+        # timestamp_ntz) — load_events branches on the actual dtype, and
+        # tests/test_env.py pins the behavior.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -11,8 +11,8 @@ Column-name and value discipline (driver hashes sorted columns):
   * alias every computed column identically on both sides;
   * round doubles (sums→2dp, avgs/ratios→4-6dp) identically on both sides;
   * emit BIGINT counts on both sides (DuckDB: CAST(count/sum AS BIGINT));
-  * prefer DATE / epoch-ms BIGINT over raw timestamps (events.ts is ns —
-    DuckDB keeps ns, Spark truncates to µs).
+  * prefer DATE / epoch-ms BIGINT over raw timestamps (events.ts precision
+    and surfaced dtype vary by engine/Spark version — see load_events).
 """
 
 from __future__ import annotations
@@ -29,13 +29,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as epoch-nanos long (nanosAsLong) plus a derived
-    ``ts_ms`` epoch-millis column (exact integer division — floor for the
-    positive epoch range, matching DuckDB ``epoch_ms(CAST(ts AS TIMESTAMP))``)."""
+    """events plus a derived ``ts_ms`` epoch-millis BIGINT column.
+
+    events.parquet stores ``ts`` as TIMESTAMP(NANOS). How Spark surfaces that
+    depends on version: Spark 3.x with ``spark.sql.legacy.parquet.nanosAsLong``
+    reads it as epoch-nanos BIGINT; Spark 4.x *silently ignores* that conf and
+    reads TIMESTAMP_NTZ (micros, truncated from nanos). Branch on the dtype we
+    actually got so both environments yield the same ``ts_ms``:
+
+      * ``bigint``            → ``ts div 1000000`` (floor division — exact for
+        the positive epoch range);
+      * ``timestamp[_ntz]``   → ``unix_millis(cast(ts as timestamp))``; the
+        session timezone is pinned to UTC (``__spark_entry__._configure``), so
+        the ntz→ltz cast is the identity and matches DuckDB
+        ``epoch_ms(CAST(ts AS TIMESTAMP))``.
+    """
     from pyspark.sql import functions as F
 
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts_ms", F.expr("ts div 1000000"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        ts_ms = F.expr("ts div 1000000")
+    elif ts_type in ("timestamp", "timestamp_ntz"):
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    else:  # pragma: no cover - fail loudly on a new surprise, not downstream
+        raise TypeError(f"events.ts has unexpected dtype {ts_type!r}")
+    return ev.withColumn("ts_ms", ts_ms)
 
 
 # The driver oracles only the FIRST 50 registered queries per round, in
@@ -44,13 +63,65 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # red in r01 (float-flake, now integer-exact) + its changed siblings
-    # (events_daily_pivot / order_status_pivot / cube_order_stats /
-    # lara_union_revenue — same scaled-int rewrite, green in r01 — wait at
-    # the tail; the family re-verifies via these)
+    # --- r3 head: code or SQL changed this round, or red/err in r2 ---------
+    # The whole events family re-verifies under the Spark-4 load_events fix
+    # (ts is timestamp_ntz on 4.x; nanosAsLong is silently ignored).
     "sessionize_events",
     "tumbling_event_stats",
-    # new this round
+    "events_json_stats",
+    "events_daily_pivot",
+    "events_daily_users",
+    "session_window_stats",
+    "sliding_event_stats",
+    "sensor_covariance_events",
+    # red r2: DuckDB HUGEINT ppm columns, now CAST ... AS BIGINT both sides
+    "text_repetition",
+    # changed r3: + n_oversized_buckets visibility column (both sides)
+    "corpus_clean",
+    # --- queries whose only driver row is r1 (re-earn a fresh green) -------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "topk_parts_per_brand",
+    "rollup_returns",
+    "customers_without_orders",
+    "lara_wordcount",
+    "lara_wordcount_py",
+    "lara_union_max",
+    "lara_union_revenue",
+    "lara_matmul_event_gram",
+    "running_customer_totals",
+    "customer_order_gaps",
+    "text_quality",
+    "text_token_counts",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_brute_force",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "asof_last_order",
+    "orders_within_30_days",
+    "order_price_percentiles",
+    "cube_order_stats",
+    "repeat_customers_96_97",
+    "suppliers_without_recent_sales",
+    "small_quantity_revenue",
+    "graph_brand_degree",
+    "graph_brand_gram",
+    "nation_region_full_outer",
+    "order_status_pivot",
+    "all_account_balances",
+    "sql_front_door_q",
+    # --- tail: green in r2, unchanged — fall outside the 50-window ---------
+    # (d4m_set_filter keeps its r1 green; bumped for the changed corpus_clean)
+    "d4m_set_filter",
     "lara_union_quarters",
     "lara_cross_grid",
     "nation_presence_trio",
@@ -60,8 +131,7 @@ _PRIORITY = [
     "ann_brute_force_fast",
     "dedup_components",
     "dedup_keep_representatives",
-    "ann_ivf_topk",  # oracle upgraded from rows-only to unrolled-Lloyd SQL
-    "corpus_clean",
+    "ann_ivf_topk",
     "decontaminate_docs",
     "train_val_split_stats",
     "mix_sources_counts",
@@ -70,12 +140,9 @@ _PRIORITY = [
     "pack_sequences_q",
     "shuffle_shards_q",
     "pagerank_supplier_part",
-    "text_repetition",
     "ann_sq8_topk",
-    # no driver row in r01 (capped at 50)
     "approx_stats",
     "customer_spend_quartiles",
-    "events_json_stats",
     "monthly_revenue",
     "multimodal_features",
     "order_price_histogram",
@@ -88,7 +155,6 @@ _PRIORITY = [
     "q14_promo_share",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",
-    # new this round: the remaining TPC-H query shapes (full 22 coverage)
     "q9_profit_by_nation_year",
     "q11_nation_balance_share",
     "q13_order_count_distribution",

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..util import persist_once
 from . import load
 from .relational import money2, _iscale
 
@@ -92,10 +93,9 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_iscale("o_totalprice", 100)).alias("_cents")
     )
     nparts = spark.sparkContext.defaultParallelism
-    ranged = (
+    ranged = persist_once(
         spend.repartitionByRange(nparts, F.desc("_cents"), F.asc("o_custkey"))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     sizes = {
         r["_pid"]: r["cnt"]

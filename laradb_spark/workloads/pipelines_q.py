@@ -15,6 +15,7 @@ from ..pipelines import curation as cu
 from ..pipelines import dedup as dd
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
+from ..util import persist_once
 from . import load
 
 # ---------------------------------------------------------------------------
@@ -113,8 +114,8 @@ WITH g AS (
 ),
 per AS (SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, ng)
 SELECT doc_id,
-       (1000000 * MAX(c)) // SUM(c) AS top_ngram_ppm,
-       (1000000 * (SUM(c) - COUNT(*))) // SUM(c) AS dup_ngram_ppm
+       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS top_ngram_ppm,
+       CAST((1000000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT) AS dup_ngram_ppm
 FROM per GROUP BY doc_id
 """
 
@@ -274,9 +275,21 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = docs.filter(F.size(tx.tokens(F.col("text"))) >= 20)
     # fan-out point: kept_exact feeds the pair pipeline AND the final
     # anti-join — persist so filter+md5-dedup compute once (DEVNOTES #3)
-    kept_exact = dd.drop_exact_duplicates(filtered).persist()
+    kept_exact = persist_once(dd.drop_exact_duplicates(filtered))
     pairs = dd.lsh_candidate_jaccard(kept_exact, threshold=0.5)
-    return dd.drop_near_duplicates(kept_exact, pairs).select("doc_id")
+    # Capped-bucket visibility (VERDICT r2 #9): how many LSH buckets blew
+    # the in-task expansion cap and took the distributed route. Same plan
+    # as the band buckets _bucket_pairs persisted → CacheManager serves it
+    # (plan-equality cache hit; no second signature pass). Broadcast scalar
+    # cross-join keeps the builder action-free.
+    over = dd.lsh_oversize_report(dd.minhash_band_buckets(kept_exact)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_oversized_buckets")
+    )
+    return (
+        dd.drop_near_duplicates(kept_exact, pairs)
+        .select("doc_id")
+        .crossJoin(F.broadcast(over))
+    )
 
 
 def _corpus_clean_sql() -> str:
@@ -344,7 +357,11 @@ reach AS (
 losers AS (
   SELECT id FROM reach GROUP BY id HAVING LEAST(id, MIN(r)) <> id
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM keepers
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING COUNT(*) > {dd.MAX_LSH_BUCKET})) AS n_oversized_buckets
+FROM keepers
 WHERE doc_id NOT IN (SELECT id FROM losers)
 """
 

@@ -287,6 +287,35 @@ def test_star_components_vs_union_find_random_graphs(spark):
         near_dup_components(pairs, max_iters=5).collect()
 
 
+def test_star_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches star CC from executor-local localCheckpoint
+    to reliable checkpoint(dir) — same answer, and RDD checkpoint files
+    actually land under the given dir (the cluster fault-tolerance path)."""
+    import os
+
+    from laradb_spark.pipelines.dedup import near_dup_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    ck = str(tmp_path / "ck")
+    got = {
+        r.id: r.component
+        for r in near_dup_components(
+            pairs, algorithm="star", checkpoint_dir=ck
+        ).collect()
+    }
+    assert got == want
+    assert any(os.scandir(ck)), "no checkpoint blocks written to checkpoint_dir"
+    # local default still works (executor-local blocks, no dir needed)
+    got_local = {
+        r.id: r.component
+        for r in near_dup_components(pairs, algorithm="star").collect()
+    }
+    assert got_local == want
+
+
 def test_repetition_stats(spark):
     from laradb_spark.pipelines import text as tx
 
@@ -302,3 +331,43 @@ def test_repetition_stats(spark):
     assert (out[1].top_ngram_ppm, out[1].dup_ngram_ppm) == (600000, 600000)
     assert (out[2].top_ngram_ppm, out[2].dup_ngram_ppm) == (333333, 0)
     assert (out[3].top_ngram_ppm, out[3].dup_ngram_ppm) == (1000000, 0)
+
+
+def test_repetition_oracle_parity_adversarial(spark, tmp_path):
+    """Spark repetition_stats must agree value-for-value AND type-for-type
+    with TEXT_REPETITION_SQL on adversarial docs (the r2 driver red was a
+    DuckDB HUGEINT-vs-BIGINT serialization divergence, not a value bug)."""
+    import random
+
+    import duckdb
+
+    from laradb_spark.pipelines import text as tx
+    from laradb_spark.workloads.pipelines_q import TEXT_REPETITION_SQL
+
+    rng = random.Random(42)
+    docs = [
+        (0, ""),                       # empty → zero tokens
+        (1, " "),                      # whitespace only
+        (2, "solo"),                   # single token
+        (3, "a a a a a a"),            # all-identical tokens
+        (4, "a  b   a  b"),            # multi-space runs
+        (5, " lead trail "),           # leading/trailing spaces
+        (6, "ü ü ß é ü"),              # non-ascii tokens
+        (7, "x"),                      # 1-char token
+        (8, "a b"),                    # exactly one bigram
+    ] + [
+        (100 + i, " ".join(rng.choice("ab c  d") for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.top_ngram_ppm, r.dup_ngram_ppm)
+           for r in tx.repetition_stats(df).collect()}
+
+    pq = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    rel = con.sql(TEXT_REPETITION_SQL)
+    assert all(str(t).upper() == "BIGINT" for t in rel.types[1:]), rel.types
+    want = {r[0]: (r[1], r[2]) for r in rel.fetchall()}
+    assert got == want

@@ -5,11 +5,26 @@ from laradb_spark.workloads import _PRIORITY, all_specs
 DRIVER_ORACLE_WINDOW = 50  # the driver oracles only the first N registered
 
 
-def test_priority_queries_inside_oracle_window():
+def test_priority_order_is_registration_order():
+    # _PRIORITY is the FULL registration ordering (r3+): the first
+    # DRIVER_ORACLE_WINDOW entries are exactly the queries the driver
+    # oracles this round, so registration must follow it verbatim.
     names = list(all_specs())
-    head = set(names[:DRIVER_ORACLE_WINDOW])
-    missing = [n for n in _PRIORITY if n not in head]
-    assert not missing, f"priority queries outside the driver window: {missing}"
+    assert names[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_changed_queries_inside_oracle_window():
+    # Queries whose plan/SQL changed this round MUST re-earn a driver row —
+    # keep this list in sync with the round's edits.
+    changed = {
+        "sessionize_events", "tumbling_event_stats", "events_json_stats",
+        "events_daily_pivot", "events_daily_users", "session_window_stats",
+        "sliding_event_stats", "sensor_covariance_events",
+        "text_repetition", "corpus_clean",
+    }
+    head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
+    missing = changed - head
+    assert not missing, f"changed queries outside the driver window: {missing}"
 
 
 def test_spec_shapes():

@@ -36,6 +36,24 @@ def main() -> None:
         "first and time the ingest stage too (the reference driver's "
         "end-to-end shape: SensorFileAction parse → X → U → C)",
     )
+    # Per-flag optimization toggles mirroring the reference sweep
+    # (sensor/SensorCalcDriver.kt:54-70; flags SensorCalc.kt:80-103):
+    # R = reuse/materialize X, S = SymmetricCovariance upper triangle,
+    # Z = Multiply zero-discard. The other reference flags (A/D/E/F/M/P)
+    # are Catalyst built-ins here (SURVEY §4) — nothing to toggle.
+    ap.add_argument("--no-persist", action="store_true",
+                    help="R off: recompute X for U and C instead of persisting")
+    ap.add_argument("--no-triangle", action="store_true",
+                    help="S off: emit the full c1×c2 matrix, not upper triangle")
+    ap.add_argument("--no-zero-discard", action="store_true", default=True,
+                    help="Z off (default: Z is off — exact-zero U entries are "
+                    "vanishingly rare in float data)")
+    ap.add_argument("--zero-discard", dest="no_zero_discard",
+                    action="store_false", help="Z on")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run all 8 R/S/Z combos, emit one reference-style "
+                    "CSV row 'opts,toX,toU,toC,total' per combo "
+                    "(SensorCalc.kt:121-130 SensorCalcTimes shape)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -106,35 +124,67 @@ def main() -> None:
     # warm (codegen + shuffle machinery)
     force(binned_mean(gen(3).limit(10_000), args.bin_ms))
 
-    times = {}
+    def run_stages(persist_r: bool, triangle_s: bool, zdiscard_z: bool) -> dict:
+        times = {}
+        t = time.time()
+        x = diff_x(binned_mean(a, args.bin_ms), binned_mean(b, args.bin_ms))
+        if persist_r:
+            x = x.persist()
+        force(x)
+        times["toX"] = round(time.time() - t, 3)
+
+        t = time.time()
+        u = mean_center(x)
+        if persist_r:
+            u = u.persist()
+        force(u)
+        times["toU"] = round(time.time() - t, 3)
+
+        t = time.time()
+        c = covariance(u, upper_triangle=triangle_s, zero_discard=zdiscard_z)
+        force(c)
+        times["toC"] = round(time.time() - t, 3)
+        if persist_r:
+            x.unpersist()
+            u.unpersist()
+        times["total"] = round(sum(times.values()), 3)
+        return times
+
+    if args.sweep:
+        # Reference SensorCalcTimes CSV shape: opts,toX,toU,toC,total —
+        # opts spells the enabled flag letters (R/S/Z), '-' when none.
+        print("opts,toX,toU,toC,total")
+        for r_flag in (True, False):
+            for s_flag in (True, False):
+                for z_flag in (True, False):
+                    st = run_stages(r_flag, s_flag, z_flag)
+                    opts = "".join(
+                        f for f, on in (("R", r_flag), ("S", s_flag), ("Z", z_flag)) if on
+                    ) or "-"
+                    print(f"{opts},{st['toX']},{st['toU']},{st['toC']},{st['total']}")
+        spark.stop()
+        return
+
+    times = run_stages(
+        not args.no_persist, not args.no_triangle, not args.no_zero_discard
+    )
     if ingest_time is not None:
         times["ingest"] = ingest_time
-    t = time.time()
-    x = diff_x(binned_mean(a, args.bin_ms), binned_mean(b, args.bin_ms)).persist()
-    force(x)
-    times["toX"] = round(time.time() - t, 3)
-
-    t = time.time()
-    u = mean_center(x).persist()
-    force(u)
-    times["toU"] = round(time.time() - t, 3)
-
-    t = time.time()
-    c = covariance(u)
-    force(c)
-    times["toC"] = round(time.time() - t, 3)
-
+        times["total"] = round(times["total"] + ingest_time, 3)
     if args.from_files:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)  # all stages forced above
-    times["total"] = round(sum(times.values()), 3)
+    opts = "".join(
+        f for f, off in (("R", args.no_persist), ("S", args.no_triangle),
+                         ("Z", args.no_zero_discard)) if not off
+    ) or "-"
     print(json.dumps({
         "metric": "sensor_covariance_stages",
         "value": times["total"],
         "unit": "sec",
         "queries": times,
-        "opts": "spark-catalyst",  # the reference's opt flags are Catalyst built-ins
+        "opts": opts,
         "rows_per_table": args.rows,
         "classes": args.classes,
     }))

@@ -98,6 +98,19 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c.lower() for c in rel.columns]
+            # Types Spark can't emit hash fine here (fetchall → Python int)
+            # but diverge under the driver's serialization (HUGEINT → float64
+            # through pandas/Arrow). Fail loudly — the fix is a CAST in the
+            # oracle SQL (e.g. DuckDB SUM(BIGINT) returns HUGEINT).
+            unsafe = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")
+            ]
+            if unsafe:
+                results[name] = {"status": "UNSAFE_ORACLE_TYPE", "cols": unsafe}
+                n_fail += 1
+                print(f"✗ {name}: driver-unsafe oracle column types {unsafe} — add CAST(... AS BIGINT)")
+                continue
             orows = rel.fetchall()
         except Exception as e:
             results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:500]}
