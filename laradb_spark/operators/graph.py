@@ -15,6 +15,33 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000_000  # rank unit = 1e-12 of total mass
 
 
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count on an undirected edge list — the classic
+    Graphulo/GraphBLAS sparse-matrix kernel (L·U masked by A), expressed
+    as the two-join Lara ⋈ₓ composition: orient every edge low→high, then
+    count paths a<b<c where (a,b),(b,c),(a,c) are all edges. Orienting
+    first means each triangle is counted exactly once AND the join fan-out
+    of high-degree nodes is split by direction (the standard skew guard
+    for this kernel); both joins shuffle on a node key and AQE skew-split
+    handles residual hubs. Returns one row: (n_triangles)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    wedge = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
+    )  # a<b<c paths
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    return (
+        wedge.join(closing, on=["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = 2,

@@ -467,6 +467,48 @@ def lsh_search_index(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with k-means, compare pairs ONLY within a cluster, and for
+    every within-cluster pair with cosine ≥ ``tau`` drop the higher id —
+    the paper's greedy keep-one rule (not a transitive closure; a kept doc
+    is one that is not dominated by any lower-id near-twin in its cluster).
+
+    Returns the surviving ``(vec_id, cid)`` rows.
+
+    Scale shape: clustering makes the quadratic comparison CLUSTER-local —
+    the whole point vs all-pairs cosine. At 100 TB, n_centroids grows with
+    the corpus (k ∝ N keeps expected cluster size constant ≈ N/k), the
+    per-cluster self-join is one shuffle on ``cid``, and AQE skew-split
+    handles fat clusters; centroid training is the bounded-collect Lloyd
+    loop shared with IVF (``_train_centroids``)."""
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
+    assigned = _assign(c, cents)
+    a = assigned.select(F.col("cid"), F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("_va"))
+    b = assigned.select(F.col("cid"), F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("_vb"))
+    dropped = (
+        a.join(b, on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= tau)
+        .select(F.col("id_b").alias("neighbor_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, on="neighbor_id", how="left_anti")
+        .select(F.col("neighbor_id").alias(id_col), "cid")
+    )
+
+
 def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast join + window argmax)."""
     scored = c.crossJoin(F.broadcast(cents)).select(

@@ -118,6 +118,26 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+def normalize_text(df: DataFrame, text: str = "text") -> DataFrame:
+    """Web-text normalization, the first map stage of a scrape-ingest
+    pipeline: strip HTML-ish tags, collapse whitespace runs, trim,
+    lowercase. Pure JVM regex expressions — map-only, zero shuffle, and
+    byte-reproducible across engines (no locale-dependent casefolding is
+    used on the data's ASCII+Latin-1 range).
+
+    Returns (doc_id, norm_text, n_chars_raw, n_chars_norm)."""
+    raw = F.col(text)
+    stripped = F.regexp_replace(raw, r"<[^>]*>", " ")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    norm = F.lower(F.trim(collapsed))
+    return df.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def fingerprint(df: DataFrame, text: str = "text", ngram: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style rolling fingerprint; md5 is the cross-engine-stable

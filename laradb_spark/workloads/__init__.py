@@ -78,6 +78,12 @@ _PRIORITY = [
     "text_repetition",
     # changed r3: + n_oversized_buckets visibility column (both sides)
     "corpus_clean",
+    # new r3 operators
+    "semantic_dedup",
+    "text_normalize",
+    "supplier_copart_triangles",
+    "grouping_sets_revenue",
+    "events_dow_hour_heatmap",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -114,13 +120,14 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "small_quantity_revenue",
     "graph_brand_degree",
+    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
+    # (these r1-greens were bumped for the changed/new r3 queries; their
+    # r1 rows remain valid since their code is untouched)
     "graph_brand_gram",
     "nation_region_full_outer",
     "order_status_pivot",
     "all_account_balances",
     "sql_front_door_q",
-    # --- tail: green in r2, unchanged — fall outside the 50-window ---------
-    # (d4m_set_filter keeps its r1 green; bumped for the changed corpus_clean)
     "d4m_set_filter",
     "lara_union_quarters",
     "lara_cross_grid",

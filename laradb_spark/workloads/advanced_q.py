@@ -323,6 +323,40 @@ def _pagerank_sql() -> str:
     )
 
 
+def supplier_copart_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-part graph (suppliers adjacent
+    iff some part ships from both): bipartite projection → oriented
+    two-join triangle kernel (operators/graph.py triangle_count, the
+    Graphulo L·U∘A pattern). The projection's per-part pair fan-out is
+    bounded by suppliers-per-part (a catalog constant, ~4 in TPC-H data);
+    for unbounded fan-out data the LSH bucket-cap pattern applies."""
+    from ..operators.graph import triangle_count
+
+    ps = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = ps.select(F.col("l_partkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    copart = (
+        a.join(b, on="k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(copart)
+
+
+TRIANGLE_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.s1 = e1.s2
+JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+"""
+
+
 QUERIES = {
     "asof_last_order": (asof_last_order, ASOF_SQL),
     "orders_within_30_days": (orders_within_30_days, RANGE_SQL),
@@ -334,4 +368,5 @@ QUERIES = {
     "graph_brand_degree": (graph_brand_degree, DEGREE_SQL),
     "graph_brand_gram": (graph_brand_gram, GRAM_SQL),
     "pagerank_supplier_part": (pagerank_supplier_part, _pagerank_sql()),
+    "supplier_copart_triangles": (supplier_copart_triangles, TRIANGLE_SQL),
 }

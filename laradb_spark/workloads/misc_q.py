@@ -216,6 +216,77 @@ GROUP BY bucket
 """
 
 
+# --- GROUPING SETS (finer than CUBE/ROLLUP: an explicit lattice subset) ---------
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (status, priority), by (status), and grand total in ONE
+    pass — GROUPING SETS, the general form the reference's Merger/union
+    algebra covers via repeated MergeAgg; Spark computes all three
+    aggregations in a single shuffle (one Expand node feeding one hash
+    aggregate — .explain shows Expand, not three scans). GROUPING() flags
+    disambiguate real NULLs from subtotal rows."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money2(F.sum(_iscale("o_totalprice", 100)), 2).alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) + 1) // 2) / 100.0 AS revenue,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# --- calendar heatmap in pure integer arithmetic (engine-exact) -----------------
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts by (day-of-week, hour-of-day) — the usage-heatmap
+    rollup. Both axes are integer arithmetic on epoch-millis (epoch day 0
+    = Thursday; +4 → 0=Sunday..6=Saturday), NOT calendar functions, so
+    Spark and the oracle agree bit-for-bit with no TZ/locale surface."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.expr("ts_ms div 86400000")
+    return (
+        ev.groupBy(
+            ((day + 4) % 7).cast("int").alias("dow"),
+            F.expr("(ts_ms % 86400000) div 3600000").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_iscale("value", 100)).alias("_cents"),
+        )
+        .select("dow", "hour", "n_events", money2(F.col("_cents"), 2).alias("sum_value"))
+    )
+
+
+DOW_HOUR_SQL = """
+WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value FROM events)
+SELECT CAST((ms // 86400000 + 4) % 7 AS INT) AS dow,
+       CAST((ms % 86400000) // 3600000 AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + 1) // 2) / 100.0 AS sum_value
+FROM e
+GROUP BY dow, hour
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "order_price_histogram": (order_price_histogram, HIST_SQL),
@@ -223,4 +294,6 @@ QUERIES = {
     "status_except_all": (status_except_all, EXCEPT_ALL_SQL),
     "customer_spend_quartiles": (customer_spend_quartiles, NTILE_SQL),
     "monthly_revenue": (monthly_revenue, MONTHLY_SQL),
+    "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
+    "events_dow_hour_heatmap": (events_dow_hour_heatmap, DOW_HOUR_SQL),
 }

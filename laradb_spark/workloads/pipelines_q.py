@@ -120,6 +120,22 @@ FROM per GROUP BY doc_id
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-strip + whitespace-collapse + lowercase normalization."""
+    return tx.normalize_text(load(spark, sf_dir, "documents"))
+
+
+TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS norm_text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+       CAST(LENGTH(lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                             '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load(spark, sf_dir, "documents"))
 
@@ -674,9 +690,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _queries_df(spark, sf_dir), n_centroids=16, n_probe=4, k=TOP_K)
 
 
-def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
-    # one Lloyd round = nearest-centroid assignment + per-dimension mean;
-    # DuckDB zips parallel UNNESTs, giving (dimension, value) pairs.
+def _lloyd_ctes(n_centroids: int, iters: int) -> list[str]:
+    """Unrolled deterministic Lloyd rounds as chained CTEs (shared by the
+    IVF and semantic-dedup oracles): v = double-cast embeddings, c0 = the
+    ``n_centroids`` lowest-id vectors, then assignment → per-dimension
+    mean per round, ending in the final assignment ``af(vec_id, vec, cid)``.
+    DuckDB zips parallel UNNESTs, giving (dimension, value) pairs."""
+
     def assign(src: str, cents: str) -> str:
         return f"""
   SELECT vec_id, vec, cid FROM (
@@ -703,6 +723,11 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str
         ctes.append(f"a{i} AS ({assign('v', f'c{i}')})")
         ctes.append(f"c{i + 1} AS ({mean(f'a{i}')})")
     ctes.append(f"af AS ({assign('v', f'c{iters}')})")
+    return ctes
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
+    ctes = _lloyd_ctes(n_centroids, iters)
     ctes.append(f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES})")
     ctes.append(f"""probes AS (
   SELECT query_id, qvec, cid FROM (
@@ -723,6 +748,32 @@ SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {TOP_K}
+"""
+
+
+SEM_TAU = 0.9
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster the embeddings, drop
+    the higher id of any within-cluster pair with cosine ≥ τ. Same
+    deterministic Lloyd recipe as IVF, so the oracle unrolls the full
+    cluster → pair → drop flow and the result is hash-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, tau=SEM_TAU, n_centroids=16, lloyd_iters=2)
+
+
+def _semantic_dedup_sql(n_centroids: int = 16, iters: int = 2, tau: float = SEM_TAU) -> str:
+    ctes = _lloyd_ctes(n_centroids, iters)
+    ctes.append(f"""dropped AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.vec, b.vec) >= {tau}
+)""")
+    return f"""
+WITH {','.join(ctes)}
+SELECT vec_id, cid FROM af
+WHERE vec_id NOT IN (SELECT id_b FROM dropped)
 """
 
 
@@ -953,4 +1004,6 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
+    "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
+    "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
 }

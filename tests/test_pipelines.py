@@ -316,6 +316,49 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_triangle_count(spark):
+    from laradb_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3)=4 triangles; edges given in mixed orientation + a dup
+    k4 = [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (2, 1)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(df).first().n_triangles == 4
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(chain).first().n_triangles == 0
+
+
+def test_normalize_text(spark):
+    from laradb_spark.pipelines.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "<b>Hello</b>   WORLD "), (2, ""), (3, "a<br/>b"), (4, "  x  ")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].norm_text == "hello world"
+    assert (out[1].n_chars_raw, out[1].n_chars_norm) == (21, 11)
+    assert out[2].norm_text == ""
+    assert out[3].norm_text == "a b"
+    assert out[4].norm_text == "x"
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    from laradb_spark.pipelines.similarity import semantic_dedup
+
+    # vec 0/5 identical (cos=1 → 5 dropped); others orthogonal-ish survive
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (5, [1.0, 0.0, 0.0]),
+        (7, [0.0, 0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in semantic_dedup(df, tau=0.95, n_centroids=2, lloyd_iters=1).collect()}
+    assert 5 not in kept
+    assert {0, 1, 2, 7} <= kept
+
+
 def test_repetition_stats(spark):
     from laradb_spark.pipelines import text as tx
 

@@ -21,6 +21,9 @@ def test_changed_queries_inside_oracle_window():
         "events_daily_pivot", "events_daily_users", "session_window_stats",
         "sliding_event_stats", "sensor_covariance_events",
         "text_repetition", "corpus_clean",
+        # new in r3
+        "semantic_dedup", "text_normalize", "supplier_copart_triangles",
+        "grouping_sets_revenue", "events_dow_hour_heatmap",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
