@@ -154,6 +154,87 @@ def fingerprint(df: DataFrame, text: str = "text", ngram: int = 5) -> DataFrame:
     )
 
 
+def _all_ngrams(text_col: Column, n: int) -> Column:
+    """Every word n-gram occurrence (NOT distinct; short docs floor to one
+    whole-text gram, mirroring word_ngrams/oracle GREATEST semantics)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def frequent_ngrams(df: DataFrame, n: int = 2, k: int = 20, text: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` most frequent word n-grams — the heavy-hitter
+    scan behind boilerplate detection. Total order (count desc, gram asc)
+    makes the cut deterministic. Scale shape: explode → one partial+final
+    count aggregate → ``orderBy().limit(k)``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k, merge on the driver — no
+    global sort shuffle)."""
+    g = df.select(F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
+    return (
+        g.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ng"))
+        .limit(k)
+    )
+
+
+def boilerplate_ppm(
+    df: DataFrame, n: int = 2, top_k: int = 20, text: str = "text"
+) -> DataFrame:
+    """Per-document boilerplate contamination: the ppm of a doc's n-gram
+    occurrences that fall in the corpus-wide top-``top_k`` n-gram set
+    (CCNet-style corpus-level boilerplate signal — complements
+    ``repetition_stats``, which is within-doc). Integer ppm via integral
+    div (gotcha #4b). The top set is tiny → broadcast left-semi-ish join;
+    the corpus grams never shuffle."""
+    top = frequent_ngrams(df, n, top_k, text).select("ng")
+    g = df.select("doc_id", F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
+    total = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot"))
+    hits = (
+        g.join(F.broadcast(top), on="ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    return (
+        total.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.expr("(1000000 * coalesce(_hit, 0)) div _tot").alias("boilerplate_ppm"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text: str = "text", group: str = "source"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per ``group`` by an integer-exact
+    tf-idf: score = tf(term, group) · ((10^6 · N_docs) div df(term)) — all
+    BIGINT arithmetic, so ranking is bit-identical across engines (a
+    float ln() idf would tie-flake, DEVNOTES gotcha #4). Ties break on
+    term asc. Two aggregates (per-group tf, per-term df) + one broadcast
+    join of the tiny df table + a bounded per-group window."""
+    from pyspark.sql.window import Window
+
+    toks = df.select("doc_id", F.col(group).alias("grp"), F.explode(tokens(F.col(text))).alias("term"))
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("_df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "grp", "term",
+            F.expr("tf * ((1000000 * _n) div _df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group), "term", "score", "rank")
+    )
+
+
 def repetition_stats(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
     """Within-document repetition signals (the Gopher-style quality
     filters): the fraction of all word n-grams taken by the single most

@@ -84,6 +84,9 @@ _PRIORITY = [
     "supplier_copart_triangles",
     "grouping_sets_revenue",
     "events_dow_hour_heatmap",
+    "corpus_frequent_ngrams",
+    "doc_boilerplate_ppm",
+    "tfidf_top_terms",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,12 +120,12 @@ _PRIORITY = [
     "order_price_percentiles",
     "cube_order_stats",
     "repeat_customers_96_97",
-    "suppliers_without_recent_sales",
-    "small_quantity_revenue",
-    "graph_brand_degree",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     # (these r1-greens were bumped for the changed/new r3 queries; their
     # r1 rows remain valid since their code is untouched)
+    "small_quantity_revenue",
+    "suppliers_without_recent_sales",
+    "graph_brand_degree",
     "graph_brand_gram",
     "nation_region_full_outer",
     "order_status_pivot",

@@ -136,6 +136,81 @@ FROM documents
 """
 
 
+_NG_TOPK = 20
+_TFIDF_K = 5
+
+# Non-distinct n-gram occurrences with the short-doc floor (whole text as
+# one gram), shared by the frequent-ngram family oracles.
+_ALLGRAM_SQL = """
+  SELECT doc_id, UNNEST(
+    list_transform(range(1, GREATEST(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ng
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+"""
+
+
+def corpus_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (heavy hitters; TakeOrdered, no global
+    sort)."""
+    return tx.frequent_ngrams(load(spark, sf_dir, "documents"), n=2, k=_NG_TOPK)
+
+
+FREQUENT_NGRAMS_SQL = f"""
+WITH g AS ({_ALLGRAM_SQL})
+SELECT ng, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ng
+ORDER BY n_occurrences DESC, ng ASC
+LIMIT {_NG_TOPK}
+"""
+
+
+def doc_boilerplate_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ppm of bigram occurrences falling in the corpus top-20 set
+    (CCNet-style corpus-level boilerplate signal)."""
+    return tx.boilerplate_ppm(load(spark, sf_dir, "documents"), n=2, top_k=_NG_TOPK)
+
+
+BOILERPLATE_SQL = f"""
+WITH g AS ({_ALLGRAM_SQL}),
+top AS (
+  SELECT ng FROM (
+    SELECT ng, COUNT(*) AS n FROM g GROUP BY ng
+    ORDER BY n DESC, ng ASC LIMIT {_NG_TOPK})
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t FROM g GROUP BY doc_id),
+hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS h FROM g
+        WHERE ng IN (SELECT ng FROM top) GROUP BY doc_id)
+SELECT tot.doc_id,
+       CAST((1000000 * COALESCE(hit.h, 0)) // tot.t AS BIGINT) AS boilerplate_ppm
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+"""
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by integer-exact tf-idf."""
+    return tx.tfidf_top_terms(load(spark, sf_dir, "documents"), k=_TFIDF_K)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY source, term),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfr FROM toks GROUP BY term),
+scored AS (
+  SELECT tf.source, tf.term,
+         CAST(tf.tf * ((1000000 * (SELECT COUNT(*) FROM documents)) // dfreq.dfr) AS BIGINT) AS score
+  FROM tf JOIN dfreq ON dfreq.term = tf.term
+)
+SELECT source, term, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_TFIDF_K}
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load(spark, sf_dir, "documents"))
 
@@ -1006,4 +1081,7 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
+    "corpus_frequent_ngrams": (corpus_frequent_ngrams, FREQUENT_NGRAMS_SQL),
+    "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
+    "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
 }

@@ -316,6 +316,47 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_frequent_ngrams_and_boilerplate(spark):
+    from laradb_spark.pipelines.text import boilerplate_ppm, frequent_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: "a b","b a","a b"
+            (2, "a b c"),        # "a b","b c"
+            (3, "solo"),         # floor: whole text
+        ],
+        ["doc_id", "text"],
+    )
+    top = [(r.ng, r.n_occurrences) for r in frequent_ngrams(df, n=2, k=2).collect()]
+    assert top == [("a b", 3), ("b a", 1)]  # tie (b a/b c/solo @1) → asc gram
+    ppm = {r.doc_id: r.boilerplate_ppm for r in boilerplate_ppm(df, n=2, top_k=2).collect()}
+    # top set = {"a b","b a"}: doc1 3/3, doc2 1/2, doc3 0/1
+    assert ppm == {1: 1000000, 2: 500000, 3: 0}
+
+
+def test_tfidf_top_terms(spark):
+    from laradb_spark.pipelines.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x common", "s1"),
+            (2, "y common", "s2"),
+            (3, "common common", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = [(r.source, r.term, r.score, r.rank) for r in tfidf_top_terms(df, k=2).collect()]
+    # N=3; df: x→1, y→1, common→3 → idf_int: x/y=3000000, common=1000000.
+    # s2 scores TIE at 3000000 (y: 1·3M, common: 3·1M) → term-asc break.
+    want = [
+        ("s1", "x", 2 * 3_000_000, 1),
+        ("s1", "common", 1 * 1_000_000, 2),
+        ("s2", "common", 3 * 1_000_000, 1),
+        ("s2", "y", 1 * 3_000_000, 2),
+    ]
+    assert sorted(out) == sorted(want)
+
+
 def test_triangle_count(spark):
     from laradb_spark.operators.graph import triangle_count
 

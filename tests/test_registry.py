@@ -24,6 +24,7 @@ def test_changed_queries_inside_oracle_window():
         # new in r3
         "semantic_dedup", "text_normalize", "supplier_copart_triangles",
         "grouping_sets_revenue", "events_dow_hour_heatmap",
+        "corpus_frequent_ngrams", "doc_boilerplate_ppm", "tfidf_top_terms",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
