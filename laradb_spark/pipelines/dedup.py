@@ -83,6 +83,38 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str =
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def digest_build_index(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the corpus's distinct content-digest set as parquet —
+    the frozen half of INCREMENTAL exact dedup (the production ingest
+    shape: the historical corpus is hashed once; every new shard screens
+    against the index instead of re-scanning history). Append new shards'
+    digests with ``mode='append'`` after accepting them."""
+    (
+        df.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def drop_seen_digests(df: DataFrame, index_path: str, text_col: str = "text") -> DataFrame:
+    """Drop rows whose content digest already exists in the stored index —
+    incremental exact dedup of a new batch against the historical corpus.
+
+    Works on BATCH and STREAMING ``df`` alike: the plan is a stream-static
+    left-anti join (supported by Structured Streaming — the static side is
+    re-read per micro-batch, so an appended index takes effect on the next
+    trigger). Only (digest) ever joins; the new shard's payload stays in
+    its scan tasks, and at 100 TB the index side is a digest-only parquet
+    that Spark/AQE broadcast when small and shuffle-hash otherwise."""
+    seen = df.sparkSession.read.parquet(index_path)
+    return (
+        df.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(seen.withColumnRenamed("digest", "_digest"), on="_digest", how="left_anti")
+        .drop("_digest")
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -316,6 +316,31 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_incremental_digest_dedup(spark, tmp_path):
+    """Incremental exact dedup: new batch anti-joins the stored digest
+    index; appending accepted shards' digests screens later shards."""
+    from laradb_spark.pipelines.dedup import digest_build_index, drop_seen_digests
+
+    hist = spark.createDataFrame([(1, "old doc"), (2, "shared doc")], ["doc_id", "text"])
+    idx = str(tmp_path / "digests")
+    digest_build_index(hist, idx)
+
+    batch = spark.createDataFrame(
+        [(10, "brand new"), (11, "shared doc"), (12, "old doc")], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in drop_seen_digests(batch, idx).collect()}
+    assert kept == {10}
+
+    # accept the survivors, append their digests → a re-delivery is dropped
+    from pyspark.sql import functions as F
+
+    batch.filter(F.col("doc_id") == 10).select(
+        F.md5("text").alias("digest")
+    ).write.mode("append").parquet(idx)
+    redeliver = spark.createDataFrame([(20, "brand new")], ["doc_id", "text"])
+    assert drop_seen_digests(redeliver, idx).count() == 0
+
+
 def test_frequent_ngrams_and_boilerplate(spark):
     from laradb_spark.pipelines.text import boilerplate_ppm, frequent_ngrams
 

@@ -75,6 +75,38 @@ def test_dedup_stream_batch_twin(spark, dup_stream_dir):
     assert out.columns == batch.columns  # _etime helper column removed
 
 
+def test_stream_static_digest_dedup(spark, tmp_path):
+    """drop_seen_digests on a STREAMING frame = stream-static left-anti
+    join against the stored digest index (the incremental-ingest shape:
+    history never re-scans, new shards screen per micro-batch)."""
+    from pyspark.sql import types as T
+
+    from laradb_spark.pipelines.dedup import digest_build_index, drop_seen_digests
+
+    hist = spark.createDataFrame([(1, "seen before")], ["doc_id", "text"])
+    idx = str(tmp_path / "digests")
+    digest_build_index(hist, idx)
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(10, "fresh"), (11, "seen before"), (12, "fresh")], doc_schema
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    out = drop_seen_digests(stream, idx)
+    assert out.isStreaming
+    q = run_stream_to_memory(out, "inc_dedup_out", "append")
+    try:
+        got = spark.sql("SELECT doc_id FROM inc_dedup_out").collect()
+        assert sorted(r.doc_id for r in got) == [10, 12]
+    finally:
+        q.stop()
+
+
 def test_kafka_source_options():
     opts = kafka_source_options(
         "b1:9092,b2:9092", "events", max_offsets_per_trigger=100_000,
