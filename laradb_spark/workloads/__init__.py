@@ -87,6 +87,7 @@ _PRIORITY = [
     "corpus_frequent_ngrams",
     "doc_boilerplate_ppm",
     "tfidf_top_terms",
+    "forward_fill_hourly",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,10 +120,10 @@ _PRIORITY = [
     "orders_within_30_days",
     "order_price_percentiles",
     "cube_order_stats",
-    "repeat_customers_96_97",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     # (these r1-greens were bumped for the changed/new r3 queries; their
     # r1 rows remain valid since their code is untouched)
+    "repeat_customers_96_97",
     "small_quantity_revenue",
     "suppliers_without_recent_sales",
     "graph_brand_degree",

@@ -228,6 +228,49 @@ GROUP BY window_start_ms, event_type
 """
 
 
+# --- time-series gap fill (dense hourly grid + forward carry) ------------------
+
+def forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly value series densified over the global hour
+    range and forward-filled (operators/timeseries.py). The carried
+    metric is an integer cent sum — exact, so the carry is bit-identical
+    across engines; was_gap marks synthesized rows."""
+    from . import load_events
+    from ..operators.timeseries import fill_gaps_forward
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_ms div 3600000").alias("hour")
+    ).agg(F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"))
+    return fill_gaps_forward(hourly, "event_type", "hour", "cents")
+
+
+FFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY event_type, hour
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM hourly) t,
+       (SELECT UNNEST(generate_series((SELECT MIN(hour) FROM hourly),
+                                      (SELECT MAX(hour) FROM hourly))) AS hour) g
+),
+joined AS (
+  SELECT g.event_type, g.hour, h.cents,
+         CASE WHEN h.cents IS NULL THEN 1 ELSE 0 END AS was_gap
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+)
+SELECT event_type, hour,
+       CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents,
+       CAST(was_gap AS INT) AS was_gap
+FROM joined
+"""
+
+
 QUERIES = {
     "running_customer_totals": (running_customer_totals, RUNNING_SQL),
     "session_window_stats": (session_window_stats, SESSION_WINDOW_SQL),
@@ -235,4 +278,5 @@ QUERIES = {
     "customer_order_gaps": (customer_order_gaps, GAPS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "tumbling_event_stats": (tumbling_event_stats, TUMBLE_SQL),
+    "forward_fill_hourly": (forward_fill_hourly, FFILL_SQL),
 }

@@ -316,6 +316,25 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_fill_gaps_forward(spark):
+    from laradb_spark.operators.timeseries import fill_gaps_forward
+
+    series = spark.createDataFrame(
+        [("a", 10, 5), ("a", 13, 7), ("b", 11, 1)],
+        "k string, bin long, v long",
+    )
+    out = {(r.k, r.bin): (r.v, r.was_gap) for r in fill_gaps_forward(series, "k", "bin", "v").collect()}
+    # global grid 10..13 for both keys; leading gaps stay NULL
+    assert out[("a", 10)] == (5, 0)
+    assert out[("a", 11)] == (5, 1)
+    assert out[("a", 12)] == (5, 1)
+    assert out[("a", 13)] == (7, 0)
+    assert out[("b", 10)] == (None, 1)
+    assert out[("b", 11)] == (1, 0)
+    assert out[("b", 12)] == (1, 1)
+    assert len(out) == 8
+
+
 def test_incremental_digest_dedup(spark, tmp_path):
     """Incremental exact dedup: new batch anti-joins the stored digest
     index; appending accepted shards' digests screens later shards."""
