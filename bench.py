@@ -42,6 +42,10 @@ HEADLINE = [
     "q10_returned_items",
     "q8_market_share",
     "decontaminate_docs",
+    # round-3 operators
+    "semantic_dedup",
+    "corpus_frequent_ngrams",
+    "forward_fill_hourly",
 ]
 
 

@@ -116,8 +116,10 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
 ),
 sess AS (
-  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  -- CAST: DuckDB SUM(INTEGER) yields HUGEINT, which survives to the output
+  -- column and hash-diverges under the driver's serialization (DEVNOTES #1b)
+  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
