@@ -493,13 +493,29 @@ def semantic_dedup(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
-    assigned = _assign(c, cents)
-    a = assigned.select(F.col("cid"), F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("_va"))
-    b = assigned.select(F.col("cid"), F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("_vb"))
+    # assigned fans out 3× (both pair sides + the final anti-join); without
+    # a persist the whole assignment pipeline recomputes per consumer
+    # (DEVNOTES gotcha #3). The norm is staged per VECTOR (one pass), not
+    # per PAIR inside cosine() — with ~m members per cluster each vector
+    # would otherwise re-norm m times, tripling the pair stage's
+    # interpreted-HOF work; that term grows with cluster size while the
+    # remaining wall-clock at small SF is the fixed-cost Lloyd loop
+    # (per-round codegen + bounded collect), which is data-independent.
+    assigned = persist_once(
+        _assign(c, cents).withColumn("_nrm", norm(F.col("cvec")))
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("neighbor_id").alias("id_a"),
+        F.col("cvec").alias("_va"), F.col("_nrm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("neighbor_id").alias("id_b"),
+        F.col("cvec").alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
     dropped = (
         a.join(b, on="cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= tau)
+        .filter(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau)
         .select(F.col("id_b").alias("neighbor_id"))
         .distinct()
     )
