@@ -525,6 +525,53 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_fast(
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``semantic_dedup`` with the pair stage as ONE NumPy similarity
+    matrix per cluster via ``applyInPandas`` — the shape the SemDeDup
+    paper computes (cluster-local V·Vᵀ), and the scale path: the
+    quadratic work runs as a vectorized matmul inside each cluster's
+    task instead of an interpreted per-pair expression. Cluster size is
+    bounded by design (k ∝ N keeps E[|cluster|] ≈ N/k constant), so the
+    per-task matrix is bounded; same keep-rule, same oracle."""
+    import numpy as np
+    import pandas as pd
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
+    assigned = persist_once(_assign(c, cents))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([StructField("neighbor_id", LongType())])
+
+    def dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        v = np.stack(pdf["cvec"].to_numpy())            # m × d
+        nrm = np.sqrt((v * v).sum(axis=1))
+        s = (v @ v.T) / np.outer(nrm, nrm)
+        # drop j if ANY lower-id i in the cluster has sim ≥ tau (strictly
+        # the pairwise rule of semantic_dedup, not a greedy chain)
+        mask = np.triu(s >= tau, k=1).any(axis=0)
+        return pdf.loc[mask, ["neighbor_id"]]
+
+    dropped = assigned.select("cid", "neighbor_id", "cvec").groupBy("cid").applyInPandas(
+        dropped_in_cluster, out_schema
+    )
+    return (
+        assigned.join(dropped, on="neighbor_id", how="left_anti")
+        .select(F.col("neighbor_id").alias(id_col), "cid")
+    )
+
+
 def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast join + window argmax)."""
     scored = c.crossJoin(F.broadcast(cents)).select(

@@ -80,6 +80,7 @@ _PRIORITY = [
     "corpus_clean",
     # new r3 operators
     "semantic_dedup",
+    "semantic_dedup_fast",
     "text_normalize",
     "supplier_copart_triangles",
     "grouping_sets_revenue",
@@ -119,10 +120,10 @@ _PRIORITY = [
     "asof_last_order",
     "orders_within_30_days",
     "order_price_percentiles",
-    "cube_order_stats",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     # (these r1-greens were bumped for the changed/new r3 queries; their
     # r1 rows remain valid since their code is untouched)
+    "cube_order_stats",
     "repeat_customers_96_97",
     "small_quantity_revenue",
     "suppliers_without_recent_sales",

@@ -838,6 +838,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, tau=SEM_TAU, n_centroids=16, lloyd_iters=2)
 
 
+def semantic_dedup_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the per-cluster NumPy matmul pair stage (the
+    SemDeDup paper's actual compute shape); same keep-rule and oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_fast(emb, tau=SEM_TAU, n_centroids=16, lloyd_iters=2)
+
+
 def _semantic_dedup_sql(n_centroids: int = 16, iters: int = 2, tau: float = SEM_TAU) -> str:
     ctes = _lloyd_ctes(n_centroids, iters)
     ctes.append(f"""dropped AS (
@@ -1080,6 +1087,7 @@ QUERIES = {
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
+    "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "corpus_frequent_ngrams": (corpus_frequent_ngrams, FREQUENT_NGRAMS_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),

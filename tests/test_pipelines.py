@@ -316,6 +316,54 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_semantic_dedup_fast_parity(spark):
+    """NumPy-matmul pair stage ≡ expression pair stage on random vectors."""
+    import random
+
+    from laradb_spark.pipelines.similarity import semantic_dedup, semantic_dedup_fast
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, [float(i % 3), 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(tau=0.9, n_centroids=4, lloyd_iters=1)
+    slow = {(r.vec_id, r.cid) for r in semantic_dedup(df, **kw).collect()}
+    fast = {(r.vec_id, r.cid) for r in semantic_dedup_fast(df, **kw).collect()}
+    assert slow == fast
+
+
+def test_fill_gaps_forward_random_series(spark):
+    """fill_gaps_forward vs a pure-Python reference on random sparse
+    series (random keys, gaps, leading-null runs)."""
+    import random
+
+    from laradb_spark.operators.timeseries import fill_gaps_forward
+
+    rng = random.Random(23)
+    rows = []
+    for k in "abcd":
+        for b in rng.sample(range(50, 70), rng.randint(1, 8)):
+            rows.append((k, b, rng.randint(-5, 5)))
+    series = spark.createDataFrame(rows, "k string, bin long, v long")
+    got = {(r.k, r.bin): (r.v, r.was_gap) for r in fill_gaps_forward(series, "k", "bin", "v").collect()}
+
+    present = {(k, b): v for k, b, v in rows}
+    lo = min(b for _, b, _ in rows)
+    hi = max(b for _, b, _ in rows)
+    keys = sorted({k for k, _, _ in rows})
+    want = {}
+    for k in keys:
+        carry = None
+        for b in range(lo, hi + 1):
+            if (k, b) in present:
+                carry = present[(k, b)]
+                want[(k, b)] = (carry, 0)
+            else:
+                want[(k, b)] = (carry, 1)
+    assert got == want
+
+
 def test_fill_gaps_forward(spark):
     from laradb_spark.operators.timeseries import fill_gaps_forward
 
