@@ -45,6 +45,34 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 REDACTIONS = (("email", EMAIL_RE), ("phone", PHONE_RE), ("ip", IPV4_RE))
 
 
+def trim_length_outliers(
+    df: DataFrame,
+    group: str = "source",
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    pct: int = 1,
+) -> DataFrame:
+    """Drop each group's shortest and longest ``pct``% of documents — the
+    standard length-outlier filter (truncated/binary-garbage docs at one
+    end, concatenation accidents at the other), decided in PURE INTEGER
+    rank arithmetic: keep rows with n·pct//100 < rank ≤ n − n·pct//100,
+    rank ties broken by id. No float percentile → no engine-boundary
+    flakes (DEVNOTES gotcha #4). One window per group (groups are
+    domains/sources — bounded); for a single giant group use the
+    two-phase global ranking pattern (misc_q.customer_spend_quartiles)."""
+    w = Window.partitionBy(group).orderBy(F.asc(length_col), F.asc(id_col))
+    wg = Window.partitionBy(group)
+    ranked = (
+        df.withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_lo", F.expr(f"(_n * {pct}) div 100"))
+    )
+    return (
+        ranked.filter((F.col("_r") > F.col("_lo")) & (F.col("_r") <= F.col("_n") - F.col("_lo")))
+        .drop("_r", "_lo", "_n")
+    )
+
+
 def hash_bucket(key: Column) -> Column:
     """Deterministic bucket in [0, BUCKETS): md5 of the key's string form,
     top 60 bits, mod BUCKETS. DuckDB twin:

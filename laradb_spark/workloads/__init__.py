@@ -89,6 +89,7 @@ _PRIORITY = [
     "doc_boilerplate_ppm",
     "tfidf_top_terms",
     "forward_fill_hourly",
+    "trim_length_outliers",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,8 +120,8 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "asof_last_order",
     "orders_within_30_days",
-    "order_price_percentiles",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
+    "order_price_percentiles",
     # (these r1-greens were bumped for the changed/new r3 queries; their
     # r1 rows remain valid since their code is untouched)
     "cube_order_stats",

@@ -859,6 +859,26 @@ WHERE vec_id NOT IN (SELECT id_b FROM dropped)
 """
 
 
+def trim_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1%-tail length trim, integer rank arithmetic only."""
+    return cu.trim_length_outliers(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+TRIM_OUTLIERS_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked
+WHERE r > (n * 1) // 100 AND r <= n - (n * 1) // 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # curation: decontamination, splitting, mixing, redaction
 # ---------------------------------------------------------------------------
@@ -1090,6 +1110,7 @@ QUERIES = {
     "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "corpus_frequent_ngrams": (corpus_frequent_ngrams, FREQUENT_NGRAMS_SQL),
+    "trim_length_outliers": (trim_length_outliers_q, TRIM_OUTLIERS_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
 }

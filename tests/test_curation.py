@@ -167,3 +167,30 @@ def test_pack_sequences_conservation_property(spark):
         for (i, n), (gid, start) in zip(rows, out):
             assert (gid, start) == (i, acc)
             acc += n
+
+
+def test_trim_length_outliers(spark):
+    """Integer-rank tail trim vs a python reference: per group, drop the
+    n·pct//100 shortest and longest (rank ties by id)."""
+    rows = [("s1", i, 100 + i) for i in range(100)] + [
+        ("s1", 200, 1),        # runt → trimmed
+        ("s1", 201, 10**6),    # giant → trimmed
+        ("s2", 300, 5),        # tiny group: n=3 → cut 0, all kept
+        ("s2", 301, 6),
+        ("s2", 302, 7),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    kept = {r.doc_id for r in cu.trim_length_outliers(df).collect()}
+
+    expect = set()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for s, i, n in rows:
+        groups[s].append((n, i))
+    for s, members in groups.items():
+        members.sort()
+        n = len(members)
+        cut = n * 1 // 100
+        expect |= {i for _, i in members[cut: n - cut]}
+    assert kept == expect
+    assert 200 not in kept and 201 not in kept and {300, 301, 302} <= kept
