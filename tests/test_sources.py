@@ -175,3 +175,52 @@ def test_delta_iceberg_stubs_raise_actionable_errors(spark, tmp_path):
         read_delta(spark, str(tmp_path / "nope"))
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_iceberg(spark, "cat.db.t")
+
+
+def test_parquet_merge_schema_across_shards(spark, tmp_path):
+    """Schema drift across shards (the 100 TB reality: early shards lack
+    columns later ones have): mergeSchema reads the union, old shards
+    surface NULLs for the new column."""
+    p = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(f"{p}/shard=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(f"{p}/shard=2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # without mergeSchema, Spark picks one file's schema — the drift test
+    # documents WHY the option matters, not just that it works
+    plain = spark.read.option("recursiveFileLookup", "true").parquet(p)
+    assert set(plain.columns) <= {"id", "name", "score"}
+
+
+def test_sorted_write_enables_rowgroup_pruning(spark, tmp_path):
+    """Data layout for scan pruning: writing sorted by the filter key gives
+    parquet min/max stats that let a range predicate skip row groups —
+    scan output rows ≪ table rows. The same layout decision is what makes
+    a 100 TB time-partitioned table cheap to range-scan."""
+    p = str(tmp_path / "sorted")
+    n = 100_000
+    (
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .write.option("parquet.block.size", 64 * 1024)  # many small row groups
+        .parquet(p)
+    )
+    q = spark.read.parquet(p).filter((F.col("k") >= 1000) & (F.col("k") < 2000))
+    assert q.count() == 1000
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(k" in pushed and "LessThan(k" in pushed
+    # row-group pruning: the scan must emit far fewer rows than the table
+    metrics = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0).metrics()
+    scan_rows = metrics.get("numOutputRows").get().value()
+    assert scan_rows < n // 4, f"scan emitted {scan_rows} rows — no pruning"
