@@ -1,0 +1,66 @@
+"""Table maintenance: small-file compaction.
+
+The 100 TB failure mode this addresses: streaming/incremental writers
+produce thousands of KB-scale parquet files per partition; every
+downstream scan then pays per-file open/footer/scheduling costs that
+dwarf the read itself (and the driver pays listing memory). Compaction
+rewrites a table at a target file size in one distributed pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tree_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_files) under ``path`` via the Hadoop FS API —
+    driver-side, bounded by file COUNT (the thing compaction shrinks),
+    never file contents."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    total = n = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums
+        total += st.getLen()
+        n += 1
+    return total, n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the parquet tree at ``src`` into ``dst`` with files sized
+    toward ``target_file_mb``. Returns {"files_before", "files_after",
+    "bytes"} so pipelines can log the win.
+
+    File count = ceil(input_bytes / target): compressed input size is the
+    best cheap proxy for output size (same codec, same data). One
+    round-robin repartition — a single full shuffle, the unavoidable cost
+    of re-packing; with ``partition_by`` the repartition keys on those
+    columns instead so each output partition directory compacts
+    internally without cross-partition traffic.
+    """
+    total, n_before = _tree_bytes(spark, src)
+    target = max(1, target_file_mb) * 1024 * 1024
+    n_files = max(1, -(-total // target))  # ceil
+    df: DataFrame = spark.read.parquet(src)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(dst)
+    else:
+        out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(dst)
+    _, n_after = _tree_bytes(spark, dst)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}

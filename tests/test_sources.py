@@ -224,3 +224,38 @@ def test_sorted_write_enables_rowgroup_pruning(spark, tmp_path):
     metrics = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0).metrics()
     scan_rows = metrics.get("numOutputRows").get().value()
     assert scan_rows < n // 4, f"scan emitted {scan_rows} rows — no pruning"
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """50 tiny files → a handful at the target size; identical data."""
+    from laradb_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(50).write.parquet(src)
+
+    stats = compact_parquet(spark, src, dst, target_file_mb=1)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] < 10
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 10_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    from laradb_spark.sources import compact_parquet
+
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "comp_part")
+    spark.range(2_000).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).repartition(30).write.partitionBy("grp").parquet(src)
+
+    stats = compact_parquet(spark, src, dst, target_file_mb=1, partition_by=["grp"])
+    assert stats["files_after"] < stats["files_before"]
+    b = spark.read.parquet(dst)
+    assert b.count() == 2_000
+    assert {r.grp for r in b.select("grp").distinct().collect()} == {0, 1, 2}
