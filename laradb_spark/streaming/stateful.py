@@ -60,3 +60,56 @@ def running_total_with_alerts(
     return events.groupBy(key_col).applyInPandasWithState(
         fold, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("closed", T.BooleanType()),
+])
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+
+def idle_session_close(
+    events: DataFrame,
+    idle_gap_ms: int = 5_000,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key session accumulator that EMITS A FINAL ROW when the key
+    goes idle — the timeout side of applyInPandasWithState that the
+    running-total operator doesn't exercise. Each batch with data for the
+    key re-arms a processing-time timeout of ``idle_gap_ms``; when a later
+    batch fires with the key silent past the gap, the state times out, the
+    closed session summary is emitted, and the state is removed (bounded
+    state: every idle key leaves the store — the manual analogue of what
+    watermarks do for built-in windows)."""
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)],
+                 "closed": [True]}
+            )
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            v += float(pdf[value_col].sum())
+        state.update((n, v))
+        state.setTimeoutDuration(idle_gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(v, 2)],
+             "closed": [False]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

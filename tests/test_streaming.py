@@ -144,3 +144,51 @@ def test_stateful_running_total(spark, stream_dir):
         assert rows[2] == (8.0, 2, True)
     finally:
         q.stop()
+
+
+def test_stateful_idle_session_close(spark, tmp_path):
+    """Processing-time timeout: a key silent past the idle gap gets its
+    closed-session row emitted by a timer batch and its state removed.
+
+    NOTE: with ProcessingTimeTimeout the engine runs continuous timer
+    micro-batches, so ``processAllAvailable()`` never quiesces — poll the
+    sink with a deadline instead."""
+    import time
+
+    from laradb_spark.streaming.stateful import idle_session_close
+
+    d = str(tmp_path / "idle_events")
+    spark.createDataFrame(
+        [(1, BASE, 1, "click", 2.0), (2, BASE, 1, "click", 3.0)], EV_SCHEMA
+    ).coalesce(1).write.parquet(d)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA).parquet(d).select("user_id", "value")
+    )
+    out = idle_session_close(stream, idle_gap_ms=2_000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("idle_out")
+        .start()
+    )
+
+    def poll(pred, deadline=90):
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < deadline:
+            rows = spark.sql("SELECT * FROM idle_out").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise TimeoutError(f"sink never satisfied predicate: {rows}")
+
+    try:
+        opened = poll(lambda rs: any(r.user_id == 1 and not r.closed for r in rs))
+        r = next(r for r in opened if r.user_id == 1 and not r.closed)
+        assert (r.n_events, r.sum_value) == (2, 5.0)
+        closed = poll(lambda rs: any(r.user_id == 1 and r.closed for r in rs))
+        r = next(r for r in closed if r.user_id == 1 and r.closed)
+        assert (r.n_events, r.sum_value) == (2, 5.0)
+    finally:
+        q.stop()
