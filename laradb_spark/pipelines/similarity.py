@@ -573,14 +573,24 @@ def semantic_dedup_fast(
 
 
 def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (broadcast join + window argmax)."""
+    """Nearest-centroid assignment: broadcast join + hash-aggregate argmax.
+
+    ``max_by`` over a (score, -cid) struct replaces the former
+    row_number window — same winner (ties → smallest cid, matching the
+    oracle's ``ORDER BY cos DESC, cid ASC ... rn = 1``) but a partial+
+    final HASH aggregate instead of a full shuffle+SORT of every
+    (vector × centroid) row: at N vectors × k centroids the sort is
+    O(Nk log Nk) through one exchange, the aggregate combines map-side
+    to one row per vector before shuffling."""
     scored = c.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id", "cvec", "cid", cosine(F.col("cvec"), F.col("cent")).alias("_cc")
+        "neighbor_id", "cvec", cosine(F.col("cvec"), F.col("cent")).alias("_cc"), "cid"
     )
-    w = Window.partitionBy("neighbor_id").orderBy(F.desc("_cc"), F.asc("cid"))
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        scored.groupBy("neighbor_id")
+        .agg(
+            F.expr("max_by(cid, struct(_cc, -cid))").alias("cid"),
+            F.first("cvec").alias("cvec"),
+        )
         .select("cid", "neighbor_id", "cvec")
     )
 
