@@ -90,6 +90,8 @@ _PRIORITY = [
     "tfidf_top_terms",
     "forward_fill_hourly",
     "trim_length_outliers",
+    "event_funnel",
+    "user_retention_cohorts",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -118,9 +120,9 @@ _PRIORITY = [
     "ann_brute_force",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
+    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     "asof_last_order",
     "orders_within_30_days",
-    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     "order_price_percentiles",
     # (these r1-greens were bumped for the changed/new r3 queries; their
     # r1 rows remain valid since their code is untouched)

@@ -287,6 +287,94 @@ GROUP BY dow, hour
 """
 
 
+# --- ordered funnel (view → click → purchase, strictly increasing time) --------
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel counts: users who viewed; of those, whose first
+    click FOLLOWS their first view; of those, whose first purchase follows
+    that click. Each stage is one type-filtered min-aggregate joined back
+    on user_id — three cheap passes over a pruned scan (the filter and the
+    two-column projection reach parquet), no window over raw events."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+
+    def first_after(event_type: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        t = ev.filter(F.col("event_type") == event_type)
+        return (
+            t.join(prev, on="user_id")
+            .filter(F.col("ts_ms") > F.col(prev_col))
+            .groupBy("user_id", prev_col)
+            .agg(F.min("ts_ms").alias(out))
+        )
+
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_ms").alias("t_view")
+    )
+    clicks = first_after("click", views, "t_view", "t_click")
+    buys = first_after("purchase", clicks.select("user_id", "t_click"), "t_click", "t_buy")
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n_buy_after_click")))
+    )
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events
+),
+v AS (SELECT user_id, MIN(tms) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, v.t_view, MIN(e.tms) AS t_click
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.tms > v.t_view
+  GROUP BY e.user_id, v.t_view
+),
+b AS (
+  SELECT e.user_id, MIN(e.tms) AS t_buy
+  FROM ev e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.tms > c.t_click
+  GROUP BY e.user_id, c.t_click
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_buy_after_click
+"""
+
+
+# --- retention cohorts (first-seen day × day offset) ---------------------------
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active epoch-day,
+    counted per day-offset they return. Two aggregates (first day per
+    user — reused via join — then distinct users per cohort × offset);
+    all integer epoch-day arithmetic, no calendar surface."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, on="user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN first f ON f.user_id = e.user_id
+GROUP BY f.cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "order_price_histogram": (order_price_histogram, HIST_SQL),
@@ -296,4 +384,6 @@ QUERIES = {
     "monthly_revenue": (monthly_revenue, MONTHLY_SQL),
     "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
     "events_dow_hour_heatmap": (events_dow_hour_heatmap, DOW_HOUR_SQL),
+    "event_funnel": (event_funnel, FUNNEL_SQL),
+    "user_retention_cohorts": (user_retention_cohorts, RETENTION_SQL),
 }
