@@ -92,6 +92,8 @@ _PRIORITY = [
     "trim_length_outliers",
     "event_funnel",
     "user_retention_cohorts",
+    "value_variance_by_type",
+    "revenue_share_by_nation",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -118,9 +120,9 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_embedding",
     "ann_brute_force",
+    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
-    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
     "asof_last_order",
     "orders_within_30_days",
     "order_price_percentiles",

@@ -287,6 +287,84 @@ GROUP BY dow, hour
 """
 
 
+# --- exact sample variance in DECIMAL(38) (overflow-safe, engine-exact) --------
+
+def value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact sample variance of value, in cent² integer
+    units: var = (n·Σx² − (Σx)²) div (n(n−1)) over DECIMAL(38,0) cents.
+    A float var_samp would hash-flake (summation order); DECIMAL(38)
+    keeps Σx² exact far past int64 (cents² sums overflow BIGINT around
+    10⁹ rows/group — routine at 100 TB), and n·Σx²−(Σx)² ≥ 0 makes
+    floor ≡ truncation on both engines."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = F.expr("cast(round(value * 100) as decimal(38,0))")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(cents).alias("_s"),
+        F.sum(cents * cents).alias("_ss"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_events"),
+        F.expr("cast(floor((_n * _ss - _s * _s) / (_n * (_n - 1))) as bigint)").alias(
+            "var_cents2"
+        ),
+    )
+
+
+VARIANCE_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS s,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT) * CAST(ROUND(value * 100) AS HUGEINT)) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST((n * ss - s * s) // (n * (n - 1)) AS BIGINT) AS var_cents2
+FROM a
+"""
+
+
+# --- percent-of-total (integer ppm, broadcast scalar denominator) --------------
+
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of total order revenue in integer ppm — the
+    percent-of-total pattern without a global window: the denominator is
+    a broadcast one-row aggregate, the division is integral."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_iscale("o_totalprice", 100)).alias("_cents"))
+    )
+    total = per.agg(F.sum("_cents").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        money2(F.col("_cents"), 2).alias("revenue"),
+        F.expr("(1000000 * _cents) div _tot").alias("share_ppm"),
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per AS (
+  SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       ((2 * cents + 1) // 2) / 100.0 AS revenue,
+       CAST((1000000 * cents) // (SELECT SUM(cents) FROM per) AS BIGINT) AS share_ppm
+FROM per
+"""
+
+
 # --- ordered funnel (view → click → purchase, strictly increasing time) --------
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,4 +464,6 @@ QUERIES = {
     "events_dow_hour_heatmap": (events_dow_hour_heatmap, DOW_HOUR_SQL),
     "event_funnel": (event_funnel, FUNNEL_SQL),
     "user_retention_cohorts": (user_retention_cohorts, RETENTION_SQL),
+    "value_variance_by_type": (value_variance_by_type, VARIANCE_SQL),
+    "revenue_share_by_nation": (revenue_share_by_nation, REVENUE_SHARE_SQL),
 }
