@@ -1,0 +1,87 @@
+"""Slowly-changing-dimension type-2 merge — dimension history maintenance.
+
+A 100 TB warehouse keeps dimensions (customers, suppliers, documents'
+source metadata) as SCD2 history: one row per (key, version) with
+[valid_from, valid_to) validity, ``valid_to`` NULL while open. Each new
+snapshot closes changed rows and opens new versions. Engines usually do
+this with MERGE; here it is the equivalent join/union plan, so it runs
+on plain parquet with no table-format dependency.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    day: int,
+) -> DataFrame:
+    """Fold a ``day``-stamped snapshot into an SCD2 ``history``.
+
+    ``history``: (key, *attrs, valid_from: long, valid_to: long|null).
+    ``snapshot``: (key, *attrs) — the dimension's full state at ``day``.
+
+    Row fate (one full-outer join of open rows vs snapshot decides all):
+      * open row, key in snapshot, attrs unchanged → stays open;
+      * open row, key gone or attrs changed       → closed (valid_to=day);
+      * snapshot key new or changed               → new open row
+        (valid_from=day);
+      * already-closed rows pass through untouched.
+
+    Shape: one shuffle on the key for the full-outer join (dimension-
+    sized, not fact-sized), unions are free. Null-safe attr comparison —
+    a NULL→value change is a change.
+    """
+    open_rows = history.filter(F.col("valid_to").isNull())
+    closed_rows = history.filter(F.col("valid_to").isNotNull())
+    o = open_rows.select(
+        F.col(key).alias("_k"),
+        *[F.col(a).alias(f"_o_{a}") for a in attrs],
+        F.col("valid_from").alias("_o_from"),
+        F.lit(1).alias("_o_present"),  # NOT derived from attrs: they may be NULL
+    )
+    s = snapshot.select(
+        F.col(key).alias("_k"),
+        *[F.col(a).alias(f"_s_{a}") for a in attrs],
+        F.lit(1).alias("_s_present"),
+    )
+    j = o.join(s, on="_k", how="full_outer")
+
+    in_open = F.col("_o_present").isNotNull()
+    in_snap = F.col("_s_present").isNotNull()
+    same: Column = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_o_{a}").eqNullSafe(F.col(f"_s_{a}")) for a in attrs],
+    )
+
+    kept_open = j.filter(in_open & in_snap & same).select(
+        F.col("_k").alias(key),
+        *[F.col(f"_o_{a}").alias(a) for a in attrs],
+        F.col("_o_from").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    newly_closed = j.filter(in_open & (~in_snap | ~same)).select(
+        F.col("_k").alias(key),
+        *[F.col(f"_o_{a}").alias(a) for a in attrs],
+        F.col("_o_from").alias("valid_from"),
+        F.lit(day).cast("long").alias("valid_to"),
+    )
+    newly_open = j.filter(in_snap & (~in_open | ~same)).select(
+        F.col("_k").alias(key),
+        *[F.col(f"_s_{a}").alias(a) for a in attrs],
+        F.lit(day).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return (
+        closed_rows.select(key, *attrs, "valid_from", "valid_to")
+        .unionByName(kept_open)
+        .unionByName(newly_closed)
+        .unionByName(newly_open)
+    )

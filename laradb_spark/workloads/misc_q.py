@@ -365,6 +365,54 @@ FROM per
 """
 
 
+# --- SCD2 dimension merge (warehouse history maintenance) ----------------------
+
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge exercised on a deterministic scenario: history = every
+    customer's segment open since day 0; snapshot at day 100 moves every
+    7th customer to segment 'MOVED' and drops every 13th customer
+    entirely. Unchanged rows stay open, changed/gone rows close, changes
+    reopen (operators/scd.py)."""
+    from ..operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    history = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    snapshot = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    return scd2_apply(history, snapshot, "k", ["seg"], day=100)
+
+
+SCD2_SQL = """
+WITH open_rows AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+),
+snap AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT o.k, o.seg, CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM open_rows o JOIN snap s ON s.k = o.k AND s.seg = o.seg
+UNION ALL
+SELECT o.k, o.seg, CAST(0 AS BIGINT), CAST(100 AS BIGINT)
+FROM open_rows o LEFT JOIN snap s ON s.k = o.k
+WHERE s.k IS NULL OR s.seg <> o.seg
+UNION ALL
+SELECT s.k, s.seg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+FROM snap s JOIN open_rows o ON o.k = s.k
+WHERE s.seg <> o.seg
+"""
+
+
 # --- ordered funnel (view → click → purchase, strictly increasing time) --------
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,4 +514,5 @@ QUERIES = {
     "user_retention_cohorts": (user_retention_cohorts, RETENTION_SQL),
     "value_variance_by_type": (value_variance_by_type, VARIANCE_SQL),
     "revenue_share_by_nation": (revenue_share_by_nation, REVENUE_SHARE_SQL),
+    "scd2_customer_segments": (scd2_customer_segments, SCD2_SQL),
 }

@@ -547,3 +547,38 @@ def test_repetition_oracle_parity_adversarial(spark, tmp_path):
     assert all(str(t).upper() == "BIGINT" for t in rel.types[1:]), rel.types
     want = {r[0]: (r[1], r[2]) for r in rel.fetchall()}
     assert got == want
+
+
+def test_scd2_apply(spark):
+    """SCD2 merge: unchanged stays open, changed closes + reopens, gone
+    closes, new opens, closed history passes through, NULL attrs compare
+    null-safely."""
+    from laradb_spark.operators.scd import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            (1, "gold", 0, None),      # unchanged → stays open
+            (2, "silver", 0, None),    # changes → close + reopen
+            (3, "bronze", 0, None),    # disappears → close
+            (2, "lead", -50, 0),       # already closed → untouched
+            (5, None, 0, None),        # NULL attr, unchanged → stays open
+        ],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "gold"), (2, "platinum"), (4, "new"), (5, None)],
+        "k long, seg string",
+    )
+    out = {
+        (r.k, r.seg, r.valid_from, r.valid_to)
+        for r in scd2_apply(history, snapshot, "k", ["seg"], 100).collect()
+    }
+    assert out == {
+        (1, "gold", 0, None),
+        (2, "silver", 0, 100),
+        (2, "platinum", 100, None),
+        (2, "lead", -50, 0),
+        (3, "bronze", 0, 100),
+        (4, "new", 100, None),
+        (5, None, 0, None),
+    }
