@@ -235,6 +235,45 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the chunking
+    step of a RAG / long-context training pipeline. Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the last chunk may be short; an empty doc yields one empty
+    chunk (explicit, not dropped). Map-only JVM expressions: the token
+    array is staged once, windows are slice/concat — zero shuffle at any
+    corpus size. Returns (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = df.select("doc_id", tokens(F.col(text)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # number of chunks = 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(F.col("_toks"), i * stride + 1, chunk_tokens).alias("_w"),
+        ),
+    )
+    ex = staged.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("c._w")).alias("chunk_text"),
+        F.size(F.col("c._w")).cast("long").alias("n_tokens"),
+    )
+
+
 def repetition_stats(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
     """Within-document repetition signals (the Gopher-style quality
     filters): the fraction of all word n-grams taken by the single most

@@ -95,6 +95,7 @@ _PRIORITY = [
     "value_variance_by_type",
     "revenue_share_by_nation",
     "scd2_customer_segments",
+    "chunk_documents_q",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,8 +120,8 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
-    "dedup_embedding",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
+    "dedup_embedding",
     "ann_brute_force",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",

@@ -211,6 +211,42 @@ QUALIFY rank <= {_TFIDF_K}
 """
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (map-only)."""
+    return tx.chunk_documents(
+        load(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + CAST(CEIL(GREATEST(len(toks) - {_CHUNK_TOKENS}, 0)
+                       / {_CHUNK_TOKENS - _CHUNK_OVERLAP}.0) AS INT) AS n_chunks
+  FROM t
+),
+ex AS (
+  SELECT doc_id, UNNEST(range(0, n_chunks)) AS chunk_idx, toks FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1,
+                                  chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1,
+                           chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS})) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load(spark, sf_dir, "documents"))
 
@@ -1111,6 +1147,7 @@ QUERIES = {
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "corpus_frequent_ngrams": (corpus_frequent_ngrams, FREQUENT_NGRAMS_SQL),
     "trim_length_outliers": (trim_length_outliers_q, TRIM_OUTLIERS_SQL),
+    "chunk_documents_q": (chunk_documents_q, CHUNK_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
 }

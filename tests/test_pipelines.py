@@ -582,3 +582,29 @@ def test_scd2_apply(spark):
         (4, "new", 100, None),
         (5, None, 0, None),
     }
+
+
+def test_chunk_documents(spark):
+    from laradb_spark.pipelines.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks, chunk 4/ov 1
+            (2, "a b"),                                  # shorter than one chunk
+            (3, ""),                                     # empty → one empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()}
+    # stride 3: chunks at 0,3,6,9 → 1 + ceil((10-4)/3) = 3 chunks
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in out
+    assert out[(2, 0)] == ("a b", 2)
+    assert out[(3, 0)] == ("", 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
