@@ -115,6 +115,40 @@ def drop_seen_digests(df: DataFrame, index_path: str, text_col: str = "text") ->
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    name_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance WITHIN blocks:
+    rows sharing ``block_cols`` are compared with ``levenshtein`` and
+    pairs at distance ≤ ``max_dist`` emitted as (id_a < id_b, dist).
+
+    The third member of the bounded-quadratic family (LSH buckets bound
+    minhash pairs, k-means clusters bound semantic pairs, blocking keys
+    bound edit-distance pairs): the join shuffles on the block key, the
+    per-block comparison is quadratic only in block size, and AQE
+    skew-split handles hot blocks. levenshtein is the classic DP — same
+    integers in every engine, so results are exactly reproducible."""
+    a = df.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
+    )
+    b = df.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb")
+    )
+    return (
+        a.join(b, on=list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_na", "_nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -271,6 +271,28 @@ FROM sh
 # dedup
 # ---------------------------------------------------------------------------
 
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution on part names, blocked by
+    (brand, type) so the quadratic comparison is block-local."""
+    return dd.fuzzy_pairs(
+        load(spark, sf_dir, "part"),
+        block_cols=["p_brand", "p_type"],
+        id_col="p_partkey",
+        name_col="p_name",
+        max_dist=3,
+    )
+
+
+FUZZY_PAIRS_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -1148,6 +1170,7 @@ QUERIES = {
     "corpus_frequent_ngrams": (corpus_frequent_ngrams, FREQUENT_NGRAMS_SQL),
     "trim_length_outliers": (trim_length_outliers_q, TRIM_OUTLIERS_SQL),
     "chunk_documents_q": (chunk_documents_q, CHUNK_SQL),
+    "fuzzy_part_pairs": (fuzzy_part_pairs, FUZZY_PAIRS_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
 }

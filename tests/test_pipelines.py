@@ -608,3 +608,18 @@ def test_chunk_documents(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_fuzzy_pairs(spark):
+    from laradb_spark.pipelines.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "b1", "widget red"),
+        (2, "b1", "widget rad"),   # dist 1 from 1
+        (3, "b1", "completely other"),
+        (4, "b2", "widget red"),   # same name, DIFFERENT block → never paired
+    ]
+    df = spark.createDataFrame(rows, "id long, brand string, name string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, ["brand"], "id", "name", max_dist=3).collect()}
+    assert got == {(1, 2): 1}

@@ -28,7 +28,7 @@ def test_changed_queries_inside_oracle_window():
         "forward_fill_hourly", "semantic_dedup_fast", "trim_length_outliers",
         "event_funnel", "user_retention_cohorts",
         "value_variance_by_type", "revenue_share_by_nation",
-        "scd2_customer_segments", "chunk_documents_q",
+        "scd2_customer_segments", "chunk_documents_q", "fuzzy_part_pairs",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
