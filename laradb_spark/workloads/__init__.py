@@ -97,6 +97,7 @@ _PRIORITY = [
     "scd2_customer_segments",
     "chunk_documents_q",
     "fuzzy_part_pairs",
+    "dedup_rate_by_source",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,8 +120,8 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
+    "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "dedup_embedding",
     "ann_brute_force",

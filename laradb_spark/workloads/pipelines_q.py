@@ -293,6 +293,37 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard row: per source, document count, distinct
+    content count (md5), and duplicate ppm — one digest-only aggregate,
+    the payload never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.col("text")).alias("_d"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_d").alias("n_unique"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            F.expr("(1000000 * (n_docs - n_unique)) div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+DEDUP_RATE_SQL = """
+WITH a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       CAST((1000000 * (n_docs - n_unique)) // n_docs AS BIGINT) AS dup_ppm
+FROM a
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -1171,6 +1202,7 @@ QUERIES = {
     "trim_length_outliers": (trim_length_outliers_q, TRIM_OUTLIERS_SQL),
     "chunk_documents_q": (chunk_documents_q, CHUNK_SQL),
     "fuzzy_part_pairs": (fuzzy_part_pairs, FUZZY_PAIRS_SQL),
+    "dedup_rate_by_source": (dedup_rate_by_source, DEDUP_RATE_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
 }
