@@ -623,3 +623,46 @@ def test_fuzzy_pairs(spark):
     got = {(r.id_a, r.id_b): r.dist
            for r in fuzzy_pairs(df, ["brand"], "id", "name", max_dist=3).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_observed_filter_metrics(spark):
+    """df.observe metrics come from the SAME pass as the action — drop-rate
+    accounting with zero extra scans."""
+    from laradb_spark.operators.observe import observed_filter
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("v"))
+    kept, obs = observed_filter(df, F.col("v") < 3, name="quality")
+    assert kept.count() == 30
+    assert obs.get == {"quality_in": 100, "quality_kept": 30}
+
+
+def test_python_udtf_sentence_split(spark):
+    """Spark 4 Python UDTF surface: a table function exploding one input
+    row into N output rows — the escape hatch when an operator's fan-out
+    logic is genuinely imperative (here: accumulate-until-budget split,
+    which pure expressions can't stream)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_idx: int, part: string, n_words: int")
+    class BudgetSplit:
+        def eval(self, text: str, budget: int):
+            words = [w for w in (text or "").split(" ") if w]
+            buf, idx = [], 0
+            for w in words:
+                buf.append(w)
+                if len(buf) >= budget:
+                    yield idx, " ".join(buf), len(buf)
+                    idx += 1
+                    buf = []
+            if buf or idx == 0:
+                yield idx, " ".join(buf), len(buf)
+
+    spark.udtf.register("budget_split", BudgetSplit)
+    rows = spark.sql(
+        "SELECT * FROM budget_split('a b c d e', 2)"
+    ).collect()
+    got = [(r.part_idx, r.part, r.n_words) for r in rows]
+    assert got == [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]
+    # empty input yields exactly one empty part, mirroring chunk_documents
+    rows = spark.sql("SELECT * FROM budget_split('', 3)").collect()
+    assert [(r.part_idx, r.part, r.n_words) for r in rows] == [(0, "", 0)]
