@@ -98,6 +98,7 @@ _PRIORITY = [
     "chunk_documents_q",
     "fuzzy_part_pairs",
     "dedup_rate_by_source",
+    "median_value_by_type",
     # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,8 +120,8 @@ _PRIORITY = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
+    "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "dedup_embedding",

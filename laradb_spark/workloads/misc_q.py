@@ -413,6 +413,47 @@ WHERE s.seg <> o.seg
 """
 
 
+# --- exact per-group median (deterministic rank pick, no float percentile) -----
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median of value per event type: the row at rank
+    (n+1)//2 under a TOTAL order (cents, event_id) — rank arithmetic
+    only, so engines agree exactly where percentile interpolation would
+    float-flake. Groups are event types (bounded), so the per-group
+    window is bounded; a single giant group would use the two-phase
+    global ranking pattern (customer_spend_quartiles)."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "event_id", _iscale("value", 100).alias("_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("_cents", "event_id")
+    wg = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .filter(F.expr("_r = (_n + 1) div 2"))
+        .select(
+            "event_type",
+            (F.col("_cents") / 100.0).alias("median_value"),
+            F.col("_n").alias("n_events"),
+        )
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, cents / 100.0 AS median_value, CAST(n AS BIGINT) AS n_events
+FROM ranked WHERE r = (n + 1) // 2
+"""
+
+
 # --- ordered funnel (view → click → purchase, strictly increasing time) --------
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,4 +556,5 @@ QUERIES = {
     "value_variance_by_type": (value_variance_by_type, VARIANCE_SQL),
     "revenue_share_by_nation": (revenue_share_by_nation, REVENUE_SHARE_SQL),
     "scd2_customer_segments": (scd2_customer_segments, SCD2_SQL),
+    "median_value_by_type": (median_value_by_type, MEDIAN_SQL),
 }

@@ -29,7 +29,7 @@ def test_changed_queries_inside_oracle_window():
         "event_funnel", "user_retention_cohorts",
         "value_variance_by_type", "revenue_share_by_nation",
         "scd2_customer_segments", "chunk_documents_q", "fuzzy_part_pairs",
-        "dedup_rate_by_source",
+        "dedup_rate_by_source", "median_value_by_type",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
