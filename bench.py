@@ -42,8 +42,9 @@ HEADLINE = [
     "q10_returned_items",
     "q8_market_share",
     "decontaminate_docs",
-    # round-3 operators
-    "semantic_dedup",
+    # round-3 operators (semantic dedup benched via its _fast NumPy-matmul
+    # twin — same operator, same oracle; minhash/simhash/ANN precedent)
+    "semantic_dedup_fast",
     "corpus_frequent_ngrams",
     "forward_fill_hourly",
 ]
@@ -80,12 +81,30 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Stamp the run with the git SHA and a hash of the headline set so
+    # cross-round comparisons are mechanically apples-to-apples (two runs
+    # compare directly iff queries_md5 matches).
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    import hashlib
+
+    qhash = hashlib.md5("\n".join(HEADLINE).encode()).hexdigest()[:12]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "git_sha": sha,
+        "queries_md5": qhash,
+        "n_queries": len(HEADLINE),
     }))
     spark.stop()
 

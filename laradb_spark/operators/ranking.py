@@ -1,0 +1,102 @@
+"""Partition-count-independent grouped ranking (two-phase order statistics).
+
+The scale trap this module exists for: ``Window.partitionBy(g).orderBy(k)``
+parallelizes by GROUP — with 5 event types (or ~20 sources) the sort of N
+rows runs in 5 tasks no matter how many executors the cluster has; at 100×
+data each task sorts N/5 rows alone. The fix is the classic two-phase
+distributed order-statistics pattern already used for the GLOBAL case in
+``workloads/misc_q.customer_spend_quartiles``; this generalizes it
+per-group:
+
+  1. ``repartitionByRange`` on (group…, order…) — each task holds a
+     contiguous slice of the composite key space; parallelism is the
+     PARTITION count, not the group count.
+  2. per-(task, group) ``row_number`` — each window is at most one task's
+     slice of one group, so every sort is partition-sized.
+  3. per-group rank = shard offset + local row number. Offsets come from a
+     per-(partition, group) count: groups are contiguous under range
+     partitioning, so that table has at most n_partitions + n_groups − 1
+     rows — bounded by cluster size + group count, never by data volume.
+     It is collected driver-side (documented bounded collect, same family
+     as ``customer_spend_quartiles``) and broadcast back.
+
+Use when n_groups ≪ cores (the parallelism-collapse case). When groups are
+plentiful — high-cardinality keys, groups ≫ cores — the plain per-group
+window is already parallel and cheaper; keep it there.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..util import persist_once
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    rank_col: str = "_r",
+    count_col: str = "_n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus per-group 1-based ``rank_col`` (row_number under
+    ``order_cols`` within each ``group_cols`` group) and per-group size
+    ``count_col`` — bit-identical to the naive
+    ``row_number().over(Window.partitionBy(group).orderBy(order))`` +
+    ``count().over(Window.partitionBy(group))`` pair, but with every stage
+    parallel at any (data ÷ group-count) ratio.
+
+    ``order_cols`` must define a TOTAL order within each group for the rank
+    to be deterministic (ties that straddle a range boundary are numbered
+    arbitrarily, exactly like window row_number ties).
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+    sort_exprs = [F.asc(c) for c in group_cols] + order_exprs
+    ranged = persist_once(
+        df.repartitionByRange(nparts, *sort_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    # Bounded collect: ≤ nparts + n_groups − 1 rows (group-contiguity under
+    # range partitioning), never data-sized.
+    counts = (
+        ranged.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for r in counts:
+        per_group[tuple(r[g] for g in group_cols)].append((r["_pid"], r["_c"]))
+    rows = []
+    for key, shards in per_group.items():
+        shards.sort()  # range partitions are ordered by pid
+        total = sum(c for _, c in shards)
+        acc = 0
+        for pid, c in shards:
+            rows.append((pid, *key, acc, total))
+            acc += c
+    schema = StructType(
+        [StructField("_pid", IntegerType(), False)]
+        + [df.schema[g] for g in group_cols]
+        + [StructField("_off", LongType(), False), StructField(count_col, LongType(), False)]
+    )
+    off_df = spark.createDataFrame(rows, schema)
+    # Null-safe equality on the group keys: a NULL group is a real group to
+    # window semantics, and a plain equi-join would silently drop its rows.
+    cond = ranged["_pid"] == off_df["_pid"]
+    for g in group_cols:
+        cond = cond & ranged[g].eqNullSafe(off_df[g])
+    joined = ranged.join(F.broadcast(off_df), cond).drop(
+        off_df["_pid"], *[off_df[g] for g in group_cols]
+    )
+    lw = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
+    return (
+        joined.withColumn(rank_col, F.col("_off") + F.row_number().over(lw))
+        .drop("_pid", "_off")
+    )

@@ -51,22 +51,33 @@ def trim_length_outliers(
     length_col: str = "n_chars",
     id_col: str = "doc_id",
     pct: int = 1,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Drop each group's shortest and longest ``pct``% of documents — the
     standard length-outlier filter (truncated/binary-garbage docs at one
     end, concatenation accidents at the other), decided in PURE INTEGER
     rank arithmetic: keep rows with n·pct//100 < rank ≤ n − n·pct//100,
     rank ties broken by id. No float percentile → no engine-boundary
-    flakes (DEVNOTES gotcha #4). One window per group (groups are
-    domains/sources — bounded); for a single giant group use the
-    two-phase global ranking pattern (misc_q.customer_spend_quartiles)."""
-    w = Window.partitionBy(group).orderBy(F.asc(length_col), F.asc(id_col))
-    wg = Window.partitionBy(group)
-    ranked = (
-        df.withColumn("_r", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wg))
-        .withColumn("_lo", F.expr(f"(_n * {pct}) div 100"))
-    )
+    flakes (DEVNOTES gotcha #4).
+
+    Groups are domains/sources — ~20 of them — so a plain
+    ``Window.partitionBy(group)`` sorts N/20 rows in 20 tasks regardless
+    of cluster size. Default is therefore the partition-count-independent
+    two-phase ranking (``operators.ranking.grouped_rank``); pass
+    ``two_phase=False`` to keep the simple window when the group key is
+    high-cardinality (groups ≫ cores), where the naive window is already
+    parallel and skips the offset-table job."""
+    if two_phase:
+        from ..operators.ranking import grouped_rank
+
+        ranked = grouped_rank(df, [group], [F.asc(length_col), F.asc(id_col)])
+    else:
+        w = Window.partitionBy(group).orderBy(F.asc(length_col), F.asc(id_col))
+        wg = Window.partitionBy(group)
+        ranked = df.withColumn("_r", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wg)
+        )
+    ranked = ranked.withColumn("_lo", F.expr(f"(_n * {pct}) div 100"))
     return (
         ranked.filter((F.col("_r") > F.col("_lo")) & (F.col("_r") <= F.col("_n") - F.col("_lo")))
         .drop("_r", "_lo", "_n")

@@ -102,9 +102,14 @@ def drop_seen_digests(df: DataFrame, index_path: str, text_col: str = "text") ->
     incremental exact dedup of a new batch against the historical corpus.
 
     Works on BATCH and STREAMING ``df`` alike: the plan is a stream-static
-    left-anti join (supported by Structured Streaming — the static side is
-    re-read per micro-batch, so an appended index takes effect on the next
-    trigger). Only (digest) ever joins; the new shard's payload stays in
+    left-anti join (supported by Structured Streaming). Caveat: a plain
+    parquet static side resolves its FILE LISTING once at plan creation, so
+    digests appended while a long-running stream is up are not seen until
+    the query restarts (or, for per-batch freshness, re-invoke this inside
+    ``foreachBatch`` so each micro-batch builds a fresh static plan — a
+    Delta/Iceberg static side would refresh snapshots per batch, but those
+    connectors aren't in this image). Only (digest) ever joins; the new
+    shard's payload stays in
     its scan tasks, and at 100 TB the index side is a digest-only parquet
     that Spark/AQE broadcast when small and shuffle-hash otherwise."""
     seen = df.sparkSession.read.parquet(index_path)

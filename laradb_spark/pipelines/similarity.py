@@ -34,7 +34,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe cosine: a zero vector is similar to nothing (0.0),
+    not NaN-similar to everything. Under ANSI mode (Spark 4 default) a
+    bare /0 THROWS in the executor; under non-ANSI it yields NaN, which
+    Spark orders GREATEST — either way an unguarded cosine turns one
+    all-zeros embedding into a crashed stage or a row that outranks every
+    real neighbor. ``when`` evaluates the division only where the
+    denominator is positive."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -268,6 +276,10 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
     n_centroids·dim values — because otherwise every round's plan embeds
     the previous round's assignment join (O(2^iters) plan growth)."""
     spark = c.sparkSession
+    # per-vector norm computed ONCE for all rounds (each round's assignment
+    # needs it; recomputing the 128-dim HOF fold per round doubles the loop)
+    if lloyd_iters > 0 and "_nv" not in c.columns:
+        c = persist_once(c.withColumn("_nv", norm(F.col("cvec"))))
     cents = (
         c.orderBy("neighbor_id").limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
@@ -285,6 +297,21 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
         )
         cents = spark.createDataFrame(new_cents.collect(), new_cents.schema)
     return cents
+
+
+# Target expected cluster size for auto-scaled k-means k: keeps the
+# within-cluster quadratic (pairs ≈ N·target/2) LINEAR in N as the corpus
+# grows, instead of N²/k with a fixed k.
+SEM_TARGET_CLUSTER = 256
+
+
+def auto_centroids(c: DataFrame, target_cluster_size: int = SEM_TARGET_CLUSTER) -> int:
+    """k ∝ N: ``max(16, ceil(count/target_cluster_size))`` via one bounded
+    count (an aggregate job over the id column only — no payload collect).
+    Callers that know their corpus size can pass ``n_centroids`` explicitly
+    and skip the count job."""
+    n = c.count()
+    return max(16, -(-n // max(1, target_cluster_size)))
 
 
 def ivf_topk(
@@ -470,7 +497,7 @@ def lsh_search_index(
 def semantic_dedup(
     emb: DataFrame,
     tau: float = 0.9,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -484,14 +511,18 @@ def semantic_dedup(
     Returns the surviving ``(vec_id, cid)`` rows.
 
     Scale shape: clustering makes the quadratic comparison CLUSTER-local —
-    the whole point vs all-pairs cosine. At 100 TB, n_centroids grows with
-    the corpus (k ∝ N keeps expected cluster size constant ≈ N/k), the
+    the whole point vs all-pairs cosine. ``n_centroids=None`` (default)
+    auto-scales k ∝ N via ``auto_centroids`` (one bounded count), keeping
+    expected cluster size ≈ SEM_TARGET_CLUSTER constant — a fixed k would
+    silently grow the within-cluster quadratic as N²/k at 100×. The
     per-cluster self-join is one shuffle on ``cid``, and AQE skew-split
     handles fat clusters; centroid training is the bounded-collect Lloyd
     loop shared with IVF (``_train_centroids``)."""
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
+    if n_centroids is None:
+        n_centroids = auto_centroids(c)
     cents = _train_centroids(c, n_centroids, lloyd_iters)
     # assigned fans out 3× (both pair sides + the final anti-join); without
     # a persist the whole assignment pipeline recomputes per consumer
@@ -515,7 +546,16 @@ def semantic_dedup(
     dropped = (
         a.join(b, on="cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau)
+        # zero-norm guard: under ANSI /0 throws, under non-ANSI it's NaN
+        # (ordered greatest → drops every cluster-mate). The `when` makes
+        # the division conditional PER ROW — two separate filters could be
+        # reordered/merged by Catalyst and still divide by zero.
+        .filter(
+            F.when(
+                (F.col("_na") * F.col("_nb")) > 0,
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau,
+            ).otherwise(F.lit(False))
+        )
         .select(F.col("id_b").alias("neighbor_id"))
         .distinct()
     )
@@ -528,7 +568,7 @@ def semantic_dedup(
 def semantic_dedup_fast(
     emb: DataFrame,
     tau: float = 0.9,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -546,6 +586,8 @@ def semantic_dedup_fast(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
+    if n_centroids is None:
+        n_centroids = auto_centroids(c)
     cents = _train_centroids(c, n_centroids, lloyd_iters)
     assigned = persist_once(_assign(c, cents))
 
@@ -557,7 +599,12 @@ def semantic_dedup_fast(
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         v = np.stack(pdf["cvec"].to_numpy())            # m × d
         nrm = np.sqrt((v * v).sum(axis=1))
-        s = (v @ v.T) / np.outer(nrm, nrm)
+        # zero-norm guard (mirrors semantic_dedup's `_na*_nb > 0` filter):
+        # pairs involving a zero vector are never similar, not NaN-similar.
+        denom = np.outer(nrm, nrm)
+        valid = denom > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(valid, (v @ v.T) / np.where(valid, denom, 1.0), -np.inf)
         # drop j if ANY lower-id i in the cluster has sim ≥ tau (strictly
         # the pairwise rule of semantic_dedup, not a greedy chain)
         mask = np.triu(s >= tau, k=1).any(axis=0)
@@ -582,8 +629,21 @@ def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     (vector × centroid) row: at N vectors × k centroids the sort is
     O(Nk log Nk) through one exchange, the aggregate combines map-side
     to one row per vector before shuffling."""
-    scored = c.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id", "cvec", cosine(F.col("cvec"), F.col("cent")).alias("_cc"), "cid"
+    # Norms staged ONCE per vector / per centroid, NOT inside the pair
+    # expression: HOFs run interpreted with no codegen CSE (DEVNOTES #2),
+    # so an inline cosine() would recompute the 128-dim norm fold
+    # k-centroids times per vector (and twice more under the zero-norm
+    # `when`). Measured ~2× on the Lloyd loop at k=16.
+    cn = c if "_nv" in c.columns else c.withColumn("_nv", norm(F.col("cvec")))
+    ct = cents.withColumn("_nc", norm(F.col("cent")))
+    d = F.col("_nv") * F.col("_nc")
+    scored = cn.crossJoin(F.broadcast(ct)).select(
+        "neighbor_id",
+        "cvec",
+        F.when(d > 0, dot(F.col("cvec"), F.col("cent")) / d)
+        .otherwise(F.lit(0.0))
+        .alias("_cc"),
+        "cid",
     )
     return (
         scored.groupBy("neighbor_id")

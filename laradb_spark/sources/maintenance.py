@@ -46,9 +46,15 @@ def compact_parquet(
     File count = ceil(input_bytes / target): compressed input size is the
     best cheap proxy for output size (same codec, same data). One
     round-robin repartition — a single full shuffle, the unavoidable cost
-    of re-packing; with ``partition_by`` the repartition keys on those
-    columns instead so each output partition directory compacts
-    internally without cross-partition traffic.
+    of re-packing. With ``partition_by``, repartitioning on the partition
+    columns ALONE would hash every row of one partition value into a
+    single task → one oversized file per big partition value regardless of
+    target (and n_files beyond the distinct-combo count would be empty).
+    Instead the shuffle keys on (partition cols, salt) where salt splits
+    each partition value into ≈ ceil(n_files / n_combos) slices, sized
+    from one cheap distinct-count over the pruned partition columns — so
+    large partition values split toward the target file size while each
+    output directory still compacts internally.
     """
     total, n_before = _tree_bytes(spark, src)
     target = max(1, target_file_mb) * 1024 * 1024
@@ -57,7 +63,12 @@ def compact_parquet(
     if partition_by:
         from pyspark.sql import functions as F
 
-        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        n_combos = max(1, df.select(*partition_by).distinct().count())
+        per_part = max(1, -(-n_files // n_combos))  # files per partition value
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(per_part))
+        out = df.repartition(
+            n_files, *[F.col(c) for c in partition_by], salt
+        )
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(dst)
     else:
         out = df.repartition(n_files)

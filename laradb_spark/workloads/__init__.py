@@ -63,9 +63,89 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r3 head: code or SQL changed this round, or red/err in r2 ---------
-    # The whole events family re-verifies under the Spark-4 load_events fix
-    # (ts is timestamp_ntz on 4.x; nanosAsLong is silently ignored).
+    # --- r4 head: code changed THIS round → must re-earn a driver row ------
+    # zero-norm-safe cosine() + pair-stage guard + auto-k default touch the
+    # whole similarity stack; median/trim moved to two-phase grouped_rank;
+    # grouping sets gained the 3.x SQL fallback; variance gained NULLIF.
+    "semantic_dedup",
+    "semantic_dedup_fast",
+    "median_value_by_type",
+    "trim_length_outliers",
+    "grouping_sets_revenue",
+    "value_variance_by_type",
+    "ann_brute_force",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "dedup_embedding",
+    # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
+    # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
+    # the code paths most adjacent to since-rewritten modules; 22 plain
+    # TPC-H/relational SQL queries (least environment-sensitive) carry to
+    # the r5 window.
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dedup_lsh_jaccard",
+    "dedup_components",
+    "dedup_keep_representatives",
+    "ann_brute_force_fast",
+    "ann_sq8_topk",
+    "approx_stats",
+    "decontaminate_docs",
+    "train_val_split_stats",
+    "mix_sources_counts",
+    "redact_pii_stats",
+    "cap_docs_per_source",
+    "pack_sequences_q",
+    "shuffle_shards_q",
+    "pagerank_supplier_part",
+    "multimodal_features",
+    "customer_spend_quartiles",
+    "graph_brand_degree",
+    "graph_brand_gram",
+    "d4m_set_filter",
+    "sql_front_door_q",
+    "raco_front_door_q",
+    "text_replace_map",
+    "lara_union_quarters",
+    "lara_cross_grid",
+    "nation_presence_trio",
+    "customer_order_counts_left",
+    "nation_region_full_outer",
+    "order_status_pivot",
+    "all_account_balances",
+    "asof_last_order",
+    "orders_within_30_days",
+    "order_price_percentiles",
+    "cube_order_stats",
+    "monthly_revenue",
+    "order_price_histogram",
+    # --- r5 carryover: stale but plain TPC-H/relational SQL (stable) -------
+    "repeat_customers_96_97",
+    "small_quantity_revenue",
+    "suppliers_without_recent_sales",
+    "status_except_all",
+    "unpivot_order_measures",
+    "q2_cheapest_part_per_type",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_nation_balance_share",
+    "q12_priority_buckets",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_sole_fault_suppliers",
+    "q22_idle_rich_customers",
+    # --- tail: green driver row in r3 on unchanged code --------------------
     "sessionize_events",
     "tumbling_event_stats",
     "events_json_stats",
@@ -74,32 +154,22 @@ _PRIORITY = [
     "session_window_stats",
     "sliding_event_stats",
     "sensor_covariance_events",
-    # red r2: DuckDB HUGEINT ppm columns, now CAST ... AS BIGINT both sides
     "text_repetition",
-    # changed r3: + n_oversized_buckets visibility column (both sides)
     "corpus_clean",
-    # new r3 operators
-    "semantic_dedup",
-    "semantic_dedup_fast",
     "text_normalize",
     "supplier_copart_triangles",
-    "grouping_sets_revenue",
     "events_dow_hour_heatmap",
     "corpus_frequent_ngrams",
     "doc_boilerplate_ppm",
     "tfidf_top_terms",
     "forward_fill_hourly",
-    "trim_length_outliers",
     "event_funnel",
     "user_retention_cohorts",
-    "value_variance_by_type",
     "revenue_share_by_nation",
     "scd2_customer_segments",
     "chunk_documents_q",
     "fuzzy_part_pairs",
     "dedup_rate_by_source",
-    "median_value_by_type",
-    # --- queries whose only driver row is r1 (re-earn a fresh green) -------
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -120,75 +190,6 @@ _PRIORITY = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # --- tail: green in r2 (or r1, unchanged) — fall outside the 50-window --
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_brute_force",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "asof_last_order",
-    "orders_within_30_days",
-    "order_price_percentiles",
-    # (these r1-greens were bumped for the changed/new r3 queries; their
-    # r1 rows remain valid since their code is untouched)
-    "cube_order_stats",
-    "repeat_customers_96_97",
-    "small_quantity_revenue",
-    "suppliers_without_recent_sales",
-    "graph_brand_degree",
-    "graph_brand_gram",
-    "nation_region_full_outer",
-    "order_status_pivot",
-    "all_account_balances",
-    "sql_front_door_q",
-    "d4m_set_filter",
-    "lara_union_quarters",
-    "lara_cross_grid",
-    "nation_presence_trio",
-    "customer_order_counts_left",
-    "dedup_lsh_jaccard",
-    "dedup_simhash_fast",
-    "ann_brute_force_fast",
-    "dedup_components",
-    "dedup_keep_representatives",
-    "ann_ivf_topk",
-    "decontaminate_docs",
-    "train_val_split_stats",
-    "mix_sources_counts",
-    "redact_pii_stats",
-    "cap_docs_per_source",
-    "pack_sequences_q",
-    "shuffle_shards_q",
-    "pagerank_supplier_part",
-    "ann_sq8_topk",
-    "approx_stats",
-    "customer_spend_quartiles",
-    "monthly_revenue",
-    "multimodal_features",
-    "order_price_histogram",
-    "q2_cheapest_part_per_type",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q9_profit_by_nation_year",
-    "q11_nation_balance_share",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_sole_fault_suppliers",
-    "q22_idle_rich_customers",
-    "raco_front_door_q",
-    "status_except_all",
-    "text_replace_map",
-    "unpivot_order_measures",
 ]
 
 

@@ -224,20 +224,35 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra covers via repeated MergeAgg; Spark computes all three
     aggregations in a single shuffle (one Expand node feeding one hash
     aggregate — .explain shows Expand, not three scans). GROUPING() flags
-    disambiguate real NULLs from subtotal rows."""
+    disambiguate real NULLs from subtotal rows.
+
+    ``DataFrame.groupingSets`` is a Spark 4.0+ API; on 3.x the same plan
+    comes from the SQL form over a temp view (same Expand node), matching
+    the dual-version handling in ``load_events``."""
     orders = load(spark, sf_dir, "orders")
-    return (
-        orders.groupingSets(
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        money2(F.sum(_iscale("o_totalprice", 100)), 2).alias("revenue"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    ]
+    if hasattr(orders, "groupingSets"):
+        return orders.groupingSets(
             [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
             "o_orderstatus",
             "o_orderpriority",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            money2(F.sum(_iscale("o_totalprice", 100)), 2).alias("revenue"),
-            F.grouping("o_orderstatus").cast("int").alias("g_status"),
-            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        )
+        ).agg(*aggs)
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(1) AS n_orders,
+               ((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) + 1) DIV 2) / 100.0 AS revenue,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
     )
 
 
@@ -295,7 +310,9 @@ def value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     A float var_samp would hash-flake (summation order); DECIMAL(38)
     keeps Σx² exact far past int64 (cents² sums overflow BIGINT around
     10⁹ rows/group — routine at 100 TB), and n·Σx²−(Σx)² ≥ 0 makes
-    floor ≡ truncation on both engines."""
+    floor ≡ truncation on both engines. n=1 groups: NULLIF guards the
+    n(n−1) denominator on BOTH sides → variance NULL (Spark's non-ANSI
+    decimal÷0 would already be NULL, but DuckDB's // would ERROR)."""
     from . import load_events
 
     ev = load_events(spark, sf_dir)
@@ -308,9 +325,9 @@ def value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         F.col("_n").cast("long").alias("n_events"),
-        F.expr("cast(floor((_n * _ss - _s * _s) / (_n * (_n - 1))) as bigint)").alias(
-            "var_cents2"
-        ),
+        F.expr(
+            "cast(floor((_n * _ss - _s * _s) / nullif(_n * (_n - 1), 0)) as bigint)"
+        ).alias("var_cents2"),
     )
 
 
@@ -322,7 +339,7 @@ WITH a AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_events,
-       CAST((n * ss - s * s) // (n * (n - 1)) AS BIGINT) AS var_cents2
+       CAST((n * ss - s * s) // NULLIF(n * (n - 1), 0) AS BIGINT) AS var_cents2
 FROM a
 """
 
@@ -419,20 +436,23 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower-median of value per event type: the row at rank
     (n+1)//2 under a TOTAL order (cents, event_id) — rank arithmetic
     only, so engines agree exactly where percentile interpolation would
-    float-flake. Groups are event types (bounded), so the per-group
-    window is bounded; a single giant group would use the two-phase
-    global ranking pattern (customer_spend_quartiles)."""
+    float-flake.
+
+    Ranks come from ``operators.ranking.grouped_rank`` (two-phase
+    range-partition ranking), NOT ``Window.partitionBy(event_type)``:
+    with ~5 event types a per-group window sorts N/5 rows in 5 tasks no
+    matter the cluster size — a parallelism collapse at 100×. The
+    two-phase plan's sorts are all partition-sized and its only collect
+    is the ≤ nparts+groups offset table."""
     from . import load_events
+    from ..operators.ranking import grouped_rank
 
     ev = load_events(spark, sf_dir).select(
         "event_type", "event_id", _iscale("value", 100).alias("_cents")
     )
-    w = Window.partitionBy("event_type").orderBy("_cents", "event_id")
-    wg = Window.partitionBy("event_type")
+    ranked = grouped_rank(ev, ["event_type"], ["_cents", "event_id"])
     return (
-        ev.withColumn("_r", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wg))
-        .filter(F.expr("_r = (_n + 1) div 2"))
+        ranked.filter(F.expr("_r = (_n + 1) div 2"))
         .select(
             "event_type",
             (F.col("_cents") / 100.0).alias("median_value"),

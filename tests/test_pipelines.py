@@ -316,6 +316,35 @@ def test_star_components_reliable_checkpoint(spark, tmp_path):
     assert got_local == want
 
 
+def test_star_components_checkpoint_truncates_lineage(spark, tmp_path):
+    """The reliable-checkpoint path must actually CUT lineage, not just
+    write blocks: after materializing the result once, deleting the SOURCE
+    parquet and re-collecting must still return the same components —
+    every recompute path bottoms out in the checkpointed blocks under
+    checkpoint_dir, never in the (gone) input. That's the failure-semantics
+    contract on a real cluster: input retention can't be assumed across a
+    long CC run."""
+    import shutil
+
+    from laradb_spark.pipelines.dedup import near_dup_components
+
+    src = str(tmp_path / "pairs_src")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], "id_a long, id_b long"
+    ).write.parquet(src)
+    pairs = spark.read.parquet(src)
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    cc = near_dup_components(
+        pairs, algorithm="star", checkpoint_dir=str(tmp_path / "ck2")
+    )
+    first = {r.id: r.component for r in cc.collect()}
+    assert first == want
+    shutil.rmtree(src)  # simulate input loss mid-lifecycle
+    again = {r.id: r.component for r in cc.collect()}
+    assert again == want, "re-collect after source deletion diverged"
+
+
 def test_semantic_dedup_fast_parity(spark):
     """NumPy-matmul pair stage ≡ expression pair stage on random vectors."""
     import random
@@ -331,6 +360,25 @@ def test_semantic_dedup_fast_parity(spark):
     slow = {(r.vec_id, r.cid) for r in semantic_dedup(df, **kw).collect()}
     fast = {(r.vec_id, r.cid) for r in semantic_dedup_fast(df, **kw).collect()}
     assert slow == fast
+
+
+def test_semantic_dedup_zero_norm_vectors_survive(spark):
+    """Zero embeddings must never be dropped nor drop others: cosine vs a
+    zero vector is NaN, and Spark orders NaN >= tau TRUE while NumPy says
+    False — both paths guard the denominator so they agree (kept)."""
+    from laradb_spark.pipelines.similarity import semantic_dedup, semantic_dedup_fast
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),   # zero vector
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # second zero vector (zero-zero pair too)
+        (3, [1.0, 0.0, 0.0]),   # true twin of 1 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(tau=0.9, n_centroids=2, lloyd_iters=1)
+    slow = {r.vec_id for r in semantic_dedup(df, **kw).collect()}
+    fast = {r.vec_id for r in semantic_dedup_fast(df, **kw).collect()}
+    assert slow == fast == {0, 1, 2}
 
 
 def test_fill_gaps_forward_random_series(spark):

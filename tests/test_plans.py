@@ -129,6 +129,44 @@ def test_quartiles_no_global_single_partition_window(spark, sfq):
             assert "_pid" in line
 
 
+def test_grouped_rank_queries_no_low_cardinality_window(spark, sfq):
+    """median_value_by_type and trim_length_outliers rank via the two-phase
+    grouped_rank, not Window.partitionBy(<5-or-20-value key>): every
+    row_number window in their plans must be sharded by _pid, so no task
+    ever sorts a whole group regardless of group cardinality."""
+    qs, sf = sfq
+    for qname in ("median_value_by_type", "trim_length_outliers"):
+        plan = _plan(qs[qname](spark, sf))
+        assert "SinglePartition" not in plan, qname
+        saw_window = False
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                saw_window = True
+                assert "_pid" in line, f"{qname}: un-sharded window: {line.strip()}"
+        assert saw_window, qname
+
+
+def test_grouped_rank_matches_naive_window(spark):
+    """grouped_rank ≡ the naive per-group window on a fixture with NULL
+    group keys, ties, and a group split across range partitions."""
+    from pyspark.sql import Window
+
+    from laradb_spark.operators.ranking import grouped_rank
+
+    rows = [(g, i, (i * 7) % 5) for g in ["a", "b", None] for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    two = grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")], num_partitions=8)
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    wg = Window.partitionBy("g")
+    naive = df.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wg)
+    )
+    key = lambda r: (r["g"] or "", r["id"])
+    assert sorted(map(tuple, two.select("g", "id", "v", "_r", "_n").collect()), key=lambda t: (t[0] or "", t[1])) == sorted(
+        map(tuple, naive.select("g", "id", "v", "_r", "_n").collect()), key=lambda t: (t[0] or "", t[1])
+    )
+
+
 def test_no_query_plans_cartesian(spark, sfq):
     """Sweep EVERY registered query: no CartesianProduct in any physical
     plan (broadcast scalar/tiny cross-joins lower to

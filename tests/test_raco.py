@@ -106,3 +106,28 @@ def test_filestore_roundtrip(spark, netflow_csv, tmp_path):
 def test_unbalanced_plan_clear_error():
     with pytest.raises(ValueError, match="unexpected end of input"):
         parse_raco("Dump(Apply([('a', NamedAttributeRef('b'))]")
+
+
+def test_datetime_scheme_parse_and_filter(spark, tmp_path_factory):
+    """DATETIME_TYPE maps to TimestampType (beyond the reference, whose
+    lowering throws on it — opt/RacoToAccumulo.kt:34): FileScan parses the
+    column as a real timestamp and GT against a StringLiteral filters on
+    time, not on string bytes."""
+    d = tmp_path_factory.mktemp("raco_dt")
+    p = os.path.join(str(d), "events.csv")
+    with open(p, "w") as f:
+        f.write(
+            "name,seen\n"
+            "early,1997-03-01 00:00:00\n"
+            "late,1997-12-31 23:59:59\n"
+            "later,1998-06-01 12:00:00\n"
+        )
+    scheme = "Scheme([('name', 'STRING_TYPE'), ('seen', 'DATETIME_TYPE')])"
+    plan = f"""
+    Dump(Apply([('name', NamedAttributeRef('name')), ('seen', NamedAttributeRef('seen'))],
+      Select(GT(NamedAttributeRef('seen'), StringLiteral('1997-06-01 00:00:00')),
+        FileScan('file://{p}', 'CSV', {scheme}, {{'skip': 1}}))))
+    """
+    out = RacoCompiler(spark).compile(plan).run()
+    assert dict(out.dtypes)["seen"] == "timestamp"
+    assert sorted(r.name for r in out.collect()) == ["late", "later"]

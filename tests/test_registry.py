@@ -17,19 +17,14 @@ def test_changed_queries_inside_oracle_window():
     # Queries whose plan/SQL changed this round MUST re-earn a driver row —
     # keep this list in sync with the round's edits.
     changed = {
-        "sessionize_events", "tumbling_event_stats", "events_json_stats",
-        "events_daily_pivot", "events_daily_users", "session_window_stats",
-        "sliding_event_stats", "sensor_covariance_events",
-        "text_repetition", "corpus_clean",
-        # new in r3
-        "semantic_dedup", "text_normalize", "supplier_copart_triangles",
-        "grouping_sets_revenue", "events_dow_hour_heatmap",
-        "corpus_frequent_ngrams", "doc_boilerplate_ppm", "tfidf_top_terms",
-        "forward_fill_hourly", "semantic_dedup_fast", "trim_length_outliers",
-        "event_funnel", "user_retention_cohorts",
-        "value_variance_by_type", "revenue_share_by_nation",
-        "scd2_customer_segments", "chunk_documents_q", "fuzzy_part_pairs",
-        "dedup_rate_by_source", "median_value_by_type",
+        # r4: zero-norm-safe cosine() + pair guard + auto-k touch the whole
+        # similarity stack; median/trim moved to two-phase grouped_rank;
+        # grouping sets 3.x fallback; variance NULLIF guard.
+        "semantic_dedup", "semantic_dedup_fast",
+        "median_value_by_type", "trim_length_outliers",
+        "grouping_sets_revenue", "value_variance_by_type",
+        "ann_brute_force", "ann_lsh_topk", "ann_lsh_multiprobe",
+        "ann_ivf_topk", "dedup_embedding",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head

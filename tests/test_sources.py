@@ -259,3 +259,33 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 2_000
     assert {r.grp for r in b.select("grp").distinct().collect()} == {0, 1, 2}
+
+
+def test_compact_parquet_partitioned_splits_large_partition(spark, tmp_path):
+    """A skewed partition value must split toward the target file size:
+    repartitioning on the partition cols alone would funnel every 'grp=0'
+    row into ONE task → one oversized file regardless of target. The salt
+    spreads each partition value over ≈ n_files/n_combos writers."""
+    import glob
+
+    from laradb_spark.sources import compact_parquet
+
+    src = str(tmp_path / "frag_skew")
+    dst = str(tmp_path / "comp_skew")
+    # one dominant partition value, long random-ish payload to defeat RLE
+    spark.range(60_000).select(
+        F.col("id"),
+        F.lit(0).alias("grp"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+    ).repartition(40).write.partitionBy("grp").parquet(src)
+
+    # tiny target → n_files ≫ 1 for the single combo; without salting the
+    # grp=0 directory would hold exactly one file
+    compact_parquet(spark, src, dst, target_file_mb=1, partition_by=["grp"])
+    files = [
+        f for f in glob.glob(f"{dst}/grp=0/*")
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    assert len(files) > 1, "large partition value was not split across files"
+    b = spark.read.parquet(dst)
+    assert b.count() == 60_000

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""10× scale probe: run the top headline queries at a synthesized ~sf1.
+
+The per-round bench runs at sf0.1; a quadratic cliff (bucket blow-up,
+cluster blow-up, accidental all-pairs) can hide at one scale point. This
+probe synthesizes sf1-equivalent tables by unioning ``--factor`` copies of
+sf0.1 with shifted ids (text perturbed per copy so dedup workloads keep
+realistic near-dup structure instead of degenerate 10×-exact duplicates),
+writes them once to a scratch dir, and times the same query functions
+there. Healthy = each query ≤ ~15× its sf0.1 time (linear + shuffle
+overhead); a 100× blow-up means a quadratic escaped its bound.
+
+Usage: python tools/bench_scale_probe.py [--factor 10] [--scratch /tmp/laradb_scale]
+Prints one JSON line {"factor": F, "queries": {name: sec}, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+PROBE_QUERIES = [
+    "semantic_dedup_fast",
+    "decontaminate_docs",
+    "corpus_frequent_ngrams",
+    "sensor_covariance_events",
+    "dedup_minhash_lsh_fast",
+]
+
+# (table, id columns to shift) — shift keeps keys disjoint across copies.
+TABLES = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+}
+ID_OFFSET = 1_000_000_000
+
+
+def synthesize(spark, factor: int, scratch: str) -> None:
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(scratch, f"_SYNTH_OK_f{factor}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(scratch, exist_ok=True)
+    for t, id_cols in TABLES.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(factor):
+            c = base
+            for idc in id_cols:
+                c = c.withColumn(idc, F.col(idc) + F.lit(i * ID_OFFSET))
+            if "text" in c.columns and i > 0:
+                # perturb text per copy: keeps shingle/minhash/ngram
+                # structure near-dup-ish rather than 10x exact duplicates
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copy{i}")))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{scratch}/{t}.parquet")
+    # remaining tables: symlink-equivalent copy of the originals the
+    # queries might touch (sensor covariance only needs events, but the
+    # loaders are uniform)
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        dst = f"{scratch}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copytree(f"{SRC}/{t}.parquet", dst) if os.path.isdir(
+                f"{SRC}/{t}.parquet"
+            ) else shutil.copy(f"{SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--scratch", default="/tmp/laradb_scale_probe")
+    ap.add_argument("--queries", default=",".join(PROBE_QUERIES))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from laradb_spark.session import get_spark
+
+    spark = get_spark("laradb-scale-probe")
+    synthesize(spark, args.factor, args.scratch)
+    qs = entry_mod.queries()
+
+    timings = {}
+    for name in args.queries.split(","):
+        fn = qs[name]
+        # warm once at sf0.001 (codegen/worker spin-up), then time at scale
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, args.scratch).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_probe", "factor": args.factor,
+                      "base_sf": 0.1, "queries": timings, "unit": "sec"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,41 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def check_approx_stats(con, scols: list[str], srows: list[tuple]) -> list[str]:
+    """Sketch outputs can't hash-match an oracle, but they CAN be bounded:
+    approx_count_distinct (HLL++, rsd=0.05) must land within 5% of the
+    exact distinct count, and percentile_approx (accuracy=10000 → rank
+    error ≤ n/10⁴) must land between the exact 45th and 55th percentiles.
+    Turns the one oracle-less aggregate from a permanent blind spot into a
+    checked claim."""
+    row = dict(zip(scols, srows[0]))
+    exact_n, lo_p, hi_p = con.sql(
+        """
+        SELECT COUNT(DISTINCT l_orderkey),
+               quantile_disc(l_extendedprice, 0.45),
+               quantile_disc(l_extendedprice, 0.55)
+        FROM lineitem
+        """
+    ).fetchall()[0]
+    errs = []
+    if not (0.95 * exact_n <= row["approx_orders"] <= 1.05 * exact_n):
+        errs.append(
+            f"approx_orders={row['approx_orders']} outside ±5% of exact {exact_n}"
+        )
+    if not (lo_p <= row["approx_median_price"] <= hi_p):
+        errs.append(
+            f"approx_median_price={row['approx_median_price']} outside exact p45..p55 [{lo_p}, {hi_p}]"
+        )
+    return errs
+
+
+# rows-only queries with a verifiable error bound vs exact DuckDB answers:
+# name -> fn(con, spark_cols, spark_rows) returning [] when in-bounds.
+BOUND_CHECKS = {
+    "approx_stats": check_approx_stats,
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -92,8 +127,19 @@ def main() -> int:
             print(f"✗ {name}: SPARK_ERROR {str(e)[:200]}")
             continue
         if name not in oracles:
-            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
-            print(f"~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            bound_errs = None
+            if name in BOUND_CHECKS:
+                bound_errs = BOUND_CHECKS[name](con, scols, srows)
+            if bound_errs:
+                results[name] = {"status": "BOUND_FAIL", "detail": bound_errs}
+                n_fail += 1
+                print(f"✗ {name}: bound check failed: {bound_errs}")
+            elif bound_errs == []:
+                results[name] = {"status": "BOUND_CHECKED", "rows": len(srows)}
+                print(f"✓ {name}: rows-only + error bounds vs exact ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            else:
+                results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
+                print(f"~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
