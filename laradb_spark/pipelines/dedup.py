@@ -195,6 +195,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold via PREFIX FILTERING —
+    the AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    ICDE'08) — with output IDENTICAL to ``ngram_jaccard_pairs`` (it is a
+    lossless candidate-pruning technique, not an approximation; same
+    DuckDB oracle).
+
+    Why it scales where the brute-force join doesn't: joining every
+    (id, shingle) pair against itself explodes on common shingles —
+    a stop-phrase shared by 1M docs contributes 10¹² join rows. Prefix
+    filtering orders each doc's shingle set rarest-token-first (global
+    document frequency asc, shingle asc) and keeps only each doc's first
+    ``|S| − ⌈t·|S|⌉ + 1`` tokens as join keys: two sets with J ≥ t must
+    intersect in ≥ ⌈t·|S|⌉ elements, so they MUST share a prefix token.
+    Candidates therefore join only on each doc's RAREST tokens (hot
+    tokens never become join keys unless a doc is tiny), and exact
+    verification (array_intersect over the full sorted sets) runs only on
+    surviving candidate pairs. An ε is subtracted inside the ceil so a
+    float mis-round can only lengthen the prefix (extra candidates),
+    never shorten it (missed pairs).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    docs = (
+        sh.join(freq, on="sh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("_toks"))
+        .select(
+            "id",
+            F.size("_toks").alias("sz"),
+            F.transform("_toks", lambda s: s["sh"]).alias("full"),
+        )
+        .withColumn(
+            "_p",
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+            + 1,
+        )
+    )
+    cand = docs.select(
+        "id", "sz", "full", F.explode(F.expr("slice(full, 1, _p)")).alias("_pt")
+    )
+    a = cand.select(
+        F.col("_pt"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("full").alias("_fa"),
+    )
+    b = cand.select(
+        F.col("_pt"), F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("full").alias("_fb"),
+    )
+    pairs = (
+        a.join(b, on="_pt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("_fa"), F.col("_fb")))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.col("sz_a") + F.col("sz_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def _perm(a: int, b: int):

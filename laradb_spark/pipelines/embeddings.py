@@ -1,0 +1,134 @@
+"""Embedding-matrix linear algebra: exact integer Gram/covariance and
+whitening (ZCA) — the preprocessing SemDeDup-style semantic dedup and ANN
+benefit from (decorrelated dimensions make cosine thresholds meaningful).
+
+The Gram computation is the embedding-space sibling of the reference's
+sensor covariance kernel (`sensor/SensorCalc.kt` X·Xᵀ via TableMult):
+there the matrix is (time × class) key-value pairs and the product is a
+join+agg; here the matrix is a dense `array<double>` column and the right
+physical shape is a MAP-SIDE PARTIAL GRAM — each partition computes its
+own d×d int64 VᵀV with one NumPy matmul, and only d² partial cells per
+partition shuffle to the final sum. At N vectors × d dims the shuffle is
+O(partitions·d²), independent of N — the same partial/final-aggregate
+shape as a hash aggregate, applied to a matrix accumulator.
+
+Engine-exactness: inputs quantize to integer micro-units
+(round(1e6·x), exact in both engines), so every partial sum is int64
+arithmetic — no float summation order anywhere; the DuckDB oracle replays
+the same integer products via double-unnest. Magnitude: |cell| ≤
+1e12·N → int64-safe to N ≈ 9·10⁶ vectors; past that the same code runs
+with DECIMAL(38) cells (documented, not silently wrong: int64 overflow
+raises under ANSI mode rather than wrapping).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+MICRO = 1_000_000
+
+
+def embedding_gram_int(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle exact integer Gram matrix of the embedding set:
+    (i, j, g) for i ≤ j with g = Σ_rows round(1e6·vᵢ)·round(1e6·vⱼ).
+
+    Physical plan: mapInPandas computes one int64 VᵀV per Arrow batch
+    (vectorized, exact), emits d(d+1)/2 upper-triangle cells; a hash
+    aggregate sums partials. Nothing row-sized ever shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+            StructField("g", LongType(), False),
+        ]
+    )
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        iui, iuj = np.triu_indices(dim)
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # floor(x·1e6 + 0.5), NOT rint: rint rounds half-to-even while
+            # SQL ROUND is half-away — floor(+0.5) is the one quantizer
+            # both engines express identically (DEVNOTES gotcha #4 family)
+            v = np.floor(
+                np.stack(pdf[vec_col].to_numpy()) * MICRO + 0.5
+            ).astype(np.int64)
+            acc += v.T @ v
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iui.astype("int32"), "j": iuj.astype("int32"), "g": acc[iui, iuj]}
+            )
+
+    cells = emb.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        partial_gram, out_schema
+    )
+    return cells.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def whiten_embeddings(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whiten the embedding column: W = C^(−1/2) for the sample
+    covariance C (driver-side eigendecomposition of the d×d matrix — d is
+    model-sized, the one legitimately driver-scale object here), applied
+    as one NumPy matmul per Arrow batch. Output column ``whitened`` has
+    (empirical) identity covariance — see test_embeddings for the
+    property check."""
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    gram_rows = embedding_gram_int(emb, dim, vec_col).collect()  # ≤ d(d+1)/2 rows
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    # back to float units; center with the mean (exact int mean would need
+    # a second pass — whitening tolerates float here, it's a TRANSFORM not
+    # an oracle-compared aggregate)
+    mu = np.array(
+        emb.select(
+            F.array(*[
+                F.avg(F.col(vec_col)[i]) for i in range(dim)
+            ]).alias("m")
+        ).collect()[0].m
+    )
+    cov = g / (MICRO * MICRO) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
+
+    out_schema = StructType.fromDDL(f"{id_col} long, whitened array<double>")
+
+    def apply_w(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()) - mu
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(v @ w.T)}
+            )
+
+    return emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        apply_w, out_schema
+    )

@@ -1,0 +1,112 @@
+"""Document retrieval: BM25 scoring + top-k, engine-exact.
+
+Beyond the reference's surface (its text handling stops at wordcount-style
+Ext functions — ``examples/.../WordCountExample`` family); a training-data
+pipeline needs lexical retrieval for eval-set mining, hard-negative
+sampling, and corpus QA ("which docs match this probe query").
+
+Engine-exact scoring: classic BM25 uses ``ln`` IDF — a transcendental
+whose last-ulp differs between JVM ``Math.log`` and libm, which is exactly
+the class of cross-engine hash flake DEVNOTES gotcha #4 bans. This variant
+quantizes every factor to integer milli/ppm units with floor division at
+each step (both engines floor identically), so scores are BIGINTs and the
+ranking is bit-reproducible anywhere:
+
+  avgdl_milli = (1000·T) div N                  (T tokens total, N docs)
+  r_milli     = (1_000_000·dl) div avgdl_milli  (dl/avgdl in milli)
+  s_milli     = 250 + (750·r_milli) div 1000    ((1−b) + b·dl/avgdl, b=0.75)
+  D_milli     = 1000·tf + (1200·s_milli) div 1000   (tf + k1·s, k1=1.2)
+  idf_ppm     = (1_000_000·(2(N−df)+1)) div (2·df+1)   (rational IDF,
+                monotone in df like ln-IDF; no transcendental)
+  score_ppm   = Σ_terms (idf_ppm·2200·tf) div D_milli
+
+Scale shape: tf/df/dl are hash aggregates over the exploded token stream
+(map-side partial combine); corpus-level scalars (N, T) broadcast as a
+one-row frame; the query-term table broadcasts (queries are human-sized);
+top-k ranking uses the partition-count-independent two-phase
+``grouped_rank`` rather than a per-query window, so a handful of queries
+against 10¹⁰ docs never collapses to a handful of sort tasks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranking import grouped_rank
+from ..util import persist_once
+from .text import tokens
+
+K1_MILLI = 1200  # k1 = 1.2
+B_MILLI = 750    # b = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score_ppm) for every document sharing ≥1 term
+    with the query. ``queries`` is a driver-side list of (query_id, text)
+    — human-sized by definition."""
+    spark = docs.sparkSession
+    toks = persist_once(
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(
+        F.count_distinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_toks")
+    )
+
+    qrows = [
+        (int(qid), w)
+        for qid, qtext in queries
+        for w in str(qtext).split()
+        if w
+    ]
+    q = spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
+
+    scored = (
+        tf.join(F.broadcast(q), on="term")
+        .join(dl, on="id")
+        .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # floor-div chain (both engines floor identically on positive ints)
+    contrib = F.expr(
+        f"""
+        (((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
+          * {K1_MILLI + 1000} * tf)
+        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
+        """
+    )
+    return (
+        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score_ppm"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per query by quantized BM25, rank ties broken by doc id.
+    Ranking via ``grouped_rank`` (two-phase range partition): a per-query
+    window would sort every scored doc of a query in ONE task."""
+    scored = bm25_scores(docs, queries, id_col, text_col)
+    ranked = grouped_rank(
+        scored, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)]
+    )
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .select("query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm")
+    )

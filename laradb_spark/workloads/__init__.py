@@ -78,6 +78,11 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "dedup_embedding",
+    # --- new r4 operators --------------------------------------------------
+    "dedup_prefix_jaccard",
+    "bm25_topk",
+    "twap_value_by_user_type",
+    "embedding_gram",
     # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
     # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
     # the code paths most adjacent to since-rewritten modules; 22 plain

@@ -562,6 +562,51 @@ GROUP BY f.cohort_day, day_offset
 """
 
 
+# --- time-weighted average (irregular-series integral) -------------------------
+
+def twap_value_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) time-weighted average of value in integer
+    cents: each reading held until the next one — the sensor/price TWAP
+    a plain AVG mis-states on bursty series (operators/timeseries.py).
+    High-cardinality keys → per-key windows parallelize fine."""
+    from . import load_events
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ms", "event_id",
+        _iscale("value", 100).alias("_cents"),
+    )
+    return time_weighted_avg(
+        ev, ["user_id", "event_type"], "ts_ms", "_cents", tiebreak_cols=["event_id"]
+    )
+
+
+TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_type, tms, cents,
+         LEAD(tms) OVER (PARTITION BY user_id, event_type
+                         ORDER BY tms, event_id) - tms AS dt
+  FROM ev
+),
+a AS (
+  SELECT user_id, event_type,
+         CAST(SUM(cents * dt) AS BIGINT) AS wsum,
+         MAX(tms) - MIN(tms) AS dur,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM seg GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+       CAST(wsum // dur AS BIGINT) AS twap_scaled, n_obs
+FROM a WHERE dur > 0
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "order_price_histogram": (order_price_histogram, HIST_SQL),
@@ -577,4 +622,5 @@ QUERIES = {
     "revenue_share_by_nation": (revenue_share_by_nation, REVENUE_SHARE_SQL),
     "scd2_customer_segments": (scd2_customer_segments, SCD2_SQL),
     "median_value_by_type": (median_value_by_type, MEDIAN_SQL),
+    "twap_value_by_user_type": (twap_value_by_user_type, TWAP_SQL),
 }

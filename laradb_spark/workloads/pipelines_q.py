@@ -348,6 +348,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs Jaccard (AllPairs/PPJoin family): lossless
+    candidate pruning, so the oracle is the SAME brute-force SQL as
+    dedup_ngram_jaccard — the scale path joins only on each doc's rarest
+    tokens instead of every shared shingle."""
+    return dd.prefix_filter_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
 DEDUP_JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
 ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
@@ -1165,6 +1173,99 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# exact integer embedding Gram matrix (pipelines/embeddings.py)
+# ---------------------------------------------------------------------------
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle exact integer Gram of the embedding matrix: map-side
+    NumPy partial VᵀV per Arrow batch, O(partitions·d²) shuffle — the
+    embedding-space sibling of the sensor covariance kernel. Integer
+    micro-unit quantization (floor(1e6·x + 0.5)) keeps every cell exact
+    on both engines."""
+    from ..pipelines.embeddings import embedding_gram_int
+
+    return embedding_gram_int(load(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+EMBEDDING_GRAM_SQL = """
+WITH v AS (
+  -- CAST to DOUBLE first: the parquet column is FLOAT32 and DuckDB would
+  -- otherwise run the *1e6+0.5 arithmetic in float32 (Spark casts to
+  -- array<double>, so without this the two engines quantize differently
+  -- on values near a micro-unit boundary)
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(1000000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, UNNEST(e) AS x, generate_subscripts(e, 1) AS i FROM v
+)
+SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       CAST(SUM(a.x * b.x) AS BIGINT) AS g
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (integer-quantized scoring — pipelines/retrieval.py)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES = [(1, "hash join"), (2, "stream window agg"), (3, "vector scan customer")]
+BM25_K = 10
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k lexical retrieval per probe query, BM25 quantized to integer
+    milli/ppm units (no transcendental IDF → bit-reproducible across
+    engines); ranking via the two-phase grouped_rank."""
+    from ..pipelines.retrieval import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), BM25_QUERIES, k=BM25_K)
+
+
+def _bm25_sql(queries=BM25_QUERIES, k=BM25_K) -> str:
+    vals = ", ".join(
+        f"({qid}, '{w}')" for qid, text in queries for w in dict.fromkeys(text.split())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY id, term),
+dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY id),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, tf.id,
+         (((1000000 * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1)) * 2200 * tf.tf)
+           // (1000 * tf.tf
+               + (1200 * (250 + (750 * ((1000000 * dl.dl)
+                                        // ((1000 * s.n_toks) // s.n_docs))) // 1000)) // 1000)
+         AS c
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.id = tf.id
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+),
+agg AS (SELECT query_id, id AS doc_id, CAST(SUM(c) AS BIGINT) AS score_ppm
+        FROM scored GROUP BY query_id, id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_ppm DESC, doc_id ASC) AS rk
+      FROM agg)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       CAST(rk AS INT) AS "rank", score_ppm
+FROM r WHERE rk <= {k}
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
@@ -1173,6 +1274,9 @@ QUERIES = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_prefix_jaccard": (dedup_prefix_jaccard, DEDUP_JACCARD_SQL),
+    "bm25_topk": (bm25_topk_q, _bm25_sql()),
+    "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),

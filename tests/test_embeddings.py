@@ -1,0 +1,46 @@
+"""Embedding linear algebra: exact integer Gram + ZCA whitening."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from laradb_spark.pipelines.embeddings import MICRO, embedding_gram_int, whiten_embeddings
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    rng = np.random.default_rng(11)
+    # correlated dims so whitening has real work to do
+    base = rng.normal(size=(300, 2))
+    mix = np.array([[1.0, 0.4, 0.0, 0.1], [0.0, 0.3, 1.0, -0.2]])
+    v = base @ mix + rng.normal(scale=0.05, size=(300, 4))
+    rows = [(i, [float(x) for x in v[i]]) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), v
+
+
+def test_gram_matches_numpy_exactly(spark, small_emb):
+    df, v = small_emb
+    q = np.floor(v * MICRO + 0.5).astype(np.int64)
+    want = q.T @ q
+    got = embedding_gram_int(df, dim=4)
+    cells = {(r.i, r.j): r.g for r in got.collect()}
+    assert len(cells) == 10  # upper triangle of 4x4
+    for i in range(4):
+        for j in range(i, 4):
+            assert cells[(i, j)] == want[i, j], (i, j)
+
+
+def test_gram_is_partition_count_invariant(spark, small_emb):
+    df, _ = small_emb
+    a = {(r.i, r.j): r.g for r in embedding_gram_int(df.repartition(1), dim=4).collect()}
+    b = {(r.i, r.j): r.g for r in embedding_gram_int(df.repartition(13), dim=4).collect()}
+    assert a == b  # integer partial sums combine associatively
+
+
+def test_whitening_identity_covariance(spark, small_emb):
+    df, _ = small_emb
+    out = whiten_embeddings(df, dim=4)
+    w = np.stack([np.array(r.whitened) for r in out.collect()])
+    assert w.shape == (300, 4)
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=0.05), cov

@@ -714,3 +714,60 @@ def test_python_udtf_sentence_split(spark):
     # empty input yields exactly one empty part, mirroring chunk_documents
     rows = spark.sql("SELECT * FROM budget_split('', 3)").collect()
     assert [(r.part_idx, r.part, r.n_words) for r in rows] == [(0, "", 0)]
+
+
+def test_prefix_filter_jaccard_parity_with_hot_token(spark):
+    """Prefix filtering is LOSSLESS: same pairs as the brute-force join on
+    a corpus with a ubiquitous shingle (the case the brute join explodes
+    on and the prefix filter prunes)."""
+    from laradb_spark.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    hot = "the quick brown"          # shared 3-gram across all docs
+    rows = [
+        (i, f"the quick brown doc{i} token{i} alpha{i % 3} beta{i % 3} gamma{i % 3}")
+        for i in range(30)
+    ] + [(100, "the quick brown doc1 token1 alpha1 beta1 gamma1")]  # twin of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.4).collect()))
+    pref = sorted(map(tuple, prefix_filter_jaccard_pairs(df, threshold=0.4).collect()))
+    assert brute == pref
+    assert any(a == 1 and b == 100 for a, b, _ in pref)  # the planted twin
+
+
+def test_bm25_ranking_sanity(spark):
+    from laradb_spark.pipelines.retrieval import bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash"),        # both terms, high tf
+        (2, "hash scan scan scan scan scan"),   # one term, long doc
+        (3, "join"),                            # one term, short doc
+        (4, "scan filter sort"),                # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.rank, r.score_ppm) for r in
+           bm25_topk(df, [(7, "hash join")], k=10).collect()}
+    assert 4 not in out                        # no shared term → unscored
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 1                      # both-terms doc ranks first
+    assert all(s > 0 for _, s in out.values())
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from laradb_spark.operators.timeseries import time_weighted_avg
+
+    # key A: v=10 held 3 ticks, v=40 held 1 tick → (30+40)/4 = 17 (floor)
+    rows = [
+        ("A", 0, 10, 1), ("A", 3, 40, 2), ("A", 4, 99, 3),
+        ("B", 5, 7, 4),                       # single obs → dropped
+        ("C", 2, 5, 5), ("C", 2, 11, 6), ("C", 6, 0, 7),  # equal-ts tie
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v long, id long")
+    out = {r.k: (r.twap_scaled, r.n_obs) for r in
+           time_weighted_avg(df, ["k"], "t", "v", tiebreak_cols=["id"]).collect()}
+    assert out["A"] == ((10 * 3 + 40 * 1) // 4, 3)
+    assert "B" not in out
+    # C: id 5 at t=2 gets dt=0, id 6 at t=2 holds to t=6 → 11*4/4 = 11
+    assert out["C"] == (11, 3)

@@ -25,6 +25,9 @@ def test_changed_queries_inside_oracle_window():
         "grouping_sets_revenue", "value_variance_by_type",
         "ann_brute_force", "ann_lsh_topk", "ann_lsh_multiprobe",
         "ann_ivf_topk", "dedup_embedding",
+        # new in r4
+        "dedup_prefix_jaccard", "bm25_topk", "twap_value_by_user_type",
+        "embedding_gram",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
