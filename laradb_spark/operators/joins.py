@@ -139,3 +139,31 @@ def range_self_join(
         .select(F.col("_k").alias(key), "id_a", "id_b")
         .distinct()
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension version that was VALID at the
+    fact's timestamp — the lookup every SCD2 history (operators/scd.py)
+    exists to serve: ``dim.valid_from <= fact.ts < dim.valid_to``, with an
+    open interval (``valid_to IS NULL``) meaning "still current".
+
+    Physical shape: an EQUI-join on the key plus an interval filter — the
+    interval predicate rides on the hash join, so this is one shuffle on
+    the key (or a broadcast when the dimension is small), never a range
+    join. Sound because SCD2 versions per key are few and non-overlapping;
+    each fact row matches at most one version.
+    """
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (dim[valid_from] <= facts[ts_col])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond)

@@ -85,3 +85,32 @@ def scd2_apply(
         .unionByName(newly_closed)
         .unionByName(newly_open)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """SCD1 / CDC batch apply — the MERGE INTO shape on plain parquet:
+    every change row REPLACES the target row with its key (upsert); rows
+    whose ``op_col`` equals ``delete_op`` delete that key instead. Keys
+    absent from the target insert.
+
+    Physical shape: the change batch is CDC-sized (small side) — its
+    distinct-key set broadcasts into one LEFT-ANTI join against the
+    target, so the 100 TB target never shuffles and the whole apply is
+    one scan + union. Formats with native MERGE (Delta/Iceberg) do the
+    same thing with file-level pruning; this is the format-agnostic plan.
+    """
+    if op_col is not None:
+        deletes_and_ups = changes
+        ups = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+        touched = deletes_and_ups.select(key).distinct()
+    else:
+        ups = changes
+        touched = changes.select(key).distinct()
+    kept = target.join(F.broadcast(touched), on=key, how="left_anti")
+    return kept.unionByName(ups)

@@ -110,3 +110,88 @@ def bm25_topk(
         ranked.filter(F.col("_r") <= k)
         .select("query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm")
     )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted-index layout BM25 search probes:
+    ``{path}/postings``  = (term, id, tf) written partitionBy(bucket) where
+    bucket = crc32(term) % 256 — a probe for a q-term set prunes to its
+    buckets instead of scanning all postings;
+    ``{path}/doclens``   = (id, dl);
+    ``{path}/termstats`` = (term, df);
+    ``{path}/stats``     = one row (n_docs, n_toks).
+
+    The 100 TB shape: tokenization + counting runs ONCE at index-build;
+    each query batch then reads only the pruned posting buckets — compare
+    ``bm25_topk``, which recomputes tf/df/dl inline per call."""
+    toks = persist_once(
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf.withColumn("bucket", F.crc32(F.col("term")) % 256).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(f"{path}/postings")
+    toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/doclens")
+    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/termstats")
+    toks.agg(
+        F.count_distinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_toks")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    toks.unpersist()
+
+
+def bm25_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search a stored ``bm25_build_index`` layout: identical scores and
+    ranking to the inline ``bm25_topk`` (same floor-div chain), but the
+    posting scan prunes to the query terms' crc32 buckets (partition
+    pruning on the stored layout) and df/stats join from the tiny stored
+    tables instead of recomputing."""
+    import zlib
+
+    qrows = [
+        (int(qid), w) for qid, qtext in queries for w in str(qtext).split() if w
+    ]
+    q = spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
+    buckets = sorted({zlib.crc32(w.encode()) % 256 for _, w in qrows})
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    dl = spark.read.parquet(f"{path}/doclens")
+    dfreq = spark.read.parquet(f"{path}/termstats")
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        postings.join(F.broadcast(q), on="term")
+        .join(dl, on="id")
+        .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = F.expr(
+        f"""
+        (((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
+          * {K1_MILLI + 1000} * tf)
+        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
+        """
+    )
+    agg = (
+        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score_ppm"))
+    )
+    ranked = grouped_rank(agg, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+    return ranked.filter(F.col("_r") <= k).select(
+        "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
+    )

@@ -83,6 +83,9 @@ _PRIORITY = [
     "bm25_topk",
     "twap_value_by_user_type",
     "embedding_gram",
+    "orders_segment_at_day",
+    "value_spikes_by_type",
+    "customer_merge_upsert",
     # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
     # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
     # the code paths most adjacent to since-rewritten modules; 22 plain

@@ -607,6 +607,132 @@ FROM a WHERE dur > 0
 """
 
 
+# --- point-in-time join against SCD2 history -----------------------------------
+
+def orders_segment_at_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each order (synthetic day = o_orderkey % 150,
+    straddling the SCD2 scenario's day-100 segment change) joined to the
+    customer-segment version VALID on that day, counted per segment.
+    Equi-join on the key + interval filter — one hash join, no range join
+    (operators/joins.py point_in_time_join)."""
+    from ..operators.joins import point_in_time_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", (F.col("o_orderkey") % 150).alias("day")
+    )
+    dim = scd2_customer_segments(spark, sf_dir)
+    return (
+        point_in_time_join(orders, dim, "o_custkey", "k", "day")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+PIT_SQL = f"""
+WITH scd AS ({SCD2_SQL})
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN scd ON scd.k = o_custkey
+        AND scd.valid_from <= (o_orderkey % 150)
+        AND (scd.valid_to IS NULL OR (o_orderkey % 150) < scd.valid_to)
+GROUP BY seg
+"""
+
+
+# --- CDC merge/upsert apply ----------------------------------------------------
+
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply (MERGE INTO emulation, operators/scd.py
+    merge_upsert): a deterministic change batch — every 10th customer
+    re-segmented to 'UPSERTED', every 21st deleted, five brand-new keys
+    inserted — applied to the customer dimension; output is the resulting
+    per-segment census. The target never shuffles: the change-key set
+    broadcasts into one left-anti join."""
+    from ..operators.scd import merge_upsert
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    maxk = 10_000_000  # new surrogate keys, disjoint from any SF's range
+    upserts = cust.filter(F.col("k") % 10 == 0).withColumn("seg", F.lit("UPSERTED")) \
+        .withColumn("_op", F.lit("U"))
+    deletes = cust.filter(F.col("k") % 21 == 0).withColumn("_op", F.lit("D"))
+    inserts = spark.range(5).select(
+        (F.col("id") + maxk).alias("k"), F.lit("BRANDNEW").alias("seg"),
+        F.lit("U").alias("_op"),
+    )
+    changes = upserts.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(cust, changes, key="k", op_col="_op")
+    return merged.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+
+
+MERGE_UPSERT_SQL = """
+WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+changes AS (
+  SELECT k, 'UPSERTED' AS seg, 'U' AS op FROM cust WHERE k % 10 = 0
+  UNION ALL
+  SELECT k, seg, 'D' FROM cust WHERE k % 21 = 0
+  UNION ALL
+  SELECT 10000000 + i AS k, 'BRANDNEW', 'U' FROM generate_series(0, 4) t(i)
+),
+merged AS (
+  SELECT k, seg FROM cust WHERE k NOT IN (SELECT k FROM changes)
+  UNION ALL
+  SELECT k, seg FROM changes WHERE op <> 'D'
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM merged GROUP BY seg
+"""
+
+
+# --- trailing-window spike detection -------------------------------------------
+
+def value_spikes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style anomaly count: an event is a SPIKE when its value
+    exceeds 3× the average of the user's previous 5 events. The compare is
+    the INTEGER cross-multiplication cents·n > 3·Σprev (no division — no
+    float boundary), the window partitions by user_id (high cardinality —
+    the windows-are-fine regime), and the trailing frame is ROWS-bounded
+    so state per row is O(1) at any scale."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts_ms", _iscale("value", 100).alias("_cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    flagged = ev.select(
+        "event_type",
+        F.sum("_cents").over(w).alias("_psum"),
+        F.count(F.lit(1)).over(w).alias("_pn"),
+        "_cents",
+    ).filter((F.col("_pn") == 5) & (F.col("_cents") * F.col("_pn") > 3 * F.col("_psum")))
+    return flagged.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_spikes"))
+
+
+SPIKES_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+t AS (
+  SELECT event_type, cents,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS BIGINT) AS psum,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS BIGINT) AS pn
+  FROM ev
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_spikes
+FROM t WHERE pn = 5 AND cents * pn > 3 * psum
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "order_price_histogram": (order_price_histogram, HIST_SQL),
@@ -623,4 +749,7 @@ QUERIES = {
     "scd2_customer_segments": (scd2_customer_segments, SCD2_SQL),
     "median_value_by_type": (median_value_by_type, MEDIAN_SQL),
     "twap_value_by_user_type": (twap_value_by_user_type, TWAP_SQL),
+    "orders_segment_at_day": (orders_segment_at_day, PIT_SQL),
+    "value_spikes_by_type": (value_spikes_by_type, SPIKES_SQL),
+    "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
 }

@@ -92,3 +92,44 @@ def test_asof_rejects_string_tiebreak(spark):
     with pytest.raises(ValueError, match="tiebreak"):
         asof_join(left, right, on="k", left_time="t", right_time="t",
                   payload=["v"], tiebreak="v")
+
+
+def test_point_in_time_join_interval_semantics(spark):
+    from laradb_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", 0, 100),     # closed version
+            (1, "new", 100, None),  # open (current) version
+            (2, "only", 50, None),
+        ],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 99, "a"), (1, 100, "b"), (1, 150, "c"), (2, 10, "d"), (3, 60, "e")],
+        "fk long, day long, tag string",
+    )
+    out = {
+        r.tag: r.seg
+        for r in point_in_time_join(facts, dim, "fk", "k", "day").collect()
+    }
+    # boundary day 100 belongs to the NEW version (valid_to exclusive)
+    assert out == {"a": "old", "b": "new", "c": "new"}
+    # d (before key 2's first version) and e (unknown key) don't match
+
+
+def test_merge_upsert_semantics(spark):
+    from laradb_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (9, "new", "U")], "k long, v string, op string"
+    )
+    got = {r.k: r.v for r in merge_upsert(target, changes, "k", op_col="op").collect()}
+    assert got == {1: "a", 2: "B", 9: "new"}  # 2 replaced, 3 deleted, 9 inserted
+    # without op_col every change row is an upsert
+    ups = spark.createDataFrame([(1, "A")], "k long, v string")
+    got2 = {r.k: r.v for r in merge_upsert(target, ups, "k").collect()}
+    assert got2 == {1: "A", 2: "b", 3: "c"}

@@ -771,3 +771,24 @@ def test_time_weighted_avg_hand_computed(spark):
     assert "B" not in out
     # C: id 5 at t=2 gets dt=0, id 6 at t=2 holds to t=6 → 11*4/4 = 11
     assert out["C"] == (11, 3)
+
+
+def test_bm25_index_search_matches_inline(spark, tmp_path, sf_dir):
+    """Stored inverted-index search ≡ inline bm25_topk (same floor-div
+    scoring), and the posting scan prunes to the query terms' buckets."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_build_index,
+        bm25_search_index,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    idx = str(tmp_path / "bm25_idx")
+    bm25_build_index(docs, idx)
+    inline = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    stored = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    assert inline == stored
+    # partition pruning: the plan's scan must carry a bucket filter
+    plan = bm25_search_index(spark, idx, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
