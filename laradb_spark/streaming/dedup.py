@@ -33,3 +33,56 @@ def dedup_stream(
     else:
         out = out.dropDuplicates(list(id_cols))
     return out.drop("_etime")
+
+
+def dedup_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+):
+    """The foreachBatch incremental-ingest dedup loop: per micro-batch,
+    RE-READ the stored digest index (a fresh static plan every batch — so
+    digests appended by earlier batches of this very run are visible,
+    unlike a plan-frozen stream-static join whose parquet file listing is
+    resolved once at stream start), drop already-seen and intra-batch
+    duplicate texts, append survivors to ``out_path`` and their digests
+    to the index.
+
+    Exactly-once note: foreachBatch is at-least-once on retry; both sinks
+    are append-mode parquet, so a batch retried after a partial write can
+    duplicate rows — production would stage per-batch output under a
+    batch-id path and commit atomically (or use a transactional table
+    format). The dedup decision itself is idempotent: a retried batch's
+    texts hash to the same digests.
+
+    Returns the started StreamingQuery (availableNow trigger — the
+    incremental batch-ingest shape: drain what's there, then stop).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.withColumn("_digest", F.md5(F.col(text_col))).dropDuplicates(
+            ["_digest"]
+        )
+        try:
+            seen = spark.read.parquet(index_path).withColumnRenamed("digest", "_digest")
+            fresh = fresh.join(seen, on="_digest", how="left_anti")
+        except AnalysisException:
+            pass  # first batch: no index yet
+        fresh.persist()
+        fresh.drop("_digest").write.mode("append").parquet(out_path)
+        fresh.select(F.col("_digest").alias("digest")).write.mode("append").parquet(
+            index_path
+        )
+        fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

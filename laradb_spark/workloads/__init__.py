@@ -86,6 +86,10 @@ _PRIORITY = [
     "orders_segment_at_day",
     "value_spikes_by_type",
     "customer_merge_upsert",
+    "event_transitions",
+    "monthly_revenue_mom",
+    "purchase_attribution",
+    "vocab_coverage",
     # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
     # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
     # the code paths most adjacent to since-rewritten modules; 22 plain

@@ -639,6 +639,148 @@ GROUP BY seg
 """
 
 
+# --- event-sequence transition matrix ------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts + probability in integer ppm
+    — the Markov-chain summary sequence models are sanity-checked against.
+    One lead() window per user (high cardinality), then a 5×5-ish
+    aggregate; the ppm division is integral (no float)."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wout = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "next_type",
+        "n",
+        F.expr("1000000 * n div sum(n) over (partition by from_type)").alias("p_ppm"),
+    )
+
+
+TRANSITIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+  FROM events
+),
+nxt AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS next_type
+  FROM ev
+),
+t AS (
+  SELECT from_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY from_type, next_type
+)
+SELECT from_type, next_type, n,
+       CAST((1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+FROM t
+"""
+
+
+# --- month-over-month revenue change --------------------------------------------
+
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta in integer ppm over the aggregated
+    monthly series — the lag() runs on ~80 month rows (bounded by the
+    calendar, not data volume), so a single-partition window over the
+    AGGREGATE is the right plan; no per-row windows touch the fact
+    table."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = _iscale(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(F.sum(rev).alias("_r"))
+    w = Window.orderBy("month")
+    # ppm delta on whole-currency units (r div 10000): keeps 1e6·delta
+    # inside BIGINT at any realistic revenue. Negative deltas: Spark `div`
+    # and DuckDB `//` BOTH truncate toward zero (verified: -7//2 = -3 in
+    # DuckDB), so the plain integral division is engine-exact.
+    return (
+        monthly.withColumn("_rk", F.expr("_r div 10000"))
+        .withColumn("_prevk", F.lag("_rk").over(w))
+        .select(
+            "month",
+            money2(F.col("_r"), 4).alias("revenue"),
+            F.expr(
+                "case when _prevk is null or _prevk = 0 then null else "
+                "(1000000 * (_rk - _prevk)) div _prevk end"
+            ).alias("mom_ppm"),
+        )
+    )
+
+
+MOM_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS r
+  FROM lineitem GROUP BY month
+),
+l AS (SELECT month, r, r // 10000 AS rk, LAG(r // 10000) OVER (ORDER BY month) AS prevk FROM m)
+SELECT month,
+       ((2 * r + 100) // 200) / 100.0 AS revenue,
+       CASE WHEN prevk IS NULL OR prevk = 0 THEN NULL
+            ELSE CAST((1000000 * (rk - prevk)) // prevk AS BIGINT) END AS mom_ppm
+FROM l
+"""
+
+
+# --- last-touch purchase attribution --------------------------------------------
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent PRECEDING non-purchase event type (NULL when the purchase is
+    the user's first touch). One carry-forward window per user
+    (high-cardinality key) with an UNBOUNDED PRECEDING..1 PRECEDING
+    frame, then a 5-row aggregate."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "attributed_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+  FROM events
+),
+t AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_type
+  FROM ev
+)
+SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM t WHERE event_type = 'purchase'
+GROUP BY attributed_type
+"""
+
+
 # --- CDC merge/upsert apply ----------------------------------------------------
 
 def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,4 +894,7 @@ QUERIES = {
     "orders_segment_at_day": (orders_segment_at_day, PIT_SQL),
     "value_spikes_by_type": (value_spikes_by_type, SPIKES_SQL),
     "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
+    "event_transitions": (event_transitions, TRANSITIONS_SQL),
+    "monthly_revenue_mom": (monthly_revenue_mom, MOM_SQL),
+    "purchase_attribution": (purchase_attribution, ATTRIBUTION_SQL),
 }

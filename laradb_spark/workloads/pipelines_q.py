@@ -8,7 +8,7 @@ shared literal, so the oracle replays the exact computation in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..pipelines import curation as cu
@@ -1174,6 +1174,62 @@ FROM aug
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer design input)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens with cumulative coverage in integer ppm — the
+    curve a tokenizer/vocab design reads ("how big must the vocab be to
+    cover X% of tokens"). Plan shape: the top-k comes from orderBy+limit
+    (TakeOrderedAndProject — distributed partial top-k, NO global sort);
+    the rank/cumsum window then runs over exactly 50 rows; the grand
+    total is a broadcast one-row aggregate. Nothing data-sized is ever
+    single-tasked."""
+    from ..pipelines.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = vocab.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_TOP)
+    total = vocab.agg(F.sum("n").alias("_tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.expr("1000000 * sum(n) over (order by n desc, term asc) div _tot").alias(
+                "cum_ppm"
+            ),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+top AS (
+  SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk,
+         CAST(SUM(n) OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS cum
+  FROM vocab
+)
+SELECT term, n, CAST(rk AS INT) AS "rank",
+       CAST((1000000 * cum) // (SELECT SUM(n) FROM vocab) AS BIGINT) AS cum_ppm
+FROM top WHERE rk <= {VOCAB_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact integer embedding Gram matrix (pipelines/embeddings.py)
 # ---------------------------------------------------------------------------
 
@@ -1277,6 +1333,7 @@ QUERIES = {
     "dedup_prefix_jaccard": (dedup_prefix_jaccard, DEDUP_JACCARD_SQL),
     "bm25_topk": (bm25_topk_q, _bm25_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
+    "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),

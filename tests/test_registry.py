@@ -27,7 +27,9 @@ def test_changed_queries_inside_oracle_window():
         "ann_ivf_topk", "dedup_embedding",
         # new in r4
         "dedup_prefix_jaccard", "bm25_topk", "twap_value_by_user_type",
-        "embedding_gram",
+        "embedding_gram", "orders_segment_at_day", "value_spikes_by_type",
+        "customer_merge_upsert", "event_transitions", "monthly_revenue_mom",
+        "purchase_attribution", "vocab_coverage",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head

@@ -148,3 +148,56 @@ def test_kafka_value_json_decoding(spark):
     assert by_id[1].kafka_ts is not None
     # malformed payload → NULL struct fields, row retained (inspectable), not a crash
     assert None in by_id
+
+
+def test_foreach_batch_ingest_loop_sees_prior_batch_digests(spark, tmp_path):
+    """dedup_ingest_stream re-reads the digest index inside foreachBatch,
+    so a duplicate arriving in a LATER micro-batch of the SAME run is
+    dropped — the freshness a plan-frozen stream-static join can't give
+    (its parquet listing resolves once at stream start)."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming.dedup import dedup_ingest_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], doc_schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mod times → file 1 batches before file 2
+    spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], doc_schema  # 3 duplicates batch-1 text
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+    q = dedup_ingest_stream(stream, idx, out, ck)
+    q.awaitTermination(120)
+    got = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert got == ["alpha", "beta", "gamma"]  # the later 'alpha' was dropped
+    n_idx = spark.read.parquet(idx).distinct().count()
+    assert n_idx == 3
+
+    # restart with NEW data: the grown index still screens old texts
+    time.sleep(1.1)
+    spark.createDataFrame([(5, "gamma"), (6, "delta")], doc_schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = dedup_ingest_stream(
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src),
+        idx, out, ck,
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert got2 == ["alpha", "beta", "delta", "gamma"]
