@@ -100,3 +100,56 @@ def grouped_rank(
         joined.withColumn(rank_col, F.col("_off") + F.row_number().over(lw))
         .drop("_pid", "_off")
     )
+
+
+def grouped_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "median",
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact lower median of ``value_col`` per group — the row at rank
+    (n+1)//2 under (value, tiebreaks) — via the two-phase ``grouped_rank``
+    (partition-count-independent). Pure rank arithmetic: no percentile
+    interpolation, so the result is engine-exact for integer inputs."""
+    order = [F.asc(value_col)] + [F.asc(t) for t in tiebreak_cols]
+    ranked = grouped_rank(df, group_cols, order)
+    return ranked.filter(F.expr("_r = (_n + 1) div 2")).select(
+        *group_cols, F.col(value_col).alias(out_col), F.col("_n").alias(count_col)
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles_pct: Sequence[int] = (25, 50, 75),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact per-group quantiles at the given integer percents, ALL from
+    ONE two-phase ranking pass (vs one pass per quantile): the rank picked
+    for percent q is the nearest-rank ``((n−1)·q) div 100 + 1`` — pure
+    integer arithmetic, deterministic on every engine. Returns one row per
+    (group, q): (group…, q_pct, value, n)."""
+    order = [F.asc(value_col)] + [F.asc(t) for t in tiebreak_cols]
+    ranked = grouped_rank(df, group_cols, order)
+    picks = [
+        F.expr(f"_r = ((_n - 1) * {q}) div 100 + 1").alias(f"_is{q}")
+        for q in quantiles_pct
+    ]
+    marked = ranked.select(*group_cols, value_col, "_n", "_r", *picks)
+    parts = [
+        marked.filter(F.col(f"_is{q}")).select(
+            *group_cols,
+            F.lit(q).cast("int").alias("q_pct"),
+            F.col(value_col).alias("value"),
+            F.col("_n").alias("n"),
+        )
+        for q in quantiles_pct
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -733,6 +733,124 @@ FROM l
 """
 
 
+# --- MAD robust outliers (composed two-phase medians) ---------------------------
+
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median, MAD (median absolute
+    deviation), and the count of events with |x − median| > 3·MAD — the
+    outlier rule that, unlike mean±kσ, is not dragged by the outliers
+    themselves. Both medians run through the partition-count-independent
+    ``grouped_median`` (5 groups would collapse a naive window), joined
+    back as broadcast 5-row tables; everything is integer cents."""
+    from . import load_events
+    from ..operators.ranking import grouped_median
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "event_id", _iscale("value", 100).alias("_cents")
+    )
+    med = grouped_median(
+        ev, ["event_type"], "_cents", tiebreak_cols=["event_id"],
+        out_col="median_cents", count_col="n_events",
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").withColumn(
+        "_d", F.abs(F.col("_cents") - F.col("median_cents"))
+    )
+    mad = grouped_median(
+        dev.select("event_type", "event_id", "_d"), ["event_type"], "_d",
+        tiebreak_cols=["event_id"], out_col="mad_cents", count_col="_n2",
+    ).drop("_n2")
+    outliers = (
+        dev.join(F.broadcast(mad), on="event_type")
+        .filter(F.col("_d") > 3 * F.col("mad_cents"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad), on="event_type")
+        .join(outliers, on="event_type", how="left")
+        .select(
+            "event_type", "median_cents", "mad_cents", "n_events",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r1 AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (SELECT event_type, cents AS median_cents, CAST(n AS BIGINT) AS n_events
+        FROM r1 WHERE r = (n + 1) // 2),
+dev AS (
+  SELECT e.event_type, e.event_id, ABS(e.cents - m.median_cents) AS d
+  FROM ev e JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, d AS mad_cents FROM r2 WHERE r = (n + 1) // 2),
+outl AS (
+  SELECT dv.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+  FROM dev dv JOIN mad USING (event_type)
+  WHERE dv.d > 3 * mad.mad_cents
+  GROUP BY dv.event_type
+)
+SELECT m.event_type, m.median_cents, mad.mad_cents, m.n_events,
+       COALESCE(o.n_outliers, 0) AS n_outliers
+FROM med m
+JOIN mad USING (event_type)
+LEFT JOIN outl o USING (event_type)
+"""
+
+
+# --- per-group exact quantile bands (one ranking pass) --------------------------
+
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p50/p90 of value per event type — all three from ONE
+    two-phase ranking pass (operators/ranking.grouped_quantiles), not one
+    window per quantile; nearest-rank picks in pure integer arithmetic."""
+    from . import load_events
+    from ..operators.ranking import grouped_quantiles
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "event_id", _iscale("value", 100).alias("_cents")
+    )
+    q = grouped_quantiles(
+        ev, ["event_type"], "_cents", quantiles_pct=(10, 50, 90),
+        tiebreak_cols=["event_id"],
+    )
+    return q.select(
+        "event_type", "q_pct", (F.col("value") / 100.0).alias("value"), "n"
+    )
+
+
+QUANTILES_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, CAST(q AS INT) AS q_pct, cents / 100.0 AS value, CAST(n AS BIGINT) AS n
+FROM r CROSS JOIN (VALUES (10), (50), (90)) t(q)
+WHERE rk = ((n - 1) * q) // 100 + 1
+"""
+
+
 # --- last-touch purchase attribution --------------------------------------------
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,4 +1015,6 @@ QUERIES = {
     "event_transitions": (event_transitions, TRANSITIONS_SQL),
     "monthly_revenue_mom": (monthly_revenue_mom, MOM_SQL),
     "purchase_attribution": (purchase_attribution, ATTRIBUTION_SQL),
+    "mad_outliers_by_type": (mad_outliers_by_type, MAD_SQL),
+    "value_quantiles_by_type": (value_quantiles_by_type, QUANTILES_SQL),
 }

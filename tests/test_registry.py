@@ -29,7 +29,8 @@ def test_changed_queries_inside_oracle_window():
         "dedup_prefix_jaccard", "bm25_topk", "twap_value_by_user_type",
         "embedding_gram", "orders_segment_at_day", "value_spikes_by_type",
         "customer_merge_upsert", "event_transitions", "monthly_revenue_mom",
-        "purchase_attribution", "vocab_coverage",
+        "purchase_attribution", "vocab_coverage", "mad_outliers_by_type",
+        "value_quantiles_by_type",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
