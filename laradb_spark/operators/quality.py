@@ -1,0 +1,63 @@
+"""Data-contract validation: one-pass constraint checking over a table.
+
+The data-quality gate a pipeline runs before promoting a load: each rule
+is a boolean expression evaluated per row; the report is ONE aggregate
+pass (conditional sums — map-side combine, no per-rule scans). Referential
+rules (foreign-key presence) are expressed as a broadcast/left-anti join
+feeding a count, still a single extra scan of the fact side.
+
+Why expressions and not a Python validator: rules stay inside whole-stage
+codegen, the pass parallelizes like any aggregate, and the same rule text
+can be replayed by an external SQL engine for audit (the driver-contract
+query does exactly that).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate named boolean rules over ``df`` in ONE aggregate pass.
+    Returns one row per rule: (rule, n_rows, n_violations, violation_ppm)
+    where a violation is a row for which the rule is FALSE or NULL (a
+    NULL check result is a failure, not a pass — contracts are
+    three-valued-logic-hostile by design)."""
+    aggs = []
+    for name, cond in rules.items():
+        viol = F.sum(
+            F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_v_{name}")
+        aggs.append(viol)
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    parts = [
+        row.select(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v_{name}").cast("long").alias("n_violations"),
+            F.expr(f"1000000 * _v_{name} div _n").alias("violation_ppm"),
+        )
+        for name in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fk_violations(
+    facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Referential-integrity count: fact rows whose key has no match in
+    the dimension (NULL keys count as violations — an unattributable fact
+    row is a violation either way). The dimension ships only its key
+    column; Spark broadcasts it when small."""
+    missing = facts.select(F.col(fact_key)).join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_anti",
+    )
+    return missing.agg(F.count(F.lit(1)).alias("n_orphans"))

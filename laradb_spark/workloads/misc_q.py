@@ -813,6 +813,95 @@ LEFT JOIN outl o USING (event_type)
 """
 
 
+# --- tie-inclusive top-k (dense_rank) -------------------------------------------
+
+def top_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts at each brand's top-2 DISTINCT price points — dense_rank, so
+    price ties are all included (row_number's arbitrary-k cutoff drops
+    tied peers; topk_parts_per_brand shows that variant). Integer-cents
+    ordering; the part table is dimension-sized, so per-brand windows are
+    fine here."""
+    part = load(spark, sf_dir, "part")
+    cents = _iscale("p_retailprice", 100)
+    w = Window.partitionBy("p_brand").orderBy(F.desc(cents))
+    return (
+        part.select(
+            "p_brand", "p_partkey", cents.alias("_cents"),
+            F.dense_rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 2)
+        .select(
+            "p_brand", "p_partkey",
+            (F.col("_cents") / 100.0).alias("retail_price"),
+            F.col("price_rank").cast("int").alias("price_rank"),
+        )
+    )
+
+
+TOP_TIES_SQL = """
+WITH p AS (
+  SELECT p_brand, p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY CAST(ROUND(p_retailprice * 100) AS BIGINT) DESC) AS rk
+  FROM part
+)
+SELECT p_brand, p_partkey, cents / 100.0 AS retail_price, CAST(rk AS INT) AS price_rank
+FROM p WHERE rk <= 2
+"""
+
+
+# --- data-contract validation gate ----------------------------------------------
+
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality gate over orders (operators/quality.py):
+    named boolean contracts evaluated as conditional sums in a single
+    aggregate, plus a referential-integrity rule (orders → customer) as a
+    key-only left-anti count. Violation rates in integer ppm."""
+    from ..operators.quality import fk_violations, validate_constraints
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    report = validate_constraints(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_domain": F.col("o_orderpriority").rlike("^[1-5]-"),
+            "date_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
+        },
+    )
+    orphans = fk_violations(orders, cust, "o_custkey", "c_custkey")
+    n = orders.count()  # bounded: one count action for the FK row's ppm
+    fk_row = orphans.select(
+        F.lit("customer_fk").alias("rule"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.col("n_orphans").cast("long").alias("n_violations"),
+        F.expr(f"1000000 * n_orphans div {max(n, 1)}").alias("violation_ppm"),
+    )
+    return report.unionByName(fk_row)
+
+
+QUALITY_SQL = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+         CAST(SUM(CASE WHEN NOT (CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1992-01-01') OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+     OR o_custkey IS NULL
+)
+SELECT 'positive_price' AS rule, n AS n_rows, v_price AS n_violations, CAST((1000000 * v_price) // n AS BIGINT) AS violation_ppm FROM base
+UNION ALL SELECT 'status_domain', n, v_status, CAST((1000000 * v_status) // n AS BIGINT) FROM base
+UNION ALL SELECT 'priority_domain', n, v_prio, CAST((1000000 * v_prio) // n AS BIGINT) FROM base
+UNION ALL SELECT 'date_range', n, v_date, CAST((1000000 * v_date) // n AS BIGINT) FROM base
+UNION ALL SELECT 'customer_fk', (SELECT n FROM base), v, CAST((1000000 * v) // (SELECT n FROM base) AS BIGINT) FROM fk
+"""
+
+
 # --- per-group exact quantile bands (one ranking pass) --------------------------
 
 def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,4 +1106,6 @@ QUERIES = {
     "purchase_attribution": (purchase_attribution, ATTRIBUTION_SQL),
     "mad_outliers_by_type": (mad_outliers_by_type, MAD_SQL),
     "value_quantiles_by_type": (value_quantiles_by_type, QUANTILES_SQL),
+    "orders_quality_report": (orders_quality_report, QUALITY_SQL),
+    "top_prices_with_ties": (top_prices_with_ties, TOP_TIES_SQL),
 }
