@@ -445,19 +445,17 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase plan's sorts are all partition-sized and its only collect
     is the ≤ nparts+groups offset table."""
     from . import load_events
-    from ..operators.ranking import grouped_rank
+    from ..operators.ranking import grouped_median
 
     ev = load_events(spark, sf_dir).select(
         "event_type", "event_id", _iscale("value", 100).alias("_cents")
     )
-    ranked = grouped_rank(ev, ["event_type"], ["_cents", "event_id"])
-    return (
-        ranked.filter(F.expr("_r = (_n + 1) div 2"))
-        .select(
-            "event_type",
-            (F.col("_cents") / 100.0).alias("median_value"),
-            F.col("_n").alias("n_events"),
-        )
+    med = grouped_median(
+        ev, ["event_type"], "_cents", tiebreak_cols=["event_id"],
+        out_col="_med", count_col="n_events",
+    )
+    return med.select(
+        "event_type", (F.col("_med") / 100.0).alias("median_value"), "n_events"
     )
 
 

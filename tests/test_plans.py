@@ -183,3 +183,15 @@ def test_no_query_plans_cartesian(spark, sfq):
         except Exception as e:  # building the plan must not fail either
             offenders.append(f"{name} (plan build failed: {e})")
     assert not offenders, offenders
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Hint surface: broadcast() forces BroadcastHashJoin; the merge hint
+    forces SortMergeJoin even where AQE would broadcast — the escape
+    hatches for when the optimizer's size estimate is wrong."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bcast = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(bcast)
+    merged = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in _plan(merged)
