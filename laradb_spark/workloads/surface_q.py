@@ -301,9 +301,13 @@ GROUP BY event_type
 # --- approximate aggregates (rows-only: sketch internals are engine-specific) --
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rsd=0.01 (not the 0.05 default): the checker's bound check asserts
+    ±5% vs the exact count, which is ~1σ at the default (observed a 6.4%
+    HLL deviation at sf0.001) but 5σ at rsd=0.01 — a bound that can't
+    flake, at a few extra KB of sketch."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
 
