@@ -687,3 +687,47 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dup_tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the top-k
+    most similar corpus vectors AFTER excluding (a) the single nearest
+    neighbor (the presumptive positive) and (b) anything with cosine ≥
+    ``dup_tau`` (a near-duplicate is a FALSE negative — training on it
+    teaches the model to push apart copies of the same thing).
+
+    Output is (query_id, neighbor_id, neg_rank) — ids and integer ranks
+    only, no float column, so downstream joins and oracle comparisons are
+    exact. Scale shape mirrors ``brute_force_topk`` (broadcast queries,
+    corpus never shuffles); swap the scorer for an ANN candidate set at
+    100 TB."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(
+        (F.col("_r") > 1) & (F.col("_cos") < dup_tau)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("_r"))
+    return (
+        ranked.withColumn("neg_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_id_col, "neighbor_id", "neg_rank")
+    )

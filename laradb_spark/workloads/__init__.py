@@ -94,6 +94,8 @@ _PRIORITY = [
     "value_quantiles_by_type",
     "orders_quality_report",
     "top_prices_with_ties",
+    "source_drift_tv",
+    "hard_negatives",
     # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
     # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
     # the code paths most adjacent to since-rewritten modules; 22 plain

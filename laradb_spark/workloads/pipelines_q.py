@@ -1230,6 +1230,133 @@ FROM top WHERE rk <= {VOCAB_TOP}
 
 
 # ---------------------------------------------------------------------------
+# contrastive hard-negative mining (ANN minus positives/near-dups)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_TAU = 0.95
+
+
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives per query: most-similar corpus vectors EXCLUDING
+    the top-1 (presumptive positive) and cosine ≥ 0.95 near-duplicates
+    (false negatives). Output is ids + integer ranks only."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(
+        emb, _queries_df(spark, sf_dir), k=TOP_K, dup_tau=HARD_NEG_TAU
+    )
+
+
+HARD_NEG_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {{n_queries}}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qvec, v.vec) AS c
+  FROM v, q
+  WHERE v.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, c,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM scored
+),
+neg AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rk ASC) AS neg_rank
+  FROM r WHERE rk > 1 AND c < {HARD_NEG_TAU}
+)
+SELECT query_id, neighbor_id, CAST(neg_rank AS INT) AS neg_rank
+FROM neg WHERE neg_rank <= {{k}}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: total-variation distance per source vs the global corpus
+# ---------------------------------------------------------------------------
+
+def source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: total-variation distance between
+    each source's token distribution and the global corpus distribution,
+    in integer ppm — the corpus-mix monitoring metric (KL needs log, a
+    transcendental the cross-engine contract bans; TV is rational).
+
+    TVₛ = ½ Σᵢ |cᵢ/Tₛ − gᵢ/G|
+        = [ Σ_{i∈s} |cᵢ·G − gᵢ·Tₛ| + (G − Σ_{i∈s} gᵢ)·Tₛ ] / (2·Tₛ·G)
+
+    where the second term covers tokens ABSENT from the source (a plain
+    join would silently drop their mass). DECIMAL(38) keeps cᵢ·G exact
+    past int64; only the final ppm is a BIGINT."""
+    from ..pipelines.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = persist_once(
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+    )
+    per = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    glob = tok.groupBy("term").agg(F.count(F.lit(1)).alias("g"))
+    totals = per.groupBy("source").agg(F.sum("c").alias("ts"))
+    gtot = glob.agg(F.sum("g").alias("gt"))
+    d = (
+        per.join(glob, on="term")
+        .join(F.broadcast(totals), on="source")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c").cast("decimal(38,0)") * F.col("gt")
+                    - F.col("g").cast("decimal(38,0)") * F.col("ts")
+                )
+            ).alias("_present"),
+            F.sum(F.col("g").cast("decimal(38,0)")).alias("_gsum"),
+            F.first("ts").alias("_ts"),
+            F.first("gt").alias("_gt"),
+        )
+    )
+    return d.select(
+        "source",
+        F.col("_ts").alias("n_tokens"),
+        # `div` (not floor(/)): decimal / decimal ROUNDS to the result
+        # scale when precision overflows 38, so floor(quotient) can
+        # mis-floor near integers; `div` on decimals is the exact
+        # integral quotient — same semantics as DuckDB's HUGEINT //.
+        F.expr(
+            "cast((1000000 * (_present + (cast(_gt as decimal(38,0)) - _gsum) * _ts))"
+            " div (2 * cast(_ts as decimal(38,0)) * _gt) as bigint)"
+        ).alias("tv_ppm"),
+    )
+
+
+SOURCE_DRIFT_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+per AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, term),
+gcnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS g FROM tok GROUP BY term),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM per GROUP BY source),
+gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gcnt),
+d AS (
+  SELECT p.source,
+         SUM(ABS(CAST(p.c AS HUGEINT) * gt - CAST(gl.g AS HUGEINT) * t.ts)) AS present,
+         SUM(CAST(gl.g AS HUGEINT)) AS gsum,
+         ANY_VALUE(t.ts) AS ts, ANY_VALUE(gt) AS gt
+  FROM per p
+  JOIN gcnt gl USING (term)
+  JOIN totals t USING (source)
+  CROSS JOIN gtot
+  GROUP BY p.source
+)
+SELECT source, ts AS n_tokens,
+       CAST((1000000 * (present + (CAST(gt AS HUGEINT) - gsum) * ts)) // (2 * CAST(ts AS HUGEINT) * gt) AS BIGINT) AS tv_ppm
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact integer embedding Gram matrix (pipelines/embeddings.py)
 # ---------------------------------------------------------------------------
 
@@ -1334,6 +1461,8 @@ QUERIES = {
     "bm25_topk": (bm25_topk_q, _bm25_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
+    "source_drift_tv": (source_drift_tv, SOURCE_DRIFT_SQL),
+    "hard_negatives": (hard_negatives_q, HARD_NEG_SQL.format(n_queries=N_QUERIES, k=TOP_K)),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
