@@ -47,6 +47,10 @@ HEADLINE = [
     "semantic_dedup_fast",
     "corpus_frequent_ngrams",
     "forward_fill_hourly",
+    # round-4 operators
+    "bm25_topk",
+    "embedding_gram",
+    "twap_value_by_user_type",
 ]
 
 
