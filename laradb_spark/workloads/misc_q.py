@@ -344,6 +344,62 @@ FROM a
 """
 
 
+# --- exact higher central moments (single pass, overflow-aware) -----------------
+
+def moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact 2nd/3rd/4th central moments of value (cents) from
+    ONE pass of raw power sums — the distributed-moments kernel behind
+    skewness/kurtosis monitoring. Everything is DECIMAL(38) integer
+    arithmetic (n³·Σx⁴ exceeds int64 by ~10¹⁸): mₖ = central-moment
+    numerator div nᵏ, i.e. the exact floored per-row central moment in
+    centsᵏ — no float power sums, no engine divergence. DECIMAL(38)
+    bounds this at ~10⁶ rows/group × 5·10⁴ cents; larger groups pre-scale
+    the units (documented, loud overflow under ANSI — never silent)."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir)
+    x = F.expr("cast(round(value * 100) as decimal(38,0))")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+        F.sum(x * x * x).alias("_s3"),
+        F.sum(x * x * x * x).alias("_s4"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_events"),
+        F.expr("cast((_n * _s2 - _s1 * _s1) div (_n * _n) as bigint)").alias("m2_c2"),
+        F.expr(
+            "cast((_n * _n * _s3 - 3 * _n * _s1 * _s2 + 2 * _s1 * _s1 * _s1)"
+            " div (_n * _n * _n) as bigint)"
+        ).alias("m3_c3"),
+        F.expr(
+            "cast((_n * _n * _n * _s4 - 4 * _n * _n * _s1 * _s3"
+            " + 6 * _n * _s1 * _s1 * _s2 - 3 * _s1 * _s1 * _s1 * _s1)"
+            " div (_n * _n * _n * _n) as bigint)"
+        ).alias("m4_c4"),
+    )
+
+
+MOMENTS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS HUGEINT) AS x FROM events
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * x * x) AS s3,
+         SUM(x * x * x * x) AS s4
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS m2_c2,
+       CAST((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) // (n * n * n) AS BIGINT) AS m3_c3,
+       CAST((n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1) // (n * n * n * n) AS BIGINT) AS m4_c4
+FROM a
+"""
+
+
 # --- percent-of-total (integer ppm, broadcast scalar denominator) --------------
 
 def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,4 +1162,5 @@ QUERIES = {
     "value_quantiles_by_type": (value_quantiles_by_type, QUANTILES_SQL),
     "orders_quality_report": (orders_quality_report, QUALITY_SQL),
     "top_prices_with_ties": (top_prices_with_ties, TOP_TIES_SQL),
+    "moments_by_type": (moments_by_type, MOMENTS_SQL),
 }

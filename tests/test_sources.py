@@ -289,3 +289,58 @@ def test_compact_parquet_partitioned_splits_large_partition(spark, tmp_path):
     assert len(files) > 1, "large partition value was not split across files"
     b = spark.read.parquet(dst)
     assert b.count() == 60_000
+
+
+def test_zorder_interleave_matches_python(spark):
+    from laradb_spark.sources.layout import _interleave_bits
+
+    def morton(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 5, 1000, 65535) for b in (0, 3, 777, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", _interleave_bits(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b), (a, b)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """A Z-ordered layout must make a selective filter on EITHER dimension
+    touch a minority of files — the whole point vs a single-column sort
+    (which prunes one dimension and scatters the other)."""
+    import collections
+
+    from laradb_spark.sources.layout import write_zordered
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % 100_000).alias("x"),
+        (F.col("id") * 16807 % 100_000).alias("y"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "x", "y", n_files=16)
+
+    back = spark.read.parquet(path)
+    total_files = back.select(F.input_file_name()).distinct().count()
+    assert total_files >= 8
+
+    def files_touched(cond):
+        return (
+            back.filter(cond).select(F.input_file_name()).distinct().count()
+        )
+
+    fx = files_touched(F.col("x") < 10_000)   # 10% slice of x
+    fy = files_touched(F.col("y") < 10_000)   # 10% slice of y
+    # either-dimension slice touches at most ~2/3 of the files; a plain
+    # x-sort would make the y-slice touch ALL of them
+    assert fx <= total_files * 2 // 3, (fx, total_files)
+    assert fy <= total_files * 2 // 3, (fy, total_files)
+    # data intact
+    assert back.count() == n
