@@ -344,6 +344,50 @@ FROM a
 """
 
 
+# --- skew-salted aggregation (driver-oracled equivalence) -----------------------
+
+def salted_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag lineitem stats THROUGH the salted two-phase
+    aggregation (operators/skew.salted_agg): l_returnflag has 3 values —
+    the textbook hot-key shape — so the partial phase spreads each flag
+    over 16 salt reducers before the 3-row fold. Integer-cents sums keep
+    the salted partial-fold order irrelevant, so the oracle is the plain
+    GROUP BY — the driver row proves salting is a pure physical rewrite."""
+    from ..operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _iscale("l_extendedprice", 100).alias("_cents"),
+        F.col("l_quantity").alias("_qty"),
+    )
+    out = salted_agg(
+        li.select(
+            "l_returnflag",
+            F.col("_cents").alias("sum_cents"),
+            F.col("_cents").alias("n_items"),
+            F.col("_qty").alias("max_qty"),
+        ),
+        ["l_returnflag"],
+        {"sum_cents": "sum", "n_items": "count", "max_qty": "max"},
+    )
+    return out.select(
+        "l_returnflag",
+        money2(F.col("sum_cents"), 2).alias("sum_price"),
+        "n_items",
+        F.round("max_qty", 2).alias("max_qty"),
+    )
+
+
+SALTED_SQL = """
+SELECT l_returnflag,
+       ((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 1) // 2) / 100.0 AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(MAX(l_quantity), 2) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- exact higher central moments (single pass, overflow-aware) -----------------
 
 def moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,4 +1207,5 @@ QUERIES = {
     "orders_quality_report": (orders_quality_report, QUALITY_SQL),
     "top_prices_with_ties": (top_prices_with_ties, TOP_TIES_SQL),
     "moments_by_type": (moments_by_type, MOMENTS_SQL),
+    "salted_lineitem_stats": (salted_lineitem_stats, SALTED_SQL),
 }

@@ -32,7 +32,7 @@ def test_changed_queries_inside_oracle_window():
         "purchase_attribution", "vocab_coverage", "mad_outliers_by_type",
         "value_quantiles_by_type", "orders_quality_report",
         "top_prices_with_ties", "source_drift_tv", "hard_negatives",
-        "moments_by_type",
+        "moments_by_type", "salted_lineitem_stats",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
