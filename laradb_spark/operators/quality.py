@@ -28,8 +28,11 @@ def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFram
     three-valued-logic-hostile by design)."""
     aggs = []
     for name, cond in rules.items():
-        viol = F.sum(
-            F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+        # coalesce: SUM over an EMPTY table is NULL, and an empty load must
+        # report 0 violations, not NULL (empty batches are routine)
+        viol = F.coalesce(
+            F.sum(F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
         ).alias(f"_v_{name}")
         aggs.append(viol)
     row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
@@ -38,7 +41,9 @@ def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFram
             F.lit(name).alias("rule"),
             F.col("_n").alias("n_rows"),
             F.col(f"_v_{name}").cast("long").alias("n_violations"),
-            F.expr(f"1000000 * _v_{name} div _n").alias("violation_ppm"),
+            F.coalesce(
+                F.expr(f"1000000 * _v_{name} div nullif(_n, 0)"), F.lit(0).cast("long")
+            ).alias("violation_ppm"),
         )
         for name in rules
     ]

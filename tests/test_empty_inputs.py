@@ -78,3 +78,49 @@ def test_timeseries_and_graph_empty(spark):
     assert triangle_count(e).first().n_triangles == 0
     s = spark.createDataFrame([], "k string, bin long, v long")
     assert fill_gaps_forward(s, "k", "bin", "v").count() == 0
+
+
+def test_round4_ops_empty(spark, empty_docs, empty_emb):
+    from laradb_spark.operators.quality import fk_violations, validate_constraints
+    from laradb_spark.operators.ranking import (
+        grouped_median,
+        grouped_quantiles,
+        grouped_rank,
+    )
+    from laradb_spark.operators.timeseries import time_weighted_avg
+    from laradb_spark.pipelines.dedup import prefix_filter_jaccard_pairs
+    from laradb_spark.pipelines.embeddings import embedding_gram_int
+    from laradb_spark.pipelines.retrieval import bm25_topk
+    from laradb_spark.pipelines.similarity import hard_negatives
+
+    assert grouped_rank(empty_docs, ["source"], ["n_chars", "doc_id"]).count() == 0
+    assert grouped_median(empty_docs, ["source"], "n_chars", ["doc_id"]).count() == 0
+    assert (
+        grouped_quantiles(empty_docs, ["source"], "n_chars", (10, 50, 90), ["doc_id"]).count()
+        == 0
+    )
+    assert prefix_filter_jaccard_pairs(empty_docs).count() == 0
+    assert bm25_topk(empty_docs, [(1, "hash join")]).count() == 0
+    assert embedding_gram_int(empty_emb, dim=4).count() == 0
+    empty_ev = spark.createDataFrame([], "k string, t long, v long, id long")
+    assert time_weighted_avg(empty_ev, ["k"], "t", "v", ["id"]).count() == 0
+    # validation on an empty table: rules report 0 rows, 0 violations
+    rep = validate_constraints(empty_docs, {"has_text": F.col("text").isNotNull()})
+    rows = rep.collect()
+    assert len(rows) == 1 and rows[0].n_rows == 0 and rows[0].n_violations == 0
+    assert fk_violations(empty_docs, empty_docs, "doc_id", "doc_id").collect()[0].n_orphans == 0
+    q = empty_emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert hard_negatives(empty_emb, q).count() == 0
+
+
+def test_merge_and_pit_empty(spark):
+    from laradb_spark.operators.joins import point_in_time_join
+    from laradb_spark.operators.scd import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string")
+    assert {r.k for r in merge_upsert(t, empty, "k").collect()} == {1}
+    assert merge_upsert(empty, empty, "k").count() == 0
+    dim = spark.createDataFrame([], "k long, seg string, valid_from long, valid_to long")
+    facts = spark.createDataFrame([(1, 5)], "fk long, day long")
+    assert point_in_time_join(facts, dim, "fk", "k", "day").count() == 0
