@@ -98,6 +98,8 @@ _PRIORITY = [
     "hard_negatives",
     "moments_by_type",
     "salted_lineitem_stats",
+    "event_trigram_paths",
+    "cross_source_dup_matrix",
     # --- stale-evidence rotation: latest driver row is r1/r2 (pre-Spark-4
     # fix). Front-load the pipeline/dedup/graph/multimodal/Raco queries —
     # the code paths most adjacent to since-rewritten modules; 22 plain

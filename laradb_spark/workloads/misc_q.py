@@ -344,6 +344,53 @@ FROM a
 """
 
 
+# --- top event trigram paths (sequence mining) ----------------------------------
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event-type paths across all users — the sequence
+    pattern summary (extends event_transitions from bigrams): two lead()
+    steps over the per-user ordered stream, then a count + distributed
+    top-k (TakeOrderedAndProject, no global sort)."""
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    paths = (
+        ev.withColumn("_t2", F.lead("event_type", 1).over(w))
+        .withColumn("_t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("_t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "_t2", "_t3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+TRIGRAM_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+  FROM events
+),
+p AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY tms, event_id) || '>' ||
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS path,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS t3
+  FROM ev
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE t3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
 # --- skew-salted aggregation (driver-oracled equivalence) -----------------------
 
 def salted_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1208,4 +1255,5 @@ QUERIES = {
     "top_prices_with_ties": (top_prices_with_ties, TOP_TIES_SQL),
     "moments_by_type": (moments_by_type, MOMENTS_SQL),
     "salted_lineitem_stats": (salted_lineitem_stats, SALTED_SQL),
+    "event_trigram_paths": (event_trigram_paths, TRIGRAM_SQL),
 }

@@ -1230,6 +1230,58 @@ FROM top WHERE rk <= {VOCAB_TOP}
 
 
 # ---------------------------------------------------------------------------
+# cross-source duplication matrix (where is contamination coming from?)
+# ---------------------------------------------------------------------------
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts by (source_a, source_b) — the contamination
+    matrix that tells a curation pipeline WHICH source pairs share
+    content (mirror sites, scrape overlap) vs within-source repetition.
+    Exact-Jaccard pairs (threshold 0.5) joined to each side's source;
+    source pair normalized (least, greatest) so the matrix is upper
+    triangular."""
+    docs = persist_once(load(spark, sf_dir, "documents"))
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_x"),
+            F.greatest("_sa", "_sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+CROSS_SOURCE_SQL = f"""
+WITH sh AS ({{shingles}}),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+p AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY source_x, source_y
+"""
+
+
+# ---------------------------------------------------------------------------
 # contrastive hard-negative mining (ANN minus positives/near-dups)
 # ---------------------------------------------------------------------------
 
@@ -1463,6 +1515,10 @@ QUERIES = {
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_drift_tv": (source_drift_tv, SOURCE_DRIFT_SQL),
     "hard_negatives": (hard_negatives_q, HARD_NEG_SQL.format(n_queries=N_QUERIES, k=TOP_K)),
+    "cross_source_dup_matrix": (
+        cross_source_dup_matrix,
+        CROSS_SOURCE_SQL.format(shingles=_SHINGLE_SQL.format(n=3)),
+    ),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),

@@ -33,6 +33,7 @@ def test_changed_queries_inside_oracle_window():
         "value_quantiles_by_type", "orders_quality_report",
         "top_prices_with_ties", "source_drift_tv", "hard_negatives",
         "moments_by_type", "salted_lineitem_stats",
+        "event_trigram_paths", "cross_source_dup_matrix",
     }
     head = set(list(all_specs())[:DRIVER_ORACLE_WINDOW])
     missing = changed - head
