@@ -44,3 +44,28 @@ def test_whitening_identity_covariance(spark, small_emb):
     assert w.shape == (300, 4)
     cov = np.cov(w, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(4), atol=0.05), cov
+
+
+def test_whiten_then_semantic_dedup_composes(spark, small_emb):
+    """Pipeline composition: whitened embeddings flow straight into
+    semantic dedup (schema contract holds: (vec_id, whitened array) →
+    rename → dedup), and exact duplicate vectors still collapse after
+    whitening (an affine map preserves equality)."""
+    from pyspark.sql import functions as F
+
+    from laradb_spark.pipelines.embeddings import whiten_embeddings
+    from laradb_spark.pipelines.similarity import semantic_dedup_fast
+
+    df, _ = small_emb
+    # plant an exact twin of vec 0 with a high id
+    twin = df.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding"
+    )
+    w = whiten_embeddings(df.unionByName(twin), dim=4).select(
+        "vec_id", F.col("whitened").alias("embedding")
+    )
+    kept = {r.vec_id for r in semantic_dedup_fast(
+        w, tau=0.999999, n_centroids=4, lloyd_iters=1
+    ).collect()}
+    assert 0 in kept and 9999 not in kept   # twin dropped, original kept
+    assert len(kept) >= 250                 # non-duplicates survive
