@@ -792,3 +792,44 @@ def test_bm25_index_search_matches_inline(spark, tmp_path, sf_dir):
     # partition pruning: the plan's scan must carry a bucket filter
     plan = bm25_search_index(spark, idx, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+def test_time_weighted_avg_random_series_property(spark):
+    """TWAP vs a pure-Python reference on random irregular series with
+    duplicate timestamps — the integral, the tiebreak, and the <2-obs
+    drop all exercised."""
+    import random
+
+    from laradb_spark.operators.timeseries import time_weighted_avg
+
+    rng = random.Random(42)
+    rows = []
+    rid = 0
+    for k in range(40):
+        n = rng.randrange(0, 6)
+        for _ in range(n):
+            rows.append((f"k{k}", rng.randrange(0, 50), rng.randrange(-100, 100), rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "k string, t long, v long, id long")
+    got = {
+        r.k: (r.twap_scaled, r.n_obs)
+        for r in time_weighted_avg(df, ["k"], "t", "v", tiebreak_cols=["id"]).collect()
+    }
+
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for k, t, v, i in rows:
+        series[k].append((t, i, v))
+    want = {}
+    for k, obs in series.items():
+        obs.sort()
+        dur = obs[-1][0] - obs[0][0]
+        if dur <= 0:
+            continue  # <2 obs, or all at one instant (dur=0) → dropped
+        wsum = sum(v * (obs[i + 1][0] - t) for i, (t, _, v) in enumerate(obs[:-1]))
+        # Spark `div` truncates toward zero (Python // floors — differs on
+        # negative weighted sums)
+        q = wsum // dur if wsum >= 0 else -((-wsum) // dur)
+        want[k] = (q, len(obs))
+    assert got == want
