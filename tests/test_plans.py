@@ -195,3 +195,29 @@ def test_join_strategy_hints(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(bcast)
     merged = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
     assert "SortMergeJoin" in _plan(merged)
+
+
+def test_bm25_plan_broadcasts_query_terms(spark, sfq):
+    """BM25's joins against the human-sized query-term and df tables must
+    broadcast; the corpus-side tf aggregation must partial-combine."""
+    qs, sf = sfq
+    plan = _plan(qs["bm25_topk"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_gram_shuffles_cells_not_rows(spark, sfq):
+    """The Gram plan is MapInPandas partial V'V per batch feeding a hash
+    aggregate — the exchange carries d(d+1)/2 cells per partition, never
+    row-sized data (no row-level Exchange below the python stage)."""
+    qs, sf = sfq
+    df = qs["embedding_gram"](spark, sf)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # partial+final aggregation over the emitted cells
+    assert plan.count("HashAggregate") >= 2
+    # the scan feeds the python stage directly — the only Exchange in the
+    # whole plan is the tiny cell aggregation's
+    assert plan.count("Exchange") <= 2  # cell agg (+ AQE shuffle read)
+    assert df.count() == 64 * 65 // 2
