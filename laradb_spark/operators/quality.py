@@ -26,26 +26,31 @@ def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFram
     where a violation is a row for which the rule is FALSE or NULL (a
     NULL check result is a failure, not a pass — contracts are
     three-valued-logic-hostile by design)."""
+    # internal columns are INDEX-named (_v_0, _v_1…), never rule-named:
+    # rule names are arbitrary strings ("price > 0", "fk-check") and would
+    # break identifier parsing if interpolated into column refs/exprs.
+    names = list(rules)
     aggs = []
-    for name, cond in rules.items():
+    for i, name in enumerate(names):
+        cond = rules[name]
         # coalesce: SUM over an EMPTY table is NULL, and an empty load must
         # report 0 violations, not NULL (empty batches are routine)
         viol = F.coalesce(
             F.sum(F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))),
             F.lit(0),
-        ).alias(f"_v_{name}")
+        ).alias(f"_v_{i}")
         aggs.append(viol)
     row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
     parts = [
         row.select(
             F.lit(name).alias("rule"),
             F.col("_n").alias("n_rows"),
-            F.col(f"_v_{name}").cast("long").alias("n_violations"),
+            F.col(f"_v_{i}").cast("long").alias("n_violations"),
             F.coalesce(
-                F.expr(f"1000000 * _v_{name} div nullif(_n, 0)"), F.lit(0).cast("long")
+                F.expr(f"1000000 * _v_{i} div nullif(_n, 0)"), F.lit(0).cast("long")
             ).alias("violation_ppm"),
         )
-        for name in rules
+        for i, name in enumerate(names)
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -135,21 +135,28 @@ def grouped_quantiles(
     (group, q): (group…, q_pct, value, n)."""
     order = [F.asc(value_col)] + [F.asc(t) for t in tiebreak_cols]
     ranked = grouped_rank(df, group_cols, order)
-    picks = [
-        F.expr(f"_r = ((_n - 1) * {q}) div 100 + 1").alias(f"_is{q}")
-        for q in quantiles_pct
-    ]
-    marked = ranked.select(*group_cols, value_col, "_n", "_r", *picks)
-    parts = [
-        marked.filter(F.col(f"_is{q}")).select(
+    # ONE pass, literally: a union of per-quantile filters would re-run
+    # the window sort once per branch (only the exchange is reused) — so
+    # collect each row's matched percents into an array and explode it;
+    # a row matches ≥2 quantiles only in tiny groups.
+    matched = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.expr(f"_r = ((_n - 1) * {q}) div 100 + 1"), F.lit(int(q))
+                )
+                for q in quantiles_pct
+            ]
+        ),
+        lambda x: x.isNotNull(),  # not array_compact — that's 3.4+-only
+    )
+    return (
+        ranked.select(*group_cols, value_col, "_n", matched.alias("_qs"))
+        .filter(F.size("_qs") > 0)
+        .select(
             *group_cols,
-            F.lit(q).cast("int").alias("q_pct"),
+            F.explode("_qs").alias("q_pct"),  # elements are int literals
             F.col(value_col).alias("value"),
             F.col("_n").alias("n"),
         )
-        for q in quantiles_pct
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )

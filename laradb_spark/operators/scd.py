@@ -106,9 +106,14 @@ def merge_upsert(
     same thing with file-level pruning; this is the format-agnostic plan.
     """
     if op_col is not None:
-        deletes_and_ups = changes
-        ups = changes.filter(F.col(op_col) != delete_op).drop(op_col)
-        touched = deletes_and_ups.select(key).distinct()
+        # NULL-op rows are UPSERTS: `op != delete_op` alone would filter
+        # them out of the upsert set (three-valued logic) while their keys
+        # still left-anti away the target row — a malformed change row
+        # must not become a silent delete.
+        ups = changes.filter(
+            (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+        ).drop(op_col)
+        touched = changes.select(key).distinct()
     else:
         ups = changes
         touched = changes.select(key).distinct()

@@ -236,9 +236,15 @@ def prefix_filter_jaccard_pairs(
             F.transform("_toks", lambda s: s["sh"]).alias("full"),
         )
         .withColumn(
+            # prefix length from threshold − 1e-6, not threshold: the FINAL
+            # filter (matching the brute-force twin and its oracle) accepts
+            # round(J, 6) ≥ t, which admits true J down to t − 5e-7 — the
+            # prefix bound must cover those pairs too, or a boundary pair
+            # the brute path emits could be pruned here. The looser prefix
+            # only ever ADDS candidates.
             "_p",
             F.col("sz")
-            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+            - F.ceil(F.lit(threshold - 1e-6) * F.col("sz") - F.lit(1e-9)).cast("int")
             + 1,
         )
     )

@@ -71,6 +71,13 @@ def embedding_gram_int(
             ).astype(np.int64)
             acc += v.T @ v
             seen = True
+            # NumPy int64 WRAPS silently (unlike Spark under ANSI) — keep
+            # the loud-overflow contract honest with an explicit guard
+            if np.abs(acc).max() > (1 << 62):
+                raise OverflowError(
+                    "embedding_gram_int partial sum near int64 range — "
+                    "pre-scale the embeddings or reduce partition size"
+                )
         if seen:
             yield pd.DataFrame(
                 {"i": iui.astype("int32"), "j": iuj.astype("int32"), "g": acc[iui, iuj]}
@@ -99,6 +106,12 @@ def whiten_embeddings(
     import pandas as pd
 
     n = emb.count()
+    if n == 0:
+        # empty in → empty out (the covariance of nothing is undefined;
+        # crashing a pipeline on an empty incremental batch is worse)
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, whitened array<double>"
+        )
     gram_rows = embedding_gram_int(emb, dim, vec_col).collect()  # ≤ d(d+1)/2 rows
     g = np.zeros((dim, dim))
     for r in gram_rows:

@@ -43,6 +43,33 @@ K1_MILLI = 1200  # k1 = 1.2
 B_MILLI = 750    # b = 0.75
 
 
+def _score_terms(scored: DataFrame, id_col: str) -> DataFrame:
+    """The quantized-BM25 floor-div chain over a joined term frame with
+    columns (query_id, id, tf, dl, df, n_docs, n_toks) → per-(query, doc)
+    summed score_ppm. ONE definition shared by the inline and
+    stored-index paths — tuning k1/b or fixing the quantization here
+    cannot desynchronize them."""
+    contrib = F.expr(
+        f"""
+        (((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
+          * {K1_MILLI + 1000} * tf)
+        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
+        """
+    )
+    return (
+        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score_ppm"))
+    )
+
+
+def _query_terms_df(spark: SparkSession, queries) -> DataFrame:
+    qrows = [
+        (int(qid), w) for qid, qtext in queries for w in str(qtext).split() if w
+    ]
+    return spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: Sequence[tuple[int, str]],
@@ -63,33 +90,14 @@ def bm25_scores(
         F.count_distinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_toks")
     )
 
-    qrows = [
-        (int(qid), w)
-        for qid, qtext in queries
-        for w in str(qtext).split()
-        if w
-    ]
-    q = spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
-
+    q = _query_terms_df(spark, queries)
     scored = (
         tf.join(F.broadcast(q), on="term")
         .join(dl, on="id")
         .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
         .crossJoin(F.broadcast(stats))
     )
-    # floor-div chain (both engines floor identically on positive ints)
-    contrib = F.expr(
-        f"""
-        (((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
-          * {K1_MILLI + 1000} * tf)
-        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
-        """
-    )
-    return (
-        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("_c").alias("score_ppm"))
-    )
+    return _score_terms(scored, id_col)
 
 
 def bm25_topk(
@@ -162,11 +170,10 @@ def bm25_search_index(
     tables instead of recomputing."""
     import zlib
 
-    qrows = [
-        (int(qid), w) for qid, qtext in queries for w in str(qtext).split() if w
-    ]
-    q = spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
-    buckets = sorted({zlib.crc32(w.encode()) % 256 for _, w in qrows})
+    q = _query_terms_df(spark, queries)
+    buckets = sorted(
+        {zlib.crc32(w.encode()) % 256 for _, t in queries for w in str(t).split() if w}
+    )
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
     )
@@ -179,18 +186,7 @@ def bm25_search_index(
         .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
         .crossJoin(F.broadcast(stats))
     )
-    contrib = F.expr(
-        f"""
-        (((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
-          * {K1_MILLI + 1000} * tf)
-        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
-        """
-    )
-    agg = (
-        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("_c").alias("score_ppm"))
-    )
+    agg = _score_terms(scored, id_col)
     ranked = grouped_rank(agg, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
     return ranked.filter(F.col("_r") <= k).select(
         "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"

@@ -65,7 +65,11 @@ def compact_parquet(
 
         n_combos = max(1, df.select(*partition_by).distinct().count())
         per_part = max(1, -(-n_files // n_combos))  # files per partition value
-        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(per_part))
+        # salt from the row POSITION, not row content: content hashing
+        # breaks on MapType columns (hash unsupported) and collapses
+        # duplicate-heavy data into one slice; position round-robins every
+        # row regardless of content.
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(per_part))
         out = df.repartition(
             n_files, *[F.col(c) for c in partition_by], salt
         )

@@ -801,7 +801,6 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wout = Window.partitionBy("from_type")
     return trans.select(
         "from_type",
         "next_type",

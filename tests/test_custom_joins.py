@@ -129,6 +129,10 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r.k: r.v for r in merge_upsert(target, changes, "k", op_col="op").collect()}
     assert got == {1: "a", 2: "B", 9: "new"}  # 2 replaced, 3 deleted, 9 inserted
+    # NULL op is an UPSERT, never a silent delete (three-valued-logic trap)
+    null_op = spark.createDataFrame([(2, "Z", None)], "k long, v string, op string")
+    got_null = {r.k: r.v for r in merge_upsert(target, null_op, "k", op_col="op").collect()}
+    assert got_null == {1: "a", 2: "Z", 3: "c"}
     # without op_col every change row is an upsert
     ups = spark.createDataFrame([(1, "A")], "k long, v string")
     got2 = {r.k: r.v for r in merge_upsert(target, ups, "k").collect()}

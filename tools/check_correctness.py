@@ -56,7 +56,9 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def check_approx_stats(con, scols: list[str], srows: list[tuple]) -> list[str]:
     """Sketch outputs can't hash-match an oracle, but they CAN be bounded:
-    approx_count_distinct (HLL++, rsd=0.05) must land within 5% of the
+    approx_count_distinct (HLL++, rsd=0.01 — the query pins it down from
+    the 0.05 default precisely so this ±5% bound is ~5σ, not the ~1σ
+    coin-flip that flaked 6.4% at sf0.001) must land within 5% of the
     exact distinct count, and percentile_approx (accuracy=10000 → rank
     error ≤ n/10⁴) must land between the exact 45th and 55th percentiles.
     Turns the one oracle-less aggregate from a permanent blind spot into a
