@@ -221,3 +221,50 @@ def test_embedding_gram_shuffles_cells_not_rows(spark, sfq):
     # whole plan is the tiny cell aggregation's
     assert plan.count("Exchange") <= 2  # cell agg (+ AQE shuffle read)
     assert df.count() == 64 * 65 // 2
+
+
+# Queries ALLOWED an Exchange SinglePartition: every one is a bounded
+# one-row/scalar flow (global scalar aggregates, ≤50-row windows, bounded
+# month/grid series) — the single partition carries rows counted in ones,
+# never data-sized input. A query appearing here must document why.
+SINGLE_PARTITION_ALLOWED = {
+    "approx_stats",            # one-row sketch aggregate
+    "bm25_topk",               # query-term/stats scalar flows
+    "corpus_clean",            # scalar report row
+    "event_funnel",            # three scalar counts
+    "forward_fill_hourly",     # bounded time-grid series
+    "monthly_revenue_mom",     # ~83-month aggregated series window
+    "orders_quality_report",   # five one-row rule branches
+    "pagerank_supplier_part",  # per-iteration scalar N
+    "q11_nation_balance_share",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",     # single-row revenue scalar
+    "revenue_share_by_nation", # broadcast scalar denominator
+    "sensor_covariance_events",  # scalar N broadcast
+    "small_quantity_revenue",
+    "source_drift_tv",         # one-row global token total
+    "supplier_copart_triangles",  # scalar triangle count
+    "tfidf_top_terms",         # bounded top-set flow
+    "vocab_coverage",          # 50-row window by construction
+}
+
+
+def test_no_unexpected_single_partition_exchanges(spark, sfq):
+    """Sweep EVERY query plan: an Exchange SinglePartition outside the
+    documented bounded-scalar allowlist means a new query funnels
+    data-sized input through one task — the 100× parallelism collapse the
+    two-phase ranking work exists to prevent."""
+    qs, sf = sfq
+    offenders = []
+    for name, fn in qs.items():
+        try:
+            plan = _plan(fn(spark, sf))
+        except Exception as e:
+            offenders.append(f"{name} (plan build failed: {e})")
+            continue
+        if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_ALLOWED:
+            offenders.append(name)
+    assert not offenders, offenders
