@@ -20,18 +20,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
-    """Evaluate named boolean rules over ``df`` in ONE aggregate pass.
-    Returns one row per rule: (rule, n_rows, n_violations, violation_ppm)
-    where a violation is a row for which the rule is FALSE or NULL (a
-    NULL check result is a failure, not a pass — contracts are
-    three-valued-logic-hostile by design)."""
+def constraint_counts(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """The ONE-row aggregate every rule report derives from:
+    ``(_n, _v_0, _v_1, …)`` — total rows plus per-rule violation counts,
+    all conditional sums in a single pass over ``df``. Callers that also
+    need the total row count (e.g. to rate a separately-computed FK rule)
+    should collect THIS row once instead of running a second ``count()``
+    scan."""
     # internal columns are INDEX-named (_v_0, _v_1…), never rule-named:
     # rule names are arbitrary strings ("price > 0", "fk-check") and would
     # break identifier parsing if interpolated into column refs/exprs.
-    names = list(rules)
     aggs = []
-    for i, name in enumerate(names):
+    for i, name in enumerate(rules):
         cond = rules[name]
         # coalesce: SUM over an EMPTY table is NULL, and an empty load must
         # report 0 violations, not NULL (empty batches are routine)
@@ -40,7 +40,18 @@ def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFram
             F.lit(0),
         ).alias(f"_v_{i}")
         aggs.append(viol)
-    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    return df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+
+
+def validate_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate named boolean rules over ``df`` in ONE aggregate pass
+    (``constraint_counts``). Returns one row per rule:
+    (rule, n_rows, n_violations, violation_ppm) where a violation is a
+    row for which the rule is FALSE or NULL (a NULL check result is a
+    failure, not a pass — contracts are three-valued-logic-hostile by
+    design)."""
+    names = list(rules)
+    row = constraint_counts(df, rules)
     parts = [
         row.select(
             F.lit(name).alias("rule"),

@@ -93,11 +93,24 @@ def merge_upsert(
     key: str,
     op_col: str | None = None,
     delete_op: str = "D",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """SCD1 / CDC batch apply — the MERGE INTO shape on plain parquet:
     every change row REPLACES the target row with its key (upsert); rows
     whose ``op_col`` equals ``delete_op`` delete that key instead. Keys
     absent from the target insert.
+
+    ``changes`` must be KEY-UNIQUE, exactly like MERGE INTO (which errors
+    when multiple source rows match one target row — a duplicate-key
+    batch would otherwise union in BOTH upsert rows, and a mixed
+    upsert+delete key would silently resolve to the upsert regardless of
+    CDC order). Either pre-collapse upstream, or pass ``seq_col`` — a CDC
+    sequence/LSN column, strictly increasing per key — and the batch is
+    collapsed last-wins here first (one hash aggregate; the winning row's
+    op decides: trailing delete deletes, trailing upsert upserts; the
+    sequence column is consumed and not emitted). Without ``seq_col`` a
+    duplicate key raises ``ValueError`` — the check is one bounded
+    aggregate job over the CDC-sized batch, never over the target.
 
     Physical shape: the change batch is CDC-sized (small side) — its
     distinct-key set broadcasts into one LEFT-ANTI join against the
@@ -105,6 +118,22 @@ def merge_upsert(
     one scan + union. Formats with native MERGE (Delta/Iceberg) do the
     same thing with file-level pruning; this is the format-agnostic plan.
     """
+    if seq_col is not None:
+        others = [c for c in changes.columns if c != key]
+        changes = (
+            changes.groupBy(key)
+            .agg(F.max_by(F.struct(*others), F.col(seq_col)).alias("_last"))
+            .select(key, "_last.*")
+            .drop(seq_col)
+        )
+    elif (
+        changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).count() > 0
+    ):
+        raise ValueError(
+            f"merge_upsert: changes has multiple rows for some {key!r} "
+            "(MERGE INTO semantics require a key-unique source); "
+            "pass seq_col to collapse last-wins"
+        )
     if op_col is not None:
         # NULL-op rows are UPSERTS: `op != delete_op` alone would filter
         # them out of the upsert set (three-valued logic) while their keys

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.ranking import grouped_rank
 from ..util import persist_once
-from .text import tokens
+from .text import tokenize_str, tokens
 
 K1_MILLI = 1200  # k1 = 1.2
 B_MILLI = 750    # b = 0.75
@@ -64,8 +64,10 @@ def _score_terms(scored: DataFrame, id_col: str) -> DataFrame:
 
 
 def _query_terms_df(spark: SparkSession, queries) -> DataFrame:
+    # tokenize_str IS the tokens() contract — query terms must match the
+    # corpus tokenization or probes silently miss postings.
     qrows = [
-        (int(qid), w) for qid, qtext in queries for w in str(qtext).split() if w
+        (int(qid), w) for qid, qtext in queries for w in tokenize_str(str(qtext))
     ]
     return spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
 
@@ -171,8 +173,11 @@ def bm25_search_index(
     import zlib
 
     q = _query_terms_df(spark, queries)
+    # bucket pruning from the SAME tokenization as the stored postings —
+    # a probe derived from a different split would prune to the wrong
+    # buckets and return silently-empty matches.
     buckets = sorted(
-        {zlib.crc32(w.encode()) % 256 for _, t in queries for w in str(t).split() if w}
+        {zlib.crc32(w.encode()) % 256 for _, t in queries for w in tokenize_str(str(t))}
     )
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)

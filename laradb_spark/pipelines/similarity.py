@@ -2,8 +2,9 @@
 
 Baseline: brute-force cosine top-k — a broadcast join of the (small) query
 set against the full corpus; 100% recall, scan-bound, embarrassingly
-parallel (no shuffle on the corpus side; the window ranks within each
-query partition).
+parallel (no shuffle on the corpus side; ranking is the two-phase
+``grouped_rank``, so the few-queries × huge-corpus shape never funnels a
+query's whole candidate set through one task).
 
 Scale path: random-hyperplane LSH — deterministic planes, bucket the
 corpus once (map-only), then search only matching buckets. At 100 TB the
@@ -20,7 +21,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.ranking import grouped_rank
 from ..util import persist_once
+
+
+def _topk_per_query(
+    scored: DataFrame,
+    query_id_col: str,
+    score_col: str,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query top-k over a ``(query_id, neighbor_id, score)`` frame via
+    the two-phase ``grouped_rank`` (range partition → local row_number →
+    offset add). The naive ``Window.partitionBy(query_id)`` parallelizes
+    by QUERY: with a handful of queries against a huge corpus, each
+    query's entire candidate set sorts in ONE task no matter how many
+    executors exist. Here parallelism is the partition count — the
+    few-queries × 100 TB-corpus shape stays distributed end to end.
+    Ordering (score desc, neighbor_id asc) is total, so ranks are
+    deterministic and bit-identical to the window formulation."""
+    ranked = grouped_rank(
+        scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
+    )
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .select(query_id_col, "neighbor_id", F.col("_r").cast("int").alias(rank_col))
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -71,12 +98,7 @@ def brute_force_topk(
             cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
 
 
 def quantize_sq8(
@@ -142,12 +164,7 @@ def sq8_topk(
             ((idot(F.col("qq"), F.col("cq")) * F.col("qs")) * F.col("cs")).alias("iscore"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("iscore"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "iscore", k)
 
 
 def brute_force_topk_vectorized(
@@ -196,11 +213,10 @@ def brute_force_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("query_id").alias(query_id_col), "neighbor_id", "rank")
+    # grouped_rank persists its range-partitioned input, which here also
+    # stops the ArrowEval scorer re-running per consumer (DEVNOTES #3).
+    return _topk_per_query(scored, "query_id", "cos", k).withColumnRenamed(
+        "query_id", query_id_col
     )
 
 
@@ -259,22 +275,32 @@ def lsh_topk_multiprobe(
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
+
+
+# Cut the Lloyd chain's lineage every N rounds: plan size grows linearly
+# with chained rounds (each round's aggregation nests the previous one in
+# its assignment broadcast), so short trainings run as ONE fused job while
+# long ones still rebind through a bounded collect before the plan (and
+# its codegen) get heavy.
+LLOYD_CUT_EVERY = 2
 
 
 def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFrame:
     """k-means-lite centroid training (deterministic init = the
     ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds) over a
     ``(neighbor_id, cvec)`` frame. Returns a lineage-free literal
-    ``(cid, cent)`` frame: each round rebinds centroids via
-    collect + createDataFrame — the one legitimate collect, bounded by
-    n_centroids·dim values — because otherwise every round's plan embeds
-    the previous round's assignment join (O(2^iters) plan growth)."""
+    ``(cid, cent)`` frame — bounded by n_centroids·dim values — so the
+    several downstream consumers (full assignment, query probing, index
+    writes) never re-execute training.
+
+    Rounds are CHAINED LAZILY and materialized once per ``LLOYD_CUT_EVERY``
+    rounds (plus once at the end): the default 2-round training is a
+    single Spark job instead of one collect+rebind job per round — at
+    bench scale the loop was dominated by that fixed per-round job cost,
+    not by compute. The periodic cut still bounds plan growth for long
+    trainings (the round-over-round nesting that motivated the original
+    per-round rebind)."""
     spark = c.sparkSession
     # per-vector norm computed ONCE for all rounds (each round's assignment
     # needs it; recomputing the 128-dim HOF fold per round doubles the loop)
@@ -284,10 +310,10 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
         c.orderBy("neighbor_id").limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
     )
-    for _ in range(lloyd_iters):
+    for i in range(lloyd_iters):
         assigned = _assign(c, cents)
         # new centroid = element-wise mean of members (posexplode + avg)
-        new_cents = (
+        cents = (
             assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
             .groupBy("cid", "d")
             .agg(F.avg("x").alias("m"))
@@ -295,7 +321,8 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
             .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
         )
-        cents = spark.createDataFrame(new_cents.collect(), new_cents.schema)
+        if i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
+            cents = spark.createDataFrame(cents.collect(), cents.schema)
     return cents
 
 
@@ -346,6 +373,10 @@ def ivf_topk(
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
     )
+    # Probe-selection window: input is queries × centroids — CENTROID-
+    # bounded per query (n_centroids rows), never corpus-bounded, so the
+    # per-query partition stays small by construction. The corpus-sized
+    # final ranking below goes through grouped_rank instead.
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
     probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
     scored = (
@@ -353,12 +384,7 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
 
 
 def ivf_build_index(
@@ -412,6 +438,7 @@ def ivf_search_index(
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
     )
+    # Centroid-bounded probe-selection window (see ivf_topk).
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
     probes = persist_once(
         qc.withColumn("_r", F.row_number().over(wq))
@@ -425,12 +452,7 @@ def ivf_search_index(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
 
 
 def lsh_build_index(
@@ -486,12 +508,7 @@ def lsh_search_index(
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
 
 
 def semantic_dedup(
@@ -681,12 +698,7 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
 
 
 def hard_negatives(
@@ -708,7 +720,12 @@ def hard_negatives(
     only, no float column, so downstream joins and oracle comparisons are
     exact. Scale shape mirrors ``brute_force_topk`` (broadcast queries,
     corpus never shuffles); swap the scorer for an ANN candidate set at
-    100 TB."""
+    100 TB. The rank-1 "positive" is found with a hash AGGREGATE
+    (``max_by`` over (cos, −id) — ties → smallest id, exactly the window
+    formulation's rank 1), not a full per-query ranking, and the negative
+    ranking itself is the two-phase ``grouped_rank`` — no per-query
+    window anywhere, so a handful of queries against a huge corpus never
+    serializes into a handful of tasks."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -721,13 +738,13 @@ def hard_negatives(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(
-        (F.col("_r") > 1) & (F.col("_cos") < dup_tau)
+    # One row per query (broadcast-sized): the presumptive positive.
+    # scored fans out twice (this aggregate + the candidate filter); it is
+    # a pure-expression scan — recomputing beats persisting an N×Q frame.
+    top1 = scored.groupBy(query_id_col).agg(
+        F.expr("max_by(neighbor_id, struct(_cos, -neighbor_id))").alias("_pos")
     )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("_r"))
-    return (
-        ranked.withColumn("neg_rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("neg_rank") <= k)
-        .select(query_id_col, "neighbor_id", "neg_rank")
+    cand = scored.join(F.broadcast(top1), on=query_id_col).filter(
+        (F.col("neighbor_id") != F.col("_pos")) & (F.col("_cos") < dup_tau)
     )
+    return _topk_per_query(cand, query_id_col, "_cos", k, rank_col="neg_rank")

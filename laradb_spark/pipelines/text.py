@@ -32,6 +32,16 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, TOKEN_SEP), lambda w: w != F.lit(""))
 
 
+def tokenize_str(s: str) -> list[str]:
+    """Driver-side twin of ``tokens()`` — single-``TOKEN_SEP`` split,
+    empties dropped. Anything that pre-tokenizes query strings on the
+    driver (BM25 probe terms, bucket pruning) MUST go through this, not a
+    bare ``str.split()``: the two coincide today, but a future change to
+    ``tokens()`` (lowercasing, punctuation) must de-sync exactly zero
+    call sites."""
+    return [w for w in s.split(TOKEN_SEP) if w]
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
@@ -212,8 +222,11 @@ def tfidf_top_terms(
     BIGINT arithmetic, so ranking is bit-identical across engines (a
     float ln() idf would tie-flake, DEVNOTES gotcha #4). Ties break on
     term asc. Two aggregates (per-group tf, per-term df) + one broadcast
-    join of the tiny df table + a bounded per-group window."""
-    from pyspark.sql.window import Window
+    join of the tiny df table; ranking via the two-phase ``grouped_rank``
+    — the scored frame is vocabulary-sized, but sources can be few, and a
+    per-source window would sort each source's whole vocabulary in one
+    task."""
+    from ..operators.ranking import grouped_rank
 
     toks = df.select("doc_id", F.col(group).alias("grp"), F.explode(tokens(F.col(text))).alias("term"))
     tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -227,11 +240,13 @@ def tfidf_top_terms(
             F.expr("tf * ((1000000 * _n) div _df)").alias("score"),
         )
     )
-    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    ranked = grouped_rank(scored, ["grp"], [F.desc("score"), F.asc("term")])
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("grp").alias(group), "term", "score", "rank")
+        ranked.filter(F.col("_r") <= k)
+        .select(
+            F.col("grp").alias(group), "term", "score",
+            F.col("_r").cast("int").alias("rank"),
+        )
     )
 
 

@@ -38,6 +38,7 @@ def compact_parquet(
     dst: str,
     target_file_mb: int = 512,
     partition_by: list[str] | None = None,
+    salt_col: str | None = None,
 ) -> dict:
     """Rewrite the parquet tree at ``src`` into ``dst`` with files sized
     toward ``target_file_mb``. Returns {"files_before", "files_after",
@@ -55,6 +56,19 @@ def compact_parquet(
     from one cheap distinct-count over the pruned partition columns — so
     large partition values split toward the target file size while each
     output directory still compacts internally.
+
+    Pass ``salt_col`` (any roughly-unique, hash-safe column — a row id,
+    a digest) to derive the salt DETERMINISTICALLY as
+    ``pmod(xxhash64(salt_col), slices)``: under a shuffle-fetch-failure
+    stage retry a repartition keyed on a nondeterministic expression is
+    the SPARK-38388 class of risk (rows lost or duplicated when only
+    some map tasks re-run). Without ``salt_col`` the salt falls back to
+    the row position (``monotonically_increasing_id``), which
+    round-robins any content (MapType columns hash-error; duplicate-
+    heavy data would collapse into one slice) but ASSUMES no mid-write
+    stage retry — acceptable for an offline maintenance rewrite that is
+    re-run on failure, and the reason ``salt_col`` is preferred when a
+    stable identity column exists.
     """
     total, n_before = _tree_bytes(spark, src)
     target = max(1, target_file_mb) * 1024 * 1024
@@ -65,11 +79,16 @@ def compact_parquet(
 
         n_combos = max(1, df.select(*partition_by).distinct().count())
         per_part = max(1, -(-n_files // n_combos))  # files per partition value
-        # salt from the row POSITION, not row content: content hashing
-        # breaks on MapType columns (hash unsupported) and collapses
-        # duplicate-heavy data into one slice; position round-robins every
-        # row regardless of content.
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(per_part))
+        if salt_col is not None:
+            # deterministic: retry-safe repartition key (see docstring)
+            salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(per_part))
+        else:
+            # salt from the row POSITION, not row content: content hashing
+            # breaks on MapType columns (hash unsupported) and collapses
+            # duplicate-heavy data into one slice; position round-robins
+            # every row regardless of content — but is NONDETERMINISTIC
+            # under stage retry (docstring caveat).
+            salt = F.pmod(F.monotonically_increasing_id(), F.lit(per_part))
         out = df.repartition(
             n_files, *[F.col(c) for c in partition_by], salt
         )

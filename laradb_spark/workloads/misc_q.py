@@ -999,29 +999,35 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality gate over orders (operators/quality.py):
     named boolean contracts evaluated as conditional sums in a single
     aggregate, plus a referential-integrity rule (orders → customer) as a
-    key-only left-anti count. Violation rates in integer ppm."""
-    from ..operators.quality import fk_violations, validate_constraints
+    key-only left-anti count. Violation rates in integer ppm.
+
+    Exactly TWO scans of orders: the constraint aggregate's and the FK
+    anti-join's. Both collapse to one row, collected once (bounded), and
+    the 5-row report is assembled driver-side — n_rows for the FK rule
+    reuses the aggregate's ``_n`` instead of a third ``count()`` scan,
+    and no one-row frame fans out into per-rule re-aggregation."""
+    from ..operators.quality import constraint_counts, fk_violations
 
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    report = validate_constraints(
-        orders,
-        {
-            "positive_price": F.col("o_totalprice") > 0,
-            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
-            "priority_domain": F.col("o_orderpriority").rlike("^[1-5]-"),
-            "date_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
-        },
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_domain": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "date_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
+    }
+    agg = constraint_counts(orders, rules).collect()[0]  # bounded: 1 row
+    n = agg["_n"]
+    orphans = fk_violations(orders, cust, "o_custkey", "c_custkey").collect()[0][
+        "n_orphans"
+    ]
+    rows = [
+        (name, n, agg[f"_v_{i}"], 1_000_000 * agg[f"_v_{i}"] // max(n, 1))
+        for i, name in enumerate(rules)
+    ] + [("customer_fk", n, orphans, 1_000_000 * orphans // max(n, 1))]
+    return spark.createDataFrame(
+        rows, "rule string, n_rows long, n_violations long, violation_ppm long"
     )
-    orphans = fk_violations(orders, cust, "o_custkey", "c_custkey")
-    n = orders.count()  # bounded: one count action for the FK row's ppm
-    fk_row = orphans.select(
-        F.lit("customer_fk").alias("rule"),
-        F.lit(n).cast("long").alias("n_rows"),
-        F.col("n_orphans").cast("long").alias("n_violations"),
-        F.expr(f"1000000 * n_orphans div {max(n, 1)}").alias("violation_ppm"),
-    )
-    return report.unionByName(fk_row)
 
 
 QUALITY_SQL = """
@@ -1137,9 +1143,13 @@ GROUP BY attributed_type
 def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC batch apply (MERGE INTO emulation, operators/scd.py
     merge_upsert): a deterministic change batch — every 10th customer
-    re-segmented to 'UPSERTED', every 21st deleted, five brand-new keys
-    inserted — applied to the customer dimension; output is the resulting
-    per-segment census. The target never shuffles: the change-key set
+    re-segmented to 'UPSERTED' at CDC sequence 1, every 21st deleted at
+    sequence 2, five brand-new keys inserted — applied to the customer
+    dimension; output is the resulting per-segment census. Keys divisible
+    by both (k % 210 == 0) carry an upsert AND a later delete, so the
+    batch is deliberately NOT key-unique: ``seq_col`` collapses it
+    last-wins (the seq-2 delete beats the seq-1 upsert — CDC order, not
+    op precedence). The target never shuffles: the change-key set
     broadcasts into one left-anti join."""
     from ..operators.scd import merge_upsert
 
@@ -1148,30 +1158,35 @@ def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     maxk = 10_000_000  # new surrogate keys, disjoint from any SF's range
     upserts = cust.filter(F.col("k") % 10 == 0).withColumn("seg", F.lit("UPSERTED")) \
-        .withColumn("_op", F.lit("U"))
-    deletes = cust.filter(F.col("k") % 21 == 0).withColumn("_op", F.lit("D"))
+        .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(1))
+    deletes = cust.filter(F.col("k") % 21 == 0).withColumn("_op", F.lit("D")) \
+        .withColumn("_seq", F.lit(2))
     inserts = spark.range(5).select(
         (F.col("id") + maxk).alias("k"), F.lit("BRANDNEW").alias("seg"),
-        F.lit("U").alias("_op"),
+        F.lit("U").alias("_op"), F.lit(1).alias("_seq"),
     )
     changes = upserts.unionByName(deletes).unionByName(inserts)
-    merged = merge_upsert(cust, changes, key="k", op_col="_op")
+    merged = merge_upsert(cust, changes, key="k", op_col="_op", seq_col="_seq")
     return merged.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
 
 
 MERGE_UPSERT_SQL = """
 WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
 changes AS (
-  SELECT k, 'UPSERTED' AS seg, 'U' AS op FROM cust WHERE k % 10 = 0
+  SELECT k, 'UPSERTED' AS seg, 'U' AS op, 1 AS seq FROM cust WHERE k % 10 = 0
   UNION ALL
-  SELECT k, seg, 'D' FROM cust WHERE k % 21 = 0
+  SELECT k, seg, 'D', 2 FROM cust WHERE k % 21 = 0
   UNION ALL
-  SELECT 10000000 + i AS k, 'BRANDNEW', 'U' FROM generate_series(0, 4) t(i)
+  SELECT 10000000 + i AS k, 'BRANDNEW', 'U', 1 FROM generate_series(0, 4) t(i)
+),
+collapsed AS (
+  SELECT k, arg_max(seg, seq) AS seg, arg_max(op, seq) AS op
+  FROM changes GROUP BY k
 ),
 merged AS (
-  SELECT k, seg FROM cust WHERE k NOT IN (SELECT k FROM changes)
+  SELECT k, seg FROM cust WHERE k NOT IN (SELECT k FROM collapsed)
   UNION ALL
-  SELECT k, seg FROM changes WHERE op <> 'D'
+  SELECT k, seg FROM collapsed WHERE op <> 'D'
 )
 SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM merged GROUP BY seg
 """

@@ -370,7 +370,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 
 
@@ -397,7 +397,7 @@ p AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5 AND id_a <> id_b
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
@@ -433,7 +433,7 @@ p AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 AND id_a <> id_b
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5 AND id_a <> id_b
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
@@ -534,7 +534,7 @@ p AS (
   SELECT i.id_a, i.id_b FROM inter i
   JOIN sizes sa ON sa.id = i.id_a
   JOIN sizes sb ON sb.id = i.id_b
-  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5 AND i.id_a <> i.id_b
+  WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5 AND i.id_a <> i.id_b
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
@@ -639,7 +639,7 @@ SELECT i.id_a, i.id_b,
 FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
-WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5
+WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
 """
 
 
@@ -1269,7 +1269,7 @@ p AS (
   FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
 )
 SELECT LEAST(da.source, db.source) AS source_x,
        GREATEST(da.source, db.source) AS source_y,

@@ -3,7 +3,7 @@ retrieval quality on clustered data."""
 
 import numpy as np
 import pytest
-from plan_helpers import scan_num_files
+from plan_helpers import find_file_scan, scan_num_files
 from pyspark.sql import functions as F
 
 from laradb_spark.pipelines import similarity as sim
@@ -125,8 +125,10 @@ def test_ivf_stored_index_prunes_partitions(spark, clustered, tmp_path):
     # (inputFiles() can't show this — it lists the pre-pruning relation).
     one = sim.ivf_search_index(spark, path, q.limit(1), n_probe=1, k=5)
     one.collect()
-    plan = one._jdf.queryExecution().executedPlan().toString()
-    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    # the parquet scan lives inside grouped_rank's cached input — find it
+    # through the InMemoryRelation and read ITS PartitionFilters
+    scan = find_file_scan(one, "cvec").toString()
+    part = scan.split("PartitionFilters: [")[1].split("]")[0]
     assert "cid" in part and ("IN" in part or "=" in part)
     total_files = len(spark.read.parquet(f"{path}/corpus").inputFiles())
     read_files = scan_num_files(one, "cvec")
@@ -151,8 +153,8 @@ def test_lsh_stored_index_matches_inline_and_prunes(spark, clustered, tmp_path):
 
     one = sim.lsh_search_index(spark, path, q.limit(1), dim=8, k=5, planes=6)
     one.collect()
-    plan = one._jdf.queryExecution().executedPlan().toString()
-    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    scan = find_file_scan(one, "cvec").toString()
+    part = scan.split("PartitionFilters: [")[1].split("]")[0]
     assert "bucket" in part
     total_files = len(spark.read.parquet(f"{path}/corpus").inputFiles())
     read_files = scan_num_files(one, "cvec")

@@ -137,3 +137,30 @@ def test_merge_upsert_semantics(spark):
     ups = spark.createDataFrame([(1, "A")], "k long, v string")
     got2 = {r.k: r.v for r in merge_upsert(target, ups, "k").collect()}
     assert got2 == {1: "A", 2: "b", 3: "c"}
+
+
+def test_merge_upsert_duplicate_key_batch(spark):
+    """MERGE INTO semantics: a duplicate-key change batch raises unless a
+    sequence column collapses it last-wins (the winning row's op decides
+    — a trailing delete deletes even when an earlier upsert exists)."""
+    import pytest
+
+    from laradb_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame(
+        [(2, "B1", "U", 10), (2, "B2", "U", 20), (1, "A", "U", 5), (1, None, "D", 6)],
+        "k long, v string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(target, dup.drop("seq"), "k", op_col="op")
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, dup, "k", op_col="op", seq_col="seq").collect()
+    }
+    # key 2: seq 20 wins (B2); key 1: the delete at seq 6 beats the upsert
+    assert got == {2: "B2"}
+    # seq collapse without op_col, and the seq column is not emitted
+    merged = merge_upsert(target, dup.drop("op"), "k", seq_col="seq")
+    assert "seq" not in merged.columns
+    assert {r.k: r.v for r in merged.collect()} == {1: None, 2: "B2"}

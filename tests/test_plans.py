@@ -146,6 +146,39 @@ def test_grouped_rank_queries_no_low_cardinality_window(spark, sfq):
         assert saw_window, qname
 
 
+ANN_FAMILY = (
+    "ann_brute_force",
+    "ann_brute_force_fast",
+    "ann_sq8_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "hard_negatives",
+    "tfidf_top_terms",
+)
+
+
+def test_ann_family_no_per_query_ranking_window(spark, sfq):
+    """The ANN/hard-negatives/tfidf family ranks via the two-phase
+    grouped_rank: with few queries against a huge corpus, a
+    Window.partitionBy(query_id) over the scored candidates would sort
+    each query's whole candidate set in ONE task. Every row_number window
+    in these plans must be sharded by _pid — except IVF's probe-selection
+    window, whose input is queries × centroids (ordered by _cc), bounded
+    by the centroid count, never the corpus."""
+    qs, sf = sfq
+    for qname in ANN_FAMILY:
+        plan = _plan(qs[qname](spark, sf))
+        saw_window = False
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                saw_window = True
+                assert "_pid" in line or "_cc" in line, (
+                    f"{qname}: corpus-sized ranking window: {line.strip()}"
+                )
+        assert saw_window, qname
+
+
 def test_grouped_rank_matches_naive_window(spark):
     """grouped_rank ≡ the naive per-group window on a fixture with NULL
     group keys, ties, and a group split across range partitions."""
@@ -234,7 +267,6 @@ SINGLE_PARTITION_ALLOWED = {
     "event_funnel",            # three scalar counts
     "forward_fill_hourly",     # bounded time-grid series
     "monthly_revenue_mom",     # ~83-month aggregated series window
-    "orders_quality_report",   # five one-row rule branches
     "pagerank_supplier_part",  # per-iteration scalar N
     "q11_nation_balance_share",
     "q14_promo_share",

@@ -290,6 +290,20 @@ def test_compact_parquet_partitioned_splits_large_partition(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 60_000
 
+    # deterministic salt path: same split behavior, but the shuffle key is
+    # a hash of a stable row identity (retry-safe, SPARK-38388 caveat)
+    dst2 = str(tmp_path / "comp_skew_det")
+    compact_parquet(
+        spark, src, dst2, target_file_mb=1, partition_by=["grp"], salt_col="id"
+    )
+    files2 = [
+        f for f in glob.glob(f"{dst2}/grp=0/*")
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    assert len(files2) > 1
+    d = spark.read.parquet(dst2)
+    assert d.count() == 60_000 and "id" in d.columns
+
 
 def test_zorder_interleave_matches_python(spark):
     from laradb_spark.sources.layout import _interleave_bits
