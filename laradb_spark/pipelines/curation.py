@@ -220,16 +220,27 @@ def cap_per_group(
     group_col: str,
     k: int,
     key: str = "doc_id",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Keep at most ``k`` rows per group, chosen by md5(key) order — the
     "at most k documents per domain" curation cap. Deterministic (no RNG,
-    no partition-layout dependence) and scale-safe: the window partitions
-    by group, so ranking is parallel across groups; a group larger than
-    one task's memory streams through Spark's window operator (rank-only
-    frames don't buffer the partition)."""
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(key).cast("string")), F.col(key)
-    )
+    no partition-layout dependence).
+
+    Groups are sources/domains — often a handful — so the default ranks
+    via the partition-count-independent two-phase
+    ``operators.ranking.grouped_rank`` (same reasoning as
+    ``trim_length_outliers``: ``Window.partitionBy(source)`` sorts N/20
+    rows in 20 tasks no matter the cluster size). Pass
+    ``two_phase=False`` for the plain window when the group key is
+    high-cardinality (groups ≫ cores), where the naive window is already
+    parallel and skips the offset-table job."""
+    order = [F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()]
+    if two_phase:
+        from ..operators.ranking import grouped_rank
+
+        ranked = grouped_rank(df, [group_col], order, rank_col="_rn")
+        return ranked.filter(F.col("_rn") <= k).drop("_rn", "_n")
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

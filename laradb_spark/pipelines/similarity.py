@@ -167,6 +167,72 @@ def sq8_topk(
     return _topk_per_query(scored, query_id_col, "iscore", k)
 
 
+def sq8_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``sq8_topk`` with an Arrow-batched NumPy scorer — bit-identical
+    ranks (same floor-quantization, same exact integer dot, same
+    (idot·qs)·cs association), but the integer matmul runs vectorized in
+    int64 instead of the interpreted per-pair HOF fold: the 30× scale
+    probe showed the expression twin is scan-bound on exactly that fold.
+    Queries quantize once on the driver (bounded small side); each corpus
+    batch quantizes and scores against ALL queries in one matmul; the
+    corpus never shuffles before the two-phase ranking."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()  # bounded by the query set, the documented small side
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    def _quantize(M: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        # mirrors quantize_sq8 EXACTLY, association included:
+        # (x · 127.0) / s then floor — x·(127/s) can floor differently
+        s = np.abs(M).max(axis=1)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.floor((M * 127.0) / safe[:, None]).astype(np.int64)
+        q[s == 0.0] = 0
+        return q, s
+
+    Qq, Qs = _quantize(Q)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf["cvec"].tolist(), dtype=np.float64)
+            Cq, Cs = _quantize(C)
+            # exact int64 dot (|q| ≤ 128, so d·128² ≪ 2⁶³), then the
+            # engine's fixed float association: (idot · qs) · cs
+            S = (Cq @ Qq.T).astype(np.float64) * Qs[None, :] * Cs[:, None]
+            nb = pdf["neighbor_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], len(nb), axis=0).ravel(),
+                    "neighbor_id": np.repeat(nb, len(qids)),
+                    "iscore": S.ravel(),
+                }
+            )
+
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _topk_per_query(scored, "query_id", "iscore", k).withColumnRenamed(
+        "query_id", query_id_col
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -135,6 +135,8 @@ _PRIORITY = [
     "dedup_lsh_jaccard",
     "dedup_prefix_jaccard",
     "cross_source_dup_matrix",
+    "cap_docs_per_source",
+    "ann_sq8_fast",
     # --- tail: green driver rows on unchanged code ---------------------------
     "semantic_dedup",
     "semantic_dedup_fast",
@@ -167,7 +169,6 @@ _PRIORITY = [
     "train_val_split_stats",
     "mix_sources_counts",
     "redact_pii_stats",
-    "cap_docs_per_source",
     "pack_sequences_q",
     "shuffle_shards_q",
     "pagerank_supplier_part",

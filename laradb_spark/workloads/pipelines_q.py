@@ -771,6 +771,14 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def ann_sq8_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy int-matmul SQ8 scorer — bit-identical ranks to ann_sq8_topk
+    (same quantization and score association), shares its oracle; the
+    Arrow-batched scale twin of the interpreted integer-HOF fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.sq8_topk_vectorized(emb, _queries_df(spark, sf_dir), k=TOP_K)
+
+
 EMB_DIM = 64
 LSH_PLANES_Q = 8
 
@@ -1538,6 +1546,7 @@ QUERIES = {
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_brute_force_fast": (ann_brute_force_fast, ANN_BRUTE_SQL),
     "ann_sq8_topk": (ann_sq8_topk, ANN_SQ8_SQL),
+    "ann_sq8_fast": (ann_sq8_fast, ANN_SQ8_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),

@@ -221,6 +221,11 @@ GROUP BY o_orderpriority
 # --- window top-k per group -------------------------------------------------
 
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by price per brand. Per-brand window is deliberate:
+    the part table is DIMENSION-sized (≈25 brands over a catalog, not a
+    fact stream), so each brand's partition is bounded by catalog size —
+    the corpus-sized-input collapse grouped_rank exists for doesn't
+    arise. Swap to grouped_rank only if ranking fact-sized input."""
     from pyspark.sql.window import Window
 
     part = load(spark, sf_dir, "part")

@@ -41,6 +41,22 @@ def test_multiprobe_recall_improves(spark, clustered):
     assert len(multi & exact) >= len(exact) // 2  # decent recall on clustered data
 
 
+def test_sq8_vectorized_matches_expr(spark, clustered):
+    """sq8_topk_vectorized ≡ sq8_topk bit-for-bit: same floor
+    quantization (same float association), same exact integer dot, same
+    (idot·qs)·cs score — on clustered data PLUS a zero vector and a
+    negative-heavy vector (quantization edge cases)."""
+    extra = spark.createDataFrame(
+        [(500, [0.0] * 8), (501, [-3.7] * 4 + [0.0, 1e-9, -1e-9, 2.5])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = clustered.unionByName(extra)
+    q = _queries(corpus)
+    expr = sorted(map(tuple, sim.sq8_topk(corpus, q, k=7).collect()))
+    fast = sorted(map(tuple, sim.sq8_topk_vectorized(corpus, q, k=7).collect()))
+    assert expr == fast
+
+
 def test_ivf_topk_recall(spark, clustered):
     q = _queries(clustered)
     exact = _pairs(sim.brute_force_topk(clustered, q, k=5))

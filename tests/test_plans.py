@@ -150,6 +150,7 @@ ANN_FAMILY = (
     "ann_brute_force",
     "ann_brute_force_fast",
     "ann_sq8_topk",
+    "ann_sq8_fast",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",

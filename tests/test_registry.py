@@ -33,12 +33,18 @@ def test_changed_queries_inside_oracle_window():
         "bm25_topk", "dedup_ngram_jaccard", "dedup_components",
         "dedup_keep_representatives", "dedup_lsh_jaccard",
         "dedup_prefix_jaccard", "cross_source_dup_matrix",
+        # cap_per_group moved to two-phase grouped_rank
+        "cap_docs_per_source",
+        # new in r5: vectorized SQ8 twin (shares ANN_SQ8_SQL)
+        "ann_sq8_fast",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
     missing = changed_in_window - head
     assert not missing, f"changed queries outside the driver window: {missing}"
-    next_slots = set(names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + 10])
+    next_slots = set(
+        names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(changed_next_window)]
+    )
     assert changed_next_window == next_slots, (
         "r5-changed queries must lead the r6 window: "
         f"{changed_next_window ^ next_slots}"
