@@ -51,6 +51,9 @@ HEADLINE = [
     "bm25_topk",
     "embedding_gram",
     "twap_value_by_user_type",
+    # round-5 operators (SQ8 benched via its NumPy int-matmul twin — same
+    # ranks, same oracle; the ANN-family precedent)
+    "ann_sq8_fast",
 ]
 
 

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import persist_once
 from .text import TOKEN_SEP, tokens
 
 # MinHash parameters — frozen literals (the oracle embeds the same values).
@@ -226,7 +227,9 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    docs = (
+    # docs fans out 3×: the prefix explosion plus BOTH sides of the verify
+    # join below — persist the one aggregated pass.
+    docs = persist_once(
         sh.join(freq, on="sh")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("_toks"))
@@ -248,25 +251,30 @@ def prefix_filter_jaccard_pairs(
             + 1,
         )
     )
-    cand = docs.select(
-        "id", "sz", "full", F.explode(F.expr("slice(full, 1, _p)")).alias("_pt")
-    )
-    a = cand.select(
-        F.col("_pt"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
-        F.col("full").alias("_fa"),
-    )
-    b = cand.select(
-        F.col("_pt"), F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
-        F.col("full").alias("_fb"),
-    )
+    # Candidate generation is ID-ONLY: the full shingle arrays must not
+    # ride through the prefix-token join and the pair-dedup shuffle (a
+    # candidate pair found via several shared prefix tokens would move
+    # both docs' arrays once PER shared token). Dedupe slim (id_a, id_b)
+    # rows first; the arrays join back exactly once per side for the
+    # exact verification.
+    cand = docs.select("id", F.explode(F.expr("slice(full, 1, _p)")).alias("_pt"))
     pairs = (
-        a.join(b, on="_pt")
+        cand.select("_pt", F.col("id").alias("id_a"))
+        .join(cand.select("_pt", F.col("id").alias("id_b")), on="_pt")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    fa = docs.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("full").alias("_fa")
+    )
+    fb = docs.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("full").alias("_fb")
+    )
     inter = F.size(F.array_intersect(F.col("_fa"), F.col("_fb")))
     return (
-        pairs.select(
+        pairs.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 
 PROBE_QUERIES = [
+    "ann_sq8_fast",
     "semantic_dedup_fast",
     "decontaminate_docs",
     "corpus_frequent_ngrams",
