@@ -37,6 +37,13 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from ..util import persist_once
 
 
+# Guard for the offset-table collect: n_partitions + n_groups − 1 rows is
+# "bounded" only while groups are few. A high-cardinality group key (urls,
+# users) would silently stream millions of rows to the driver — fail loudly
+# with the fix (the plain per-group window IS the right plan there).
+MAX_OFFSET_ROWS = 1_000_000
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -44,6 +51,7 @@ def grouped_rank(
     rank_col: str = "_r",
     count_col: str = "_n",
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Return ``df`` plus per-group 1-based ``rank_col`` (row_number under
     ``order_cols`` within each ``group_cols`` group) and per-group size
@@ -55,21 +63,43 @@ def grouped_rank(
     ``order_cols`` must define a TOTAL order within each group for the rank
     to be deterministic (ties that straddle a range boundary are numbered
     arbitrarily, exactly like window row_number ties).
+
+    The ranged input is consumed twice (the offset-table collect, then the
+    final rank join). ``persist=True`` (default) caches it — right when
+    recomputing the upstream is expensive (UDF scorers, joins) and the
+    frame fits the cluster's storage tier; the entry stays in the
+    CacheManager for same-plan reuse (bench warm runs) rather than being
+    unpersisted eagerly. ``persist=False`` recomputes the upstream once
+    per consumer — right when the input is a cheap map-only expression
+    over data too big to sensibly cache (the few-queries × huge-corpus
+    scored frame); the input lineage must then be deterministic, which a
+    total order already requires.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     sort_exprs = [F.asc(c) for c in group_cols] + order_exprs
-    ranged = persist_once(
-        df.repartitionByRange(nparts, *sort_exprs).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+    ranged = df.repartitionByRange(nparts, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if persist:
+        ranged = persist_once(ranged)
     # Bounded collect: ≤ nparts + n_groups − 1 rows (group-contiguity under
-    # range partitioning), never data-sized.
+    # range partitioning), never data-sized — enforced by the limit probe:
+    # getting MAX_OFFSET_ROWS + 1 rows back means the group key is
+    # high-cardinality and the collect would have been driver-sized.
     counts = (
-        ranged.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_c")).collect()
+        ranged.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(MAX_OFFSET_ROWS + 1)
+        .collect()
     )
+    if len(counts) > MAX_OFFSET_ROWS:
+        raise ValueError(
+            f"grouped_rank: offset table exceeds {MAX_OFFSET_ROWS} rows — the "
+            "group key is high-cardinality, so the plain per-group window is "
+            "already parallel and the right plan; use it instead of grouped_rank"
+        )
     per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
     for r in counts:
         per_group[tuple(r[g] for g in group_cols)].append((r["_pid"], r["_c"]))

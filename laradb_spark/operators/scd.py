@@ -15,6 +15,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import persist_once
+
 
 def scd2_apply(
     history: DataFrame,
@@ -126,14 +128,20 @@ def merge_upsert(
             .select(key, "_last.*")
             .drop(seq_col)
         )
-    elif (
-        changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).count() > 0
-    ):
-        raise ValueError(
-            f"merge_upsert: changes has multiple rows for some {key!r} "
-            "(MERGE INTO semantics require a key-unique source); "
-            "pass seq_col to collapse last-wins"
-        )
+    else:
+        # Pin the batch BEFORE the eager uniqueness check: the returned
+        # plan re-reads `changes`, and a nondeterministic lineage (sample,
+        # position salt, concurrently-rewritten path) could pass the check
+        # yet materialize duplicates later. persist is cheap here — the
+        # batch is CDC-sized by contract — and makes check and merge see
+        # the same rows.
+        changes = persist_once(changes)
+        if changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).count() > 0:
+            raise ValueError(
+                f"merge_upsert: changes has multiple rows for some {key!r} "
+                "(MERGE INTO semantics require a key-unique source); "
+                "pass seq_col to collapse last-wins"
+            )
     if op_col is not None:
         # NULL-op rows are UPSERTS: `op != delete_op` alone would filter
         # them out of the upsert set (three-valued logic) while their keys

@@ -31,6 +31,7 @@ def _topk_per_query(
     score_col: str,
     k: int,
     rank_col: str = "rank",
+    persist: bool = False,
 ) -> DataFrame:
     """Per-query top-k over a ``(query_id, neighbor_id, score)`` frame via
     the two-phase ``grouped_rank`` (range partition → local row_number →
@@ -40,9 +41,20 @@ def _topk_per_query(
     executors exist. Here parallelism is the partition count — the
     few-queries × 100 TB-corpus shape stays distributed end to end.
     Ordering (score desc, neighbor_id asc) is total, so ranks are
-    deterministic and bit-identical to the window formulation."""
+    deterministic and bit-identical to the window formulation.
+
+    ``persist=False`` (default): the queries × corpus scored frame is too
+    big to sensibly cache at the shape this helper exists for, and the
+    expression scorers are cheap map-only recomputes — grouped_rank's two
+    consumers re-run the scan instead of spilling an N×Q cache. Pass
+    ``persist=True`` when the scorer is a Python/Arrow stage
+    (exchange/stage reuse does NOT dedupe ArrowEval subplans — DEVNOTES
+    gotcha: the UDF would otherwise execute once per consumer)."""
     ranked = grouped_rank(
-        scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
+        scored,
+        [query_id_col],
+        [F.desc(score_col), F.asc("neighbor_id")],
+        persist=persist,
     )
     return (
         ranked.filter(F.col("_r") <= k)
@@ -167,6 +179,37 @@ def sq8_topk(
     return _topk_per_query(scored, query_id_col, "iscore", k)
 
 
+def _collect_query_matrix(queries, query_id_col, vec_col):
+    """Driver-side (ids, matrix) for the vectorized scorers — bounded by
+    the query set, the documented small side. Raises on NULL or ragged
+    vectors (the expression twins' null semantics don't vectorize; the
+    contract is non-null fixed-dim embeddings) and returns (ids, None)
+    for an empty query set so callers can short-circuit to an empty
+    result instead of crashing in NumPy."""
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        return np.array([], dtype=np.int64), None
+    if any(r[1] is None or any(x is None for x in r[1]) for r in qrows):
+        raise ValueError(
+            "vectorized top-k: query embeddings must be non-null arrays "
+            "(NULL vector/components found); filter or impute upstream"
+        )
+    if len({len(r[1]) for r in qrows}) != 1:
+        raise ValueError("vectorized top-k: query embeddings have mixed dims")
+    ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    return ids, np.array([r[1] for r in qrows], dtype=np.float64)
+
+
+def _empty_topk(spark, query_id_col, rank_col="rank"):
+    return spark.createDataFrame(
+        [], f"{query_id_col} long, neighbor_id long, {rank_col} int"
+    )
+
+
 def sq8_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,11 +229,9 @@ def sq8_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>")
-    ).collect()  # bounded by the query set, the documented small side
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qids, Q = _collect_query_matrix(queries, query_id_col, vec_col)
+    if Q is None:
+        return _empty_topk(corpus.sparkSession, query_id_col)
 
     def _quantize(M: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
         # mirrors quantize_sq8 EXACTLY, association included:
@@ -228,7 +269,8 @@ def sq8_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    return _topk_per_query(scored, "query_id", "iscore", k).withColumnRenamed(
+    # persist=True: Arrow scorer must not re-run per grouped_rank consumer.
+    return _topk_per_query(scored, "query_id", "iscore", k, persist=True).withColumnRenamed(
         "query_id", query_id_col
     )
 
@@ -249,11 +291,9 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>")
-    ).collect()  # bounded by the query set, the documented small side
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qids, Q = _collect_query_matrix(queries, query_id_col, vec_col)
+    if Q is None:
+        return _empty_topk(corpus.sparkSession, query_id_col)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     c = corpus.select(
@@ -279,9 +319,9 @@ def brute_force_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    # grouped_rank persists its range-partitioned input, which here also
-    # stops the ArrowEval scorer re-running per consumer (DEVNOTES #3).
-    return _topk_per_query(scored, "query_id", "cos", k).withColumnRenamed(
+    # persist=True: the range-partitioned input is cached so the ArrowEval
+    # scorer runs once, not once per grouped_rank consumer (DEVNOTES #3).
+    return _topk_per_query(scored, "query_id", "cos", k, persist=True).withColumnRenamed(
         "query_id", query_id_col
     )
 
@@ -805,8 +845,9 @@ def hard_negatives(
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
     )
     # One row per query (broadcast-sized): the presumptive positive.
-    # scored fans out twice (this aggregate + the candidate filter); it is
-    # a pure-expression scan — recomputing beats persisting an N×Q frame.
+    # scored fans out three times (this aggregate + grouped_rank's two
+    # consumers); it is a pure-expression scan — recomputing beats
+    # persisting an N×Q frame, so ranking also runs persist=False.
     top1 = scored.groupBy(query_id_col).agg(
         F.expr("max_by(neighbor_id, struct(_cos, -neighbor_id))").alias("_pos")
     )

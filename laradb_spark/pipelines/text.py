@@ -33,13 +33,18 @@ def tokens(text: Column) -> Column:
 
 
 def tokenize_str(s: str) -> list[str]:
-    """Driver-side twin of ``tokens()`` — single-``TOKEN_SEP`` split,
-    empties dropped. Anything that pre-tokenizes query strings on the
-    driver (BM25 probe terms, bucket pruning) MUST go through this, not a
-    bare ``str.split()``: the two coincide today, but a future change to
-    ``tokens()`` (lowercasing, punctuation) must de-sync exactly zero
-    call sites."""
-    return [w for w in s.split(TOKEN_SEP) if w]
+    """Driver-side twin of ``tokens()`` — TOKEN_SEP split, empties
+    dropped. Anything that pre-tokenizes query strings on the driver
+    (BM25 probe terms, bucket pruning) MUST go through this, not a bare
+    ``str.split()``: a diverging split silently desyncs probes from the
+    stored postings. ``F.split`` reads TOKEN_SEP as a REGEX, so this twin
+    must too (``re.split``, not ``str.split`` — a literal reading would
+    desync the moment TOKEN_SEP becomes e.g. ``\\s+``); the residual risk
+    is Java-vs-Python regex dialect, which the plain patterns used here
+    share."""
+    import re
+
+    return [w for w in re.split(TOKEN_SEP, s) if w]
 
 
 def token_count(text: Column) -> Column:

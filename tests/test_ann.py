@@ -207,3 +207,20 @@ def test_sq8_quantization_and_recall(spark, clustered):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     s = {(r.query_id, r.neighbor_id) for r in sq8.collect()}
     assert len(e & s) / len(e) >= 0.8  # quantization barely moves the MIPS top-k
+
+
+def test_vectorized_topk_empty_and_null_queries(spark, clustered):
+    """Vectorized twins short-circuit an EMPTY query set to an empty
+    frame (matching the expression twins) and raise actionably on NULL
+    query vectors instead of crashing inside NumPy."""
+    empty_q = clustered.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert sim.sq8_topk_vectorized(clustered, empty_q, k=3).count() == 0
+    assert sim.brute_force_topk_vectorized(clustered, empty_q, k=3).count() == 0
+    null_q = spark.createDataFrame(
+        [(1, None)], "query_id long, embedding array<double>"
+    )
+    for fn in (sim.sq8_topk_vectorized, sim.brute_force_topk_vectorized):
+        with pytest.raises(ValueError, match="non-null"):
+            fn(clustered, null_q, k=3)

@@ -59,3 +59,42 @@ def test_grouped_quantiles_matches_naive(spark):
     # every group contributes every quantile (including the size-1 groups)
     groups = {r.g for r in df.select("g").distinct().collect()}
     assert {(g, q) for g in groups for q in qs} == set(got)
+
+
+def test_grouped_rank_high_cardinality_guard(spark, monkeypatch):
+    """A high-cardinality group key must fail LOUDLY before streaming a
+    driver-sized offset table: grouped_rank is for the few-groups shape;
+    the plain per-group window is the right plan when groups ≫ cores."""
+    import pytest
+
+    from laradb_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "MAX_OFFSET_ROWS", 50)
+    df = spark.createDataFrame(
+        [(i, i) for i in range(200)], "g long, v long"  # 200 groups > 50
+    )
+    with pytest.raises(ValueError, match="high-cardinality"):
+        ranking.grouped_rank(df, ["g"], [F.asc("v")])
+
+
+def test_grouped_rank_no_persist_matches(spark):
+    """persist=False (the recompute-over-cache path the ANN expression
+    scorers use) returns identical ranks to the default."""
+    from laradb_spark.operators.ranking import grouped_rank
+
+    df = _fixture(spark)
+    key = lambda r: (r["g"] or "", r["id"])
+    a = sorted(
+        map(tuple, grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")]).collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    b = sorted(
+        map(
+            tuple,
+            grouped_rank(
+                df, ["g"], [F.asc("v"), F.asc("id")], persist=False
+            ).collect(),
+        ),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert a == b

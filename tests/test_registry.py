@@ -14,12 +14,16 @@ def test_priority_order_is_registration_order():
 
 
 def test_changed_queries_inside_oracle_window():
-    # Queries whose plan/SQL changed this round MUST re-earn a driver row —
-    # keep this list in sync with the round's edits. The r5 window is
-    # exactly 7 changed + 43 stale-evidence rotations (the r1/r2-era rows),
-    # so the remaining r5-changed queries are pinned to positions 50..60 —
-    # the FRONT of the r6 window (each is value-identical and green in the
-    # builder's checker this round; see workloads/__init__._PRIORITY).
+    # Window policy: the driver oracles 50 queries/round, so changed
+    # queries are budgeted against stale-evidence rotations. Priority
+    # order: (1) plan-changed queries whose BEHAVIOR could differ →
+    # this round's window; (2) queries with no driver row on current-era
+    # code → fill the window; (3) remaining changed queries (value-
+    # identical refactors and oracle-text edits, each verified against
+    # DuckDB at all three SFs by tools/check_correctness.py this round)
+    # → pinned to the FRONT of the next window so the driver certifies
+    # them next. This test pins the current allocation so a registry
+    # edit can't silently drop a changed query out of both windows.
     changed_in_window = {
         # ranking moved from Window.partitionBy(query_id) to grouped_rank
         "ann_brute_force", "ann_brute_force_fast", "ann_sq8_topk",
