@@ -51,7 +51,6 @@ def grouped_rank(
     rank_col: str = "_r",
     count_col: str = "_n",
     num_partitions: int | None = None,
-    persist: bool = True,
 ) -> DataFrame:
     """Return ``df`` plus per-group 1-based ``rank_col`` (row_number under
     ``order_cols`` within each ``group_cols`` group) and per-group size
@@ -64,26 +63,30 @@ def grouped_rank(
     to be deterministic (ties that straddle a range boundary are numbered
     arbitrarily, exactly like window row_number ties).
 
-    The ranged input is consumed twice (the offset-table collect, then the
-    final rank join). ``persist=True`` (default) caches it — right when
-    recomputing the upstream is expensive (UDF scorers, joins) and the
-    frame fits the cluster's storage tier; the entry stays in the
-    CacheManager for same-plan reuse (bench warm runs) rather than being
-    unpersisted eagerly. ``persist=False`` recomputes the upstream once
-    per consumer — right when the input is a cheap map-only expression
-    over data too big to sensibly cache (the few-queries × huge-corpus
-    scored frame); the input lineage must then be deterministic, which a
-    total order already requires.
+    The persist of the range-partitioned input is LOAD-BEARING for
+    correctness, not a cache optimization: the offset-table collect and
+    the final rank join are two separate ACTIONS over the same frame, and
+    ``repartitionByRange`` picks its partition bounds by sampling with a
+    seed derived from the physical RDD id — which differs per action. An
+    unpersisted frame can therefore land rows in DIFFERENT partitions in
+    the two jobs, misaligning offsets against local row numbers
+    (measured: 1.28M of 2M ranks wrong on a 37-partition input without
+    the persist; cached blocks pin the partitioning, and even an evicted
+    block recomputes inside the same RDD graph → same seed → same
+    bounds). The memory cost of caching a corpus-sized frame is the price
+    of that pin; at true corpus scale, prune candidates FIRST (LSH/IVF
+    buckets, BM25 postings) so the ranked frame is candidates-sized —
+    which is the documented scale path everywhere this is used.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     sort_exprs = [F.asc(c) for c in group_cols] + order_exprs
-    ranged = df.repartitionByRange(nparts, *sort_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = persist_once(
+        df.repartitionByRange(nparts, *sort_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
-    if persist:
-        ranged = persist_once(ranged)
     # Bounded collect: ≤ nparts + n_groups − 1 rows (group-contiguity under
     # range partitioning), never data-sized — enforced by the limit probe:
     # getting MAX_OFFSET_ROWS + 1 rows back means the group key is

@@ -31,7 +31,6 @@ def _topk_per_query(
     score_col: str,
     k: int,
     rank_col: str = "rank",
-    persist: bool = False,
 ) -> DataFrame:
     """Per-query top-k over a ``(query_id, neighbor_id, score)`` frame via
     the two-phase ``grouped_rank`` (range partition → local row_number →
@@ -43,18 +42,15 @@ def _topk_per_query(
     Ordering (score desc, neighbor_id asc) is total, so ranks are
     deterministic and bit-identical to the window formulation.
 
-    ``persist=False`` (default): the queries × corpus scored frame is too
-    big to sensibly cache at the shape this helper exists for, and the
-    expression scorers are cheap map-only recomputes — grouped_rank's two
-    consumers re-run the scan instead of spilling an N×Q cache. Pass
-    ``persist=True`` when the scorer is a Python/Arrow stage
-    (exchange/stage reuse does NOT dedupe ArrowEval subplans — DEVNOTES
-    gotcha: the UDF would otherwise execute once per consumer)."""
+    grouped_rank persists the range-partitioned scored frame — REQUIRED
+    for rank correctness (its two actions must see one pinned
+    partitioning; see ranking.grouped_rank), and it also stops Arrow
+    scorers from re-executing per consumer (DEVNOTES #3). The cache is
+    N×Q-sized; at true corpus scale the scale path is candidate pruning
+    first (LSH buckets / IVF lists), which keeps the ranked frame
+    candidates-sized."""
     ranked = grouped_rank(
-        scored,
-        [query_id_col],
-        [F.desc(score_col), F.asc("neighbor_id")],
-        persist=persist,
+        scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
     )
     return (
         ranked.filter(F.col("_r") <= k)
@@ -269,8 +265,7 @@ def sq8_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    # persist=True: Arrow scorer must not re-run per grouped_rank consumer.
-    return _topk_per_query(scored, "query_id", "iscore", k, persist=True).withColumnRenamed(
+    return _topk_per_query(scored, "query_id", "iscore", k).withColumnRenamed(
         "query_id", query_id_col
     )
 
@@ -319,9 +314,9 @@ def brute_force_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    # persist=True: the range-partitioned input is cached so the ArrowEval
-    # scorer runs once, not once per grouped_rank consumer (DEVNOTES #3).
-    return _topk_per_query(scored, "query_id", "cos", k, persist=True).withColumnRenamed(
+    # grouped_rank's persist also runs the ArrowEval scorer once, not
+    # once per consumer (DEVNOTES #3).
+    return _topk_per_query(scored, "query_id", "cos", k).withColumnRenamed(
         "query_id", query_id_col
     )
 
@@ -845,9 +840,9 @@ def hard_negatives(
         .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
     )
     # One row per query (broadcast-sized): the presumptive positive.
-    # scored fans out three times (this aggregate + grouped_rank's two
-    # consumers); it is a pure-expression scan — recomputing beats
-    # persisting an N×Q frame, so ranking also runs persist=False.
+    # scored feeds this aggregate AND the candidate filter; the candidate
+    # frame is then pinned by grouped_rank's correctness persist, so only
+    # this aggregate recomputes the expression scan.
     top1 = scored.groupBy(query_id_col).agg(
         F.expr("max_by(neighbor_id, struct(_cos, -neighbor_id))").alias("_pos")
     )

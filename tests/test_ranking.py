@@ -77,24 +77,24 @@ def test_grouped_rank_high_cardinality_guard(spark, monkeypatch):
         ranking.grouped_rank(df, ["g"], [F.asc("v")])
 
 
-def test_grouped_rank_no_persist_matches(spark):
-    """persist=False (the recompute-over-cache path the ANN expression
-    scorers use) returns identical ranks to the default."""
+def test_grouped_rank_persist_pins_partitioning_at_scale(spark):
+    """The ranged persist is CORRECTNESS, not caching: grouped_rank's two
+    actions must see one pinned range partitioning (repartitionByRange
+    samples bounds with a per-RDD seed — unpersisted, the offset job and
+    the rank job can partition DIFFERENTLY: measured 1.28M/2M wrong ranks
+    at 37 input partitions). This test runs large enough for partial
+    bounds sampling and asserts exact agreement with the naive window."""
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("i"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+    ).repartition(37)
     from laradb_spark.operators.ranking import grouped_rank
 
-    df = _fixture(spark)
-    key = lambda r: (r["g"] or "", r["id"])
-    a = sorted(
-        map(tuple, grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")]).collect()),
-        key=lambda t: (t[0] or "", t[1]),
+    two = grouped_rank(df, ["g"], [F.asc("v"), F.asc("i")])
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    naive = df.withColumn("_rw", F.row_number().over(w))
+    j = two.select("g", "i", F.col("_r").alias("r2")).join(
+        naive.select("g", "i", "_rw"), on=["g", "i"]
     )
-    b = sorted(
-        map(
-            tuple,
-            grouped_rank(
-                df, ["g"], [F.asc("v"), F.asc("id")], persist=False
-            ).collect(),
-        ),
-        key=lambda t: (t[0] or "", t[1]),
-    )
-    assert a == b
+    assert j.filter(F.col("r2") != F.col("_rw")).count() == 0
