@@ -262,7 +262,10 @@ def global_exclusive_cumsum(
     → add per-partition offsets from a #partitions-sized collect (bounded
     by the cluster's partition count, never by data size). The result is
     bit-identical to ``SUM() OVER (ORDER BY ...)`` at any scale; the
-    sampled range boundaries affect the partitioning, never the output.
+    sampled range boundaries affect the partitioning, never the output —
+    PROVIDED the persist below stays: the totals collect and the final
+    join are two actions, and an unpersisted repartitionByRange can
+    sample different bounds per action (DEVNOTES gotcha 15).
     """
     nparts = df.sparkSession.sparkContext.defaultParallelism
     from ..util import persist_once

@@ -93,6 +93,8 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_iscale("o_totalprice", 100)).alias("_cents")
     )
     nparts = spark.sparkContext.defaultParallelism
+    # persist pins ONE range partitioning across the sizes collect and
+    # the final rank join (DEVNOTES gotcha 15) — do not remove.
     ranged = persist_once(
         spend.repartitionByRange(nparts, F.desc("_cents"), F.asc("o_custkey"))
         .withColumn("_pid", F.spark_partition_id())
