@@ -145,3 +145,62 @@ def whiten_embeddings(
     return emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
         apply_w, out_schema
     )
+
+
+def pca_project(
+    emb: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the dimensionality-reduction step before clustering/ANN when d is
+    large (cuts every downstream distance computation from d to k
+    mults). Same scale shape as ``whiten_embeddings``: the d×d sample
+    covariance comes from the exact integer Gram (one map-side NumPy
+    pass, d(d+1)/2-cell shuffle), the eigendecomposition is driver-side
+    on the d×d matrix only, and the projection is one NumPy matmul per
+    Arrow batch — the corpus never shuffles. Components are ordered by
+    descending eigenvalue; each component's sign is fixed so its
+    largest-|entry| coordinate is positive (eigh's sign choice is
+    BLAS-dependent, this pin makes outputs reproducible across
+    machines)."""
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, {out_col} array<double>"
+        )
+    gram_rows = embedding_gram_int(emb, dim, vec_col).collect()  # ≤ d(d+1)/2 rows
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    mu = np.array(
+        emb.select(
+            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("m")
+        ).collect()[0].m
+    )
+    cov = g / (MICRO * MICRO) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d × k, descending eigenvalue
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+
+    out_schema = StructType.fromDDL(f"{id_col} long, {out_col} array<double>")
+
+    def apply_p(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()) - mu
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(v @ comps)})
+
+    return emb.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(apply_p, out_schema)

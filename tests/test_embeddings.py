@@ -69,3 +69,45 @@ def test_whiten_then_semantic_dedup_composes(spark, small_emb):
     ).collect()}
     assert 0 in kept and 9999 not in kept   # twin dropped, original kept
     assert len(kept) >= 250                 # non-duplicates survive
+
+
+def test_pca_project_matches_numpy_and_captures_variance(spark):
+    """pca_project ≡ NumPy PCA on the same data (top-k eigvecs of the
+    sample covariance, mean-centered, sign-pinned), and the top-2
+    projection of data generated along 2 dominant axes captures nearly
+    all the variance."""
+    import numpy as np
+
+    from laradb_spark.pipelines.embeddings import pca_project
+
+    rng = np.random.default_rng(7)
+    d, n, k = 6, 400, 2
+    basis = rng.normal(size=(2, d))
+    X = rng.normal(size=(n, 2)) @ (basis * 5) + rng.normal(size=(n, d)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: np.array(r.pca) for r in pca_project(df, dim=d, k=k).collect()}
+
+    # NumPy oracle — mirror the engine's integer-Gram covariance exactly:
+    # vectors quantized to micro-units before the Gram (embeddings.MICRO)
+    Xq = np.round(X * 1_000_000)
+    mu = X.mean(axis=0)
+    cov = (Xq.T @ Xq) / 1e12 / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:k]]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    want = (X - mu) @ comps
+    for i in range(n):
+        assert np.allclose(got[i], want[i], atol=1e-6), i
+
+    # variance capture: projected variance ≈ total variance (axes dominate)
+    P = np.stack([got[i] for i in range(n)])
+    assert P.var(axis=0).sum() / ((X - mu).var(axis=0).sum()) > 0.99
+
+    # empty input → empty frame, correct schema
+    empty = df.filter("vec_id < 0")
+    out = pca_project(empty, dim=d, k=k)
+    assert out.count() == 0 and out.columns == ["vec_id", "pca"]
