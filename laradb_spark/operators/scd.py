@@ -15,7 +15,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import persist_once
 
 
 def scd2_apply(
@@ -132,10 +131,17 @@ def merge_upsert(
         # Pin the batch BEFORE the eager uniqueness check: the returned
         # plan re-reads `changes`, and a nondeterministic lineage (sample,
         # position salt, concurrently-rewritten path) could pass the check
-        # yet materialize duplicates later. persist is cheap here — the
-        # batch is CDC-sized by contract — and makes check and merge see
-        # the same rows.
-        changes = persist_once(changes)
+        # yet materialize duplicates later. localCheckpoint (not persist):
+        # it snapshots the CDC-sized batch once — check and merge see the
+        # SAME rows even if a cached block would have been evicted — and
+        # its blocks are released when the returned frame is dropped
+        # (ContextCleaner), so per-micro-batch callers in a long-lived
+        # session don't accumulate CacheManager entries the way an
+        # unreleased persist() per batch would (each batch is a new plan,
+        # so persist_once can't dedupe them). NOTE the API is EAGER on
+        # this path: the snapshot + uniqueness-check jobs run at call
+        # time, sized by the change batch, never by the target.
+        changes = changes.localCheckpoint(eager=True)
         if changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).count() > 0:
             raise ValueError(
                 f"merge_upsert: changes has multiple rows for some {key!r} "

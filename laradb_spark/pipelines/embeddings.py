@@ -63,12 +63,23 @@ def embedding_gram_int(
         for pdf in batches:
             if pdf.empty:
                 continue
+            vals = pdf[vec_col].tolist()
+            if any(x is None for x in vals):
+                raise ValueError(
+                    "embedding_gram_int: embeddings must be non-null arrays "
+                    "(NULL vector found); filter or impute upstream"
+                )
+            try:
+                M = np.asarray(vals, dtype=np.float64)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    "embedding_gram_int: embeddings have mixed dims or "
+                    "non-numeric components; normalize upstream"
+                ) from e
             # floor(x·1e6 + 0.5), NOT rint: rint rounds half-to-even while
             # SQL ROUND is half-away — floor(+0.5) is the one quantizer
             # both engines express identically (DEVNOTES gotcha #4 family)
-            v = np.floor(
-                np.stack(pdf[vec_col].to_numpy()) * MICRO + 0.5
-            ).astype(np.int64)
+            v = np.floor(M * MICRO + 0.5).astype(np.int64)
             acc += v.T @ v
             seen = True
             # NumPy int64 WRAPS silently (unlike Spark under ANSI) — keep
@@ -170,6 +181,11 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
+    if k > dim:
+        raise ValueError(
+            f"pca_project: k={k} > dim={dim} — a d-dim space has at most d "
+            "principal components; pass k ≤ dim"
+        )
     n = emb.count()
     if n == 0:
         return emb.sparkSession.createDataFrame(
@@ -198,8 +214,22 @@ def pca_project(
         for pdf in batches:
             if pdf.empty:
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()) - mu
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(v @ comps)})
+            vals = pdf[vec_col].tolist()
+            # contract mirrors the vectorized-ANN helpers: non-null
+            # fixed-dim embeddings, with an actionable error instead of
+            # an obscure np.stack/broadcast crash on a NULL row
+            if any(x is None for x in vals):
+                raise ValueError(
+                    "pca_project: embeddings must be non-null arrays "
+                    "(NULL vector found); filter or impute upstream"
+                )
+            v = np.stack(vals)
+            if v.ndim != 2 or v.shape[1] != dim:
+                raise ValueError(
+                    f"pca_project: embedding dim {v.shape[1:]} != declared "
+                    f"dim {dim}"
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list((v - mu) @ comps)})
 
     return emb.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)

@@ -25,12 +25,52 @@ from ..operators.ranking import grouped_rank
 from ..util import persist_once
 
 
+def _batch_topk_prune(
+    scored: DataFrame, query_id_col: str, score_col: str, k: int
+) -> DataFrame:
+    """Map-only batch-local per-query top-k over a scored-pairs frame.
+
+    EXACT pre-prune for the final global top-k: the rank order
+    (score desc, neighbor_id asc) is TOTAL, so the global top-k per query
+    is contained in the union of per-chunk top-k's under the same order,
+    for ANY chunking of the rows — here the Arrow batches of a
+    ``mapInPandas`` (no shuffle, no window; each batch sorts ≤
+    maxRecordsPerBatch rows). Output size is ≤ n_batches · n_queries · k
+    instead of corpus × queries, which is what downstream
+    ``grouped_rank`` persists — the N×Q correctness-pin cache of the
+    exact ANN paths shrinks to a candidates-sized frame and stops
+    scaling with the corpus.
+
+    Column-exact: passes every input column through (hard_negatives
+    carries extra columns), preserves float64 bits (Arrow), and mirrors
+    Spark's desc NaN ordering (NaN sorts greatest → ``na_position=
+    'first'``) so the kept rows are exactly the ones the unpruned rank
+    would keep."""
+
+    def prune(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(
+                    [query_id_col, score_col, "neighbor_id"],
+                    ascending=[True, False, True],
+                    na_position="first",
+                )
+                .groupby(query_id_col, sort=False)
+                .head(k)
+            )
+
+    return scored.mapInPandas(prune, scored.schema)
+
+
 def _topk_per_query(
     scored: DataFrame,
     query_id_col: str,
     score_col: str,
     k: int,
     rank_col: str = "rank",
+    prebatch_prune: bool = False,
 ) -> DataFrame:
     """Per-query top-k over a ``(query_id, neighbor_id, score)`` frame via
     the two-phase ``grouped_rank`` (range partition → local row_number →
@@ -45,10 +85,17 @@ def _topk_per_query(
     grouped_rank persists the range-partitioned scored frame — REQUIRED
     for rank correctness (its two actions must see one pinned
     partitioning; see ranking.grouped_rank), and it also stops Arrow
-    scorers from re-executing per consumer (DEVNOTES #3). The cache is
-    N×Q-sized; at true corpus scale the scale path is candidate pruning
-    first (LSH buckets / IVF lists), which keeps the ranked frame
-    candidates-sized."""
+    scorers from re-executing per consumer (DEVNOTES #3).
+
+    ``prebatch_prune=True`` inserts the exact batch-local top-k
+    (``_batch_topk_prune``) before the ranking, shrinking that persist
+    from corpus×queries to n_batches·queries·k rows — set it on paths
+    whose scored frame is CORPUS-sized (brute force, SQ8,
+    hard negatives). Candidate-pruned paths (LSH buckets, IVF lists) are
+    already candidates-sized; a second Python stage there costs more
+    than it saves."""
+    if prebatch_prune:
+        scored = _batch_topk_prune(scored, query_id_col, score_col, k)
     ranked = grouped_rank(
         scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
     )
@@ -106,7 +153,7 @@ def brute_force_topk(
             cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
         )
     )
-    return _topk_per_query(scored, query_id_col, "cos", k)
+    return _topk_per_query(scored, query_id_col, "cos", k, prebatch_prune=True)
 
 
 def quantize_sq8(
@@ -172,7 +219,7 @@ def sq8_topk(
             ((idot(F.col("qq"), F.col("cq")) * F.col("qs")) * F.col("cs")).alias("iscore"),
         )
     )
-    return _topk_per_query(scored, query_id_col, "iscore", k)
+    return _topk_per_query(scored, query_id_col, "iscore", k, prebatch_prune=True)
 
 
 def _collect_query_matrix(queries, query_id_col, vec_col):
@@ -204,6 +251,91 @@ def _empty_topk(spark, query_id_col, rank_col="rank"):
     return spark.createDataFrame(
         [], f"{query_id_col} long, neighbor_id long, {rank_col} int"
     )
+
+
+def _corpus_matrix_fn(dim: int):
+    """Build the per-batch corpus-matrix extractor+validator for the
+    vectorized scorers. Returned as a NESTED closure (not a module-level
+    function) ON PURPOSE: the scorer closures that call it are
+    cloudpickled to executors, and a module-level helper is serialized
+    BY REFERENCE — a library user driving Spark from outside the repo
+    path would hit ModuleNotFoundError on the workers. Nested functions
+    pickle by value and carry no import dependency.
+
+    The extractor returns one Arrow batch's corpus vectors as a dense
+    (batch × dim) float64 matrix. Contract: non-null fixed-dim embeddings
+    (the expression twins tolerate NULLs via three-valued scoring; that
+    doesn't vectorize) — raises the same actionable ValueError
+    ``_collect_query_matrix`` gives for queries instead of crashing in
+    np.asarray/matmul with an opaque executor error. Checks are
+    vectorized (one isnan pass), not per-element Python."""
+
+    def corpus_matrix(pdf):
+        import numpy as np
+
+        vals = pdf["cvec"].tolist()
+        if any(v is None for v in vals):
+            raise ValueError(
+                "vectorized top-k: corpus embeddings must be non-null arrays "
+                "(NULL vector found); filter or impute upstream"
+            )
+        try:
+            M = np.asarray(vals, dtype=np.float64)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "vectorized top-k: corpus embeddings have mixed dims or "
+                "non-numeric components; normalize upstream"
+            ) from e
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError(
+                f"vectorized top-k: corpus embedding dim {M.shape[1:]} != "
+                f"query dim {dim}"
+            )
+        if np.isnan(M).any():
+            raise ValueError(
+                "vectorized top-k: corpus embeddings contain NULL/NaN "
+                "components; filter or impute upstream"
+            )
+        return M
+
+    return corpus_matrix
+
+
+def _batch_topk_fn(k: int, score_name: str):
+    """Build the batch-local per-query top-k reducer for the NumPy
+    scorers — nested-closure form for the same cloudpickle-by-value
+    reason as ``_corpus_matrix_fn``.
+
+    The reducer takes (qids, nb, S) — query ids, batch neighbor ids, and
+    the (batch × queries) score matrix — excludes self-matches
+    (neighbor_id == query_id), and emits each query's top-k of THIS
+    batch: ≤ k rows per query instead of batch × queries rows, so the
+    frame that leaves the scorer (and that grouped_rank persists) is
+    k·n_batches·Q-sized, never corpus-sized. Order matches the global
+    rank exactly: lexsort keys (neighbor asc under score desc) — a total
+    order, so global top-k = top-k of the per-batch top-k union."""
+
+    def batch_topk(qids, nb, S):
+        import numpy as np
+        import pandas as pd
+
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            sel = nb != qid
+            nbs, col = nb[sel], S[sel, j]
+            order = np.lexsort((nbs, -col))[:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_n.append(nbs[order])
+            out_s.append(col[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                score_name: np.concatenate(out_s),
+            }
+        )
+
+    return batch_topk
 
 
 def sq8_topk_vectorized(
@@ -244,27 +376,22 @@ def sq8_topk_vectorized(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
+    corpus_matrix = _corpus_matrix_fn(Q.shape[1])
+    batch_topk = _batch_topk_fn(k, "iscore")
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.asarray(pdf["cvec"].tolist(), dtype=np.float64)
-            Cq, Cs = _quantize(C)
+            Cq, Cs = _quantize(corpus_matrix(pdf))
             # exact int64 dot (|q| ≤ 128, so d·128² ≪ 2⁶³), then the
             # engine's fixed float association: (idot · qs) · cs
             S = (Cq @ Qq.T).astype(np.float64) * Qs[None, :] * Cs[:, None]
-            nb = pdf["neighbor_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids[None, :], len(nb), axis=0).ravel(),
-                    "neighbor_id": np.repeat(nb, len(qids)),
-                    "iscore": S.ravel(),
-                }
-            )
+            # batch-local top-k (self excluded IN the scorer): each batch
+            # emits ≤ k rows per query — see _batch_topk_fn
+            yield batch_topk(qids, pdf["neighbor_id"].to_numpy(), S)
 
-    scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double")
     return _topk_per_query(scored, "query_id", "iscore", k).withColumnRenamed(
         "query_id", query_id_col
     )
@@ -289,31 +416,32 @@ def brute_force_topk_vectorized(
     qids, Q = _collect_query_matrix(queries, query_id_col, vec_col)
     if Q is None:
         return _empty_topk(corpus.sparkSession, query_id_col)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm guard mirrors cosine(): a zero vector is similar to
+    # NOTHING (score 0.0), never NaN-similar to everything — normalizing
+    # it to the zero row makes every dot with it 0.0 exactly.
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
+    corpus_matrix = _corpus_matrix_fn(Q.shape[1])
+    batch_topk = _batch_topk_fn(k, "cos")
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.asarray(pdf["cvec"].tolist(), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            C = corpus_matrix(pdf)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
             S = Cn @ Qn.T  # (batch × queries) cosine matrix
-            nb = pdf["neighbor_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids[None, :], len(nb), axis=0).ravel(),
-                    "neighbor_id": np.repeat(nb, len(qids)),
-                    "cos": S.ravel(),
-                }
-            )
+            # batch-local top-k (self excluded IN the scorer): each batch
+            # emits ≤ k rows per query — see _batch_topk_fn
+            yield batch_topk(qids, pdf["neighbor_id"].to_numpy(), S)
 
-    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double")
     # grouped_rank's persist also runs the ArrowEval scorer once, not
     # once per consumer (DEVNOTES #3).
     return _topk_per_query(scored, "query_id", "cos", k).withColumnRenamed(
@@ -849,4 +977,6 @@ def hard_negatives(
     cand = scored.join(F.broadcast(top1), on=query_id_col).filter(
         (F.col("neighbor_id") != F.col("_pos")) & (F.col("_cos") < dup_tau)
     )
-    return _topk_per_query(cand, query_id_col, "_cos", k, rank_col="neg_rank")
+    return _topk_per_query(
+        cand, query_id_col, "_cos", k, rank_col="neg_rank", prebatch_prune=True
+    )

@@ -63,21 +63,85 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r5 window head (the driver oracles the FIRST 50) -------------------
-    # (a) the 7 ANN/hard-negatives queries whose ranking moved from
-    # Window.partitionBy(query_id) to the two-phase grouped_rank this
-    # round — changed plans must re-earn their driver rows;
+    # --- r6 window head (the driver oracles the FIRST 50) -------------------
+    # (a) sql_front_door_q — the r5 round's ONE red (decimal-vs-double
+    # stringification; values identical). r6 casts revenue to DOUBLE on
+    # the Spark side; must re-earn its driver row first.
+    "sql_front_door_q",
+    # (b) the 12 queries changed in r5 (grouped_rank tfidf, merge_upsert
+    # seq-collapse, one-pass quality report, shared BM25 tokenizer,
+    # ROUND()-mirrored Jaccard oracles, two-phase cap_per_group, the
+    # vectorized SQ8 twin) — pinned to this window by r5's test_registry.
+    "tfidf_top_terms",
+    "customer_merge_upsert",
+    "orders_quality_report",
+    "bm25_topk",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_keep_representatives",
+    "dedup_lsh_jaccard",
+    "dedup_prefix_jaccard",
+    "cross_source_dup_matrix",
+    "cap_docs_per_source",
+    "ann_sq8_fast",
+    # (c) changed in r6: the exact-ANN batch-local top-k pre-prune
+    # (scorer-fused in the vectorized twins, _batch_topk_prune in the
+    # expression twins + hard_negatives) and the embedding-gram NULL
+    # validation — changed plans re-earn driver rows.
     "ann_brute_force",
     "ann_brute_force_fast",
     "ann_sq8_topk",
+    "hard_negatives",
+    "embedding_gram",
+    # (d) fill: rotate driver evidence onto the oldest (r3-era) rows.
+    # 32 of the 42 r3-latest queries fit; the other 10 lead the r7 window.
+    "chunk_documents_q",
+    "corpus_clean",
+    "corpus_frequent_ngrams",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_rate_by_source",
+    "doc_boilerplate_ppm",
+    "event_funnel",
+    "events_daily_pivot",
+    "events_daily_users",
+    "events_dow_hour_heatmap",
+    "events_json_stats",
+    "forward_fill_hourly",
+    "fuzzy_part_pairs",
+    "lara_matmul_event_gram",
+    "lara_union_max",
+    "lara_union_revenue",
+    "lara_wordcount",
+    "lara_wordcount_py",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "revenue_share_by_nation",
+    "rollup_returns",
+    "running_customer_totals",
+    "scd2_customer_segments",
+    "sensor_covariance_events",
+    "session_window_stats",
+    "sessionize_events",
+    "sliding_event_stats",
+    # --- front of the r7 window: the 10 remaining r3-era queries ------------
+    "supplier_copart_triangles",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "topk_parts_per_brand",
+    "tumbling_event_stats",
+    "user_retention_cohorts",
+    # --- tail: green driver rows on current code (r4/r5-certified) ----------
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
-    "hard_negatives",
-    # (b) the 43 queries whose latest driver row was r1/r2-era (driver
-    # window rotation, VERDICT r4 item 1): code untouched since then and
-    # green in the builder's checker every round, but each needs a driver
-    # row earned on the post-Spark-4 environment. 7 + 43 = exactly 50.
     "asof_last_order",
     "orders_within_30_days",
     "order_price_percentiles",
@@ -91,7 +155,6 @@ _PRIORITY = [
     "nation_region_full_outer",
     "order_status_pivot",
     "all_account_balances",
-    "sql_front_door_q",
     "d4m_set_filter",
     "lara_union_quarters",
     "lara_cross_grid",
@@ -121,23 +184,6 @@ _PRIORITY = [
     "status_except_all",
     "text_replace_map",
     "unpivot_order_measures",
-    # --- front of the r6 window: also changed in r5 (grouped_rank tfidf,
-    # merge_upsert seq-collapse, one-pass quality report, shared BM25
-    # tokenizer, ROUND()-mirrored Jaccard oracles) — all green in the
-    # builder's checker this round; rotate in next.
-    "tfidf_top_terms",
-    "customer_merge_upsert",
-    "orders_quality_report",
-    "bm25_topk",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_keep_representatives",
-    "dedup_lsh_jaccard",
-    "dedup_prefix_jaccard",
-    "cross_source_dup_matrix",
-    "cap_docs_per_source",
-    "ann_sq8_fast",
-    # --- tail: green driver rows on unchanged code ---------------------------
     "semantic_dedup",
     "semantic_dedup_fast",
     "median_value_by_type",
@@ -146,7 +192,6 @@ _PRIORITY = [
     "value_variance_by_type",
     "dedup_embedding",
     "twap_value_by_user_type",
-    "embedding_gram",
     "orders_segment_at_day",
     "value_spikes_by_type",
     "event_transitions",
@@ -172,48 +217,6 @@ _PRIORITY = [
     "pack_sequences_q",
     "shuffle_shards_q",
     "pagerank_supplier_part",
-    "sessionize_events",
-    "tumbling_event_stats",
-    "events_json_stats",
-    "events_daily_pivot",
-    "events_daily_users",
-    "session_window_stats",
-    "sliding_event_stats",
-    "sensor_covariance_events",
-    "text_repetition",
-    "corpus_clean",
-    "text_normalize",
-    "supplier_copart_triangles",
-    "events_dow_hour_heatmap",
-    "corpus_frequent_ngrams",
-    "doc_boilerplate_ppm",
-    "forward_fill_hourly",
-    "event_funnel",
-    "user_retention_cohorts",
-    "revenue_share_by_nation",
-    "scd2_customer_segments",
-    "chunk_documents_q",
-    "fuzzy_part_pairs",
-    "dedup_rate_by_source",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "topk_parts_per_brand",
-    "rollup_returns",
-    "customers_without_orders",
-    "lara_wordcount",
-    "lara_wordcount_py",
-    "lara_union_max",
-    "lara_union_revenue",
-    "lara_matmul_event_gram",
-    "running_customer_totals",
-    "customer_order_gaps",
-    "text_quality",
-    "text_token_counts",
-    "text_langid",
-    "text_fingerprint",
-    "dedup_exact",
 ]
 
 

@@ -172,7 +172,8 @@ def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
-               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY c_mktsegment
@@ -183,7 +184,8 @@ def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FRONT_SQL = """
 SELECT c_mktsegment,
        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
-       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+            AS DOUBLE) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY c_mktsegment

@@ -209,6 +209,84 @@ def test_sq8_quantization_and_recall(spark, clustered):
     assert len(e & s) / len(e) >= 0.8  # quantization barely moves the MIPS top-k
 
 
+def test_batch_topk_prune_exact_and_small(spark, clustered):
+    """_batch_topk_prune is an EXACT pre-prune: with Arrow batches forced
+    tiny (many batch boundaries, so per-batch top-k actually prunes), the
+    pruned frame (a) is far smaller than the full scored frame and (b)
+    yields the SAME global top-k — including on a tie-heavy score column
+    where the neighbor-asc tie-break decides the k boundary."""
+    q = _queries(clustered)
+    c = clustered.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    # tie-heavy: score = round(cos, 1) → many equal scores at the boundary
+    scored = (
+        c.crossJoin(F.broadcast(q.select(
+            "query_id", F.col("embedding").cast("array<double>").alias("qvec"))))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(sim.cosine(F.col("qvec"), F.col("cvec")), 1).alias("cos"))
+    )
+    # 2 partitions × ~500 rows ÷ 200-row batches = ~6 batches; each batch
+    # keeps ≤ Q·k = 25 rows → output bounded by batches·Q·k, NOT by the
+    # scored-pair count (the N×Q persist shrink, measured).
+    scored2 = scored.repartition(2)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        pruned = sim._batch_topk_prune(scored2, "query_id", "cos", 5)
+        n_full, n_pruned = scored2.count(), pruned.count()
+        assert n_pruned <= 8 * 25  # ≤ batches·Q·k (slack for ragged batches)
+        assert n_pruned < n_full / 4
+        got = _pairs_ranked(sim._topk_per_query(pruned, "query_id", "cos", 5))
+        want = _pairs_ranked(sim._topk_per_query(scored, "query_id", "cos", 5))
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_vectorized_prune_batch_size_invariant(spark, clustered):
+    """The fused scorer-side top-k must not depend on where Arrow batch
+    boundaries fall: forcing 17-row batches gives bit-identical results
+    to the default batch size, and both still match the expression twin."""
+    q = _queries(clustered)
+    want = sorted(map(tuple, sim.sq8_topk(clustered, q, k=7).collect()))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        tiny = sorted(map(tuple, sim.sq8_topk_vectorized(clustered, q, k=7).collect()))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert tiny == want
+
+
+def test_brute_vectorized_zero_vector_matches_expr(spark, clustered):
+    """Zero-norm guard parity: a zero corpus vector scores 0.0 (similar
+    to nothing) in BOTH the expression twin (cosine's `when`) and the
+    vectorized twin (guarded normalize) — never NaN-similar."""
+    extra = spark.createDataFrame(
+        [(500, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    corpus = clustered.unionByName(extra)
+    q = _queries(corpus)
+    expr = _pairs_ranked(sim.brute_force_topk(corpus, q, k=5))
+    fast = _pairs_ranked(sim.brute_force_topk_vectorized(corpus, q, k=5))
+    assert expr == fast
+    assert all(n != 500 for _, n, _ in expr)  # zero vector never ranks
+
+
+def test_vectorized_topk_null_corpus_raises(spark, clustered):
+    """NULL corpus vectors raise the same actionable ValueError as NULL
+    queries (contract: non-null fixed-dim embeddings) instead of an
+    opaque np.asarray/matmul crash."""
+    bad = clustered.unionByName(spark.createDataFrame(
+        [(600, None)], "vec_id long, embedding array<double>"
+    ))
+    q = _queries(clustered)
+    for fn in (sim.sq8_topk_vectorized, sim.brute_force_topk_vectorized):
+        with pytest.raises(Exception, match="non-null"):
+            fn(bad, q, k=3).collect()
+
+
 def test_vectorized_topk_empty_and_null_queries(spark, clustered):
     """Vectorized twins short-circuit an EMPTY query set to an empty
     frame (matching the expression twins) and raise actionably on NULL

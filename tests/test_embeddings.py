@@ -111,3 +111,25 @@ def test_pca_project_matches_numpy_and_captures_variance(spark):
     empty = df.filter("vec_id < 0")
     out = pca_project(empty, dim=d, k=k)
     assert out.count() == 0 and out.columns == ["vec_id", "pca"]
+
+
+def test_pca_project_validates_inputs(spark):
+    """k > dim raises up-front (a d-dim space has ≤ d components — the
+    argsort slice would otherwise silently truncate), and a NULL
+    embedding row raises an actionable ValueError from the projection
+    batch instead of an obscure np.stack crash."""
+    import pytest
+
+    from laradb_spark.pipelines.embeddings import pca_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 1.0, 0.0]), (2, [0.5, 0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k=5 > dim=3"):
+        pca_project(df, dim=3, k=5)
+    with_null = df.unionByName(
+        spark.createDataFrame([(3, None)], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pca_project(with_null, dim=3, k=2).collect()

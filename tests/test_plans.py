@@ -219,6 +219,28 @@ def test_no_query_plans_cartesian(spark, sfq):
     assert not offenders, offenders
 
 
+def test_no_query_emits_decimal_columns(spark, sfq):
+    """Value-discipline rule (workloads/__init__ docstring), mechanized:
+    NO registered query may emit a DecimalType column. Spark 4 types
+    decimal-literal arithmetic (SUM(bigint)/100.0) as decimal(p,s) while
+    DuckDB returns DOUBLE — numerically identical values then stringify
+    differently under the driver's hash (the r5 sql_front_door_q red).
+    The fix at any offending site is CAST(... AS DOUBLE)."""
+    qs, sf = sfq
+    offenders = []
+    for name, fn in qs.items():
+        try:
+            schema = fn(spark, sf).schema
+        except Exception as e:
+            offenders.append(f"{name} (schema build failed: {e})")
+            continue
+        decs = [f.name for f in schema.fields
+                if f.dataType.typeName().startswith("decimal")]
+        if decs:
+            offenders.append(f"{name}: {decs}")
+    assert not offenders, offenders
+
+
 def test_join_strategy_hints(spark, sf_dir):
     """Hint surface: broadcast() forces BroadcastHashJoin; the merge hint
     forces SortMergeJoin even where AQE would broadcast — the escape

@@ -25,33 +25,39 @@ def test_changed_queries_inside_oracle_window():
     # them next. This test pins the current allocation so a registry
     # edit can't silently drop a changed query out of both windows.
     changed_in_window = {
-        # ranking moved from Window.partitionBy(query_id) to grouped_rank
-        "ann_brute_force", "ann_brute_force_fast", "ann_sq8_topk",
-        "ann_lsh_topk", "ann_lsh_multiprobe", "ann_ivf_topk",
-        "hard_negatives",
-    }
-    changed_next_window = {
-        # grouped_rank tfidf; merge_upsert seq-collapse; one-pass quality
-        # report; shared BM25 tokenizer; ROUND()-mirrored Jaccard oracles
+        # r5's one driver red (decimal-vs-double) — r6 casts to DOUBLE
+        "sql_front_door_q",
+        # changed in r5 (grouped_rank tfidf, merge_upsert seq-collapse,
+        # one-pass quality report, shared BM25 tokenizer, ROUND-mirrored
+        # Jaccard oracles, two-phase cap_per_group, vectorized SQ8 twin)
         "tfidf_top_terms", "customer_merge_upsert", "orders_quality_report",
         "bm25_topk", "dedup_ngram_jaccard", "dedup_components",
         "dedup_keep_representatives", "dedup_lsh_jaccard",
         "dedup_prefix_jaccard", "cross_source_dup_matrix",
-        # cap_per_group moved to two-phase grouped_rank
-        "cap_docs_per_source",
-        # new in r5: vectorized SQ8 twin (shares ANN_SQ8_SQL)
-        "ann_sq8_fast",
+        "cap_docs_per_source", "ann_sq8_fast",
+        # changed in r6: exact-ANN batch-local top-k pre-prune; gram NULL
+        # validation
+        "ann_brute_force", "ann_brute_force_fast", "ann_sq8_topk",
+        "hard_negatives", "embedding_gram",
+    }
+    # r7 window front: the 10 r3-era queries the 50-slot r6 window could
+    # not fit (code unchanged since r3; rotating for driver-row freshness)
+    next_window = {
+        "supplier_copart_triangles", "text_fingerprint", "text_langid",
+        "text_normalize", "text_quality", "text_repetition",
+        "text_token_counts", "topk_parts_per_brand", "tumbling_event_stats",
+        "user_retention_cohorts",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
     missing = changed_in_window - head
     assert not missing, f"changed queries outside the driver window: {missing}"
     next_slots = set(
-        names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(changed_next_window)]
+        names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
-    assert changed_next_window == next_slots, (
-        "r5-changed queries must lead the r6 window: "
-        f"{changed_next_window ^ next_slots}"
+    assert next_window == next_slots, (
+        "stale-evidence r3-era queries must lead the r7 window: "
+        f"{next_window ^ next_slots}"
     )
 
 

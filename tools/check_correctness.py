@@ -122,6 +122,21 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf_dir)
             scols = sdf.columns
+            # Value-discipline enforcement (workloads/__init__ docstring):
+            # no DecimalType output columns. Spark 4 types decimal-literal
+            # arithmetic (SUM(bigint)/100.0) as decimal(p,s); DuckDB
+            # returns DOUBLE; the driver's hash stringifies the two
+            # differently even when every value is numerically identical
+            # (the r5 sql_front_door_q red). Fix = CAST(... AS DOUBLE).
+            dec_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName().startswith("decimal")
+            ]
+            if dec_cols:
+                results[name] = {"status": "DECIMAL_OUTPUT", "cols": dec_cols}
+                n_fail += 1
+                print(f"✗ {name}: decimal-typed output {dec_cols} — CAST to DOUBLE (driver hash stringifies decimals differently than DuckDB doubles)")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
