@@ -30,6 +30,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import fan_out
 from .text import tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
@@ -124,8 +125,10 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("_g")).distinct()
     )
+    # the corpus-side n-gram explode is the heavy map — fan the scan out
+    # to core count (no-op when it already has ≥cores splits)
     hits = (
-        corpus.select(F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g"))
+        fan_out(corpus).select(F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g"))
         .join(F.broadcast(bench_grams), on="_g")
         .select(id_col)
         .distinct()

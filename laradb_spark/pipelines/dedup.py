@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import persist_once
+from ..util import CPU_HEAVY, fan_out, persist_once
 from .text import TOKEN_SEP, tokens
 
 # MinHash parameters — frozen literals (the oracle embeds the same values).
@@ -169,6 +169,7 @@ def ngram_jaccard_pairs(
     O(pairs-sharing-a-shingle): fine for verification / small tables; the
     100 TB path is minhash_lsh_pairs → this computation on candidates only.
     """
+    df = fan_out(df)  # heavy shingle map — see minhash_band_buckets
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
@@ -223,6 +224,7 @@ def prefix_filter_jaccard_pairs(
     float mis-round can only lengthen the prefix (extra candidates),
     never shorten it (missed pairs).
     """
+    df = fan_out(df)  # heavy shingle map — see minhash_band_buckets
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
@@ -314,6 +316,10 @@ def minhash_band_buckets(
     """(id, band_idx, band_hash) — one row per band; docs sharing a
     (band_idx, band_hash) bucket are near-dup candidates."""
     rows = num_perm // bands
+    # Heavy per-row map (shingles → md5 → num_perm HOF folds): fan the
+    # scan out to core count first — one small parquet file otherwise
+    # runs this whole stream in ONE task (util.fan_out).
+    df = fan_out(df, CPU_HEAVY)
     # Staged projections: shingles → md5 hashes → signature. Each stage's
     # output is a named column, so the expensive md5 array is computed once
     # (CollapseProject does not inline non-cheap aliases).
@@ -468,6 +474,7 @@ def minhash_band_buckets_vectorized(
     """minhash_band_buckets with the NumPy signature kernel (bit-identical
     output; the fast path for wide corpora)."""
     rows = num_perm // bands
+    df = fan_out(df, CPU_HEAVY)  # heavy map stage — see minhash_band_buckets
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), n), shingle_hash).alias("hs"),
@@ -511,7 +518,7 @@ def lsh_candidate_jaccard(
     point of banding, so the verification join is small at any corpus
     size. Result ≡ ngram_jaccard_pairs restricted to LSH candidates."""
     pairs = minhash_lsh_pairs(df, n, id_col, text_col, **lsh_kwargs)
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
@@ -722,6 +729,7 @@ def simhash(toks_h: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = fan_out(df, CPU_HEAVY)  # heavy md5+bit-fold map — see minhash_band_buckets
     staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
     return staged.select("id", simhash(F.col("hs")).alias("simhash"))
 
@@ -756,6 +764,7 @@ def simhash_table_vectorized(
 ) -> DataFrame:
     """simhash_table with the NumPy kernel (the fast path for wide
     corpora; md5 token hashing stays JVM-side)."""
+    df = fan_out(df, CPU_HEAVY)  # heavy md5 map — see minhash_band_buckets
     staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
     return staged.select("id", simhash_vectorized()(F.col("hs")).alias("simhash"))
 

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from ..util import CPU_LIGHT, fan_out
+
 MICRO = 1_000_000
 
 
@@ -94,7 +96,7 @@ def embedding_gram_int(
                 {"i": iui.astype("int32"), "j": iuj.astype("int32"), "g": acc[iui, iuj]}
             )
 
-    cells = emb.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+    cells = fan_out(emb, CPU_LIGHT).select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
         partial_gram, out_schema
     )
     return cells.groupBy("i", "j").agg(F.sum("g").alias("g"))
@@ -153,9 +155,9 @@ def whiten_embeddings(
                 {id_col: pdf[id_col], "whitened": list(v @ w.T)}
             )
 
-    return emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
-        apply_w, out_schema
-    )
+    return fan_out(emb, CPU_LIGHT).select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(apply_w, out_schema)
 
 
 def pca_project(
@@ -231,6 +233,6 @@ def pca_project(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list((v - mu) @ comps)})
 
-    return emb.select(
+    return fan_out(emb, CPU_LIGHT).select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     ).mapInPandas(apply_p, out_schema)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranking import grouped_rank
-from ..util import persist_once
+from ..util import fan_out, persist_once
 from .text import tokenize_str, tokens
 
 K1_MILLI = 1200  # k1 = 1.2
@@ -82,8 +82,13 @@ def bm25_scores(
     with the query. ``queries`` is a driver-side list of (query_id, text)
     — human-sized by definition."""
     spark = docs.sparkSession
+    # regex tokenize + explode is the heavy map — fan the scan out to
+    # core count (one small parquet file otherwise runs it in ONE task;
+    # no-op when the scan already has ≥cores splits — util.fan_out)
     toks = persist_once(
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        fan_out(docs).select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.ranking import grouped_rank
-from ..util import persist_once
+from ..util import CPU_HEAVY, CPU_LIGHT, fan_out, persist_once
 
 
 def _batch_topk_prune(
@@ -141,7 +141,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     scored = (
@@ -203,7 +203,7 @@ def sq8_topk(
     q = quantize_sq8(queries, id_col=query_id_col, vec_col=vec_col).select(
         query_id_col, F.col("qvec").alias("qq"), F.col("qscale").alias("qs")
     )
-    c = quantize_sq8(corpus, id_col=id_col, vec_col=vec_col).select(
+    c = quantize_sq8(fan_out(corpus, CPU_HEAVY), id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq"),
         F.col("qscale").alias("cs"),
     )
@@ -372,7 +372,7 @@ def sq8_topk_vectorized(
 
     Qq, Qs = _quantize(Q)
 
-    c = corpus.select(
+    c = fan_out(corpus, CPU_LIGHT).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
@@ -422,7 +422,7 @@ def brute_force_topk_vectorized(
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
 
-    c = corpus.select(
+    c = fan_out(corpus, CPU_LIGHT).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
@@ -486,7 +486,7 @@ def lsh_topk_multiprobe(
     flipping one of the first ``probes-1`` sign bits (the classic recall
     booster — ~probes× candidates for the same corpus bucketing; corpus
     is still hashed exactly once)."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
@@ -590,7 +590,7 @@ def ivf_topk(
     100 TB the assigned corpus is written partitioned by ``cid`` so
     probes prune partitions — that stored layout is ``ivf_build_index``
     / ``ivf_search_index`` below."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
@@ -634,7 +634,7 @@ def ivf_build_index(
     directories via partition pruning instead of re-scanning and
     re-hashing the corpus per query batch (compare ``ivf_topk``, which
     recomputes the assignment inline)."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
@@ -696,7 +696,7 @@ def lsh_build_index(
     stored analog of ``lsh_topk``'s inline bucketing (same fixed planes,
     so a later probe recomputes identical query buckets). Hash once,
     write once; every search after that is a partition-pruned scan."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
@@ -764,7 +764,7 @@ def semantic_dedup(
     per-cluster self-join is one shuffle on ``cid``, and AQE skew-split
     handles fat clusters; centroid training is the bounded-collect Lloyd
     loop shared with IVF (``_train_centroids``)."""
-    c = emb.select(
+    c = fan_out(emb, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     if n_centroids is None:
@@ -829,7 +829,7 @@ def semantic_dedup_fast(
     import numpy as np
     import pandas as pd
 
-    c = emb.select(
+    c = fan_out(emb, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     if n_centroids is None:
@@ -914,7 +914,7 @@ def lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine + rank within candidates. Recall < 1 by construction (single
     probe); raise ``planes`` ↓bucket size, add probes ↑recall."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), dim, planes))
@@ -955,7 +955,7 @@ def hard_negatives(
     ranking itself is the two-phase ``grouped_rank`` — no per-query
     window anywhere, so a handful of queries against a huge corpus never
     serializes into a handful of tasks."""
-    c = corpus.select(
+    c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )

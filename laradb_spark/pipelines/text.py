@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 # Single-space tokenization — chosen (over \s+) because it is exactly
 # reproducible in every engine (DuckDB STRING_SPLIT) for oracle parity.
 TOKEN_SEP = " "
@@ -183,8 +185,9 @@ def frequent_ngrams(df: DataFrame, n: int = 2, k: int = 20, text: str = "text") 
     makes the cut deterministic. Scale shape: explode → one partial+final
     count aggregate → ``orderBy().limit(k)``, which Spark executes as
     TakeOrderedAndProject (per-partition top-k, merge on the driver — no
-    global sort shuffle)."""
-    g = df.select(F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
+    global sort shuffle). The n-gram explode is the heavy map — fan the
+    scan out to core count first (no-op at ≥cores splits, util.fan_out)."""
+    g = fan_out(df).select(F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
     return (
         g.groupBy("ng")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -203,7 +206,7 @@ def boilerplate_ppm(
     div (gotcha #4b). The top set is tiny → broadcast left-semi-ish join;
     the corpus grams never shuffle."""
     top = frequent_ngrams(df, n, top_k, text).select("ng")
-    g = df.select("doc_id", F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
+    g = fan_out(df).select("doc_id", F.explode(_all_ngrams(F.col(text), n)).alias("ng"))
     total = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot"))
     hits = (
         g.join(F.broadcast(top), on="ng")
@@ -233,7 +236,9 @@ def tfidf_top_terms(
     task."""
     from ..operators.ranking import grouped_rank
 
-    toks = df.select("doc_id", F.col(group).alias("grp"), F.explode(tokens(F.col(text))).alias("term"))
+    toks = fan_out(df).select(
+        "doc_id", F.col(group).alias("grp"), F.explode(tokens(F.col(text))).alias("term")
+    )
     tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("_df"))
     ndocs = df.agg(F.count(F.lit(1)).alias("_n"))

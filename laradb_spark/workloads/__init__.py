@@ -127,7 +127,23 @@ _PRIORITY = [
     "session_window_stats",
     "sessionize_events",
     "sliding_event_stats",
-    # --- front of the r7 window: the 10 remaining r3-era queries ------------
+    # --- front of the r7 window ---------------------------------------------
+    # (a) plan-changed in r6 but value-identical: the fan_out small-scan
+    # parallelism fix repartitions these queries' heavy text/Arrow map
+    # stages (corpus_frequent_ngrams + doc_boilerplate_ppm are also
+    # affected but already sit in the r6 head's r3-era fill). Checker-
+    # verified this round; driver re-certifies next.
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "decontaminate_docs",
+    "semantic_dedup",
+    "semantic_dedup_fast",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    # (b) the 10 r3-era stale-evidence rotations the r6 window couldn't fit.
     "supplier_copart_triangles",
     "text_fingerprint",
     "text_langid",
@@ -139,9 +155,6 @@ _PRIORITY = [
     "tumbling_event_stats",
     "user_retention_cohorts",
     # --- tail: green driver rows on current code (r4/r5-certified) ----------
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
     "asof_last_order",
     "orders_within_30_days",
     "order_price_percentiles",
@@ -184,8 +197,6 @@ _PRIORITY = [
     "status_except_all",
     "text_replace_map",
     "unpivot_order_measures",
-    "semantic_dedup",
-    "semantic_dedup_fast",
     "median_value_by_type",
     "trim_length_outliers",
     "grouping_sets_revenue",
@@ -205,12 +216,7 @@ _PRIORITY = [
     "moments_by_type",
     "salted_lineitem_stats",
     "event_trigram_paths",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_simhash_fast",
     "approx_stats",
-    "decontaminate_docs",
     "train_val_split_stats",
     "mix_sources_counts",
     "redact_pii_stats",

@@ -219,6 +219,35 @@ def test_no_query_plans_cartesian(spark, sfq):
     assert not offenders, offenders
 
 
+def test_fan_out_gates_on_splits_and_size(spark, tmp_path):
+    """util.fan_out fires ONLY in the few-splits regime and sizes the
+    fan-out to the work: a KB-scale scan stays at 1 task (worker overhead
+    would exceed the parallelism win), an MB-scale scan with a CPU_HEAVY
+    hint fans to the core cap, and an already-wide frame is returned
+    untouched (no extra shuffle node)."""
+    from pyspark.sql.functions import md5, col
+
+    from laradb_spark.util import CPU_HEAVY, fan_out
+
+    tiny_p = str(tmp_path / "tiny.parquet")
+    spark.range(100).coalesce(1).write.parquet(tiny_p)
+    tiny = spark.read.parquet(tiny_p)
+    assert tiny.rdd.getNumPartitions() == 1
+    assert fan_out(tiny, CPU_HEAVY) is tiny
+
+    big_p = str(tmp_path / "big.parquet")
+    # ~60k random-ish md5 strings → an MB-scale, poorly-compressing file
+    spark.range(60_000).select(md5(col("id").cast("string")).alias("s")) \
+        .coalesce(1).write.parquet(big_p)
+    big = spark.read.parquet(big_p)
+    assert big.rdd.getNumPartitions() == 1
+    fanned = fan_out(big, CPU_HEAVY)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = big.repartition(spark.sparkContext.defaultParallelism)
+    assert fan_out(wide, CPU_HEAVY) is wide
+
+
 def test_no_query_emits_decimal_columns(spark, sfq):
     """Value-discipline rule (workloads/__init__ docstring), mechanized:
     NO registered query may emit a DecimalType column. Spark 4 types

@@ -40,9 +40,17 @@ def test_changed_queries_inside_oracle_window():
         "ann_brute_force", "ann_brute_force_fast", "ann_sq8_topk",
         "hard_negatives", "embedding_gram",
     }
-    # r7 window front: the 10 r3-era queries the 50-slot r6 window could
-    # not fit (code unchanged since r3; rotating for driver-row freshness)
+    # r7 window front, in two tiers: (a) queries whose PLANS changed in r6
+    # via the fan_out small-scan parallelism fix but whose values are
+    # identical (checker-verified at sf0.01 this round) — the other
+    # fan_out-affected queries already sit in the r6 head; then (b) the 10
+    # r3-era queries the 50-slot r6 window could not fit (code unchanged
+    # since r3; rotating for driver-row freshness).
     next_window = {
+        "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "dedup_simhash",
+        "dedup_simhash_fast", "decontaminate_docs", "semantic_dedup",
+        "semantic_dedup_fast", "ann_lsh_topk", "ann_lsh_multiprobe",
+        "ann_ivf_topk",
         "supplier_copart_triangles", "text_fingerprint", "text_langid",
         "text_normalize", "text_quality", "text_repetition",
         "text_token_counts", "topk_parts_per_brand", "tumbling_event_stats",
