@@ -85,16 +85,28 @@ def bm25_scores(
     # regex tokenize + explode is the heavy map — fan the scan out to
     # core count (one small parquet file otherwise runs it in ONE task;
     # no-op when the scan already has ≥cores splits — util.fan_out)
-    toks = persist_once(
-        fan_out(docs).select(
-            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
-        )
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE pass over the corpus-sized token stream: tf aggregates it
+    # (map-side partial combine), and dl/df/corpus stats all derive from
+    # the smaller tf frame — dl = Σ tf per doc, n_toks = Σ tf, n_docs =
+    # distinct ids (explode already dropped token-less docs on both
+    # formulations). vs the former shape (persist the RAW token stream,
+    # aggregate it 3×): the cached frame shrinks from every token
+    # occurrence to one row per (doc, term) — on real long documents with
+    # repeated terms that is the difference between caching the corpus
+    # and caching its vocabulary profile — and consumers re-read the
+    # aggregated frame, not the stream. Measured ~8% faster at 30×;
+    # ~0.4 s slower at sf0.1, where the synthetic docs are short enough
+    # that tf ≈ toks and the extra aggregate has nothing to compress.
+    tf = persist_once(
+        toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = toks.agg(
-        F.count_distinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_toks")
+    stats = tf.agg(
+        F.count_distinct("id").alias("n_docs"), F.sum("tf").alias("n_toks")
     )
 
     q = _query_terms_df(spark, queries)
@@ -144,23 +156,25 @@ def bm25_build_index(
     The 100 TB shape: tokenization + counting runs ONCE at index-build;
     each query batch then reads only the pruned posting buckets — compare
     ``bm25_topk``, which recomputes tf/df/dl inline per call."""
-    toks = persist_once(
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # One pass over the token stream (same restructure as bm25_scores):
+    # tf persists; dl/df/stats derive from it.
+    tf = persist_once(toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
     tf.withColumn("bucket", F.crc32(F.col("term")) % 256).write.partitionBy(
         "bucket"
     ).mode("overwrite").parquet(f"{path}/postings")
-    toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+    tf.groupBy("id").agg(F.sum("tf").alias("dl")).write.mode(
         "overwrite"
     ).parquet(f"{path}/doclens")
     tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{path}/termstats")
-    toks.agg(
-        F.count_distinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_toks")
+    tf.agg(
+        F.count_distinct("id").alias("n_docs"), F.sum("tf").alias("n_toks")
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    toks.unpersist()
+    tf.unpersist()
 
 
 def bm25_search_index(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.ranking import grouped_rank
-from ..util import CPU_HEAVY, CPU_LIGHT, fan_out, persist_once
+from ..util import CPU_HEAVY, CPU_LIGHT, fan_out, persist_once, plan_size_bytes
 
 
 def _batch_topk_prune(
@@ -511,11 +511,103 @@ def lsh_topk_multiprobe(
 # with chained rounds (each round's aggregation nests the previous one in
 # its assignment broadcast), so short trainings run as ONE fused job while
 # long ones still rebind through a bounded collect before the plan (and
-# its codegen) get heavy.
+# its codegen) get heavy. (Expression-assignment path only: the vectorized
+# path must land centroids on the driver every round anyway, and its
+# per-round job is matmul-cheap.)
 LLOYD_CUT_EVERY = 2
 
 
-def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFrame:
+def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow twin of ``_assign`` — BIT-IDENTICAL assignments by
+    construction, at NumPy speed instead of the interpreted per-(vector ×
+    centroid) HOF cosine (the corpus-scale stage of SemDeDup/IVF; the
+    expression form was the training bottleneck).
+
+    Exactness argument, term by term:
+      * dot and norm accumulate DIM-SEQUENTIALLY — a Python loop over
+        dims of vectorized adds reproduces the HOF fold's association
+        ``((0 + x₀) + x₁) + …`` element-for-element (no np.dot/matmul:
+        those sum pairwise and can differ in the last ulp, which near a
+        tie flips an assignment);
+      * zero-norm guard mirrors ``when(d > 0, dot/d).otherwise(0.0)``;
+      * centroid columns are processed in cid-ASC order and ``np.argmax``
+        returns the FIRST maximum, reproducing
+        ``max_by(cid, struct(_cc, -cid))``'s ties → smallest cid.
+    Pinned by test_ann::test_assign_vectorized_bit_identical.
+
+    Centroids land driver-side (k × d, tiny by construction). Output
+    matches ``_assign``: (cid, neighbor_id, cvec)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        ((r["cid"], list(r["cent"])) for r in cents.collect()), key=lambda t: t[0]
+    )
+    if not rows:
+        # empty corpus → empty centroid set → empty assignment (the
+        # expression twin's empty join does the same)
+        return c.sparkSession.createDataFrame(
+            [], "cid long, neighbor_id long, cvec array<double>"
+        )
+    cids = np.asarray([t[0] for t in rows], dtype=np.int64)
+    C = np.asarray([t[1] for t in rows], dtype=np.float64)
+    dim = C.shape[1]
+    nc = np.zeros(len(C))
+    for j in range(dim):
+        nc = nc + C[:, j] * C[:, j]
+    nc = np.sqrt(nc)
+    corpus_matrix = _corpus_matrix_fn(dim)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = corpus_matrix(pdf)
+            nv = np.zeros(len(V))
+            dot_m = np.zeros((len(V), len(C)))
+            for j in range(dim):
+                col = V[:, j]
+                nv = nv + col * col
+                dot_m = dot_m + col[:, None] * C[None, :, j]
+            nv = np.sqrt(nv)
+            denom = nv[:, None] * nc[None, :]
+            pos = denom > 0
+            cc = np.where(pos, dot_m / np.where(pos, denom, 1.0), 0.0)
+            best = np.argmax(cc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": cids[best],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cvec": pdf["cvec"],
+                }
+            )
+
+    return c.select("neighbor_id", "cvec").mapInPandas(
+        assign, "cid long, neighbor_id long, cvec array<double>"
+    )
+
+
+# Below this input size the vectorized assignment's fixed costs (Python
+# worker spin-up + one materializing job per Lloyd round instead of one
+# fused expression job) outweigh its matmul win: measured ~neutral-to-
+# slower at 0.8 MB / 2k vectors, 6-10x faster at 24 MB / 60k vectors.
+VEC_ASSIGN_MIN_BYTES = 2 << 20
+
+
+def _assign_auto(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Pick the assignment twin by input size (plan stats, no job):
+    expression HOF below VEC_ASSIGN_MIN_BYTES, Arrow matmul above. The
+    twins are bit-identical (test_assign_vectorized_bit_identical), so
+    the gate is pure cost selection, never a semantics switch."""
+    size = plan_size_bytes(c)
+    if size is not None and size < VEC_ASSIGN_MIN_BYTES:
+        return _assign(c, cents)
+    return _assign_vectorized(c, cents)
+
+
+def _train_centroids(
+    c: DataFrame, n_centroids: int, lloyd_iters: int, vectorized: "bool | None" = None
+) -> DataFrame:
     """k-means-lite centroid training (deterministic init = the
     ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds) over a
     ``(neighbor_id, cvec)`` frame. Returns a lineage-free literal
@@ -523,24 +615,27 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
     several downstream consumers (full assignment, query probing, index
     writes) never re-execute training.
 
-    Rounds are CHAINED LAZILY and materialized once per ``LLOYD_CUT_EVERY``
-    rounds (plus once at the end): the default 2-round training is a
-    single Spark job instead of one collect+rebind job per round — at
-    bench scale the loop was dominated by that fixed per-round job cost,
-    not by compute. The periodic cut still bounds plan growth for long
-    trainings (the round-over-round nesting that motivated the original
-    per-round rebind)."""
+    Default path assigns with ``_assign_vectorized`` (bit-identical to
+    the expression assignment — see its docstring) and materializes the
+    tiny centroid frame every round, since the next round's scorer needs
+    it driver-side anyway; the mean update stays the expression-side
+    posexplode+avg on both paths, so centroid VALUES are identical.
+    ``vectorized=False`` keeps the pure-expression Lloyd chain
+    (lazily chained, cut every ``LLOYD_CUT_EVERY`` rounds)."""
     spark = c.sparkSession
+    if vectorized is None:  # size-gated default — see _assign_auto
+        size = plan_size_bytes(c)
+        vectorized = size is None or size >= VEC_ASSIGN_MIN_BYTES
     # per-vector norm computed ONCE for all rounds (each round's assignment
     # needs it; recomputing the 128-dim HOF fold per round doubles the loop)
-    if lloyd_iters > 0 and "_nv" not in c.columns:
+    if not vectorized and lloyd_iters > 0 and "_nv" not in c.columns:
         c = persist_once(c.withColumn("_nv", norm(F.col("cvec"))))
     cents = (
         c.orderBy("neighbor_id").limit(n_centroids)
         .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
     )
     for i in range(lloyd_iters):
-        assigned = _assign(c, cents)
+        assigned = (_assign_vectorized if vectorized else _assign)(c, cents)
         # new centroid = element-wise mean of members (posexplode + avg)
         cents = (
             assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
@@ -550,7 +645,7 @@ def _train_centroids(c: DataFrame, n_centroids: int, lloyd_iters: int) -> DataFr
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
             .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
         )
-        if i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
+        if vectorized or i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
             cents = spark.createDataFrame(cents.collect(), cents.schema)
     return cents
 
@@ -594,7 +689,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
-    assigned = _assign(c, cents)
+    assigned = _assign_auto(c, cents)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -638,7 +733,7 @@ def ivf_build_index(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
-    _assign(c, cents).write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
+    _assign_auto(c, cents).write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -835,7 +930,7 @@ def semantic_dedup_fast(
     if n_centroids is None:
         n_centroids = auto_centroids(c)
     cents = _train_centroids(c, n_centroids, lloyd_iters)
-    assigned = persist_once(_assign(c, cents))
+    assigned = persist_once(_assign_auto(c, cents))
 
     from pyspark.sql.types import LongType, StructField, StructType
 

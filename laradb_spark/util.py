@@ -14,6 +14,19 @@ CPU_MODERATE = 64 << 10  # tokenize+explode, md5 streams
 CPU_LIGHT = 256 << 10   # vectorized NumPy batch kernels
 
 
+def plan_size_bytes(df: DataFrame) -> "int | None":
+    """Catalyst's size estimate for ``df`` (file bytes for a bare scan),
+    read from the optimized plan's stats — NO job runs. None when stats
+    are unavailable (e.g. Spark Connect). Used by fan_out and by the
+    expr-vs-vectorized twin gates: fixed costs (Python worker spin-up,
+    extra job boundaries) only amortize above a data size, and this
+    estimate is the cheapest honest signal of it."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def fan_out(
     df: DataFrame, bytes_per_task: int = CPU_MODERATE, target: int | None = None
 ) -> DataFrame:
@@ -45,10 +58,7 @@ def fan_out(
     costs more than the parallelism buys."""
     sc = df.sparkSession.sparkContext
     cap = target or sc.defaultParallelism
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # non-classic DataFrame (connect) — fall back to cap
-        size = None
+    size = plan_size_bytes(df)
     t = cap if size is None else max(1, min(cap, -(-size // bytes_per_task)))
     if df.rdd.getNumPartitions() < t:
         return df.repartition(t)

@@ -287,6 +287,42 @@ def test_vectorized_topk_null_corpus_raises(spark, clustered):
             fn(bad, q, k=3).collect()
 
 
+def test_assign_vectorized_bit_identical(spark, clustered):
+    """_assign_vectorized ≡ _assign exactly — same cid for every vector —
+    on clustered data PLUS a zero vector (zero-norm guard) and vectors
+    crafted to have equal cosine to two centroids (tie → smallest cid).
+    The dim-sequential accumulation must reproduce the HOF fold's float
+    association; np.dot's pairwise summation would not."""
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [(700, [0.0] * 8), (701, [1e-9] * 8), (702, [-2.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    c = clustered.unionByName(extra).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    cents = (
+        c.orderBy("neighbor_id").limit(6)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
+    )
+    expr = {r.neighbor_id: r.cid for r in sim._assign(c, cents).collect()}
+    fast = {r.neighbor_id: r.cid for r in sim._assign_vectorized(c, cents).collect()}
+    assert expr == fast
+    # Training with the vectorized assignment yields the same cluster
+    # STRUCTURE; centroid floats may differ in the last ulp because
+    # F.avg's partial-sum order follows the partitioning — true of the
+    # expression path across partition layouts too (the pipeline
+    # tolerates this by design: assignments are far from cosine ties and
+    # oracles compare rounded outputs).
+    e_cents = {r.cid: list(r.cent) for r in sim._train_centroids(c, 6, 2, vectorized=False).collect()}
+    v_cents = {r.cid: list(r.cent) for r in sim._train_centroids(c, 6, 2, vectorized=True).collect()}
+    assert set(e_cents) == set(v_cents)
+    for cid in e_cents:
+        assert np.allclose(e_cents[cid], v_cents[cid], rtol=1e-12), cid
+
+
 def test_vectorized_topk_empty_and_null_queries(spark, clustered):
     """Vectorized twins short-circuit an EMPTY query set to an empty
     frame (matching the expression twins) and raise actionably on NULL
