@@ -54,6 +54,10 @@ HEADLINE = [
     # round-5 operators (SQ8 benched via its NumPy int-matmul twin — same
     # ranks, same oracle; the ANN-family precedent)
     "ann_sq8_fast",
+    # round-6 operators
+    "gopher_quality",
+    "bigram_lm",
+    "contamination_report",
 ]
 
 

@@ -136,6 +136,53 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
 
 
+def contamination_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded companion to ``decontaminate``: instead of dropping docs
+    that share ANY benchmark n-gram, report per-doc contamination —
+    (doc_id, total_grams, contaminated_grams, contamination_ppm) — so a
+    pipeline owner can audit near-contamination and choose a threshold
+    rather than a boolean. Integer ppm via integral division
+    (engine-exact).
+
+    Grams are per-doc DISTINCT (word_ngrams semantics — the same gram
+    repeated inside one doc counts once), and word_ngrams floors short
+    docs to one whole-text gram, so every corpus doc appears in the
+    output. Same physical shape as decontaminate: benchmark n-grams
+    distinct + broadcast, the corpus gram stream aggregates in its scan
+    stage (left-join marker + one partial+final count), payload never
+    shuffles."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text), n)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    g = fan_out(corpus).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g")
+    )
+    return (
+        g.join(F.broadcast(bench_grams), on="_g", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("contaminated_grams"),
+        )
+        .select(
+            id_col,
+            "total_grams",
+            "contaminated_grams",
+            F.expr("(1000000 * contaminated_grams) div total_grams").alias(
+                "contamination_ppm"
+            ),
+        )
+    )
+
+
 def decon_build_index(
     benchmark: DataFrame,
     path: str,

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out
+from ..util import fan_out, persist_once
 
 # Single-space tokenization — chosen (over \s+) because it is exactly
 # reproducible in every engine (DuckDB STRING_SPLIT) for oracle parity.
@@ -257,6 +257,121 @@ def tfidf_top_terms(
             F.col("grp").alias(group), "term", "score",
             F.col("_r").cast("int").alias("rank"),
         )
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021 §A2, adapted to integer-exact
+# milli/ppm arithmetic so the flags hash-match a SQL oracle). Line-based
+# rules (bullet-start / ellipsis-end fractions) are omitted: they need a
+# line structure this engine treats as a tokenizer concern.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MILLI = 3_000
+GOPHER_MAX_MEAN_WORD_LEN_MILLI = 10_000
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_WORD_PPM = 800_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style document quality rules as per-doc boolean flags plus
+    the combined ``pass_gopher`` — the classic pretraining prefilter
+    (word-count bounds, mean-word-length bounds, ≥2 stopword hits, ≥80%
+    words containing an alphabetic character). All arithmetic is integer
+    (mean word length in milli-chars via integral division, alpha
+    fraction in ppm), so the flags are bit-identical across engines —
+    a float mean at exactly 3.0 chars would tie-flake the bound.
+
+    One narrow projection per doc — no shuffle, no join; the flags
+    compute inside the scan's map stage at any corpus size."""
+    toks = tokens(F.col(text))
+    n = F.size(toks).cast("long")
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    out = df.select(
+        "doc_id",
+        n.alias("word_count"),
+        chars.alias("_chars"),
+        stop_hits.alias("stopword_hits"),
+        alpha_words.alias("_alpha"),
+    )
+    out = out.select(
+        "doc_id",
+        "word_count",
+        F.when(F.col("word_count") > 0, F.expr("(1000 * _chars) div word_count"))
+        .otherwise(F.lit(None))
+        .alias("mean_word_len_milli"),
+        "stopword_hits",
+        F.when(F.col("word_count") > 0, F.expr("(1000000 * _alpha) div word_count"))
+        .otherwise(F.lit(None))
+        .alias("alpha_word_ppm"),
+    )
+    f_words = F.col("word_count").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_len = F.coalesce(
+        F.col("mean_word_len_milli").between(
+            GOPHER_MIN_MEAN_WORD_LEN_MILLI, GOPHER_MAX_MEAN_WORD_LEN_MILLI
+        ),
+        F.lit(False),
+    )
+    f_stop = F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS
+    f_alpha = F.coalesce(
+        F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_WORD_PPM, F.lit(False)
+    )
+    return out.select(
+        "doc_id", "word_count", "mean_word_len_milli", "stopword_hits",
+        "alpha_word_ppm",
+        f_words.alias("ok_word_count"),
+        f_len.alias("ok_mean_word_len"),
+        f_stop.alias("ok_stopwords"),
+        f_alpha.alias("ok_alpha_words"),
+        (f_words & f_len & f_stop & f_alpha).alias("pass_gopher"),
+    )
+
+
+def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus-trained count-ratio bigram language-model score per doc —
+    the CCNet/KenLM perplexity-filter SHAPE with integer-exact
+    arithmetic: for each adjacent word pair, p̂(w₂|w₁) ≈ c(w₁w₂)/c(w₁·)
+    expressed in ppm via integral division (no float log, so the score
+    hash-matches a SQL oracle bit-for-bit); a doc's score is the
+    n-weighted integral mean over its bigram occurrences. High score =
+    the doc's word transitions are typical of the corpus; boilerplate
+    scores high, keyboard mash scores low — filter on either tail.
+
+    Scale shape: ONE pass over the bigram stream aggregates per-(doc,
+    bigram) counts (map-side combine); corpus bigram counts c(w₁w₂) and
+    context counts c(w₁·) both DERIVE from that frame (same one-pass
+    discipline as bm25_scores), which is also the only persist. The
+    scoring joins shuffle on bigram/context keys — vocabulary-sized,
+    never corpus-sized. Docs with < 2 tokens have no bigrams and are
+    absent from the output (score undefined)."""
+    toks = tokens(F.col(text))
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bg = fan_out(df).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).alias("_bg"),
+    ).select("doc_id", "_bg.w1", "_bg.w2")
+    doc_bg = persist_once(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    )
+    cb = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    scored = (
+        doc_bg.join(cb, on=["w1", "w2"])
+        .join(cw, on="w1")
+        .select("doc_id", "n", F.expr("(1000000 * cb) div cw").alias("_ppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr("sum(n * _ppm) div sum(n)").alias("lm_score_ppm"),
+        F.sum("n").alias("n_bigrams"),
     )
 
 

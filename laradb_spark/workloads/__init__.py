@@ -128,6 +128,11 @@ _PRIORITY = [
     "sessionize_events",
     "sliding_event_stats",
     # --- front of the r7 window ---------------------------------------------
+    # (0) NEW in r6 (no driver row yet): Gopher quality rules, bigram
+    # count-ratio LM score, graded contamination report.
+    "gopher_quality",
+    "bigram_lm",
+    "contamination_report",
     # (a) plan-changed in r6 but value-identical: the fan_out small-scan
     # parallelism fix repartitions these queries' heavy text/Arrow map
     # stages (corpus_frequent_ngrams + doc_boilerplate_ppm are also

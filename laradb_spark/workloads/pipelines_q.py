@@ -1509,8 +1509,121 @@ FROM r WHERE rk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# r6 additions: Gopher quality rules, bigram count-ratio LM, graded
+# contamination (see pipelines.text / pipelines.curation docstrings)
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags per document (integer-exact milli/ppm)."""
+    return tx.gopher_quality_flags(load(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+
+GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_count,
+         CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS chars,
+         CAST(len(list_filter(toks, w -> list_contains([{_GOPHER_STOP_SQL}], lower(w)))) AS BIGINT) AS stopword_hits,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha
+  FROM t
+),
+m AS (
+  SELECT doc_id, word_count,
+         CASE WHEN word_count > 0 THEN (1000 * chars) // word_count END AS mean_word_len_milli,
+         stopword_hits,
+         CASE WHEN word_count > 0 THEN (1000000 * alpha) // word_count END AS alpha_word_ppm
+  FROM s
+)
+SELECT doc_id, word_count, mean_word_len_milli, stopword_hits, alpha_word_ppm,
+       word_count BETWEEN {tx.GOPHER_MIN_WORDS} AND {tx.GOPHER_MAX_WORDS} AS ok_word_count,
+       COALESCE(mean_word_len_milli BETWEEN {tx.GOPHER_MIN_MEAN_WORD_LEN_MILLI}
+                AND {tx.GOPHER_MAX_MEAN_WORD_LEN_MILLI}, FALSE) AS ok_mean_word_len,
+       stopword_hits >= {tx.GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+       COALESCE(alpha_word_ppm >= {tx.GOPHER_MIN_ALPHA_WORD_PPM}, FALSE) AS ok_alpha_words,
+       (word_count BETWEEN {tx.GOPHER_MIN_WORDS} AND {tx.GOPHER_MAX_WORDS})
+         AND COALESCE(mean_word_len_milli BETWEEN {tx.GOPHER_MIN_MEAN_WORD_LEN_MILLI}
+                      AND {tx.GOPHER_MAX_MEAN_WORD_LEN_MILLI}, FALSE)
+         AND stopword_hits >= {tx.GOPHER_MIN_STOPWORD_HITS}
+         AND COALESCE(alpha_word_ppm >= {tx.GOPHER_MIN_ALPHA_WORD_PPM}, FALSE) AS pass_gopher
+FROM m
+"""
+
+
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained count-ratio bigram LM score per doc (ppm)."""
+    return tx.bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+    FROM t WHERE len(toks) >= 2
+  )
+),
+doc_bg AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id, w1, w2
+),
+cb AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS cb FROM doc_bg GROUP BY w1, w2),
+cw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY w1)
+SELECT doc_id,
+       CAST(SUM(n * ((1000000 * cb) // cw)) // SUM(n) AS BIGINT) AS lm_score_ppm,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams
+FROM doc_bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
+GROUP BY doc_id
+"""
+
+
+def contamination_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination report: per-corpus-doc distinct-5-gram
+    overlap with the benchmark slice (doc_id % 23 == 0), in ppm."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return cu.contamination_score(corpus, bench, n=5)
+
+
+CONTAMINATION_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - 4, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gs
+  FROM t
+),
+bench AS (SELECT DISTINCT UNNEST(gs) AS ng FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+corp AS (SELECT doc_id, UNNEST(gs) AS ng FROM g WHERE doc_id % {_BENCH_MOD} <> 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(SUM(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_grams,
+       (1000000 * CAST(SUM(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS contamination_ppm
+FROM corp
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
+    "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
+    "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),

@@ -833,3 +833,69 @@ def test_time_weighted_avg_random_series_property(spark):
         q = wsum // dur if wsum >= 0 else -((-wsum) // dur)
         want[k] = (q, len(obs))
     assert got == want
+
+
+def test_gopher_quality_flags_semantics(spark):
+    """Hand-computed Gopher rules: one passing doc, one too short, one
+    stopword-poor, one non-alphabetic, one empty (NULL stats, all-fail)."""
+    from laradb_spark.pipelines.text import gopher_quality_flags
+
+    good = "the cat sat with the dog and that was fine " * 6  # 60 words
+    rows = [
+        (0, good.strip()),
+        (1, "the of short"),                          # 3 words < 50
+        (2, ("word " * 60).strip()),                  # no stopword hits
+        (3, ("123 " * 60).strip()),                   # alpha fraction 0
+        (4, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[0].pass_gopher
+    assert got[0].word_count == 60 and got[0].ok_word_count
+    # mean word length of the repeated sentence: 33 chars / 10 words
+    assert got[0].mean_word_len_milli == (1000 * 6 * 33) // 60 == 3300
+    assert not got[1].ok_word_count and not got[1].pass_gopher
+    assert got[2].stopword_hits == 0 and not got[2].ok_stopwords
+    assert got[3].alpha_word_ppm == 0 and not got[3].ok_alpha_words
+    assert got[4].word_count == 0 and got[4].mean_word_len_milli is None
+    assert not got[4].pass_gopher
+
+
+def test_bigram_lm_score_semantics(spark):
+    """Hand-computed count-ratio LM: corpus 'a b', 'a b', 'a c' →
+    c(a,b)=2, c(a,c)=1, c(a·)=3; doc1 score = (1e6*2)//3 = 666666;
+    doc3 = (1e6*1)//3 = 333333. One-token doc absent."""
+    from laradb_spark.pipelines.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.lm_score_ppm, r.n_bigrams) for r in bigram_lm_score(df).collect()}
+    assert got == {1: (666666, 1), 2: (666666, 1), 3: (333333, 1)}
+
+
+def test_contamination_score_semantics(spark):
+    """Hand-computed distinct-3-gram overlap: doc shares one of its two
+    grams with the benchmark → 500000 ppm; untouched doc → 0; short doc
+    floors to its whole text as one gram."""
+    from laradb_spark.pipelines.curation import contamination_score
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # grams: 3 distinct
+            (2, "totally unrelated words here"),
+            (3, "hi"),                           # whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.total_grams, r.contaminated_grams, r.contamination_ppm)
+        for r in contamination_score(corpus, bench, n=3).collect()
+    }
+    assert got[1] == (3, 1, 333333)
+    assert got[2] == (2, 0, 0)
+    assert got[3] == (1, 0, 0)

@@ -47,6 +47,8 @@ def test_changed_queries_inside_oracle_window():
     # r3-era queries the 50-slot r6 window could not fit (code unchanged
     # since r3; rotating for driver-row freshness).
     next_window = {
+        # new in r6 — no driver row yet
+        "gopher_quality", "bigram_lm", "contamination_report",
         "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "dedup_simhash",
         "dedup_simhash_fast", "decontaminate_docs", "semantic_dedup",
         "semantic_dedup_fast", "ann_lsh_topk", "ann_lsh_multiprobe",
