@@ -141,6 +141,13 @@ def merge_upsert(
         # so persist_once can't dedupe them). NOTE the API is EAGER on
         # this path: the snapshot + uniqueness-check jobs run at call
         # time, sized by the change batch, never by the target.
+        # Fault-tolerance trade: localCheckpoint blocks are neither
+        # replicated nor recomputable — losing an executor between this
+        # call and the caller's merge action fails the returned plan
+        # (persist would have recomputed from lineage). Acceptable for a
+        # CDC-sized batch (re-call merge_upsert to retry); callers on
+        # flaky clusters can pre-collapse to key-unique and pass seq_col,
+        # which skips the snapshot entirely.
         changes = changes.localCheckpoint(eager=True)
         if changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).count() > 0:
             raise ValueError(

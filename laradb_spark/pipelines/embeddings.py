@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..util import CPU_LIGHT, fan_out
+from ..util import CPU_LIGHT, dense_matrix_fn, fan_out
 
 MICRO = 1_000_000
 
@@ -56,6 +56,11 @@ def embedding_gram_int(
         ]
     )
 
+    # shared non-null fixed-dim validator (util.dense_matrix_fn): the
+    # isnan pass matters doubly here — floor(NaN).astype(int64) would
+    # otherwise silently inject INT64_MIN into the integer Gram sums
+    to_matrix = dense_matrix_fn(dim, "embedding_gram_int")
+
     def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -65,19 +70,7 @@ def embedding_gram_int(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vals = pdf[vec_col].tolist()
-            if any(x is None for x in vals):
-                raise ValueError(
-                    "embedding_gram_int: embeddings must be non-null arrays "
-                    "(NULL vector found); filter or impute upstream"
-                )
-            try:
-                M = np.asarray(vals, dtype=np.float64)
-            except (TypeError, ValueError) as e:
-                raise ValueError(
-                    "embedding_gram_int: embeddings have mixed dims or "
-                    "non-numeric components; normalize upstream"
-                ) from e
+            M = to_matrix(pdf[vec_col])
             # floor(x·1e6 + 0.5), NOT rint: rint rounds half-to-even while
             # SQL ROUND is half-away — floor(+0.5) is the one quantizer
             # both engines express identically (DEVNOTES gotcha #4 family)
@@ -146,11 +139,13 @@ def whiten_embeddings(
 
     out_schema = StructType.fromDDL(f"{id_col} long, whitened array<double>")
 
+    to_matrix = dense_matrix_fn(dim, "whiten_embeddings")
+
     def apply_w(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()) - mu
+            v = to_matrix(pdf[vec_col]) - mu
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "whitened": list(v @ w.T)}
             )
@@ -212,25 +207,16 @@ def pca_project(
 
     out_schema = StructType.fromDDL(f"{id_col} long, {out_col} array<double>")
 
+    # shared non-null fixed-dim validator — actionable error instead of
+    # an obscure np.stack/broadcast crash, and the isnan pass catches
+    # NULL COMPONENTS (they'd otherwise propagate as NaN projections)
+    to_matrix = dense_matrix_fn(dim, "pca_project")
+
     def apply_p(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            vals = pdf[vec_col].tolist()
-            # contract mirrors the vectorized-ANN helpers: non-null
-            # fixed-dim embeddings, with an actionable error instead of
-            # an obscure np.stack/broadcast crash on a NULL row
-            if any(x is None for x in vals):
-                raise ValueError(
-                    "pca_project: embeddings must be non-null arrays "
-                    "(NULL vector found); filter or impute upstream"
-                )
-            v = np.stack(vals)
-            if v.ndim != 2 or v.shape[1] != dim:
-                raise ValueError(
-                    f"pca_project: embedding dim {v.shape[1:]} != declared "
-                    f"dim {dim}"
-                )
+            v = to_matrix(pdf[vec_col])
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list((v - mu) @ comps)})
 
     return fan_out(emb, CPU_LIGHT).select(

@@ -42,10 +42,15 @@ def _batch_topk_prune(
     scaling with the corpus.
 
     Column-exact: passes every input column through (hard_negatives
-    carries extra columns), preserves float64 bits (Arrow), and mirrors
-    Spark's desc NaN ordering (NaN sorts greatest → ``na_position=
-    'first'``) so the kept rows are exactly the ones the unpruned rank
-    would keep."""
+    carries extra columns) and preserves float64 bits (Arrow). NULL
+    scores sort LAST (``na_position='last'``), mirroring Spark's desc
+    NULLS-LAST — a NULL-scored row (e.g. sq8_topk over a NULL corpus
+    embedding) only survives a batch with fewer than k real scores,
+    exactly as the unpruned rank would place it. Caveat: Arrow folds
+    NULL into NaN in a float64 column, so a GENUINE NaN score would also
+    sort last here while Spark desc orders NaN greatest — none of this
+    module's score expressions can produce NaN (cosine and the SQ8
+    score are zero-guarded), which is the contract."""
 
     def prune(batches):
         for pdf in batches:
@@ -55,7 +60,7 @@ def _batch_topk_prune(
                 pdf.sort_values(
                     [query_id_col, score_col, "neighbor_id"],
                     ascending=[True, False, True],
-                    na_position="first",
+                    na_position="last",
                 )
                 .groupby(query_id_col, sort=False)
                 .head(k)
@@ -254,49 +259,19 @@ def _empty_topk(spark, query_id_col, rank_col="rank"):
 
 
 def _corpus_matrix_fn(dim: int):
-    """Build the per-batch corpus-matrix extractor+validator for the
-    vectorized scorers. Returned as a NESTED closure (not a module-level
-    function) ON PURPOSE: the scorer closures that call it are
-    cloudpickled to executors, and a module-level helper is serialized
-    BY REFERENCE — a library user driving Spark from outside the repo
-    path would hit ModuleNotFoundError on the workers. Nested functions
-    pickle by value and carry no import dependency.
+    """Per-batch corpus-matrix extractor for the vectorized scorers —
+    the shared ``util.dense_matrix_fn`` validator (nested closure,
+    pickled by value; one uniform non-null fixed-dim contract across
+    every Arrow kernel). The expression twins tolerate NULLs via
+    three-valued scoring; that doesn't vectorize, so the scorers raise
+    the same actionable ValueError ``_collect_query_matrix`` gives for
+    queries."""
+    from ..util import dense_matrix_fn
 
-    The extractor returns one Arrow batch's corpus vectors as a dense
-    (batch × dim) float64 matrix. Contract: non-null fixed-dim embeddings
-    (the expression twins tolerate NULLs via three-valued scoring; that
-    doesn't vectorize) — raises the same actionable ValueError
-    ``_collect_query_matrix`` gives for queries instead of crashing in
-    np.asarray/matmul with an opaque executor error. Checks are
-    vectorized (one isnan pass), not per-element Python."""
+    to_matrix = dense_matrix_fn(dim, "vectorized top-k")
 
     def corpus_matrix(pdf):
-        import numpy as np
-
-        vals = pdf["cvec"].tolist()
-        if any(v is None for v in vals):
-            raise ValueError(
-                "vectorized top-k: corpus embeddings must be non-null arrays "
-                "(NULL vector found); filter or impute upstream"
-            )
-        try:
-            M = np.asarray(vals, dtype=np.float64)
-        except (TypeError, ValueError) as e:
-            raise ValueError(
-                "vectorized top-k: corpus embeddings have mixed dims or "
-                "non-numeric components; normalize upstream"
-            ) from e
-        if M.ndim != 2 or M.shape[1] != dim:
-            raise ValueError(
-                f"vectorized top-k: corpus embedding dim {M.shape[1:]} != "
-                f"query dim {dim}"
-            )
-        if np.isnan(M).any():
-            raise ValueError(
-                "vectorized top-k: corpus embeddings contain NULL/NaN "
-                "components; filter or impute upstream"
-            )
-        return M
+        return to_matrix(pdf["cvec"])
 
     return corpus_matrix
 
@@ -532,11 +507,19 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
       * zero-norm guard mirrors ``when(d > 0, dot/d).otherwise(0.0)``;
       * centroid columns are processed in cid-ASC order and ``np.argmax``
         returns the FIRST maximum, reproducing
-        ``max_by(cid, struct(_cc, -cid))``'s ties → smallest cid.
+        ``max_by(cid, struct(_cc, -cid))``'s ties → smallest cid;
+      * NULL vectors and NULL/NaN components score 0.0 against every
+        centroid (substituted by the zero vector, whose zero norm trips
+        the same guard) → assigned to the smallest cid — exactly what the
+        expression twin's three-valued ``when`` yields for them, so the
+        ``_assign_auto`` size gate is pure cost selection, never a
+        semantics switch. Ragged dims raise (the expression twin's
+        zip_with-padding behavior there is undefined-by-contract).
     Pinned by test_ann::test_assign_vectorized_bit_identical.
 
     Centroids land driver-side (k × d, tiny by construction). Output
-    matches ``_assign``: (cid, neighbor_id, cvec)."""
+    matches ``_assign``: (cid, neighbor_id, cvec) — NULL vectors pass
+    through as NULL."""
     import numpy as np
     import pandas as pd
 
@@ -556,13 +539,31 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
     for j in range(dim):
         nc = nc + C[:, j] * C[:, j]
     nc = np.sqrt(nc)
-    corpus_matrix = _corpus_matrix_fn(dim)
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = corpus_matrix(pdf)
+            vals = pdf["cvec"].tolist()
+            zero = [0.0] * dim
+            filled = [zero if v is None else v for v in vals]
+            try:
+                V = np.asarray(filled, dtype=np.float64)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    "_assign_vectorized: embeddings have mixed dims; "
+                    "normalize upstream"
+                ) from e
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"_assign_vectorized: embedding dim {V.shape[1]} != "
+                    f"centroid dim {dim}"
+                )
+            # NULL/NaN components → zero vector → 0.0 vs every centroid
+            # (zero-norm guard) → smallest cid, mirroring the expr twin
+            nan_rows = np.isnan(V).any(axis=1)
+            if nan_rows.any():
+                V[nan_rows] = 0.0
             nv = np.zeros(len(V))
             dot_m = np.zeros((len(V), len(C)))
             for j in range(dim):

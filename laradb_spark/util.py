@@ -14,6 +14,54 @@ CPU_MODERATE = 64 << 10  # tokenize+explode, md5 streams
 CPU_LIGHT = 256 << 10   # vectorized NumPy batch kernels
 
 
+def dense_matrix_fn(dim: int, who: str):
+    """Build the per-batch embedding-matrix extractor+validator shared by
+    every Arrow kernel with a non-null fixed-dim contract (vectorized ANN
+    scorers, integer Gram, whitening, PCA). Returned as a NESTED closure
+    on purpose: executor closures that call it are cloudpickled BY VALUE,
+    so library users outside the repo path don't hit ModuleNotFoundError
+    on workers (DEVNOTES gotcha #16); the factory itself only runs on the
+    driver.
+
+    The extractor turns one batch's vector column (a pandas Series of
+    arrays) into a dense (batch × dim) float64 matrix, raising ONE
+    uniform actionable ValueError — prefixed with ``who`` — on NULL
+    vectors, mixed/ragged dims, and NULL/NaN components (Arrow surfaces
+    null components as NaN, so the isnan pass is what catches them;
+    without it floor(NaN).astype(int64) silently injects INT64_MIN into
+    integer kernels). One validator, one contract: the per-module copies
+    this replaces had drifted (isnan here, dim check there)."""
+
+    def to_matrix(series):
+        import numpy as np
+
+        vals = series.tolist()
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"{who}: embeddings must be non-null arrays (NULL vector "
+                "found); filter or impute upstream"
+            )
+        try:
+            M = np.asarray(vals, dtype=np.float64)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"{who}: embeddings have mixed dims or non-numeric "
+                "components; normalize upstream"
+            ) from e
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError(
+                f"{who}: embedding dim {M.shape[1:]} != expected dim {dim}"
+            )
+        if np.isnan(M).any():
+            raise ValueError(
+                f"{who}: embeddings contain NULL/NaN components; filter or "
+                "impute upstream"
+            )
+        return M
+
+    return to_matrix
+
+
 def plan_size_bytes(df: DataFrame) -> "int | None":
     """Catalyst's size estimate for ``df`` (file bytes for a bare scan),
     read from the optimized plan's stats — NO job runs. None when stats
@@ -56,11 +104,17 @@ def fan_out(
     Use it ONLY in front of heavy per-row work (interpreted HOF folds,
     Arrow/pandas stages): for cheap expression maps the extra shuffle
     costs more than the parallelism buys."""
-    sc = df.sparkSession.sparkContext
-    cap = target or sc.defaultParallelism
+    try:
+        cap = target or df.sparkSession.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor df.rdd — degrade
+        # to identity (same graceful fallback as plan_size_bytes) rather
+        # than breaking every pipeline entry on a Connect session.
+        return df
     size = plan_size_bytes(df)
     t = cap if size is None else max(1, min(cap, -(-size // bytes_per_task)))
-    if df.rdd.getNumPartitions() < t:
+    if cur < t:
         return df.repartition(t)
     return df
 

@@ -323,6 +323,50 @@ def test_assign_vectorized_bit_identical(spark, clustered):
         assert np.allclose(e_cents[cid], v_cents[cid], rtol=1e-12), cid
 
 
+def test_sq8_null_corpus_rows_rank_last_through_prune(spark, clustered):
+    """NULL corpus embeddings give NULL SQ8 scores, which Spark's desc
+    ranking places LAST — the batch-local prune must preserve that
+    (na_position='last'), not promote them: with tiny Arrow batches a
+    NaN-first prune would evict true neighbors batch by batch."""
+    nulls = spark.createDataFrame(
+        [(900 + i, None) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    q = _queries(clustered)
+    want = _pairs_ranked(sim.sq8_topk(clustered, q, k=5))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "23")
+    try:
+        got = _pairs_ranked(sim.sq8_topk(clustered.unionByName(nulls), q, k=5))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert got == want  # 200 real candidates ≫ k → no NULL row survives
+
+
+def test_assign_twins_null_and_nan_parity(spark, clustered):
+    """NULL vectors and NaN-component vectors assign identically on both
+    twins: 0.0 score vs every centroid → smallest cid (the expression
+    twin's three-valued `when`; the vectorized twin's zero-substitution).
+    The _assign_auto size gate must never be a semantics switch."""
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [(800, None), (801, [float("nan")] + [1.0] * 7), (802, [0.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    c = clustered.unionByName(extra).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    cents = (
+        c.filter("neighbor_id < 700").orderBy("neighbor_id").limit(4)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
+    )
+    expr = {r.neighbor_id: r.cid for r in sim._assign(c, cents).collect()}
+    fast = {r.neighbor_id: r.cid for r in sim._assign_vectorized(c, cents).collect()}
+    assert expr == fast
+    smallest = min(r.cid for r in cents.collect())
+    assert fast[800] == fast[801] == fast[802] == smallest
+
+
 def test_vectorized_topk_empty_and_null_queries(spark, clustered):
     """Vectorized twins short-circuit an EMPTY query set to an empty
     frame (matching the expression twins) and raise actionably on NULL
