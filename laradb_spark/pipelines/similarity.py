@@ -765,12 +765,20 @@ def ivf_search_index(
     )
     # Centroid-bounded probe-selection window (see ivf_topk).
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
-    probes = persist_once(
+    probes_plan = (
         qc.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
         .select(query_id_col, "qvec", "cid")
     )
-    probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
+    # Land the (query-batch × n_probe)-sized probe set on the driver and
+    # rebuild it as a literal frame: probe_cids needs a collect anyway,
+    # and a persist here is never released — a serving loop calling this
+    # per query batch would accumulate one CacheManager entry per call
+    # (each batch is a new plan; the merge_upsert lesson). A literal
+    # local relation has no cache entry and no lineage to recompute.
+    probe_rows = probes_plan.collect()
+    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probe_cids = sorted({r.cid for r in probe_rows})
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("cid").isin(probe_cids))
     scored = (
         idx.join(F.broadcast(probes), on="cid")
@@ -821,11 +829,17 @@ def lsh_search_index(
     flips = F.array(
         F.col("_b"), *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(probes - 1)]
     )
-    q = persist_once(
+    q_plan = (
         q0.select(query_id_col, "qvec", F.explode(flips).alias("bucket"))
         .dropDuplicates([query_id_col, "bucket"])
     )
-    probe_buckets = sorted(r.bucket for r in q.select("bucket").distinct().collect())
+    # Collect the (query-batch × probes)-sized probe set and rebuild it
+    # as a literal frame — same rationale as ivf_search_index: the bucket
+    # list needs a collect anyway, and a per-call persist in a serving
+    # loop accumulates unreleased CacheManager entries.
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    probe_buckets = sorted({r.bucket for r in q_rows})
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("bucket").isin(probe_buckets))
     scored = (
         idx.join(F.broadcast(q), on="bucket")
