@@ -165,9 +165,14 @@ def main() -> int:
             # but diverge under the driver's serialization (HUGEINT → float64
             # through pandas/Arrow). Fail loudly — the fix is a CAST in the
             # oracle SQL (e.g. DuckDB SUM(BIGINT) returns HUGEINT).
+            # DECIMAL mirrors the Spark-side gate above: numerically equal
+            # decimal/double values stringify differently under the
+            # driver's hash (the r5 sql_front_door_q failure class, from
+            # either side).
             unsafe = [
                 f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
                 if str(t).upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                or str(t).upper().startswith("DECIMAL")
             ]
             if unsafe:
                 results[name] = {"status": "UNSAFE_ORACLE_TYPE", "cols": unsafe}
