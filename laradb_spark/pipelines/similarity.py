@@ -48,9 +48,13 @@ def _batch_topk_prune(
     embedding) only survives a batch with fewer than k real scores,
     exactly as the unpruned rank would place it. Caveat: Arrow folds
     NULL into NaN in a float64 column, so a GENUINE NaN score would also
-    sort last here while Spark desc orders NaN greatest — none of this
-    module's score expressions can produce NaN (cosine and the SQ8
-    score are zero-guarded), which is the contract."""
+    sort last here while Spark desc orders NaN greatest — so no caller
+    may feed this a NaN-able score. That contract is ENFORCED at the
+    score expressions, not assumed: ``cosine`` nanvl-folds NaN (a NaN
+    component passes ``NaN > 0``, so the zero-norm guard alone does NOT
+    stop NaN) and ``quantize_sq8`` zeroes both codes and scale for
+    non-finite inputs — every score reaching this prune is NULL or a
+    real number, never NaN (test_ann NaN-corpus parity tests pin it)."""
 
     def prune(batches):
         for pdf in batches:
@@ -121,15 +125,24 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Zero-norm-safe cosine: a zero vector is similar to nothing (0.0),
-    not NaN-similar to everything. Under ANSI mode (Spark 4 default) a
-    bare /0 THROWS in the executor; under non-ANSI it yields NaN, which
-    Spark orders GREATEST — either way an unguarded cosine turns one
-    all-zeros embedding into a crashed stage or a row that outranks every
-    real neighbor. ``when`` evaluates the division only where the
-    denominator is positive."""
+    """Zero-norm- and NaN-safe cosine: a degenerate vector is similar to
+    NOTHING (0.0), never NaN-similar to everything. Two hazards, both
+    guarded:
+
+    * zero norm — under ANSI mode (Spark 4 default) a bare /0 THROWS in
+      the executor; the ``when`` evaluates the division only where the
+      denominator is positive.
+    * NaN components — ``norm`` propagates them, and Spark treats NaN as
+      GREATER than any number, so ``NaN > 0`` is TRUE and the ``when``
+      branch would return a NaN score. A NaN score is poison downstream:
+      Spark's desc sort ranks it FIRST while the Arrow-side
+      ``_batch_topk_prune`` sorts it LAST (pandas ``na_position``), so
+      the pruned and unpruned rankings would disagree. ``nanvl`` folds
+      any NaN score to 0.0 — same "garbage matches nothing" semantics as
+      the zero-vector case, and identical between the pruned and
+      unpruned paths by construction."""
     d = norm(a) * norm(b)
-    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+    return F.nanvl(F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0)), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -171,10 +184,25 @@ def quantize_sq8(
     qᵢ = floor(xᵢ·127/scale) ∈ [-128, 127] — 4× less memory and integer
     arithmetic downstream. Every step is a single IEEE double op + floor,
     so quantized codes are bit-identical across engines (no round());
-    a zero vector quantizes to zeros."""
+    a zero vector quantizes to zeros.
+
+    A NON-FINITE scale (a NaN or ±Inf component makes ``array_max`` NaN/
+    Inf — Spark orders NaN greatest) also quantizes to zeros WITH
+    ``qscale = 0.0``: without the qscale reset, ``floor(NaN) = 0`` would
+    zero the codes but ``idot·qs·NaN`` would still emit a NaN score,
+    which the ranking and the batch prune order differently (see
+    ``cosine``). Zero codes × zero scale → exact 0.0 score: garbage
+    matches nothing, identically on every path."""
     v = F.col(vec_col).cast("array<double>")
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+    raw_scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    degenerate = (
+        raw_scale.isNull()
+        | F.isnan(raw_scale)
+        | (raw_scale == F.lit(float("inf")))
+        | (raw_scale == 0.0)
+    )
+    scale = F.when(degenerate, F.lit(0.0)).otherwise(raw_scale)
+    q = F.when(degenerate, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
         F.transform(v, lambda x: F.floor(x * F.lit(127.0) / scale).cast("long"))
     )
     return df.select(
@@ -513,8 +541,17 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
         the same guard) → assigned to the smallest cid — exactly what the
         expression twin's three-valued ``when`` yields for them, so the
         ``_assign_auto`` size gate is pure cost selection, never a
-        semantics switch. Ragged dims raise (the expression twin's
-        zip_with-padding behavior there is undefined-by-contract).
+        semantics switch. The SAME substitution applies on the CENTROID
+        side: a NULL or NaN-component centroid (a NULL embedding among
+        the lowest-id init rows) becomes the zero vector, whose zero
+        norm makes every vector score 0.0 against it — matching the
+        expression twin's NULL-``cent`` (null norm → ``when`` false →
+        0.0) and nanvl'd-NaN behavior instead of crashing on
+        ``list(None)``. If EVERY centroid is degenerate all scores are
+        0.0 and every vector goes to the smallest cid, short-circuited
+        without NumPy (dim is unknowable there). Ragged dims raise (the
+        expression twin's zip_with-padding behavior there is
+        undefined-by-contract).
     Pinned by test_ann::test_assign_vectorized_bit_identical.
 
     Centroids land driver-side (k × d, tiny by construction). Output
@@ -524,7 +561,8 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
     import pandas as pd
 
     rows = sorted(
-        ((r["cid"], list(r["cent"])) for r in cents.collect()), key=lambda t: t[0]
+        ((r["cid"], None if r["cent"] is None else list(r["cent"])) for r in cents.collect()),
+        key=lambda t: t[0],
     )
     if not rows:
         # empty corpus → empty centroid set → empty assignment (the
@@ -533,8 +571,27 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
             [], "cid long, neighbor_id long, cvec array<double>"
         )
     cids = np.asarray([t[0] for t in rows], dtype=np.int64)
-    C = np.asarray([t[1] for t in rows], dtype=np.float64)
-    dim = C.shape[1]
+    live_dims = {len(v) for _, v in rows if v is not None}
+    if len(live_dims) > 1:
+        raise ValueError(
+            f"_assign_vectorized: centroids have mixed dims {sorted(live_dims)}; "
+            "normalize upstream"
+        )
+    if not live_dims:
+        # every centroid NULL → every score 0.0 → smallest cid for all
+        # (the expression twin's max_by over all-0.0 ties → min cid)
+        return c.select(
+            F.lit(int(cids[0])).cast("long").alias("cid"), "neighbor_id", "cvec"
+        )
+    dim = live_dims.pop()
+    C = np.asarray(
+        [([0.0] * dim if v is None else v) for _, v in rows], dtype=np.float64
+    )
+    # NaN-component centroids → zero vector: the nanvl'd expression twin
+    # scores them 0.0 against everything, exactly what a zero norm yields
+    nan_cents = np.isnan(C).any(axis=1)
+    if nan_cents.any():
+        C[nan_cents] = 0.0
     nc = np.zeros(len(C))
     for j in range(dim):
         nc = nc + C[:, j] * C[:, j]
@@ -905,11 +962,19 @@ def semantic_dedup(
         # zero-norm guard: under ANSI /0 throws, under non-ANSI it's NaN
         # (ordered greatest → drops every cluster-mate). The `when` makes
         # the division conditional PER ROW — two separate filters could be
-        # reordered/merged by Catalyst and still divide by zero.
+        # reordered/merged by Catalyst and still divide by zero. The nanvl
+        # mirrors cosine(): a NaN-norm pair passes `NaN > 0` and
+        # `NaN >= tau` is TRUE in Spark, which would drop every
+        # cluster-mate of a NaN-poisoned vector — folded to 0.0 (< tau,
+        # never similar), matching the fast twin's invalid-denom branch.
         .filter(
             F.when(
                 (F.col("_na") * F.col("_nb")) > 0,
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau,
+                F.nanvl(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                    F.lit(0.0),
+                )
+                >= tau,
             ).otherwise(F.lit(False))
         )
         .select(F.col("id_b").alias("neighbor_id"))
@@ -953,6 +1018,12 @@ def semantic_dedup_fast(
 
     def dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        # NULL embeddings form no valid pairs (the expression twin's null
+        # norm → `when` false): they neither drop nor get dropped — leave
+        # them out of the matrix instead of crashing np.stack on None
+        pdf = pdf[pdf["cvec"].notna()].reset_index(drop=True)
+        if len(pdf) < 2:
+            return pdf.iloc[:0][["neighbor_id"]]
         v = np.stack(pdf["cvec"].to_numpy())            # m × d
         nrm = np.sqrt((v * v).sum(axis=1))
         # zero-norm guard (mirrors semantic_dedup's `_na*_nb > 0` filter):
@@ -996,9 +1067,13 @@ def _assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     scored = cn.crossJoin(F.broadcast(ct)).select(
         "neighbor_id",
         "cvec",
-        F.when(d > 0, dot(F.col("cvec"), F.col("cent")) / d)
-        .otherwise(F.lit(0.0))
-        .alias("_cc"),
+        # nanvl mirrors cosine(): a NaN component passes `NaN > 0`, and an
+        # un-folded NaN _cc would win max_by (Spark orders NaN greatest) —
+        # the vectorized twin scores such rows/centroids 0.0 instead
+        F.nanvl(
+            F.when(d > 0, dot(F.col("cvec"), F.col("cent")) / d).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("_cc"),
         "cid",
     )
     return (

@@ -333,6 +333,15 @@ def gopher_quality_flags(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# ppm ratio of two corpus-wide counts with a DECIMAL(38,0) numerator:
+# 1000000 * cb overflows int64 once a single bigram crosses ~9.2e12
+# occurrences (ANSI Spark throws). IntegralDivide returns BIGINT and the
+# quotient is <= 1e6, so only the numerator needs the wide type. The
+# DuckDB oracle mirrors with HUGEINT. Exercised at the cliff by
+# tests/test_text.py::test_bigram_ppm_expr_survives_int64_cliff.
+BIGRAM_PPM_EXPR = "(CAST(1000000 AS DECIMAL(38,0)) * cb) div cw"
+
+
 def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Corpus-trained count-ratio bigram language-model score per doc —
     the CCNet/KenLM perplexity-filter SHAPE with integer-exact
@@ -349,7 +358,14 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     discipline as bm25_scores), which is also the only persist. The
     scoring joins shuffle on bigram/context keys — vocabulary-sized,
     never corpus-sized. Docs with < 2 tokens have no bigrams and are
-    absent from the output (score undefined)."""
+    absent from the output (score undefined).
+
+    Overflow bound: the ppm numerator ``1000000 · c(w₁w₂)`` uses a
+    DECIMAL(38,0) intermediate (the oracle mirrors with HUGEINT) because
+    the corpus-WIDE bigram count crosses int64 at ~9.2e12 occurrences —
+    plausible at 100 TB. The quotient is ≤ 10⁶ so the ``div`` result
+    (BIGINT — Spark's IntegralDivide is LongType even on decimals) and
+    the per-DOC mean ``Σ n·ppm ≤ 10⁶·doc_len`` stay int64-safe."""
     toks = tokens(F.col(text))
     heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
@@ -367,7 +383,7 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     scored = (
         doc_bg.join(cb, on=["w1", "w2"])
         .join(cw, on="w1")
-        .select("doc_id", "n", F.expr("(1000000 * cb) div cw").alias("_ppm"))
+        .select("doc_id", "n", F.expr(BIGRAM_PPM_EXPR).alias("_ppm"))
     )
     return scored.groupBy("doc_id").agg(
         F.expr("sum(n * _ppm) div sum(n)").alias("lm_score_ppm"),

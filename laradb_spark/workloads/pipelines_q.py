@@ -1580,7 +1580,7 @@ doc_bg AS (
 cb AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS cb FROM doc_bg GROUP BY w1, w2),
 cw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY w1)
 SELECT doc_id,
-       CAST(SUM(n * ((1000000 * cb) // cw)) // SUM(n) AS BIGINT) AS lm_score_ppm,
+       CAST(SUM(n * ((1000000::HUGEINT * cb) // cw)) // SUM(n) AS BIGINT) AS lm_score_ppm,
        CAST(SUM(n) AS BIGINT) AS n_bigrams
 FROM doc_bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
 GROUP BY doc_id

@@ -382,3 +382,91 @@ def test_vectorized_topk_empty_and_null_queries(spark, clustered):
     for fn in (sim.sq8_topk_vectorized, sim.brute_force_topk_vectorized):
         with pytest.raises(ValueError, match="non-null"):
             fn(clustered, null_q, k=3)
+
+
+def test_nan_corpus_scores_fold_to_zero_through_prune(spark, clustered):
+    """ADVICE r6: `NaN > 0` is TRUE in Spark, so the zero-norm `when`
+    alone lets a NaN-component embedding emit a NaN cosine/SQ8 score —
+    which Spark's desc rank orders FIRST while the Arrow prune sorts
+    LAST. The nanvl/quantize guards fold such scores to exactly 0.0, so
+    with tiny Arrow batches the NaN-poisoned corpus gives the SAME top-k
+    as the clean corpus on both the expression paths and their pruned
+    ranking (200 real candidates ≫ k → a 0.0-scored row never wins)."""
+    poison = spark.createDataFrame(
+        [(900 + i, [float("nan")] * 4 + [1.0] * 4) for i in range(30)]
+        + [(950, [float("inf")] + [0.5] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    q = _queries(clustered)
+    dirty = clustered.unionByName(poison)
+    want_brute = _pairs_ranked(sim.brute_force_topk(clustered, q, k=5))
+    want_sq8 = _pairs_ranked(sim.sq8_topk(clustered, q, k=5))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "19")
+    try:
+        assert _pairs_ranked(sim.brute_force_topk(dirty, q, k=5)) == want_brute
+        assert _pairs_ranked(sim.sq8_topk(dirty, q, k=5)) == want_sq8
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # and the score expressions themselves never emit NaN
+    qv = q.select("query_id", F.col("embedding").cast("array<double>").alias("qvec"))
+    cv = dirty.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    scored = cv.crossJoin(F.broadcast(qv)).select(
+        sim.cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    assert scored.filter(F.isnan("cos")).count() == 0
+
+
+def test_assign_twins_null_and_nan_centroid_parity(spark, clustered):
+    """ADVICE r6: a NULL embedding among the lowest-id init rows becomes
+    a NULL CENTROID — the expression twin scores it 0.0 against every
+    vector while the vectorized twin used to crash on `list(None)`. Both
+    twins must agree: NULL/NaN-component centroids match nothing, and an
+    all-degenerate centroid set sends every vector to the smallest cid."""
+    extra = spark.createDataFrame(
+        [(0, None), (1, [float("nan")] + [2.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    c = clustered.filter("vec_id >= 2").unionByName(extra).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    # init centroids = 4 lowest ids → includes the NULL (0) and NaN (1) rows
+    cents = (
+        c.orderBy("neighbor_id").limit(4)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
+    )
+    expr = {r.neighbor_id: r.cid for r in sim._assign(c, cents).collect()}
+    fast = {r.neighbor_id: r.cid for r in sim._assign_vectorized(c, cents).collect()}
+    assert expr == fast
+    # all-degenerate centroid set: every score 0.0 → smallest cid, both twins
+    bad_cents = spark.createDataFrame(
+        [(7, None), (9, None)], "cid long, cent array<double>"
+    )
+    expr2 = {r.neighbor_id: r.cid for r in sim._assign(c, bad_cents).collect()}
+    fast2 = {r.neighbor_id: r.cid for r in sim._assign_vectorized(c, bad_cents).collect()}
+    assert expr2 == fast2
+    assert set(fast2.values()) == {7}
+
+
+def test_semantic_dedup_twins_nan_null_parity(spark):
+    """NaN-poisoned and NULL vectors are similar to NOTHING on both
+    semantic-dedup twins (`NaN >= tau` is TRUE in Spark — unguarded, the
+    expression twin would drop every cluster-mate of a NaN vector; the
+    fast twin's np.stack would crash on a NULL)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 6))
+    rows = [(i, [float(x) for x in base[i % 40] + rng.normal(size=6) * 0.01])
+            for i in range(80)]
+    rows += [(200, [float("nan")] * 6), (201, None), (202, [0.0] * 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(tau=0.95, n_centroids=4, lloyd_iters=1)
+    slow = {(r.vec_id, r.cid) for r in sim.semantic_dedup(df, **kw).collect()}
+    fast = {(r.vec_id, r.cid) for r in sim.semantic_dedup_fast(df, **kw).collect()}
+    assert slow == fast
+    kept = {v for v, _ in slow}
+    assert {200, 201, 202} <= kept  # degenerate vectors never get dropped

@@ -875,6 +875,23 @@ def test_bigram_lm_score_semantics(spark):
     assert got == {1: (666666, 1), 2: (666666, 1), 3: (333333, 1)}
 
 
+def test_bigram_ppm_expr_survives_int64_cliff(spark):
+    """ADVICE r6: corpus-wide bigram counts beyond ~9.2e12 overflow the
+    old `1000000 * cb` int64 numerator (ANSI Spark throws). The shipped
+    BIGRAM_PPM_EXPR widens to DECIMAL(38,0) and still returns BIGINT with
+    the exact integral quotient, hash-compatible with the HUGEINT
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from laradb_spark.pipelines.text import BIGRAM_PPM_EXPR
+
+    cb, cw = 9_300_000_000_000, 13_000_000_000_000  # past the cliff
+    df = spark.createDataFrame([(cb, cw)], "cb long, cw long")
+    out = df.select(F.expr(BIGRAM_PPM_EXPR).alias("ppm"))
+    assert dict(out.dtypes) == {"ppm": "bigint"}
+    assert out.collect()[0].ppm == (1_000_000 * cb) // cw  # Python ints are exact
+
+
 def test_contamination_score_semantics(spark):
     """Hand-computed distinct-3-gram overlap: doc shares one of its two
     grams with the benchmark → 500000 ppm; untouched doc → 0; short doc
