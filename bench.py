@@ -58,6 +58,12 @@ HEADLINE = [
     "gopher_quality",
     "bigram_lm",
     "contamination_report",
+    # round-7 operators
+    "dup_span_census",
+    "strip_dup_spans",
+    "dsir_importance",
+    "token_apportionment",
+    "gopher_funnel",
 ]
 
 

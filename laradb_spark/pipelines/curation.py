@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..util import fan_out
-from .text import tokens
+from .text import TOKEN_SEP, tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
 # 15 hex digits = 60 bits, positive in both engines' BIGINT.
@@ -409,3 +409,181 @@ def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
     return out.withColumn(text, redacted)
+
+
+# --- DSIR-shaped importance scoring ------------------------------------------
+
+# Hashed n-gram feature space size. 2^12 buckets: small enough that the
+# bucket histograms and the Δ table are trivially broadcastable, large
+# enough that unigram+bigram mass spreads (DSIR's published configs hash
+# into 10^4-ish buckets).
+DSIR_BUCKETS = 4096
+
+
+def _hashed_feature_stream(df: DataFrame, text: str, n_buckets: int) -> DataFrame:
+    """(doc_id, b): one row per unigram and bigram OCCURRENCE, hashed to a
+    feature bucket with the cross-engine md5 pattern (32-bit hex prefix →
+    mod n_buckets). Map-only; empty docs emit nothing."""
+    toks = tokens(F.col(text))
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
+    feats = F.concat(toks, bigrams)
+    hashed = F.transform(
+        feats,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    return fan_out(df).select("doc_id", F.explode(hashed).alias("b"))
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) SHAPE
+    with integer-exact arithmetic: score each raw-corpus document by how
+    much its hashed-n-gram (unigram+bigram) distribution looks like the
+    TARGET corpus rather than the raw corpus.
+
+    DSIR weights log p_target(f)/p_raw(f); here the per-bucket delta is
+    the add-one-smoothed probability DIFFERENCE in ppm —
+    ``Δ_b = (10⁶·(t_b+1)) div (T+B) − (10⁶·(r_b+1)) div (R+B)`` — so the
+    whole score is BIGINT and a SQL oracle replays it bit-for-bit (a
+    float log would hash-diverge in the last ulp). A doc's score is
+    ``Σ_b c_b·Δ_b`` over its bucket counts, plus the per-feature mean in
+    ppm (comparable across lengths — the resampling key). Positive mean
+    ⇒ target-like. Docs with no tokens have no features and are absent
+    (score undefined, like bigram_lm).
+
+    Scale shape: the feature stream is corpus-token-sized but aggregates
+    to per-(doc, bucket) counts with map-side combine — that frame is
+    the only persist; BOTH histograms derive from it or the (small)
+    target's stream. The Δ table is ≤ n_buckets rows and broadcasts;
+    the totals are a bounded 1-row aggregate each. The 100 TB corpus
+    text never shuffles — only (doc_id, b, c) triples do.
+
+    Overflow: corpus-wide bucket counts cross int64·10⁻⁶ at 100 TB, so
+    the ppm numerators widen to DECIMAL(38,0) (oracle: HUGEINT), same
+    cliff discipline as ``text.BIGRAM_PPM_EXPR``. ``Σ c_b·Δ_b`` is
+    bounded by 10⁶ · doc features — int64-safe."""
+    from ..util import persist_once
+
+    spark = corpus.sparkSession
+    cf = persist_once(
+        _hashed_feature_stream(corpus, text, n_buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw_hist = cf.groupBy("b").agg(F.sum("c").alias("rc"))
+    tgt_hist = (
+        _hashed_feature_stream(target, text, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    hist = (
+        buckets.join(tgt_hist, on="b", how="left")
+        .join(raw_hist, on="b", how="left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    totals = hist.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
+    delta = hist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.expr(f"(CAST(1000000 AS DECIMAL(38,0)) * (tc + 1)) div (T + {n_buckets})")
+            - F.expr(f"(CAST(1000000 AS DECIMAL(38,0)) * (rc + 1)) div (R + {n_buckets})")
+        ).alias("delta"),
+    )
+    return (
+        cf.join(F.broadcast(delta), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("c") * F.col("delta")).alias("importance_score"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "importance_score",
+            F.expr("importance_score div n_features").alias("importance_avg_ppm"),
+        )
+    )
+
+
+def token_apportionment(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Largest-remainder apportionment of a token BUDGET across sources —
+    the integer-exact core of mixture planning ("give each domain
+    tokens ∝ its size, summing to exactly the budget"): the classic
+    Hamilton method, fully deterministic and replayable by a SQL oracle
+    (a float-weight normalization would last-ulp-diverge across
+    engines).
+
+    Per source s with t_s tokens (corpus total T):
+    ``floor_alloc = (budget·t_s) div T``; the ``budget − Σ floor_alloc``
+    leftover units go one each to the sources with the largest
+    remainders (``(budget·t_s) mod T`` desc, source asc — total order,
+    deterministic cut). Σ alloc_tokens == budget exactly whenever
+    budget ≥ 0 and T > 0. Output per source: n_docs, n_tokens,
+    share_ppm (of corpus), alloc_tokens.
+
+    Scale shape: one map-side-combine aggregate to a SOURCES-sized frame
+    (domains: thousands at most), then window arithmetic on that tiny
+    frame — the corpus is scanned once and never shuffled. The
+    ``budget·t_s`` product uses a DECIMAL(38,0) intermediate (oracle:
+    HUGEINT): both factors can be ~10¹³ at 100 TB, and their product
+    overflows int64 at ~9.2e18."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    per_src = (
+        fan_out(df)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text))).cast("long")).alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("t_tot"))
+    staged = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div t_tot").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            f"(CAST({budget} AS DECIMAL(38,0)) * n_tokens) div t_tot"
+        ).alias("_floor"),
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * n_tokens) % t_tot AS BIGINT)"
+        ).alias("_rem"),
+    )
+    # leftover units = budget − Σ floors; rank sources by remainder desc
+    # (source asc tie-break) — both frames are sources-sized, the window
+    # is the whole tiny frame (documented bounded single partition).
+    left = staged.agg((F.lit(budget) - F.sum("_floor")).alias("_left"))
+    w = Window.orderBy(F.desc("_rem"), F.asc(source_col))
+    return (
+        staged.crossJoin(F.broadcast(left))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "share_ppm",
+            (F.col("_floor") + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )

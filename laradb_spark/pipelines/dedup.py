@@ -796,3 +796,159 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- exact substring (duplicate span) dedup ----------------------------------
+#
+# The Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") EXACTSUBSTR shape: find token windows that recur anywhere in the
+# corpus and treat every covered token position as duplicated text. The
+# published implementation builds a corpus-wide suffix array — inherently
+# single-image; here the same decision ("does this W-token window occur
+# ≥ 2 times corpus-wide?") distributes as one hash aggregate over the
+# window stream, which is the standard Spark re-expression (a suffix array
+# finds variable-length repeats; fixed-W windows find every repeat of
+# length ≥ W, the documented approximation). The strip variant removes ALL
+# occurrences of a duplicated window (the harsher BFF/C4-style rule) —
+# deterministic and order-free, where Lee et al.'s keep-one-occurrence
+# needs a global occurrence order.
+
+SPAN_WINDOW = 8
+_SPAN_HEX = 15  # 60-bit window hash: positive BIGINT in both engines
+
+
+def _span_window_hashes(df: DataFrame, window: int, text: str) -> DataFrame:
+    """(doc_id, pos, h): one row per W-token window occurrence; h is the
+    cross-engine 60-bit md5 window hash, pos the 1-based token start.
+    Docs shorter than ``window`` emit nothing (no full window — unlike
+    shingles there is no whole-text floor: a span must be comparable
+    across docs to count as a repeat)."""
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(TOKEN_SEP, F.slice(toks, i, window))),
+                    1,
+                    _SPAN_HEX,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    return (
+        fan_out(df, CPU_HEAVY)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
+
+
+def _duplicated_occurrences(wins: DataFrame) -> DataFrame:
+    """Window occurrences whose hash repeats corpus-wide (count ≥ 2 over
+    ALL occurrences — within-doc repeats count too, matching suffix-array
+    semantics where a self-repeat is still duplicated text)."""
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h")
+    )
+    return wins.join(dup_h, on="h")
+
+
+def duplicate_span_census(
+    df: DataFrame, window: int = SPAN_WINDOW, text: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span census: how much of each doc is
+    covered by a token window that occurs ≥ 2 times corpus-wide.
+
+    Returns (doc_id, n_tokens, n_windows, dup_windows, dup_positions,
+    dup_ppm): dup_windows = this doc's duplicated window occurrences,
+    dup_positions = distinct token positions covered by any of them
+    (overlapping windows merge — the SPAN, not windows × W), dup_ppm =
+    covered fraction. Every doc appears; clean docs report zeros.
+
+    Scale shape: the window stream is corpus-token-sized but each row is
+    (doc_id, pos, 60-bit h) — the count aggregate combines map-side and
+    shuffles only (h); the join back ships only duplicated hashes (AQE
+    broadcasts that side when the dup set is small). The position
+    explode multiplies ONLY duplicated occurrences by W. One persist
+    (the window stream, consumed by count + join)."""
+    wins = persist_once(_span_window_hashes(df, window, text))
+    per_doc = (
+        _duplicated_occurrences(wins)
+        .select(
+            "doc_id",
+            "pos",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pos").alias("dup_windows"),
+            F.countDistinct("p").alias("dup_positions"),
+        )
+    )
+    n = F.size(tokens(F.col(text)))
+    base = df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - window + 1, F.lit(0)).cast("long").alias("n_windows"),
+    )
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce(F.col("dup_positions"), F.lit(0)).cast("long").alias("dup_positions"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(1000000 * coalesce(dup_positions, 0)) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame, window: int = SPAN_WINDOW, text: str = "text"
+) -> DataFrame:
+    """Rewrite each document with every corpus-duplicated W-token span
+    removed (ALL occurrences — see module note on the Lee et al. /
+    BFF-rule difference). Returns (doc_id, clean_text, n_tokens,
+    kept_tokens); docs with nothing duplicated pass through verbatim.
+
+    The per-doc covered-position set is bounded by document length —
+    the same "a document fits in a task" contract as every text
+    operator here; the corpus never collects."""
+    wins = persist_once(_span_window_hashes(df, window, text))
+    covered = (
+        _duplicated_occurrences(wins)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    toks = tokens(F.col(text))
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int")))
+    return (
+        df.join(covered, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.concat_ws(TOKEN_SEP, kept).alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+        )
+    )

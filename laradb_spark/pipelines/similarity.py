@@ -365,7 +365,10 @@ def sq8_topk_vectorized(
         return _empty_topk(corpus.sparkSession, query_id_col)
 
     def _quantize(M: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
-        # mirrors quantize_sq8 EXACTLY, association included:
+        # mirrors quantize_sq8 EXACTLY on the validated domain
+        # (dense_matrix_fn raised on NULL/NaN before this runs, so the
+        # expression's non-finite-scale branch is unreachable here),
+        # association included:
         # (x · 127.0) / s then floor — x·(127/s) can floor differently
         s = np.abs(M).max(axis=1)
         safe = np.where(s == 0.0, 1.0, s)

@@ -449,3 +449,42 @@ def repetition_stats(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame
         F.expr("(1000000 * max(c)) div sum(c)").alias("top_ngram_ppm"),
         F.expr("(1000000 * (sum(c) - count(*))) div sum(c)").alias("dup_ngram_ppm"),
     )
+
+
+def gopher_funnel(df: DataFrame, text: str = "text") -> DataFrame:
+    """Sequential filter-funnel report over the Gopher rules — the
+    curation debugging view ("which filter kills how much?"): docs are
+    charged to the FIRST rule they fail, in the documented order
+    (word_count → mean_word_len → stopwords → alpha_words), so
+    ``n_killed`` sums to total − survivors and each stage's ``n_in`` is
+    the previous stage's ``n_out``.
+
+    One pass: the per-doc flags reduce to five conditional counts in a
+    single aggregate; the 4-row report materializes from that one row
+    with ``stack`` — no second scan, no shuffle beyond the final
+    1-row aggregate (bounded by construction)."""
+    flags = gopher_quality_flags(df, text)
+    ok1, ok2 = F.col("ok_word_count"), F.col("ok_mean_word_len")
+    ok3, ok4 = F.col("ok_stopwords"), F.col("ok_alpha_words")
+    one = F.lit(1)
+    c = flags.agg(
+        F.count(one).alias("n"),
+        F.sum(F.when(~ok1, one).otherwise(0)).alias("k1"),
+        F.sum(F.when(ok1 & ~ok2, one).otherwise(0)).alias("k2"),
+        F.sum(F.when(ok1 & ok2 & ~ok3, one).otherwise(0)).alias("k3"),
+        F.sum(F.when(ok1 & ok2 & ok3 & ~ok4, one).otherwise(0)).alias("k4"),
+    )
+    return c.selectExpr(
+        """stack(4,
+             1, 'word_count',    n,                k1,
+             2, 'mean_word_len', n - k1,           k2,
+             3, 'stopwords',     n - k1 - k2,      k3,
+             4, 'alpha_words',   n - k1 - k2 - k3, k4
+           ) AS (stage, filter_name, n_in, n_killed)"""
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "filter_name",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_killed").cast("long").alias("n_killed"),
+        (F.col("n_in") - F.col("n_killed")).cast("long").alias("n_out"),
+    )

@@ -63,46 +63,144 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r6 window head (the driver oracles the FIRST 50) -------------------
-    # (a) sql_front_door_q — the r5 round's ONE red (decimal-vs-double
-    # stringification; values identical). r6 casts revenue to DOUBLE on
-    # the Spark side; must re-earn its driver row first.
-    "sql_front_door_q",
-    # (b) the 12 queries changed in r5 (grouped_rank tfidf, merge_upsert
-    # seq-collapse, one-pass quality report, shared BM25 tokenizer,
-    # ROUND()-mirrored Jaccard oracles, two-phase cap_per_group, the
-    # vectorized SQ8 twin) — pinned to this window by r5's test_registry.
-    "tfidf_top_terms",
-    "customer_merge_upsert",
-    "orders_quality_report",
-    "bm25_topk",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_keep_representatives",
-    "dedup_lsh_jaccard",
-    "dedup_prefix_jaccard",
-    "cross_source_dup_matrix",
-    "cap_docs_per_source",
-    "ann_sq8_fast",
-    # (c) changed in r6: the exact-ANN batch-local top-k pre-prune
-    # (scorer-fused in the vectorized twins, _batch_topk_prune in the
-    # expression twins + hard_negatives) and the embedding-gram NULL
-    # validation — changed plans re-earn driver rows.
+    # --- r7 window head (the driver oracles the FIRST 50) -------------------
+    # (a) changed in r7: the NaN-score fold (cosine/_assign nanvl,
+    # quantize_sq8 non-finite guard, semantic-dedup pair filter) touches
+    # every expression ANN path and both semantic-dedup twins; bigram_lm
+    # gets the DECIMAL(38,0) ppm numerator. Values identical on finite
+    # data (checker-green at sf0.01 this round), but changed plans
+    # re-earn driver rows.
     "ann_brute_force",
-    "ann_brute_force_fast",
     "ann_sq8_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
     "hard_negatives",
-    "embedding_gram",
-    # (d) fill: rotate driver evidence onto the oldest (r3-era) rows.
-    # 32 of the 42 r3-latest queries fit; the other 10 lead the r7 window.
+    "semantic_dedup",
+    "semantic_dedup_fast",
+    "dedup_embedding",
+    "bigram_lm",
+    # (b) NEW in r7 (no driver row yet): exact-substring duplicate-span
+    # census + strip (Lee et al. 2022 shape) and DSIR-shaped importance
+    # scoring.
+    "dup_span_census",
+    "strip_dup_spans",
+    "dsir_importance",
+    "token_apportionment",
+    "gopher_funnel",
+    # (c) the r7-front promised by r6's test_registry: r6-new queries the
+    # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
+    # the r3-era stale-evidence rotations.
+    "gopher_quality",
+    "contamination_report",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "decontaminate_docs",
+    "supplier_copart_triangles",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "topk_parts_per_brand",
+    "tumbling_event_stats",
+    "user_retention_cohorts",
+    # (d) fill: the oldest remaining driver rows (all r4-era). 18 of the
+    # 25 r4-latest queries fit; the other 7 lead the r8 window.
+    "approx_stats",
+    "event_transitions",
+    "event_trigram_paths",
+    "grouping_sets_revenue",
+    "mad_outliers_by_type",
+    "median_value_by_type",
+    "mix_sources_counts",
+    "moments_by_type",
+    "monthly_revenue_mom",
+    "orders_segment_at_day",
+    "pack_sequences_q",
+    "pagerank_supplier_part",
+    "purchase_attribution",
+    "redact_pii_stats",
+    "salted_lineitem_stats",
+    "shuffle_shards_q",
+    "source_drift_tv",
+    "top_prices_with_ties",
+    # --- front of the r8 window ---------------------------------------------
+    # the 7 r4-era stale-evidence rotations the 50-slot r7 window
+    # couldn't fit.
+    "train_val_split_stats",
+    "trim_length_outliers",
+    "twap_value_by_user_type",
+    "value_quantiles_by_type",
+    "value_spikes_by_type",
+    "value_variance_by_type",
+    "vocab_coverage",
+    # --- tail: green driver rows on current code (r5/r6-certified) ----------
+    "all_account_balances",
+    "asof_last_order",
+    "cube_order_stats",
+    "customer_order_counts_left",
+    "customer_spend_quartiles",
+    "d4m_set_filter",
+    "graph_brand_degree",
+    "graph_brand_gram",
+    "lara_cross_grid",
+    "lara_union_quarters",
+    "monthly_revenue",
+    "multimodal_features",
+    "nation_presence_trio",
+    "nation_region_full_outer",
+    "order_price_histogram",
+    "order_price_percentiles",
+    "order_status_pivot",
+    "orders_within_30_days",
+    "q10_returned_items",
+    "q11_nation_balance_share",
+    "q12_priority_buckets",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_sole_fault_suppliers",
+    "q22_idle_rich_customers",
+    "q2_cheapest_part_per_type",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "raco_front_door_q",
+    "repeat_customers_96_97",
+    "small_quantity_revenue",
+    "status_except_all",
+    "suppliers_without_recent_sales",
+    "text_replace_map",
+    "unpivot_order_measures",
+    "ann_brute_force_fast",
+    "ann_sq8_fast",
+    "bm25_topk",
+    "cap_docs_per_source",
     "chunk_documents_q",
     "corpus_clean",
     "corpus_frequent_ngrams",
+    "cross_source_dup_matrix",
+    "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
+    "dedup_components",
     "dedup_exact",
+    "dedup_keep_representatives",
+    "dedup_lsh_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
     "dedup_rate_by_source",
     "doc_boilerplate_ppm",
+    "embedding_gram",
     "event_funnel",
     "events_daily_pivot",
     "events_daily_users",
@@ -115,6 +213,7 @@ _PRIORITY = [
     "lara_union_revenue",
     "lara_wordcount",
     "lara_wordcount_py",
+    "orders_quality_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -127,107 +226,8 @@ _PRIORITY = [
     "session_window_stats",
     "sessionize_events",
     "sliding_event_stats",
-    # --- front of the r7 window ---------------------------------------------
-    # (0) NEW in r6 (no driver row yet): Gopher quality rules, bigram
-    # count-ratio LM score, graded contamination report.
-    "gopher_quality",
-    "bigram_lm",
-    "contamination_report",
-    # (a) plan-changed in r6 but value-identical: the fan_out small-scan
-    # parallelism fix repartitions these queries' heavy text/Arrow map
-    # stages (corpus_frequent_ngrams + doc_boilerplate_ppm are also
-    # affected but already sit in the r6 head's r3-era fill). Checker-
-    # verified this round; driver re-certifies next.
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_simhash_fast",
-    "decontaminate_docs",
-    "semantic_dedup",
-    "semantic_dedup_fast",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    # (b) the 10 r3-era stale-evidence rotations the r6 window couldn't fit.
-    "supplier_copart_triangles",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "topk_parts_per_brand",
-    "tumbling_event_stats",
-    "user_retention_cohorts",
-    # --- tail: green driver rows on current code (r4/r5-certified) ----------
-    "asof_last_order",
-    "orders_within_30_days",
-    "order_price_percentiles",
-    "cube_order_stats",
-    "repeat_customers_96_97",
-    "suppliers_without_recent_sales",
-    "small_quantity_revenue",
-    "graph_brand_degree",
-    "graph_brand_gram",
-    "customer_order_counts_left",
-    "nation_region_full_outer",
-    "order_status_pivot",
-    "all_account_balances",
-    "d4m_set_filter",
-    "lara_union_quarters",
-    "lara_cross_grid",
-    "nation_presence_trio",
-    "customer_spend_quartiles",
-    "monthly_revenue",
-    "multimodal_features",
-    "order_price_histogram",
-    "q2_cheapest_part_per_type",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q9_profit_by_nation_year",
-    "q11_nation_balance_share",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_sole_fault_suppliers",
-    "q22_idle_rich_customers",
-    "raco_front_door_q",
-    "status_except_all",
-    "text_replace_map",
-    "unpivot_order_measures",
-    "median_value_by_type",
-    "trim_length_outliers",
-    "grouping_sets_revenue",
-    "value_variance_by_type",
-    "dedup_embedding",
-    "twap_value_by_user_type",
-    "orders_segment_at_day",
-    "value_spikes_by_type",
-    "event_transitions",
-    "monthly_revenue_mom",
-    "purchase_attribution",
-    "vocab_coverage",
-    "mad_outliers_by_type",
-    "value_quantiles_by_type",
-    "top_prices_with_ties",
-    "source_drift_tv",
-    "moments_by_type",
-    "salted_lineitem_stats",
-    "event_trigram_paths",
-    "approx_stats",
-    "train_val_split_stats",
-    "mix_sources_counts",
-    "redact_pii_stats",
-    "pack_sequences_q",
-    "shuffle_shards_q",
-    "pagerank_supplier_part",
+    "sql_front_door_q",
+    "tfidf_top_terms",
 ]
 
 

@@ -1619,8 +1619,197 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r7 additions: exact-substring duplicate spans (Lee et al. 2022 shape) and
+# DSIR-shaped importance scoring (see pipelines.dedup / pipelines.curation)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+def dup_span_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span census: fraction of tokens covered by an
+    8-token window occurring ≥ 2 times corpus-wide."""
+    return dd.duplicate_span_census(load(spark, sf_dir, "documents"), window=_SPAN_W)
+
+
+# shared CTE prefix: window stream → duplicated hashes → occurrences
+_SPAN_CTE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM t, LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - {_SPAN_W - 1}, 0) + 1)) AS i)
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup))
+"""
+
+DUP_SPAN_CENSUS_SQL = f"""
+{_SPAN_CTE},
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT pos) AS dup_windows, COUNT(DISTINCT p) AS dup_positions
+  FROM (SELECT doc_id, pos, unnest(range(pos, pos + {_SPAN_W})) AS p FROM occ)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(len(toks) - {_SPAN_W - 1}, 0) AS BIGINT) AS n_windows
+  FROM t
+)
+SELECT doc_id, n_tokens, n_windows,
+       CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(COALESCE(dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (1000000 * COALESCE(dup_positions, 0)) // n_tokens
+            ELSE 0 END AS BIGINT) AS dup_ppm
+FROM base LEFT JOIN cov USING (doc_id)
+"""
+
+
+def strip_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rewritten with all corpus-duplicated 8-token spans removed."""
+    return dd.strip_duplicate_spans(load(spark, sf_dir, "documents"), window=_SPAN_W)
+
+
+STRIP_DUP_SPANS_SQL = f"""
+{_SPAN_CTE},
+cov AS (
+  SELECT doc_id, list_distinct(list(p)) AS cps
+  FROM (SELECT doc_id, unnest(range(pos, pos + {_SPAN_W})) AS p FROM occ)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT t.doc_id, toks, COALESCE(cps, []) AS cps
+  FROM t LEFT JOIN cov USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(toks) + 1), i -> NOT list_contains(cps, i)),
+           i -> toks[i]),
+         ' '), '') AS clean_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, len(toks) + 1), i -> NOT list_contains(cps, i)))
+            AS BIGINT) AS kept_tokens
+FROM j
+"""
+
+
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance of each non-src0 doc toward the src0
+    (target) hashed-n-gram distribution."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return cu.dsir_importance(corpus, target)
+
+
+_DSIR_B = cu.DSIR_BUCKETS
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         unnest(toks || list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM feats
+),
+cf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM fb WHERE source <> 'src0' GROUP BY doc_id, b),
+th AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+       FROM fb WHERE source = 'src0' GROUP BY b),
+rh AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rc FROM cf GROUP BY b),
+bk AS (SELECT unnest(range(0, {_DSIR_B})) AS b),
+hist AS (
+  SELECT bk.b, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+  FROM bk LEFT JOIN th USING (b) LEFT JOIN rh USING (b)
+),
+tot AS (SELECT SUM(tc) AS t_tot, SUM(rc) AS r_tot FROM hist),
+delta AS (
+  SELECT b,
+         CAST((1000000::HUGEINT * (tc + 1)) // (t_tot + {_DSIR_B})
+            - (1000000::HUGEINT * (rc + 1)) // (r_tot + {_DSIR_B}) AS BIGINT) AS delta
+  FROM hist, tot
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_features,
+       CAST(SUM(c * delta) AS BIGINT) AS importance_score,
+       CAST(SUM(c * delta) // SUM(c) AS BIGINT) AS importance_avg_ppm
+FROM cf JOIN delta USING (b)
+GROUP BY doc_id
+"""
+
+
+def token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 10⁶-token budget across
+    sources."""
+    return cu.token_apportionment(load(spark, sf_dir, "documents"), budget=_APPORTION_BUDGET)
+
+
+_APPORTION_BUDGET = 1_000_000
+
+TOKEN_APPORTIONMENT_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n_tokens) AS t_tot FROM s),
+st AS (
+  SELECT source, n_docs, n_tokens,
+         CAST((1000000::HUGEINT * n_tokens) // t_tot AS BIGINT) AS share_ppm,
+         CAST(({_APPORTION_BUDGET}::HUGEINT * n_tokens) // t_tot AS BIGINT) AS fl,
+         CAST(({_APPORTION_BUDGET}::HUGEINT * n_tokens) % t_tot AS BIGINT) AS rem
+  FROM s, t
+),
+l AS (SELECT {_APPORTION_BUDGET} - SUM(fl) AS leftover FROM st)
+SELECT source, n_docs, n_tokens, share_ppm,
+       CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) <= leftover
+                 THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM st, l
+"""
+
+
+def gopher_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Gopher-rule filter-funnel report (4 stage rows)."""
+    return tx.gopher_funnel(load(spark, sf_dir, "documents"))
+
+
+GOPHER_FUNNEL_SQL = f"""
+WITH gq AS ({GOPHER_QUALITY_SQL}),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN ok_word_count AND NOT ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len AND NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len AND ok_stopwords AND NOT ok_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS k4
+  FROM gq
+)
+SELECT CAST(1 AS INT) AS stage, 'word_count' AS filter_name,
+       n AS n_in, k1 AS n_killed, n - k1 AS n_out FROM c
+UNION ALL SELECT 2, 'mean_word_len', n - k1, k2, n - k1 - k2 FROM c
+UNION ALL SELECT 3, 'stopwords', n - k1 - k2, k3, n - k1 - k2 - k3 FROM c
+UNION ALL SELECT 4, 'alpha_words', n - k1 - k2 - k3, k4, n - k1 - k2 - k3 - k4 FROM c
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
+    "token_apportionment": (token_apportionment_q, TOKEN_APPORTIONMENT_SQL),
+    "gopher_funnel": (gopher_funnel_q, GOPHER_FUNNEL_SQL),
+    "strip_dup_spans": (strip_dup_spans_q, STRIP_DUP_SPANS_SQL),
+    "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
     "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),

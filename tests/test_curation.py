@@ -194,3 +194,90 @@ def test_trim_length_outliers(spark):
         expect |= {i for _, i in members[cut: n - cut]}
     assert kept == expect
     assert 200 not in kept and 201 not in kept and {300, 301, 302} <= kept
+
+
+def test_dsir_importance_replays_hashed_counts(spark):
+    """The integer DSIR score is exactly reproducible from the published
+    recipe: replay the md5 bucket hash, the add-one-smoothed ppm deltas,
+    and the per-doc sums in pure Python and demand equality — and the
+    doc drawn from the target distribution must outrank the disjoint
+    one on the per-feature mean."""
+    import hashlib
+
+    from laradb_spark.pipelines.curation import DSIR_BUCKETS, dsir_importance
+
+    target = spark.createDataFrame(
+        [(100, "cat dog"), (101, "cat fish")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "rocket launch pad"), (3, "")],
+        "doc_id long, text string",
+    )
+
+    def feats(s):
+        toks = [w for w in s.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    tgt_counts, raw_counts, per_doc = {}, {}, {}
+    for _, txt in [(100, "cat dog"), (101, "cat fish")]:
+        for f in feats(txt):
+            tgt_counts[bucket(f)] = tgt_counts.get(bucket(f), 0) + 1
+    for did, txt in [(1, "cat dog cat"), (2, "rocket launch pad"), (3, "")]:
+        d = {}
+        for f in feats(txt):
+            d[bucket(f)] = d.get(bucket(f), 0) + 1
+        per_doc[did] = d
+        for b, c in d.items():
+            raw_counts[b] = raw_counts.get(b, 0) + c
+    T, R = sum(tgt_counts.values()), sum(raw_counts.values())
+
+    def trunc_div(a, b):  # Spark `div` / DuckDB `//`: toward zero, not floor
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def delta(b):
+        return (1_000_000 * (tgt_counts.get(b, 0) + 1)) // (T + DSIR_BUCKETS) - (
+            1_000_000 * (raw_counts.get(b, 0) + 1)
+        ) // (R + DSIR_BUCKETS)
+
+    want = {}
+    for did, d in per_doc.items():
+        if not d:
+            continue  # empty doc: absent (score undefined)
+        n = sum(d.values())
+        score = sum(c * delta(b) for b, c in d.items())
+        want[did] = (n, score, trunc_div(score, n))
+
+    got = {
+        r.doc_id: (r.n_features, r.importance_score, r.importance_avg_ppm)
+        for r in dsir_importance(corpus, target).collect()
+    }
+    assert got == want
+    assert got[1][2] > got[2][2]  # target-like doc outranks the disjoint one
+
+
+def test_token_apportionment_hamilton_semantics(spark):
+    """Hand-computed largest-remainder apportionment: budget 10 over
+    token counts 5/3/2 ⇒ exact proportional floors already sum to the
+    budget; budget 7 over 5/3/2 ⇒ floors (3,2,1)=6, the one leftover
+    unit goes to the largest remainder (a: 7·5 mod 10 = 5). Σ alloc ==
+    budget exactly in both cases."""
+    from laradb_spark.pipelines.curation import token_apportionment
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5", "a"), (2, "t1 t2 t3", "b"), (3, "t1 t2", "c")],
+        "doc_id long, text string, source string",
+    )
+    got10 = {r.source: (r.n_docs, r.n_tokens, r.share_ppm, r.alloc_tokens)
+             for r in token_apportionment(df, budget=10).collect()}
+    assert got10 == {
+        "a": (1, 5, 500000, 5), "b": (1, 3, 300000, 3), "c": (1, 2, 200000, 2),
+    }
+    got7 = {r.source: r.alloc_tokens for r in token_apportionment(df, budget=7).collect()}
+    assert got7 == {"a": 4, "b": 2, "c": 1}  # remainders 5, 1, 4 → a gets +1
+    assert sum(got7.values()) == 7
+    with __import__("pytest").raises(ValueError, match="budget"):
+        token_apportionment(df, budget=-1)

@@ -916,3 +916,95 @@ def test_contamination_score_semantics(spark):
     assert got[1] == (3, 1, 333333)
     assert got[2] == (2, 0, 0)
     assert got[3] == (1, 0, 0)
+
+
+def test_duplicate_span_census_semantics(spark):
+    """Hand-computed Lee-et-al-style span census, window=3: 'a b c'
+    occurs in docs 1 and 2 → 3 covered positions each; within-doc
+    repeats count too (doc 5's windows each occur twice INSIDE it →
+    fully covered); short docs have no windows; clean docs report
+    zeros."""
+    from laradb_spark.pipelines.dedup import duplicate_span_census
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # "a b c" dup with doc 2 → pos 1-3
+            (2, "x a b c y"),        # dup window at pos 2 → pos 2-4
+            (3, "p q r s t"),        # clean
+            (4, "u v"),              # shorter than the window
+            (5, "m n o m n o m n"),  # every window self-repeats
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_positions, r.dup_ppm)
+        for r in duplicate_span_census(df, window=3).collect()
+    }
+    assert got == {
+        1: (5, 3, 1, 3, 600000),
+        2: (5, 3, 1, 3, 600000),
+        3: (5, 3, 0, 0, 0),
+        4: (2, 0, 0, 0, 0),
+        5: (8, 6, 6, 8, 1000000),
+    }
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    """Stripping removes ALL occurrences of a duplicated window (the
+    BFF-rule, per the module note) and merges overlapping spans; clean
+    and too-short docs pass through verbatim."""
+    from laradb_spark.pipelines.dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x a b c y"),
+            (3, "p q r s t"),
+            (4, "u v"),
+            (5, "m n o m n o m n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+        for r in strip_duplicate_spans(df, window=3).collect()
+    }
+    assert got == {
+        1: ("d e", 5, 2),
+        2: ("x y", 5, 2),
+        3: ("p q r s t", 5, 5),
+        4: ("u v", 2, 2),
+        5: ("", 8, 0),
+    }
+
+
+def test_gopher_funnel_first_failure_attribution(spark):
+    """Funnel charges each doc to the FIRST Gopher rule it fails: a doc
+    failing word_count (too short) never reaches later stages even if it
+    would fail them too; n_in chains and killed+survivors == total."""
+    from laradb_spark.pipelines.text import (
+        GOPHER_MIN_WORDS,
+        gopher_funnel,
+        gopher_quality_flags,
+    )
+
+    long_ok = "the " * 60 + "quick brown fox jumps over lazy dogs today"
+    df = spark.createDataFrame(
+        [
+            (1, long_ok),              # passes everything
+            (2, "tiny doc"),           # fails word_count (and others) → stage 1
+            (3, "zzzz " * 60),         # word count + mean len ok, no stopwords → stage 3
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert flags[2].word_count < GOPHER_MIN_WORDS  # fixture sanity
+    rows = {r.stage: r for r in gopher_funnel(df).collect()}
+    assert [rows[s].filter_name for s in (1, 2, 3, 4)] == [
+        "word_count", "mean_word_len", "stopwords", "alpha_words",
+    ]
+    assert (rows[1].n_in, rows[1].n_killed, rows[1].n_out) == (3, 1, 2)
+    assert rows[2].n_in == 2
+    assert rows[3].n_killed == 1          # doc 3 dies at the stopword stage
+    assert rows[4].n_out == 1             # doc 1 survives the whole funnel
+    assert sum(rows[s].n_killed for s in rows) + rows[4].n_out == 3

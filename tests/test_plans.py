@@ -325,6 +325,9 @@ SINGLE_PARTITION_ALLOWED = {
     "approx_stats",            # one-row sketch aggregate
     "bm25_topk",               # query-term/stats scalar flows
     "corpus_clean",            # scalar report row
+    "dsir_importance",         # 1-row T/R totals over the 4096-bucket hist
+    "gopher_funnel",           # 1-row conditional-count aggregate → 4-row stack
+    "token_apportionment",     # sources-sized frame: 1-row total + whole-frame rank
     "event_funnel",            # three scalar counts
     "forward_fill_hourly",     # bounded time-grid series
     "monthly_revenue_mom",     # ~83-month aggregated series window

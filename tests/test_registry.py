@@ -25,38 +25,33 @@ def test_changed_queries_inside_oracle_window():
     # them next. This test pins the current allocation so a registry
     # edit can't silently drop a changed query out of both windows.
     changed_in_window = {
-        # r5's one driver red (decimal-vs-double) — r6 casts to DOUBLE
-        "sql_front_door_q",
-        # changed in r5 (grouped_rank tfidf, merge_upsert seq-collapse,
-        # one-pass quality report, shared BM25 tokenizer, ROUND-mirrored
-        # Jaccard oracles, two-phase cap_per_group, vectorized SQ8 twin)
-        "tfidf_top_terms", "customer_merge_upsert", "orders_quality_report",
-        "bm25_topk", "dedup_ngram_jaccard", "dedup_components",
-        "dedup_keep_representatives", "dedup_lsh_jaccard",
-        "dedup_prefix_jaccard", "cross_source_dup_matrix",
-        "cap_docs_per_source", "ann_sq8_fast",
-        # changed in r6: exact-ANN batch-local top-k pre-prune; gram NULL
-        # validation
-        "ann_brute_force", "ann_brute_force_fast", "ann_sq8_topk",
-        "hard_negatives", "embedding_gram",
-    }
-    # r7 window front, in two tiers: (a) queries whose PLANS changed in r6
-    # via the fan_out small-scan parallelism fix but whose values are
-    # identical (checker-verified at sf0.01 this round) — the other
-    # fan_out-affected queries already sit in the r6 head; then (b) the 10
-    # r3-era queries the 50-slot r6 window could not fit (code unchanged
-    # since r3; rotating for driver-row freshness).
-    next_window = {
-        # new in r6 — no driver row yet
-        "gopher_quality", "bigram_lm", "contamination_report",
-        "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "dedup_simhash",
-        "dedup_simhash_fast", "decontaminate_docs", "semantic_dedup",
-        "semantic_dedup_fast", "ann_lsh_topk", "ann_lsh_multiprobe",
-        "ann_ivf_topk",
-        "supplier_copart_triangles", "text_fingerprint", "text_langid",
-        "text_normalize", "text_quality", "text_repetition",
-        "text_token_counts", "topk_parts_per_brand", "tumbling_event_stats",
+        # changed in r7: the NaN-score fold (cosine/_assign nanvl,
+        # quantize_sq8 non-finite guard, semantic-dedup pair filter)
+        # touches every expression ANN path and both semantic-dedup
+        # twins; bigram_lm gets the DECIMAL(38,0) ppm numerator
+        "ann_brute_force", "ann_sq8_topk", "ann_lsh_topk",
+        "ann_lsh_multiprobe", "ann_ivf_topk", "hard_negatives",
+        "semantic_dedup", "semantic_dedup_fast", "dedup_embedding",
+        "bigram_lm",
+        # new in r7 — no driver row yet
+        "dup_span_census", "strip_dup_spans", "dsir_importance",
+        "token_apportionment", "gopher_funnel",
+        # the r7-front promised by r6: r6-new queries, the
+        # fan_out-plan-changed dedup family, r3-era rotations
+        "gopher_quality", "contamination_report", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
+        "decontaminate_docs", "supplier_copart_triangles",
+        "text_fingerprint", "text_langid", "text_normalize",
+        "text_quality", "text_repetition", "text_token_counts",
+        "topk_parts_per_brand", "tumbling_event_stats",
         "user_retention_cohorts",
+    }
+    # r8 window front: the 7 r4-era stale-evidence rotations the 50-slot
+    # r7 window could not fit (code unchanged since r4).
+    next_window = {
+        "train_val_split_stats", "trim_length_outliers",
+        "twap_value_by_user_type", "value_quantiles_by_type",
+        "value_spikes_by_type", "value_variance_by_type", "vocab_coverage",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -66,7 +61,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "stale-evidence r3-era queries must lead the r7 window: "
+        "stale-evidence r4-era queries must lead the r8 window: "
         f"{next_window ^ next_slots}"
     )
 
