@@ -931,15 +931,24 @@ def strip_duplicate_spans(
     the same "a document fits in a task" contract as every text
     operator here; the corpus never collects."""
     wins = persist_once(_span_window_hashes(df, window, text))
-    covered = (
-        _duplicated_occurrences(wins)
-        .select(
+    return _strip_by_cover(df, _covered_positions(_duplicated_occurrences(wins), window), text)
+
+
+def _covered_positions(dup_occ: DataFrame, window: int) -> DataFrame:
+    """(doc_id, _cov): distinct token positions covered by any duplicated
+    window occurrence — overlapping windows merge into the span."""
+    return (
+        dup_occ.select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias("p"),
         )
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("_cov"))
     )
+
+
+def _strip_by_cover(df: DataFrame, covered: DataFrame, text: str) -> DataFrame:
+    """Rewrite docs keeping only tokens whose position is NOT covered."""
     toks = tokens(F.col(text))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     kept = F.filter(toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int")))
@@ -952,3 +961,40 @@ def strip_duplicate_spans(
             F.size(kept).cast("long").alias("kept_tokens"),
         )
     )
+
+
+def span_build_index(
+    df: DataFrame, path: str, window: int = SPAN_WINDOW, text: str = "text"
+) -> None:
+    """Materialize the corpus's DISTINCT window-hash set as parquet — the
+    frozen half of INCREMENTAL span dedup (the production ingest shape,
+    same pattern as ``digest_build_index``): history is hashed once;
+    every new shard strips against the index instead of re-scanning
+    history. Append accepted shards' hashes with ``mode='append'``.
+
+    Stores count ≥ 1 hashes (SEEN, not corpus-duplicated): a new
+    occurrence of ANY historical window is by definition a repeat —
+    the incremental reading of the Lee et al. rule."""
+    (
+        _span_window_hashes(df, window, text)
+        .select("h")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def strip_seen_spans(
+    df: DataFrame, index_path: str, window: int = SPAN_WINDOW, text: str = "text"
+) -> DataFrame:
+    """Rewrite a NEW batch's documents with every window already present
+    in the stored span index removed — incremental
+    ``strip_duplicate_spans`` against history. ``window`` must match the
+    build. Batch-first; for a long-running stream, re-invoke inside
+    ``foreachBatch`` per micro-batch (same static-side file-listing
+    caveat as ``drop_seen_digests``). Only (doc_id, pos, h) triples join
+    the index side — the batch payload never shuffles, and Spark/AQE
+    broadcast the index when it is small."""
+    seen = df.sparkSession.read.parquet(index_path)
+    wins = _span_window_hashes(df, window, text)
+    return _strip_by_cover(df, _covered_positions(wins.join(seen, on="h"), window), text)

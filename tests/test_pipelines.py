@@ -1008,3 +1008,37 @@ def test_gopher_funnel_first_failure_attribution(spark):
     assert rows[3].n_killed == 1          # doc 3 dies at the stopword stage
     assert rows[4].n_out == 1             # doc 1 survives the whole funnel
     assert sum(rows[s].n_killed for s in rows) + rows[4].n_out == 3
+
+
+def test_span_index_incremental_strip(spark, tmp_path):
+    """Incremental span dedup: history indexed once (count >= 1 — SEEN
+    hashes, not corpus-duplicated), a new batch strips every window
+    history already contains; novel text passes through verbatim, and an
+    appended shard extends the index."""
+    from laradb_spark.pipelines.dedup import span_build_index, strip_seen_spans
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "span_idx")
+    span_build_index(hist, path, window=3)
+    batch = spark.createDataFrame(
+        [
+            (10, "x a b c y"),     # "a b c" seen in doc 1 → pos 2-4 stripped
+            (11, "u v w x y z"),   # novel → verbatim
+            (12, "a b"),           # shorter than the window → verbatim
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.kept_tokens)
+           for r in strip_seen_spans(batch, path, window=3).collect()}
+    assert got == {10: ("x y", 2), 11: ("u v w x y z", 6), 12: ("a b", 2)}
+    # append the accepted batch; its windows now strip a later shard
+    from laradb_spark.pipelines.dedup import _span_window_hashes
+
+    _span_window_hashes(batch, 3, "text").select("h").distinct().write.mode(
+        "append"
+    ).parquet(path)
+    later = spark.createDataFrame([(20, "q u v w r")], "doc_id long, text string")
+    got2 = {r.doc_id: r.clean_text for r in strip_seen_spans(later, path, window=3).collect()}
+    assert got2 == {20: "q r"}  # "u v w" arrived with the appended shard
