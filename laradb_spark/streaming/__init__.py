@@ -1,4 +1,4 @@
-from .dedup import dedup_stream
+from .dedup import dedup_stream, span_ingest_stream
 from .joins import interval_join
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
 from .windows import (
@@ -14,6 +14,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_stream",
+    "span_ingest_stream",
     "interval_join",
     "kafka_source_options",
     "kafka_stream_source",

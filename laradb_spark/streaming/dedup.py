@@ -86,3 +86,71 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def span_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    window: int | None = None,
+    text_col: str = "text",
+):
+    """The foreachBatch incremental SPAN-dedup loop — the
+    ``dedup_ingest_stream`` shape at sub-document granularity: per
+    micro-batch, strip every token window that history (the stored span
+    index) OR another occurrence within this batch already contains,
+    append the rewritten docs to ``out_path`` and the batch's distinct
+    window hashes to the index. Future batches then strip text that
+    first appeared here; the cleaned output keeps nothing duplicated at
+    window granularity, within or across batches.
+
+    Index re-read per batch (fresh static plan — same rationale and
+    file-listing caveat as ``dedup_ingest_stream``); same at-least-once
+    retry note (appends can duplicate on partial-write retry; the strip
+    decision itself is idempotent). Returns the started query
+    (availableNow trigger)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from ..pipelines.dedup import (
+        SPAN_WINDOW,
+        _covered_positions,
+        _span_window_hashes,
+        _strip_by_cover,
+    )
+
+    w = SPAN_WINDOW if window is None else window
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        wins = _span_window_hashes(batch_df, w, text_col).persist()
+        try:
+            # flagged = seen-in-history ∪ duplicated-within-batch
+            dup_in_batch = (
+                wins.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") >= 2).select("h")
+            )
+            try:
+                seen = spark.read.parquet(index_path).select("h")
+                flagged = seen.unionByName(dup_in_batch).distinct()
+            except AnalysisException:
+                flagged = dup_in_batch.distinct()  # first batch: no index yet
+            cleaned = _strip_by_cover(
+                batch_df,
+                _covered_positions(wins.join(flagged, on="h"), w),
+                text_col,
+            )
+            cleaned.write.mode("append").parquet(out_path)
+            wins.select("h").distinct().write.mode("append").parquet(index_path)
+        finally:
+            wins.unpersist()
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

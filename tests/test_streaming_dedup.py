@@ -201,3 +201,55 @@ def test_foreach_batch_ingest_loop_sees_prior_batch_digests(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r.text for r in spark.read.parquet(out).collect())
     assert got2 == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_span_ingest_loop_strips_across_and_within_batches(spark, tmp_path):
+    """span_ingest_stream strips windows seen in EARLIER micro-batches of
+    the same run (index re-read per batch) AND windows duplicated within
+    one batch (all occurrences — the BFF rule); novel text passes
+    verbatim and the index grows with each batch's hashes."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming.dedup import span_ingest_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # batch 1: doc 1 seeds "a b c"; docs 2+3 duplicate "p q r" WITHIN the batch
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r x y"), (3, "z p q r w")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mod times → file 1 batches before file 2
+    # batch 2: doc 10 repeats batch-1's "a b c"; doc 11 is novel
+    spark.createDataFrame(
+        [(10, "x a b c y"), (11, "u v w x y z")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+    q = span_ingest_stream(stream, idx, out, ck, window=3)
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: ("a b c d e", 5, 5),    # first occurrence, nothing flagged yet
+        2: ("x y", 5, 2),          # intra-batch dup "p q r" stripped (both)
+        3: ("z w", 5, 2),
+        10: ("x y", 5, 2),         # cross-batch dup of batch-1's "a b c"
+        11: ("u v w x y z", 6, 6), # novel
+    }
+    # index holds every batch's distinct window hashes: batch 1 has
+    # 3+3+3 − 1 intra-batch repeat ("p q r") = 8; batch 2 has 3+4 = 7,
+    # one of which ("a b c") batch 1 already wrote → 14 distinct
+    n_idx = spark.read.parquet(idx).distinct().count()
+    assert n_idx == 14
