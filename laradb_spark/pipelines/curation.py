@@ -30,8 +30,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out
-from .text import TOKEN_SEP, tokens
+from ..util import fan_out, md5_mod
+from .text import TOKEN_SEP, bigram_arrays, tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
 # 15 hex digits = 60 bits, positive in both engines' BIGINT.
@@ -87,10 +87,9 @@ def trim_length_outliers(
 
 def hash_bucket(key: Column) -> Column:
     """Deterministic bucket in [0, BUCKETS): md5 of the key's string form,
-    top 60 bits, mod BUCKETS. DuckDB twin:
-    ``('0x' || substr(md5(key), 1, 15))::BIGINT % 10000``."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS), 16, 10)
-    return (h.cast("long") % BUCKETS).alias("bucket")
+    top 60 bits, mod BUCKETS (util.md5_mod — the shared formula).
+    DuckDB twin: ``('0x' || substr(md5(key), 1, 15))::BIGINT % 10000``."""
+    return md5_mod(key.cast("string"), _HEX_DIGITS, BUCKETS).alias("bucket")
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -425,15 +424,10 @@ def _hashed_feature_stream(df: DataFrame, text: str, n_buckets: int) -> DataFram
     feature bucket with the cross-engine md5 pattern (32-bit hex prefix →
     mod n_buckets). Map-only; empty docs emit nothing."""
     toks = tokens(F.col(text))
-    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    heads, tails = bigram_arrays(toks)
     bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
     feats = F.concat(toks, bigrams)
-    hashed = F.transform(
-        feats,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        % F.lit(n_buckets),
-    )
+    hashed = F.transform(feats, lambda s: md5_mod(s, 8, n_buckets))
     return fan_out(df).select("doc_id", F.explode(hashed).alias("b"))
 
 
@@ -535,7 +529,10 @@ def token_apportionment(
     leftover units go one each to the sources with the largest
     remainders (``(budget·t_s) mod T`` desc, source asc — total order,
     deterministic cut). Σ alloc_tokens == budget exactly whenever
-    budget ≥ 0 and T > 0. Output per source: n_docs, n_tokens,
+    budget ≥ 0 and T > 0; a ZERO-token corpus (T == 0) yields all-zero
+    shares and allocations rather than an ANSI divide-by-zero in the
+    executor (there is nothing to apportion over — the budget is
+    deliberately NOT distributed). Output per source: n_docs, n_tokens,
     share_ppm (of corpus), alloc_tokens.
 
     Scale shape: one map-side-combine aggregate to a SOURCES-sized frame
@@ -559,20 +556,31 @@ def token_apportionment(
         source_col,
         "n_docs",
         "n_tokens",
-        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div t_tot").alias(
-            "share_ppm"
-        ),
         F.expr(
-            f"(CAST({budget} AS DECIMAL(38,0)) * n_tokens) div t_tot"
+            "CASE WHEN t_tot > 0 THEN"
+            " (CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div t_tot"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("share_ppm"),
+        F.expr(
+            f"CASE WHEN t_tot > 0 THEN"
+            f" (CAST({budget} AS DECIMAL(38,0)) * n_tokens) div t_tot"
+            f" ELSE CAST(0 AS BIGINT) END"
         ).alias("_floor"),
         F.expr(
-            f"CAST((CAST({budget} AS DECIMAL(38,0)) * n_tokens) % t_tot AS BIGINT)"
+            f"CASE WHEN t_tot > 0 THEN"
+            f" CAST((CAST({budget} AS DECIMAL(38,0)) * n_tokens) % t_tot AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
         ).alias("_rem"),
     )
     # leftover units = budget − Σ floors; rank sources by remainder desc
     # (source asc tie-break) — both frames are sources-sized, the window
     # is the whole tiny frame (documented bounded single partition).
-    left = staged.agg((F.lit(budget) - F.sum("_floor")).alias("_left"))
+    # T == 0 → no leftover distribution either (floors are all 0)
+    left = staged.agg(
+        F.when(F.max("n_tokens") > 0, F.lit(budget) - F.sum("_floor"))
+        .otherwise(F.lit(0))
+        .alias("_left")
+    )
     w = Window.orderBy(F.desc("_rem"), F.asc(source_col))
     return (
         staged.crossJoin(F.broadcast(left))

@@ -61,9 +61,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_hash(sh: Column) -> Column:
-    """Cross-engine-stable 31-bit shingle hash."""
-    h32 = F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
-    return h32 % F.lit(SHINGLE_BITS_MOD)
+    """Cross-engine-stable 31-bit shingle hash (util.md5_mod formula)."""
+    from ..util import md5_mod
+
+    return md5_mod(sh, 8, SHINGLE_BITS_MOD)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -875,7 +876,8 @@ def duplicate_span_census(
     dup_ppm): dup_windows = this doc's duplicated window occurrences,
     dup_positions = distinct token positions covered by any of them
     (overlapping windows merge — the SPAN, not windows × W), dup_ppm =
-    covered fraction. Every doc appears; clean docs report zeros.
+    covered fraction. Every doc appears; clean docs report zeros, and a
+    NULL text counts as an empty doc (all-zero row, never NULL stats).
 
     Scale shape: the window stream is corpus-token-sized but each row is
     (doc_id, pos, 60-bit h) — the count aggregate combines map-side and
@@ -897,7 +899,7 @@ def duplicate_span_census(
             F.countDistinct("p").alias("dup_positions"),
         )
     )
-    n = F.size(tokens(F.col(text)))
+    n = F.size(tokens(F.coalesce(F.col(text), F.lit(""))))
     base = df.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -948,10 +950,25 @@ def _covered_positions(dup_occ: DataFrame, window: int) -> DataFrame:
 
 
 def _strip_by_cover(df: DataFrame, covered: DataFrame, text: str) -> DataFrame:
-    """Rewrite docs keeping only tokens whose position is NOT covered."""
-    toks = tokens(F.col(text))
+    """Rewrite docs keeping only tokens whose position is NOT covered.
+    NULL text ≡ empty doc: clean_text '', counts 0 (never NULL).
+
+    Linear in doc length: kept positions come from ONE hash-based
+    ``array_except(all_positions, covered)`` (order-preserving on the
+    sorted left array) and each maps to its token by O(1) index — not a
+    per-token ``array_contains`` scan of the covered array, which is
+    O(len × covered) and quadratic exactly on this operator's target
+    case (a long, heavily duplicated document)."""
+    toks = tokens(F.coalesce(F.col(text), F.lit("")))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int")))
+    n = F.size(toks)
+    # sequence(1, 0) counts DOWN (gotcha) — guard the empty doc
+    all_pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.transform(
+        F.array_except(all_pos, cov), lambda p: F.element_at(toks, p)
+    )
     return (
         df.join(covered, on="doc_id", how="left")
         .select(

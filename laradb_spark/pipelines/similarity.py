@@ -541,7 +541,9 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
         ``max_by(cid, struct(_cc, -cid))``'s ties → smallest cid;
       * NULL vectors and NULL/NaN components score 0.0 against every
         centroid (substituted by the zero vector, whose zero norm trips
-        the same guard) → assigned to the smallest cid — exactly what the
+        the same guard; ±Inf components too — the expression twin's
+        nanvl'd scores for them are 0.0) → assigned to the smallest cid
+        — exactly what the
         expression twin's three-valued ``when`` yields for them, so the
         ``_assign_auto`` size gate is pure cost selection, never a
         semantics switch. The SAME substitution applies on the CENTROID
@@ -590,11 +592,13 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
     C = np.asarray(
         [([0.0] * dim if v is None else v) for _, v in rows], dtype=np.float64
     )
-    # NaN-component centroids → zero vector: the nanvl'd expression twin
-    # scores them 0.0 against everything, exactly what a zero norm yields
-    nan_cents = np.isnan(C).any(axis=1)
-    if nan_cents.any():
-        C[nan_cents] = 0.0
+    # non-finite-component centroids → zero vector: the nanvl'd
+    # expression twin scores them 0.0 against everything (NaN folds; an
+    # Inf norm makes every dot/d either x/Inf = 0.0 or NaN → 0.0),
+    # exactly what a zero norm yields
+    bad_cents = ~np.isfinite(C).all(axis=1)
+    if bad_cents.any():
+        C[bad_cents] = 0.0
     nc = np.zeros(len(C))
     for j in range(dim):
         nc = nc + C[:, j] * C[:, j]
@@ -619,11 +623,12 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
                     f"_assign_vectorized: embedding dim {V.shape[1]} != "
                     f"centroid dim {dim}"
                 )
-            # NULL/NaN components → zero vector → 0.0 vs every centroid
-            # (zero-norm guard) → smallest cid, mirroring the expr twin
-            nan_rows = np.isnan(V).any(axis=1)
-            if nan_rows.any():
-                V[nan_rows] = 0.0
+            # NULL/NaN/Inf components → zero vector → 0.0 vs every
+            # centroid (zero-norm guard) → smallest cid, mirroring the
+            # nanvl'd expr twin (x/Inf = 0.0, NaN folds to 0.0)
+            bad_rows = ~np.isfinite(V).all(axis=1)
+            if bad_rows.any():
+                V[bad_rows] = 0.0
             nv = np.zeros(len(V))
             dot_m = np.zeros((len(V), len(C)))
             for j in range(dim):

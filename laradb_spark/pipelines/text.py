@@ -342,6 +342,15 @@ def gopher_quality_flags(df: DataFrame, text: str = "text") -> DataFrame:
 BIGRAM_PPM_EXPR = "(CAST(1000000 AS DECIMAL(38,0)) * cb) div cw"
 
 
+def bigram_arrays(toks: Column) -> tuple[Column, Column]:
+    """(heads, tails) slices whose zip is the token array's adjacent
+    bigram stream — ONE definition for every bigram consumer (the LM
+    score, the DSIR feature stream) so the pairing cannot drift."""
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return heads, tails
+
+
 def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Corpus-trained count-ratio bigram language-model score per doc —
     the CCNet/KenLM perplexity-filter SHAPE with integer-exact
@@ -367,8 +376,7 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     (BIGINT — Spark's IntegralDivide is LongType even on decimals) and
     the per-DOC mean ``Σ n·ppm ≤ 10⁶·doc_len`` stay int64-safe."""
     toks = tokens(F.col(text))
-    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    heads, tails = bigram_arrays(toks)
     bg = fan_out(df).select(
         "doc_id",
         F.explode(

@@ -127,19 +127,28 @@ def span_ingest_stream(
         batch_df.persist()
         wins = _span_window_hashes(batch_df, w, text_col).persist()
         try:
-            # flagged = seen-in-history ∪ duplicated-within-batch
+            # flagged occurrences = seen-in-history ∪ duplicated-within-
+            # batch, as a union of LEFT SEMI joins of the batch's window
+            # stream: semi joins cannot multiply wins rows however many
+            # duplicate h rows the appended index accumulates, and there
+            # is no distinct() over the ever-growing history per batch
+            # (an occurrence flagged by BOTH sides appears twice in the
+            # union — harmless, _covered_positions collect_set dedups).
             dup_in_batch = (
                 wins.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
                 .filter(F.col("_c") >= 2).select("h")
             )
+            flagged_occ = wins.join(dup_in_batch, on="h", how="left_semi")
             try:
                 seen = spark.read.parquet(index_path).select("h")
-                flagged = seen.unionByName(dup_in_batch).distinct()
+                flagged_occ = flagged_occ.unionByName(
+                    wins.join(seen, on="h", how="left_semi")
+                )
             except AnalysisException:
-                flagged = dup_in_batch.distinct()  # first batch: no index yet
+                pass  # first batch: no index yet
             cleaned = _strip_by_cover(
                 batch_df,
-                _covered_positions(wins.join(flagged, on="h"), w),
+                _covered_positions(flagged_occ, w),
                 text_col,
             )
             cleaned.write.mode("append").parquet(out_path)

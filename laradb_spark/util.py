@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 # fan_out cost hints: target bytes of INPUT per task, chosen by how much
@@ -12,6 +12,21 @@ from pyspark.sql import DataFrame
 CPU_HEAVY = 32 << 10    # interpreted HOF / per-row Python-free but hot
 CPU_MODERATE = 64 << 10  # tokenize+explode, md5 streams
 CPU_LIGHT = 256 << 10   # vectorized NumPy batch kernels
+
+
+def md5_mod(col: "Column", hex_digits: int, mod: int) -> "Column":
+    """THE cross-engine hash-bucket formula, parameterized: md5 hex
+    prefix → integer → mod. One definition for every bucketing site
+    (split/mixture buckets, shingle hashes, DSIR feature buckets) so a
+    hash-width or tokenizer change cannot desynchronize a copy from its
+    oracle. DuckDB twin: ``('0x' || substr(md5(x), 1, H))::BIGINT % M``.
+    ``hex_digits`` ≤ 15 keeps the intermediate positive in BIGINT."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= hex_digits <= 15:
+        raise ValueError("hex_digits must be in [1, 15] for a positive BIGINT")
+    h = F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
+    return h % F.lit(mod)
 
 
 def dense_matrix_fn(dim: int, who: str):
@@ -26,11 +41,14 @@ def dense_matrix_fn(dim: int, who: str):
     The extractor turns one batch's vector column (a pandas Series of
     arrays) into a dense (batch × dim) float64 matrix, raising ONE
     uniform actionable ValueError — prefixed with ``who`` — on NULL
-    vectors, mixed/ragged dims, and NULL/NaN components (Arrow surfaces
-    null components as NaN, so the isnan pass is what catches them;
-    without it floor(NaN).astype(int64) silently injects INT64_MIN into
-    integer kernels). One validator, one contract: the per-module copies
-    this replaces had drifted (isnan here, dim check there)."""
+    vectors, mixed/ragged dims, and non-finite components (Arrow
+    surfaces null components as NaN, so the finiteness pass is what
+    catches them; without it floor(NaN or ±Inf).astype(int64) silently
+    injects INT64_MIN into integer kernels — an Inf slipping through
+    the SQ8 path wraps the int64 matmul and can emit a +Inf/NaN score
+    that outranks every real neighbor). One validator, one contract:
+    the per-module copies this replaces had drifted (isnan here, dim
+    check there)."""
 
     def to_matrix(series):
         import numpy as np
@@ -52,10 +70,10 @@ def dense_matrix_fn(dim: int, who: str):
             raise ValueError(
                 f"{who}: embedding dim {M.shape[1:]} != expected dim {dim}"
             )
-        if np.isnan(M).any():
+        if not np.isfinite(M).all():
             raise ValueError(
-                f"{who}: embeddings contain NULL/NaN components; filter or "
-                "impute upstream"
+                f"{who}: embeddings contain NULL/NaN/Inf components; filter "
+                "or impute upstream"
             )
         return M
 

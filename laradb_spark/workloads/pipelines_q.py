@@ -1636,7 +1636,8 @@ def dup_span_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared CTE prefix: window stream → duplicated hashes → occurrences
 _SPAN_CTE = f"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '') AS toks
   FROM documents
 ),
 w AS (
@@ -1767,12 +1768,12 @@ WITH s AS (
 t AS (SELECT SUM(n_tokens) AS t_tot FROM s),
 st AS (
   SELECT source, n_docs, n_tokens,
-         CAST((1000000::HUGEINT * n_tokens) // t_tot AS BIGINT) AS share_ppm,
-         CAST(({_APPORTION_BUDGET}::HUGEINT * n_tokens) // t_tot AS BIGINT) AS fl,
-         CAST(({_APPORTION_BUDGET}::HUGEINT * n_tokens) % t_tot AS BIGINT) AS rem
+         CAST(CASE WHEN t_tot > 0 THEN (1000000::HUGEINT * n_tokens) // t_tot ELSE 0 END AS BIGINT) AS share_ppm,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * n_tokens) // t_tot ELSE 0 END AS BIGINT) AS fl,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * n_tokens) % t_tot ELSE 0 END AS BIGINT) AS rem
   FROM s, t
 ),
-l AS (SELECT {_APPORTION_BUDGET} - SUM(fl) AS leftover FROM st)
+l AS (SELECT CASE WHEN MAX(n_tokens) > 0 THEN {_APPORTION_BUDGET} - SUM(fl) ELSE 0 END AS leftover FROM st)
 SELECT source, n_docs, n_tokens, share_ppm,
        CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) <= leftover
                  THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens

@@ -470,3 +470,32 @@ def test_semantic_dedup_twins_nan_null_parity(spark):
     assert slow == fast
     kept = {v for v, _ in slow}
     assert {200, 201, 202} <= kept  # degenerate vectors never get dropped
+
+
+def test_assign_twins_inf_parity_and_validator_rejects_inf(spark, clustered):
+    """Review r7: ±Inf components must not diverge the assign twins (the
+    nanvl'd expression scores an Inf-poisoned vector/centroid 0.0 via
+    x/Inf or the NaN fold; the vectorized twin zero-substitutes on
+    ~isfinite, not just isnan), and the shared dense-matrix validator
+    must REJECT Inf instead of letting floor(Inf·127/Inf) wrap the SQ8
+    int64 matmul into scores that can outrank real neighbors."""
+    extra = spark.createDataFrame(
+        [(800, [float("inf")] + [1.0] * 7), (801, [-float("inf")] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    c = clustered.unionByName(extra).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    # Inf row among the init centroids AND among the assigned vectors
+    cents = (
+        c.filter("neighbor_id >= 798").orderBy(F.desc("neighbor_id")).limit(3)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
+    )
+    expr = {r.neighbor_id: r.cid for r in sim._assign(c, cents).collect()}
+    fast = {r.neighbor_id: r.cid for r in sim._assign_vectorized(c, cents).collect()}
+    assert expr == fast
+    # validator: vectorized scorers raise the uniform error on Inf
+    q = _queries(clustered)
+    with pytest.raises(Exception, match="Inf"):
+        sim.sq8_topk_vectorized(clustered.unionByName(extra), q, k=3).collect()

@@ -281,3 +281,17 @@ def test_token_apportionment_hamilton_semantics(spark):
     assert sum(got7.values()) == 7
     with __import__("pytest").raises(ValueError, match="budget"):
         token_apportionment(df, budget=-1)
+
+
+def test_token_apportionment_zero_token_corpus(spark):
+    """Review r7: a zero-token corpus yields all-zero shares and
+    allocations (nothing to apportion over) instead of an ANSI
+    divide-by-zero in the executor."""
+    from laradb_spark.pipelines.curation import token_apportionment
+
+    df = spark.createDataFrame(
+        [(1, "", "a"), (2, "", "b")], "doc_id long, text string, source string"
+    )
+    got = {r.source: (r.n_tokens, r.share_ppm, r.alloc_tokens)
+           for r in token_apportionment(df, budget=10).collect()}
+    assert got == {"a": (0, 0, 0), "b": (0, 0, 0)}

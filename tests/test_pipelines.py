@@ -1042,3 +1042,22 @@ def test_span_index_incremental_strip(spark, tmp_path):
     later = spark.createDataFrame([(20, "q u v w r")], "doc_id long, text string")
     got2 = {r.doc_id: r.clean_text for r in strip_seen_spans(later, path, window=3).collect()}
     assert got2 == {20: "q r"}  # "u v w" arrived with the appended shard
+
+
+def test_span_census_and_strip_null_text(spark):
+    """Review r7: NULL text ≡ empty doc — all-zero census row and ''
+    clean_text, never NULL stats that silently poison downstream sums."""
+    from laradb_spark.pipelines.dedup import duplicate_span_census, strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "x a b c")], "doc_id long, text string"
+    )
+    census = {r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_positions, r.dup_ppm)
+              for r in duplicate_span_census(df, window=3).collect()}
+    assert census[1] == (0, 0, 0, 0, 0)
+    assert census[2] == (4, 2, 1, 3, 750000)
+    stripped = {r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+                for r in strip_duplicate_spans(df, window=3).collect()}
+    assert stripped[1] == ("", 0, 0)
+    assert stripped[2] == ("d", 4, 1)
+    assert stripped[3] == ("x", 4, 1)
