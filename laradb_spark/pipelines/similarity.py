@@ -803,6 +803,32 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a stored IVF index WITHOUT retraining: read
+    the frozen ``(cid, cent)`` table, assign the (shard-sized) new batch
+    with the same bit-identical twins training used, and append to the
+    ``cid=`` partition directories — the incremental-ingest completion
+    of the IVF serving story (digest/span/decon indexes have the same
+    build/append/serve triple). Searches see appended vectors on their
+    next plan (parquet listing resolves per query).
+
+    Centroids are deliberately NOT updated: stable centroids keep every
+    historical assignment valid (re-training would require re-assigning
+    the full corpus — that is ``ivf_build_index``'s job, run when drift
+    accumulates; the classic IVF maintenance trade)."""
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = fan_out(new_vectors, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    _assign_auto(c, cents).write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
+
+
 def ivf_search_index(
     spark,
     path: str,

@@ -499,3 +499,25 @@ def test_assign_twins_inf_parity_and_validator_rejects_inf(spark, clustered):
     q = _queries(clustered)
     with pytest.raises(Exception, match="Inf"):
         sim.sq8_topk_vectorized(clustered.unionByName(extra), q, k=3).collect()
+
+
+def test_ivf_append_index_serves_new_vectors(spark, clustered, tmp_path):
+    """ivf_append_index assigns a new shard with the frozen centroids and
+    appends to the cid-partitioned layout: a later search returns the
+    appended vectors exactly as an index rebuilt over the full corpus
+    would (same centroids → same assignment → same probes)."""
+    path = str(tmp_path / "ivf")
+    old = clustered.filter("vec_id < 150")
+    new = clustered.filter("vec_id >= 150")
+    sim.ivf_build_index(old, path, n_centroids=8, lloyd_iters=1)
+    sim.ivf_append_index(new, path)
+    q = _queries(clustered)
+    got = sim.ivf_search_index(spark, path, q, n_probe=8, k=5)
+    # n_probe = n_centroids → every list probed → exact brute-force result
+    want = sim.brute_force_topk(clustered, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and the appended rows landed inside cid= partition dirs
+    import os
+
+    cids = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cid=")]
+    assert cids
