@@ -64,6 +64,7 @@ HEADLINE = [
     "dsir_importance",
     "token_apportionment",
     "gopher_funnel",
+    "span_source_matrix",
 ]
 
 

@@ -818,12 +818,16 @@ SPAN_WINDOW = 8
 _SPAN_HEX = 15  # 60-bit window hash: positive BIGINT in both engines
 
 
-def _span_window_hashes(df: DataFrame, window: int, text: str) -> DataFrame:
-    """(doc_id, pos, h): one row per W-token window occurrence; h is the
-    cross-engine 60-bit md5 window hash, pos the 1-based token start.
-    Docs shorter than ``window`` emit nothing (no full window — unlike
-    shingles there is no whole-text floor: a span must be comparable
-    across docs to count as a repeat)."""
+def _span_window_hashes(
+    df: DataFrame, window: int, text: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, pos, h): one row per W-token window occurrence; h
+    is the cross-engine 60-bit md5 window hash, pos the 1-based token
+    start. Docs shorter than ``window`` emit nothing (no full window —
+    unlike shingles there is no whole-text floor: a span must be
+    comparable across docs to count as a repeat). ``extra`` names
+    passthrough columns (e.g. source) carried into every window row so
+    consumers never join the corpus-token-sized stream back on doc_id."""
     toks = tokens(F.col(text))
     n = F.size(toks)
     starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
@@ -848,8 +852,8 @@ def _span_window_hashes(df: DataFrame, window: int, text: str) -> DataFrame:
     )
     return (
         fan_out(df, CPU_HEAVY)
-        .select("doc_id", F.explode(wins).alias("w"))
-        .select("doc_id", "w.pos", "w.h")
+        .select("doc_id", *extra, F.explode(wins).alias("w"))
+        .select("doc_id", *extra, "w.pos", "w.h")
     )
 
 
@@ -1015,3 +1019,64 @@ def strip_seen_spans(
     seen = df.sparkSession.read.parquet(index_path)
     wins = _span_window_hashes(df, window, text)
     return _strip_by_cover(df, _covered_positions(wins.join(seen, on="h"), window), text)
+
+
+def span_source_matrix(
+    df: DataFrame,
+    window: int = SPAN_WINDOW,
+    text: str = "text",
+    source_col: str = "source",
+    max_sources: int | None = None,
+) -> DataFrame:
+    """Span-granularity cross-source provenance matrix: for every pair of
+    sources, how many distinct duplicated windows they SHARE — "who
+    copies from whom", the sub-document companion of the doc-level
+    ``cross_source_dup_matrix``. Diagonal rows (a, a) count windows
+    duplicated WITHIN one source (self-boilerplate).
+
+    Semantics: each window hash contributes 1 to (a, b), a < b, for
+    every pair of distinct sources containing it, and 1 to (a, a) when
+    it occurs ≥ 2 times inside source a. Output
+    (source_a, source_b, shared_windows), deduplicated by hash — a
+    window repeated 50× between two sources still counts once (it is
+    the SPAN relationship being counted, not volume).
+
+    Scale: per-(hash, source) counts aggregate map-side; the pair join
+    fans out |sources-containing-h|² per hash — bounded by the source
+    count squared, fine for corpus-level sources (~dozens). For
+    domain-level runs (thousands of sources) set ``max_sources`` to
+    drop ubiquitous-boilerplate hashes above the cap (the LSH
+    oversize-cap discipline); dropped hashes are exactly those whose
+    pair lists stop being informative."""
+    hs = (
+        _span_window_hashes(df, window, text, extra=(source_col,))
+        .groupBy("h", source_col)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    if max_sources is not None:
+        ok = (
+            hs.groupBy("h").agg(F.count(F.lit(1)).alias("_ns"))
+            .filter(F.col("_ns") <= max_sources)
+            .select("h")
+        )
+        hs = hs.join(ok, on="h", how="left_semi")
+    hs = persist_once(hs)
+    a = hs.select("h", F.col(source_col).alias("source_a"))
+    b = hs.select("h", F.col(source_col).alias("source_b"))
+    cross = (
+        a.join(b, on="h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    diag = (
+        hs.filter(F.col("_occ") >= 2)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .select(
+            F.col(source_col).alias("source_a"),
+            F.col(source_col).alias("source_b"),
+            "shared_windows",
+        )
+    )
+    return cross.unionByName(diag)

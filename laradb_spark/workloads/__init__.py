@@ -88,6 +88,7 @@ _PRIORITY = [
     "dsir_importance",
     "token_apportionment",
     "gopher_funnel",
+    "span_source_matrix",
     # (c) the r7-front promised by r6's test_registry: r6-new queries the
     # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
     # the r3-era stale-evidence rotations.
@@ -108,8 +109,8 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
-    # (d) fill: the oldest remaining driver rows (all r4-era). 18 of the
-    # 25 r4-latest queries fit; the other 7 lead the r8 window.
+    # (d) fill: the oldest remaining driver rows (all r4-era). 17 of the
+    # 25 r4-latest queries fit; the other 8 lead the r8 window.
     "approx_stats",
     "event_transitions",
     "event_trigram_paths",
@@ -127,10 +128,10 @@ _PRIORITY = [
     "salted_lineitem_stats",
     "shuffle_shards_q",
     "source_drift_tv",
-    "top_prices_with_ties",
     # --- front of the r8 window ---------------------------------------------
-    # the 7 r4-era stale-evidence rotations the 50-slot r7 window
+    # the 8 r4-era stale-evidence rotations the 50-slot r7 window
     # couldn't fit.
+    "top_prices_with_ties",
     "train_val_split_stats",
     "trim_length_outliers",
     "twap_value_by_user_type",

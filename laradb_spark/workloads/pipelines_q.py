@@ -1633,21 +1633,26 @@ def dup_span_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_census(load(spark, sf_dir, "documents"), window=_SPAN_W)
 
 
-# shared CTE prefix: window stream → duplicated hashes → occurrences
-_SPAN_CTE = f"""
+def _span_cte(extra: str = "") -> str:
+    """Shared span-window CTE prefix (window stream → duplicated hashes →
+    occurrences); ``extra`` adds passthrough columns, e.g. ", source"."""
+    return f"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id{extra},
          list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '') AS toks
   FROM documents
 ),
 w AS (
-  SELECT doc_id, CAST(i AS INT) AS pos,
+  SELECT doc_id{extra}, CAST(i AS INT) AS pos,
          ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')), 1, 15))::BIGINT AS h
   FROM t, LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - {_SPAN_W - 1}, 0) + 1)) AS i)
 ),
 dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
-occ AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup))
+occ AS (SELECT doc_id{extra}, pos FROM w WHERE h IN (SELECT h FROM dup))
 """
+
+
+_SPAN_CTE = _span_cte()
 
 DUP_SPAN_CENSUS_SQL = f"""
 {_SPAN_CTE},
@@ -1697,6 +1702,33 @@ SELECT doc_id,
        CAST(len(list_filter(range(1, len(toks) + 1), i -> NOT list_contains(cps, i)))
             AS BIGINT) AS kept_tokens
 FROM j
+"""
+
+
+def span_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-duplicated-window provenance matrix (8-token)."""
+    return dd.span_source_matrix(load(spark, sf_dir, "documents"), window=_SPAN_W)
+
+
+SPAN_SOURCE_MATRIX_SQL = f"""
+{_span_cte(", source")},
+hs AS (
+  SELECT h, source, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM w GROUP BY h, source
+),
+cross_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_windows
+  FROM hs a JOIN hs b USING (h)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+),
+diag AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_windows
+  FROM hs WHERE occ >= 2 GROUP BY source
+)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
 """
 
 
@@ -1809,6 +1841,7 @@ QUERIES = {
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
     "token_apportionment": (token_apportionment_q, TOKEN_APPORTIONMENT_SQL),
     "gopher_funnel": (gopher_funnel_q, GOPHER_FUNNEL_SQL),
+    "span_source_matrix": (span_source_matrix_q, SPAN_SOURCE_MATRIX_SQL),
     "strip_dup_spans": (strip_dup_spans_q, STRIP_DUP_SPANS_SQL),
     "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),

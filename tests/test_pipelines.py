@@ -1061,3 +1061,29 @@ def test_span_census_and_strip_null_text(spark):
     assert stripped[1] == ("", 0, 0)
     assert stripped[2] == ("d", 4, 1)
     assert stripped[3] == ("x", 4, 1)
+
+
+def test_span_source_matrix_semantics(spark):
+    """Hand-computed provenance matrix, window=3: sources A and B share
+    exactly one duplicated window ("a b c"); C repeats "m n o" twice
+    WITHIN itself (diagonal row); each hash counts once per pair no
+    matter how often it repeats."""
+    from laradb_spark.pipelines.dedup import span_source_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "x a b c", "B"),
+            (3, "m n o p m n o", "C"),   # "m n o" twice within C
+            (4, "q r s t", "D"),         # clean
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): r.shared_windows
+           for r in span_source_matrix(df, window=3).collect()}
+    assert got == {("A", "B"): 1, ("C", "C"): 1}
+    # ubiquity cap: with max_sources=1 the A-B shared hash is dropped,
+    # the within-C hash (one source) survives
+    capped = {(r.source_a, r.source_b): r.shared_windows
+              for r in span_source_matrix(df, window=3, max_sources=1).collect()}
+    assert capped == {("C", "C"): 1}
