@@ -295,3 +295,30 @@ def test_token_apportionment_zero_token_corpus(spark):
     got = {r.source: (r.n_tokens, r.share_ppm, r.alloc_tokens)
            for r in token_apportionment(df, budget=10).collect()}
     assert got == {"a": (0, 0, 0), "b": (0, 0, 0)}
+
+
+def test_token_apportionment_sums_to_budget_on_random_corpora(spark):
+    """Hamilton-apportionment invariants over seeded random corpora:
+    Σ alloc == budget exactly whenever the corpus has tokens, every
+    allocation is ≥ its proportional floor, and leftover units are ≤ 1
+    per source."""
+    import random
+
+    from laradb_spark.pipelines.curation import token_apportionment
+
+    for seed, budget in ((0, 997), (1, 10), (2, 1_000_003)):
+        rng = random.Random(seed)
+        docs = []
+        for did in range(40):
+            src = f"s{rng.randint(0, 6)}"
+            docs.append((did, " ".join("w" for _ in range(rng.randint(0, 30))), src))
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        rows = token_apportionment(df, budget=budget).collect()
+        total_tokens = sum(r.n_tokens for r in rows)
+        if total_tokens == 0:
+            assert all(r.alloc_tokens == 0 for r in rows)
+            continue
+        assert sum(r.alloc_tokens for r in rows) == budget, f"seed {seed}"
+        for r in rows:
+            fl = (budget * r.n_tokens) // total_tokens
+            assert fl <= r.alloc_tokens <= fl + 1, f"seed {seed} {r}"

@@ -1087,3 +1087,64 @@ def test_span_source_matrix_semantics(spark):
     capped = {(r.source_a, r.source_b): r.shared_windows
               for r in span_source_matrix(df, window=3, max_sources=1).collect()}
     assert capped == {("C", "C"): 1}
+
+
+def test_span_ops_match_python_reference_on_random_corpora(spark):
+    """Exhaustive cross-check: census and strip against a brute-force
+    pure-Python reference on seeded random corpora with a tiny
+    vocabulary (forced window collisions), duplicate docs, empty and
+    NULL texts. Also pins the cross-op invariant kept_tokens ==
+    n_tokens − dup_positions (both derive from the same cover set)."""
+    import random
+
+    from laradb_spark.pipelines.dedup import duplicate_span_census, strip_duplicate_spans
+
+    W = 3
+    VOCAB = ["a", "b", "c", "d", "e", "f"]
+
+    def py_reference(docs):
+        from collections import Counter
+
+        cnt = Counter()
+        parsed = {}
+        for did, text in docs:
+            toks = [t for t in (text or "").split(" ") if t]
+            ws = [(i + 1, " ".join(toks[i : i + W])) for i in range(len(toks) - W + 1)]
+            parsed[did] = (toks, ws)
+            for _, win in ws:
+                cnt[win] += 1
+        census, strip = {}, {}
+        for did, (toks, ws) in parsed.items():
+            dup = [(p, win) for p, win in ws if cnt[win] >= 2]
+            cov = set()
+            for p, _ in dup:
+                cov.update(range(p, p + W))
+            n = len(toks)
+            census[did] = (n, max(n - W + 1, 0), len(dup), len(cov),
+                           (1_000_000 * len(cov)) // n if n else 0)
+            kept = [toks[p - 1] for p in range(1, n + 1) if p not in cov]
+            strip[did] = (" ".join(kept), n, len(kept))
+        return census, strip
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = []
+        for did in range(25):
+            n = rng.randint(0, 12)
+            docs.append((did, " ".join(rng.choice(VOCAB) for _ in range(n))))
+        docs.append((100, docs[3][1]))  # exact duplicate doc
+        docs.append((101, None))        # NULL text
+        want_census, want_strip = py_reference(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got_census = {
+            r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_positions, r.dup_ppm)
+            for r in duplicate_span_census(df, window=W).collect()
+        }
+        got_strip = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+            for r in strip_duplicate_spans(df, window=W).collect()
+        }
+        assert got_census == want_census, f"seed {seed}"
+        assert got_strip == want_strip, f"seed {seed}"
+        for did in got_census:
+            assert got_strip[did][2] == got_census[did][0] - got_census[did][3]
