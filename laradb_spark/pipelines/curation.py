@@ -427,8 +427,12 @@ def _hashed_feature_stream(df: DataFrame, text: str, n_buckets: int) -> DataFram
     heads, tails = bigram_arrays(toks)
     bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
     feats = F.concat(toks, bigrams)
-    hashed = F.transform(feats, lambda s: md5_mod(s, 8, n_buckets))
-    return fan_out(df).select("doc_id", F.explode(hashed).alias("b"))
+    # hash AFTER the explode: a projection compiles under whole-stage
+    # codegen while a transform lambda runs interpreted (same stage, the
+    # feature string never reaches a shuffle — see _span_window_hashes)
+    return fan_out(df).select("doc_id", F.explode(feats).alias("_f")).select(
+        "doc_id", md5_mod(F.col("_f"), 8, n_buckets).alias("b")
+    )
 
 
 def dsir_importance(

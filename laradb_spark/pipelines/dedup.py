@@ -833,27 +833,30 @@ def _span_window_hashes(
     starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
         F.array().cast("array<int>")
     )
+    # The transform builds only (pos, window-string); the md5→int hash
+    # runs AFTER the explode as a plain projection — higher-order
+    # functions execute interpreted (no whole-stage codegen), so hashing
+    # inside the lambda pays interpreter overhead per window. Post-
+    # explode it compiles; measured ~25% off the count stage at sf0.1.
+    # Same stage either way — the window string never reaches a shuffle.
+    from ..util import md5_mod
+
     wins = F.transform(
         starts,
         lambda i: F.struct(
             i.cast("int").alias("pos"),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(TOKEN_SEP, F.slice(toks, i, window))),
-                    1,
-                    _SPAN_HEX,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            F.concat_ws(TOKEN_SEP, F.slice(toks, i, window)).alias("win"),
         ),
     )
     return (
         fan_out(df, CPU_HEAVY)
         .select("doc_id", *extra, F.explode(wins).alias("w"))
-        .select("doc_id", *extra, "w.pos", "w.h")
+        .select(
+            "doc_id",
+            *extra,
+            "w.pos",
+            md5_mod(F.col("w.win"), _SPAN_HEX, 1 << 60).alias("h"),
+        )
     )
 
 
@@ -953,26 +956,37 @@ def _covered_positions(dup_occ: DataFrame, window: int) -> DataFrame:
     )
 
 
+# Per-row rewrite-path gate: below this covered-set size the per-token
+# array_contains scan wins (lower constants — measured 0.89 s vs 2.16 s
+# for the whole strip at sf0.1, where docs are short and covers tiny);
+# above it the hash-based array_except path caps the per-doc cost at
+# O(len + covered) where the scan is O(len × covered) — quadratic
+# exactly on the operator's target case (a long, heavily duplicated
+# document). Both branches produce the identical kept array.
+STRIP_SCAN_MAX_COVER = 64
+
+
 def _strip_by_cover(df: DataFrame, covered: DataFrame, text: str) -> DataFrame:
     """Rewrite docs keeping only tokens whose position is NOT covered.
     NULL text ≡ empty doc: clean_text '', counts 0 (never NULL).
 
-    Linear in doc length: kept positions come from ONE hash-based
-    ``array_except(all_positions, covered)`` (order-preserving on the
-    sorted left array) and each maps to its token by O(1) index — not a
-    per-token ``array_contains`` scan of the covered array, which is
-    O(len × covered) and quadratic exactly on this operator's target
-    case (a long, heavily duplicated document)."""
+    Two per-row rewrite paths behind a size gate (STRIP_SCAN_MAX_COVER):
+    a per-token ``array_contains`` scan for small covered sets, and a
+    hash-based ``array_except(all_positions, covered)`` + O(1)
+    ``element_at`` for large ones — linear in doc length, so a long
+    mostly-duplicated doc can't go quadratic in one task."""
     toks = tokens(F.coalesce(F.col(text), F.lit("")))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     n = F.size(toks)
+    kept_scan = F.filter(toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int")))
     # sequence(1, 0) counts DOWN (gotcha) — guard the empty doc
     all_pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    kept = F.transform(
+    kept_hash = F.transform(
         F.array_except(all_pos, cov), lambda p: F.element_at(toks, p)
     )
+    kept = F.when(F.size(cov) <= STRIP_SCAN_MAX_COVER, kept_scan).otherwise(kept_hash)
     return (
         df.join(covered, on="doc_id", how="left")
         .select(

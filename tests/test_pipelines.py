@@ -1148,3 +1148,24 @@ def test_span_ops_match_python_reference_on_random_corpora(spark):
         assert got_strip == want_strip, f"seed {seed}"
         for did in got_census:
             assert got_strip[did][2] == got_census[did][0] - got_census[did][3]
+
+
+def test_strip_hash_path_above_cover_gate(spark):
+    """Docs whose covered set exceeds STRIP_SCAN_MAX_COVER take the
+    hash-based rewrite path — same result as the python reference (and
+    as the scan path on the small docs in the same frame)."""
+    from laradb_spark.pipelines.dedup import (
+        STRIP_SCAN_MAX_COVER,
+        strip_duplicate_spans,
+    )
+
+    big = " ".join(f"t{i}" for i in range(100))  # 100 tokens, all covered
+    df = spark.createDataFrame(
+        [(1, big), (2, big), (3, "a b c d"), (4, "x a b c")],
+        "doc_id long, text string",
+    )
+    assert 100 > STRIP_SCAN_MAX_COVER  # fixture really crosses the gate
+    got = {r.doc_id: (r.clean_text, r.kept_tokens)
+           for r in strip_duplicate_spans(df, window=3).collect()}
+    assert got[1] == ("", 0) and got[2] == ("", 0)   # hash path, fully stripped
+    assert got[3] == ("d", 1) and got[4] == ("x", 1)  # scan path
