@@ -194,6 +194,7 @@ TIMES: dict[str, TimesFun] = {
 
 
 def plus(name_or_fun: str | PlusFun) -> PlusFun:
+    """Resolve a ⊕ monoid by registry name or pass a PlusFun through."""
     if isinstance(name_or_fun, PlusFun):
         return name_or_fun
     try:
@@ -203,6 +204,7 @@ def plus(name_or_fun: str | PlusFun) -> PlusFun:
 
 
 def times(name_or_fun: str | TimesFun) -> TimesFun:
+    """Resolve a ⊗ function by registry name or pass a TimesFun through."""
     if isinstance(name_or_fun, TimesFun):
         return name_or_fun
     try:

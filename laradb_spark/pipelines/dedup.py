@@ -498,6 +498,8 @@ def minhash_lsh_pairs_vectorized(
     num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
     max_bucket: int = MAX_LSH_BUCKET, oversize: str = "join",
 ) -> DataFrame:
+    """minhash_lsh_pairs with the NumPy signature kernel — bit-identical
+    buckets, same oracle (see minhash_band_buckets_vectorized)."""
     return _bucket_pairs(
         minhash_band_buckets_vectorized(df, n, id_col, text_col, num_perm, bands),
         max_bucket=max_bucket,
@@ -730,6 +732,7 @@ def simhash(toks_h: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) per document over the token-hash stream."""
     df = fan_out(df, CPU_HEAVY)  # heavy md5+bit-fold map — see minhash_band_buckets
     staged = df.select(F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("hs"))
     return staged.select("id", simhash(F.col("hs")).alias("simhash"))

@@ -121,6 +121,7 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
+    """√Σ aᵢ² via the same sequential fold as ``dot`` (engine-exact)."""
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
 
 

@@ -31,6 +31,8 @@ CJK_RE = r"[一-鿿]"
 
 
 def tokens(text: Column) -> Column:
+    """THE tokenizer contract: TOKEN_SEP split, empty strings dropped
+    (oracle: ``list_filter(string_split(text, ' '), w -> w <> '')``)."""
     return F.filter(F.split(text, TOKEN_SEP), lambda w: w != F.lit(""))
 
 
@@ -50,6 +52,7 @@ def tokenize_str(s: str) -> list[str]:
 
 
 def token_count(text: Column) -> Column:
+    """Whitespace token count (``tokens`` contract) as BIGINT."""
     return F.size(tokens(text)).cast("long")
 
 

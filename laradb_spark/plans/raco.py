@@ -133,6 +133,7 @@ class _Parser:
 
 
 def parse_raco(repr_str: str) -> Any:
+    """Parse a Raco physical-plan repr string into a PTree (reference: raco printed plans)."""
     p = _Parser(_tokenize(repr_str))
     v = p.value()
     if p.peek() is not None:

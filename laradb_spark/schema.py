@@ -44,6 +44,7 @@ _LTYPE_TO_SPARK: dict[str, T.DataType] = {
 
 
 def spark_type(ltype: str | T.DataType) -> T.DataType:
+    """Map a Lara type name (LONG/STRING/DOUBLE/...) to the Spark type."""
     if isinstance(ltype, T.DataType):
         return ltype
     try:

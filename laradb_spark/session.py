@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
+    """Core count for local runs ($SPARK_GRAFT_CPUS, else os.cpu_count)."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 

@@ -37,6 +37,11 @@ from .schema import Attribute, LaraSchema, ValAttribute
 
 
 class LaraTable:
+    """A Lara associative table: a DataFrame bound to a (keys → vals)
+    schema, carrying the algebra (ext / map_vals / union / agg / join /
+    rename / sort / store) as methods that build Catalyst plans. See
+    ARCHITECTURE.md §"The Lara algebra on Catalyst"."""
+
     # O2 — auto-persist shared subplans: when the same derived table feeds
     # two or more downstream operators, persist it so the shared prefix
     # computes once (the reference materializes common subexpressions as
