@@ -65,6 +65,8 @@ HEADLINE = [
     "token_apportionment",
     "gopher_funnel",
     "span_source_matrix",
+    "ngram_diversity",
+    "split_leakage",
 ]
 
 

@@ -599,3 +599,43 @@ def token_apportionment(
             .alias("alloc_tokens"),
         )
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    n: int = 5,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Train→validation n-gram leakage audit over the deterministic
+    ``hash_split``: how many of the val split's distinct word n-grams
+    also appear in train (the leakage the split is supposed to prevent
+    for MEMORIZABLE spans — high ppm here means val loss measures recall
+    of train text, not generalization). One summary row:
+    (val_distinct_grams, leaked_grams, leakage_ppm).
+
+    Shape: both splits come from ONE corpus scan (the split column is a
+    map-side expression); each side reduces to its DISTINCT gram set
+    (hash aggregate), sized by vocabulary not corpus; the leak count is
+    a join of those two sets on the gram. Integer ppm; 0/0 → 0."""
+    split = hash_split(df, val_frac=val_frac, key=key)
+    grams = fan_out(split).select(
+        "split", F.explode(word_ngrams(F.col(text), n)).alias("_g")
+    )
+    val_g = grams.filter(F.col("split") == "val").select("_g").distinct()
+    train_g = grams.filter(F.col("split") == "train").select("_g").distinct()
+    leaked = val_g.join(train_g, on="_g", how="left_semi")
+    return (
+        val_g.agg(F.count(F.lit(1)).alias("val_distinct_grams"))
+        .crossJoin(F.broadcast(leaked.agg(F.count(F.lit(1)).alias("leaked_grams"))))
+        .select(
+            "val_distinct_grams",
+            "leaked_grams",
+            F.expr(
+                "CASE WHEN val_distinct_grams > 0 THEN"
+                " (1000000 * leaked_grams) div val_distinct_grams"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("leakage_ppm"),
+        )
+    )

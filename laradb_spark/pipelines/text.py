@@ -499,3 +499,35 @@ def gopher_funnel(df: DataFrame, text: str = "text") -> DataFrame:
         F.col("n_killed").cast("long").alias("n_killed"),
         (F.col("n_in") - F.col("n_killed")).cast("long").alias("n_out"),
     )
+
+
+def ngram_diversity(df: DataFrame, n: int = 2, text: str = "text") -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016's "distinct-n"
+    at corpus granularity): distinct word n-grams ÷ total n-gram
+    occurrences, in ppm — low values flag templated/boilerplate-heavy
+    sources before they flatten a training mix. Occurrences use the
+    ``_all_ngrams`` floor (a short doc contributes its whole text once),
+    so every doc counts.
+
+    One pass: explode the n-gram stream, one aggregate per source with
+    ``count`` + ``count_distinct`` (Spark expands the distinct aggregate
+    to a two-stage plan with map-side partial distinct — never a
+    per-source collect). Integer ppm via integral division."""
+    g = fan_out(df).select(
+        F.col("source"), F.explode(_all_ngrams(F.col(text), n)).alias("_g")
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("_g").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr("(1000000 * distinct_ngrams) div total_ngrams").alias(
+                "diversity_ppm"
+            ),
+        )
+    )

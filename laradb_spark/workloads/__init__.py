@@ -89,6 +89,8 @@ _PRIORITY = [
     "token_apportionment",
     "gopher_funnel",
     "span_source_matrix",
+    "ngram_diversity",
+    "split_leakage",
     # (c) the r7-front promised by r6's test_registry: r6-new queries the
     # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
     # the r3-era stale-evidence rotations.
@@ -109,8 +111,8 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
-    # (d) fill: the oldest remaining driver rows (all r4-era). 17 of the
-    # 25 r4-latest queries fit; the other 8 lead the r8 window.
+    # (d) fill: the oldest remaining driver rows (all r4-era). 15 of the
+    # 25 r4-latest queries fit; the other 10 lead the r8 window.
     "approx_stats",
     "event_transitions",
     "event_trigram_paths",
@@ -126,11 +128,11 @@ _PRIORITY = [
     "purchase_attribution",
     "redact_pii_stats",
     "salted_lineitem_stats",
+    # --- front of the r8 window ---------------------------------------------
+    # the 10 r4-era stale-evidence rotations the 50-slot r7 window
+    # couldn't fit.
     "shuffle_shards_q",
     "source_drift_tv",
-    # --- front of the r8 window ---------------------------------------------
-    # the 8 r4-era stale-evidence rotations the 50-slot r7 window
-    # couldn't fit.
     "top_prices_with_ties",
     "train_val_split_stats",
     "trim_length_outliers",

@@ -1732,6 +1732,71 @@ SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
 """
 
 
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per source (distinct bigrams / occurrences, ppm)."""
+    return tx.ngram_diversity(load(spark, sf_dir, "documents"), n=2)
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT source, array_to_string(list_slice(toks, i, i + 1), ' ') AS gr
+  FROM t, LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS i)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT gr) AS BIGINT) AS distinct_ngrams,
+       CAST((1000000 * COUNT(DISTINCT gr)) // COUNT(*) AS BIGINT) AS diversity_ppm
+FROM g
+GROUP BY source
+"""
+
+
+_LEAK_FRAC = 0.1
+_LEAK_N = 5
+
+
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-val distinct-5-gram leakage over the deterministic hash split."""
+    return cu.split_leakage_report(
+        load(spark, sf_dir, "documents"), val_frac=_LEAK_FRAC, n=_LEAK_N
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - {_LEAK_N - 1}, 1) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + {_LEAK_N - 1}), ' ')))) AS gr
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {cu.BUCKETS}
+           < {int(_LEAK_FRAC * cu.BUCKETS)} AS is_val
+  FROM documents
+),
+vg AS (SELECT DISTINCT gr FROM g JOIN s USING (doc_id) WHERE is_val),
+tg AS (SELECT DISTINCT gr FROM g JOIN s USING (doc_id) WHERE NOT is_val),
+lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_grams
+       FROM vg WHERE gr IN (SELECT gr FROM tg)),
+vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS val_distinct_grams FROM vg)
+SELECT val_distinct_grams, leaked_grams,
+       CAST(CASE WHEN val_distinct_grams > 0
+            THEN (1000000 * leaked_grams) // val_distinct_grams
+            ELSE 0 END AS BIGINT) AS leakage_ppm
+FROM vc, lk
+"""
+
+
 def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped importance of each non-src0 doc toward the src0
     (target) hashed-n-gram distribution."""
@@ -1842,6 +1907,8 @@ QUERIES = {
     "token_apportionment": (token_apportionment_q, TOKEN_APPORTIONMENT_SQL),
     "gopher_funnel": (gopher_funnel_q, GOPHER_FUNNEL_SQL),
     "span_source_matrix": (span_source_matrix_q, SPAN_SOURCE_MATRIX_SQL),
+    "ngram_diversity": (ngram_diversity_q, NGRAM_DIVERSITY_SQL),
+    "split_leakage": (split_leakage_q, SPLIT_LEAKAGE_SQL),
     "strip_dup_spans": (strip_dup_spans_q, STRIP_DUP_SPANS_SQL),
     "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),

@@ -322,3 +322,38 @@ def test_token_apportionment_sums_to_budget_on_random_corpora(spark):
         for r in rows:
             fl = (budget * r.n_tokens) // total_tokens
             assert fl <= r.alloc_tokens <= fl + 1, f"seed {seed} {r}"
+
+
+def test_split_leakage_report_semantics(spark):
+    """Leakage replayed by hand: compute the same md5 split driver-side,
+    build the two distinct gram sets in Python, and demand the exact
+    counts — plus the boundary cases (empty val split → zeros)."""
+    import hashlib
+
+    from laradb_spark.pipelines.curation import BUCKETS, split_leakage_report
+
+    docs = [(i, f"w{i} common text here plus w{i} tail") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    frac, n = 0.3, 3
+
+    def bucket(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % BUCKETS
+
+    def grams(text):
+        toks = text.split(" ")
+        if len(toks) < n:
+            return {text}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    cut = int(frac * BUCKETS)
+    val_g, train_g = set(), set()
+    for did, text in docs:
+        (val_g if bucket(did) < cut else train_g).update(grams(text))
+    want = (len(val_g), len(val_g & train_g),
+            (1_000_000 * len(val_g & train_g)) // len(val_g) if val_g else 0)
+    row = split_leakage_report(df, val_frac=frac, n=n).collect()[0]
+    assert (row.val_distinct_grams, row.leaked_grams, row.leakage_ppm) == want
+    assert row.leaked_grams > 0  # the shared "common text here" grams leak
+    # empty val split: frac 0 → zeros, no div-by-zero
+    z = split_leakage_report(df, val_frac=0.0, n=n).collect()[0]
+    assert (z.val_distinct_grams, z.leaked_grams, z.leakage_ppm) == (0, 0, 0)

@@ -1169,3 +1169,24 @@ def test_strip_hash_path_above_cover_gate(spark):
            for r in strip_duplicate_spans(df, window=3).collect()}
     assert got[1] == ("", 0) and got[2] == ("", 0)   # hash path, fully stripped
     assert got[3] == ("d", 1) and got[4] == ("x", 1)  # scan path
+
+
+def test_ngram_diversity_semantics(spark):
+    """Hand-computed distinct-2: source A has 4 bigram occurrences of
+    which 3 distinct (750000 ppm); B is fully templated (1 distinct of
+    2 → 500000); a short doc floors to its whole text as one gram."""
+    from laradb_spark.pipelines.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b", "A"),     # bigrams: "a b","b a","a b" (3 occ, 2 distinct)
+            (2, "c d", "A"),         # "c d" (1 occ)
+            (3, "x y", "B"),
+            (4, "x y", "B"),         # same bigram again
+            (5, "solo", "C"),        # floors to whole-text gram "solo"
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.total_ngrams, r.distinct_ngrams, r.diversity_ppm)
+           for r in ngram_diversity(df, n=2).collect()}
+    assert got == {"A": (4, 3, 750000), "B": (2, 1, 500000), "C": (1, 1, 1000000)}

@@ -327,6 +327,7 @@ SINGLE_PARTITION_ALLOWED = {
     "corpus_clean",            # scalar report row
     "dsir_importance",         # 1-row T/R totals over the 4096-bucket hist
     "gopher_funnel",           # 1-row conditional-count aggregate → 4-row stack
+    "split_leakage",           # two 1-row distinct-set counts → one summary row
     "token_apportionment",     # sources-sized frame: 1-row total + whole-frame rank
     "event_funnel",            # three scalar counts
     "forward_fill_hourly",     # bounded time-grid series
