@@ -615,13 +615,20 @@ def split_leakage_report(
     of train text, not generalization). One summary row:
     (val_distinct_grams, leaked_grams, leakage_ppm).
 
-    Shape: both splits come from ONE corpus scan (the split column is a
-    map-side expression); each side reduces to its DISTINCT gram set
-    (hash aggregate), sized by vocabulary not corpus; the leak count is
-    a join of those two sets on the gram. Integer ppm; 0/0 → 0."""
+    Shape: the (split, gram) stream is computed ONCE and persisted —
+    its three consumers (val set, train set, val count) are distinct
+    subtrees, so without the persist each action would re-scan and
+    re-tokenize the corpus; each side then reduces to its DISTINCT gram
+    set (hash aggregate), sized by vocabulary not corpus; the leak
+    count is a join of those two sets on the gram. Integer ppm;
+    0/0 → 0."""
+    from ..util import persist_once
+
     split = hash_split(df, val_frac=val_frac, key=key)
-    grams = fan_out(split).select(
-        "split", F.explode(word_ngrams(F.col(text), n)).alias("_g")
+    grams = persist_once(
+        fan_out(split).select(
+            "split", F.explode(word_ngrams(F.col(text), n)).alias("_g")
+        )
     )
     val_g = grams.filter(F.col("split") == "val").select("_g").distinct()
     train_g = grams.filter(F.col("split") == "train").select("_g").distinct()

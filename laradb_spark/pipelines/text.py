@@ -501,7 +501,9 @@ def gopher_funnel(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def ngram_diversity(df: DataFrame, n: int = 2, text: str = "text") -> DataFrame:
+def ngram_diversity(
+    df: DataFrame, n: int = 2, text: str = "text", source_col: str = "source"
+) -> DataFrame:
     """Distinct-n diversity per source (Li et al. 2016's "distinct-n"
     at corpus granularity): distinct word n-grams ÷ total n-gram
     occurrences, in ppm — low values flag templated/boilerplate-heavy
@@ -514,16 +516,16 @@ def ngram_diversity(df: DataFrame, n: int = 2, text: str = "text") -> DataFrame:
     to a two-stage plan with map-side partial distinct — never a
     per-source collect). Integer ppm via integral division."""
     g = fan_out(df).select(
-        F.col("source"), F.explode(_all_ngrams(F.col(text), n)).alias("_g")
+        F.col(source_col), F.explode(_all_ngrams(F.col(text), n)).alias("_g")
     )
     return (
-        g.groupBy("source")
+        g.groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("total_ngrams"),
             F.count_distinct("_g").alias("distinct_ngrams"),
         )
         .select(
-            "source",
+            source_col,
             "total_ngrams",
             "distinct_ngrams",
             F.expr("(1000000 * distinct_ngrams) div total_ngrams").alias(
