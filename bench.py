@@ -67,6 +67,11 @@ HEADLINE = [
     "span_source_matrix",
     "ngram_diversity",
     "split_leakage",
+    # round-7 label/embedding QA audits (kNN noise benched via the
+    # vectorized brute-force neighbor source — the ANN-family precedent)
+    "knn_label_noise",
+    "semantic_decon",
+    "label_centroid_outliers",
 ]
 
 

@@ -73,6 +73,9 @@ def _batch_topk_prune(
     return scored.mapInPandas(prune, scored.schema)
 
 
+MANY_GROUPS_FACTOR = 8  # queries ≥ this × parallelism → plain window ranks
+
+
 def _topk_per_query(
     scored: DataFrame,
     query_id_col: str,
@@ -80,6 +83,7 @@ def _topk_per_query(
     k: int,
     rank_col: str = "rank",
     prebatch_prune: bool = False,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Per-query top-k over a ``(query_id, neighbor_id, score)`` frame via
     the two-phase ``grouped_rank`` (range partition → local row_number →
@@ -102,12 +106,38 @@ def _topk_per_query(
     whose scored frame is CORPUS-sized (brute force, SQ8,
     hard negatives). Candidate-pruned paths (LSH buckets, IVF lists) are
     already candidates-sized; a second Python stage there costs more
-    than it saves."""
+    than it saves.
+
+    ``n_queries`` (when the caller knows it — the vectorized scorers
+    collect the query matrix and do) flips MANY-query inputs to the
+    plain per-group window: with groups ≥ ``MANY_GROUPS_FACTOR`` ×
+    parallelism the window is already fully parallel, needs no persist
+    and no offset collect, and grouped_rank's offset table
+    (n_parts + n_groups − 1 rows) would only grow toward its
+    MAX_OFFSET_ROWS loud failure (corpus-wide audits: every vector is a
+    query). Pure cost selection, never semantics: the order
+    (score desc, neighbor_id asc) is total, so both formulations emit
+    bit-identical ranks — pinned by test_ann's parity test."""
     if prebatch_prune:
         scored = _batch_topk_prune(scored, query_id_col, score_col, k)
-    ranked = grouped_rank(
-        scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
-    )
+    spark = scored.sparkSession
+    if (
+        n_queries is not None
+        and n_queries
+        >= MANY_GROUPS_FACTOR * spark.sparkContext.defaultParallelism
+    ):
+        ranked = scored.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc(score_col), F.asc("neighbor_id")
+                )
+            ),
+        )
+    else:
+        ranked = grouped_rank(
+            scored, [query_id_col], [F.desc(score_col), F.asc("neighbor_id")]
+        )
     return (
         ranked.filter(F.col("_r") <= k)
         .select(query_id_col, "neighbor_id", F.col("_r").cast("int").alias(rank_col))
@@ -399,9 +429,9 @@ def sq8_topk_vectorized(
             yield batch_topk(qids, pdf["neighbor_id"].to_numpy(), S)
 
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, iscore double")
-    return _topk_per_query(scored, "query_id", "iscore", k).withColumnRenamed(
-        "query_id", query_id_col
-    )
+    return _topk_per_query(
+        scored, "query_id", "iscore", k, n_queries=len(qids)
+    ).withColumnRenamed("query_id", query_id_col)
 
 
 def brute_force_topk_vectorized(
@@ -451,9 +481,9 @@ def brute_force_topk_vectorized(
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double")
     # grouped_rank's persist also runs the ArrowEval scorer once, not
     # once per consumer (DEVNOTES #3).
-    return _topk_per_query(scored, "query_id", "cos", k).withColumnRenamed(
-        "query_id", query_id_col
-    )
+    return _topk_per_query(
+        scored, "query_id", "cos", k, n_queries=len(qids)
+    ).withColumnRenamed("query_id", query_id_col)
 
 
 # --- random-hyperplane LSH -----------------------------------------------------

@@ -39,6 +39,8 @@ def read_jsonl(
 
 
 def write_jsonl(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """JSON-lines sink; ``single_file`` coalesces to one part (small
+    exports only — it serializes the write through one task)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).json(path)
 
@@ -64,6 +66,8 @@ def write_orc(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    """ORC sink with optional hive-style ``partition_by`` layout (same
+    partition-pruning contract as the parquet Store path)."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -17,6 +17,11 @@ from ..table import LaraTable
 
 
 class LaraContext:
+    """Catalog facade: register parquet/CSV paths as named tables, hand
+    out LaraTable bindings, and front ``spark.sql`` over the registered
+    views — the engine's analogue of the reference's catalog + SQL front
+    door (RacoToAccumulo.kt's Scan name binding)."""
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._lara: dict[str, LaraTable] = {}

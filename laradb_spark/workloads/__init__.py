@@ -91,6 +91,9 @@ _PRIORITY = [
     "span_source_matrix",
     "ngram_diversity",
     "split_leakage",
+    "knn_label_noise",
+    "semantic_decon",
+    "label_centroid_outliers",
     # (c) the r7-front promised by r6's test_registry: r6-new queries the
     # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
     # the r3-era stale-evidence rotations.
@@ -125,12 +128,13 @@ _PRIORITY = [
     "orders_segment_at_day",
     "pack_sequences_q",
     "pagerank_supplier_part",
+    # --- front of the r8 window ---------------------------------------------
+    # the 13 stale-evidence rotations the 50-slot r7 window couldn't fit:
+    # three r4-era fills displaced by the late-r7 label-audit family plus
+    # the 10 r4-era rotations already queued.
     "purchase_attribution",
     "redact_pii_stats",
     "salted_lineitem_stats",
-    # --- front of the r8 window ---------------------------------------------
-    # the 10 r4-era stale-evidence rotations the 50-slot r7 window
-    # couldn't fit.
     "shuffle_shards_q",
     "source_drift_tv",
     "top_prices_with_ties",

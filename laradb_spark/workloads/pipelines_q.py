@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..pipelines import curation as cu
 from ..pipelines import dedup as dd
+from ..pipelines import labels as lb
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
 from ..util import persist_once
@@ -1901,6 +1902,109 @@ UNION ALL SELECT 4, 'alpha_words', n - k1 - k2 - k3, k4, n - k1 - k2 - k3 - k4 F
 """
 
 
+# ---------------------------------------------------------------------------
+# label / embedding-space QA audits (pipelines/labels.py)
+# ---------------------------------------------------------------------------
+
+KNN_AUDIT_K = 5
+SEMANTIC_DECON_TAU = 0.30
+SEMANTIC_DECON_LABEL = 9  # the "benchmark" slice of the embeddings table
+CENTROID_OUTLIER_TAU = 0.05
+
+
+def knn_label_noise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label audit over the whole embeddings table:
+    every vector is a query, its 5 exact-cosine neighbors vote, and
+    disagreement with the stored label flags a mislabel candidate. The
+    neighbor frame here is the exact brute-force scorer (oracle-scale
+    certification); at 100 TB the same audit consumes lsh_topk/ivf_topk
+    candidates instead — knn_label_audit never touches the vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    neighbors = sim.brute_force_topk_vectorized(emb, queries, k=KNN_AUDIT_K)
+    return lb.knn_label_audit(neighbors, emb.select("vec_id", "label"))
+
+
+KNN_AUDIT_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS nlabel,
+         list_cosine_similarity(q.vec, c.vec) AS cos
+  FROM v q, v c WHERE q.vec_id <> c.vec_id
+),
+knn AS (
+  SELECT qid, nlabel FROM (
+    SELECT qid, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+    FROM scored) WHERE rnk <= {KNN_AUDIT_K}
+),
+votes AS (SELECT qid, nlabel, COUNT(*) AS votes FROM knn GROUP BY 1, 2),
+maj AS (
+  SELECT qid, nlabel AS knn_label, votes FROM (
+    SELECT qid, nlabel, votes,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel ASC) AS r
+    FROM votes) WHERE r = 1
+)
+SELECT v.vec_id, v.label, maj.knn_label, CAST(maj.votes AS BIGINT) AS votes,
+       CAST(v.label <> maj.knn_label AS INT) AS mismatch
+FROM v JOIN maj ON v.vec_id = maj.qid
+"""
+
+
+def semantic_decon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus = labels 0-8, benchmark =
+    label 9; flag corpus vectors cosine-close to any benchmark vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lb.semantic_decontaminate(
+        emb.filter(F.col("label") != SEMANTIC_DECON_LABEL),
+        emb.filter(F.col("label") == SEMANTIC_DECON_LABEL),
+        tau=SEMANTIC_DECON_TAU,
+    )
+
+
+SEMANTIC_DECON_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+b AS (SELECT vec AS bvec FROM v WHERE label = {SEMANTIC_DECON_LABEL}),
+c AS (SELECT vec_id, vec FROM v WHERE label <> {SEMANTIC_DECON_LABEL})
+SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM c, b
+WHERE ROUND(list_cosine_similarity(c.vec, b.bvec), 6) >= {SEMANTIC_DECON_TAU}
+GROUP BY c.vec_id
+"""
+
+
+def label_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance audit over the embeddings table."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lb.label_centroid_outliers(emb, tau=CENTROID_OUTLIER_TAU)
+
+
+CENTROID_OUTLIER_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+e AS (
+  SELECT label, UNNEST(vec) AS x, UNNEST(range(1, len(vec) + 1)) AS pos FROM v
+),
+cent AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY 1, 2),
+cv AS (SELECT label, list(cx ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+sc AS (
+  SELECT v.label, ROUND(list_cosine_similarity(v.vec, cv.cvec), 6) AS cos
+  FROM v JOIN cv USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) FILTER (cos < {CENTROID_OUTLIER_TAU}) AS BIGINT) AS n_outliers
+FROM sc GROUP BY label
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
@@ -1963,4 +2067,7 @@ QUERIES = {
     "dedup_rate_by_source": (dedup_rate_by_source, DEDUP_RATE_SQL),
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
+    "knn_label_noise": (knn_label_noise_q, KNN_AUDIT_SQL),
+    "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
+    "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),
 }

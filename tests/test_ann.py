@@ -521,3 +521,27 @@ def test_ivf_append_index_serves_new_vectors(spark, clustered, tmp_path):
 
     cids = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cid=")]
     assert cids
+
+
+def test_many_query_window_rank_parity_with_grouped_rank(spark):
+    """_topk_per_query's many-queries gate (n_queries ≥ MANY_GROUPS_FACTOR
+    × parallelism → plain per-group window) is pure cost selection: the
+    rank order (score desc, neighbor_id asc) is total, so the window and
+    grouped_rank formulations must emit bit-identical rows — including
+    across score TIES, which range-partition boundaries could otherwise
+    split differently."""
+    import random
+
+    rng = random.Random(23)
+    # heavy ties: scores drawn from 5 distinct values across 40 queries
+    rows = [
+        (q, n, float(rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])))
+        for q in range(40)
+        for n in range(30)
+    ]
+    scored = spark.createDataFrame(rows, "query_id long, neighbor_id long, cos double")
+    via_grouped = sim._topk_per_query(scored, "query_id", "cos", 7, n_queries=None)
+    via_window = sim._topk_per_query(scored, "query_id", "cos", 7, n_queries=10**9)
+    assert sorted(map(tuple, via_grouped.collect())) == sorted(
+        map(tuple, via_window.collect())
+    )
