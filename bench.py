@@ -68,9 +68,10 @@ HEADLINE = [
     "ngram_diversity",
     "split_leakage",
     # round-7 label/embedding QA audits (kNN noise benched via the
-    # vectorized brute-force neighbor source — the ANN-family precedent)
+    # vectorized brute-force neighbor source, decon via its NumPy-matmul
+    # twin — the ANN-family precedent)
     "knn_label_noise",
-    "semantic_decon",
+    "semantic_decon_fast",
     "label_centroid_outliers",
 ]
 

@@ -126,6 +126,81 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_vectorized(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NumPy-matmul twin of ``semantic_decontaminate`` — same output
+    contract and oracle, Arrow-batched for the corpus-scale path (the
+    expression twin's interpreted per-pair HOF cosine measured 158x at
+    the 30x probe; this one does each batch against the whole benchmark
+    in one matmul and counts hits INSIDE the batch, so the operator
+    emits at most one (id, n_hits) row per corpus vector — nothing
+    pair-sized ever leaves the scorer).
+
+    The benchmark matrix is collected and L2-normalized once driver-side
+    (eval suites are small by definition — same bounded collect as the
+    vectorized top-k query matrix). The threshold compare mirrors the
+    expression twin's ``ROUND(cos, 6) >= tau`` with explicit HALF_UP
+    rounding (``sign * floor(abs * 1e6 + 0.5) / 1e6``) — NumPy's
+    ``round`` is banker's and would disagree on exact .5 boundaries.
+    As with every vectorized kernel here, NULL/non-finite embeddings
+    raise the uniform actionable error (the expression twin's
+    three-valued tolerance doesn't vectorize); zero-norm vectors score
+    0.0 against everything, matching ``cosine``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import CPU_LIGHT, dense_matrix_fn
+
+    out_schema = f"{id_col} long, n_hits long"
+    brows = benchmark.select(F.col(vec_col).cast("array<double>")).collect()
+    if not brows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    if any(r[0] is None or any(x is None for x in r[0]) for r in brows):
+        raise ValueError(
+            "semantic_decontaminate_vectorized: benchmark embeddings must be "
+            "non-null arrays (NULL vector/components found); filter upstream"
+        )
+    if len({len(r[0]) for r in brows}) != 1:
+        raise ValueError(
+            "semantic_decontaminate_vectorized: benchmark embeddings have mixed dims"
+        )
+    B = np.array([r[0] for r in brows], dtype=np.float64)
+    if not np.isfinite(B).all():
+        raise ValueError(
+            "semantic_decontaminate_vectorized: benchmark embeddings must be "
+            "finite (NaN/Inf found); filter or impute upstream"
+        )
+    bn = np.linalg.norm(B, axis=1, keepdims=True)
+    Bn = np.divide(B, bn, out=np.zeros_like(B), where=bn > 0)
+
+    c = fan_out(corpus, CPU_LIGHT).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    to_matrix = dense_matrix_fn(B.shape[1], "semantic_decontaminate_vectorized")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = to_matrix(pdf["cvec"])
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+            S = Cn @ Bn.T
+            R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            n = (R >= tau).sum(axis=1).astype(np.int64)
+            mask = n > 0
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[mask], "n_hits": n[mask]}
+            )
+
+    return c.mapInPandas(score, out_schema)
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

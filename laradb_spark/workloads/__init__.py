@@ -93,6 +93,7 @@ _PRIORITY = [
     "split_leakage",
     "knn_label_noise",
     "semantic_decon",
+    "semantic_decon_fast",
     "label_centroid_outliers",
     # (c) the r7-front promised by r6's test_registry: r6-new queries the
     # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
@@ -127,11 +128,11 @@ _PRIORITY = [
     "monthly_revenue_mom",
     "orders_segment_at_day",
     "pack_sequences_q",
-    "pagerank_supplier_part",
     # --- front of the r8 window ---------------------------------------------
-    # the 13 stale-evidence rotations the 50-slot r7 window couldn't fit:
-    # three r4-era fills displaced by the late-r7 label-audit family plus
+    # the 14 stale-evidence rotations the 50-slot r7 window couldn't fit:
+    # four r4-era fills displaced by the late-r7 label-audit family plus
     # the 10 r4-era rotations already queued.
+    "pagerank_supplier_part",
     "purchase_attribution",
     "redact_pii_stats",
     "salted_lineitem_stats",

@@ -1965,6 +1965,20 @@ def semantic_decon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decon_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy-matmul decon scorer — same flags as semantic_decon (the
+    HALF_UP ROUND mirror is explicit in the kernel), shares its oracle;
+    the Arrow-batched scale twin of the interpreted HOF cosine (the
+    expression path measured 158x at the 30x probe; this one holds the
+    benchmark matrix and counts hits inside each batch)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lb.semantic_decontaminate_vectorized(
+        emb.filter(F.col("label") != SEMANTIC_DECON_LABEL),
+        emb.filter(F.col("label") == SEMANTIC_DECON_LABEL),
+        tau=SEMANTIC_DECON_TAU,
+    )
+
+
 SEMANTIC_DECON_SQL = f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -2069,5 +2083,6 @@ QUERIES = {
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "knn_label_noise": (knn_label_noise_q, KNN_AUDIT_SQL),
     "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
+    "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),
 }

@@ -10,6 +10,7 @@ from laradb_spark.pipelines.labels import (
     label_centroid_outliers,
     label_centroids,
     semantic_decontaminate,
+    semantic_decontaminate_vectorized,
 )
 from laradb_spark.pipelines.similarity import brute_force_topk
 
@@ -138,3 +139,53 @@ def test_centroid_outliers_match_numpy(spark, emb):
         n_out = sum(1 for i in members if round(_cos(v[i], cent), 6) < tau)
         assert got[lab] == (len(members), n_out), lab
     assert sum(o for _, o in got.values()) > 0  # non-vacuous threshold
+
+
+def test_semantic_decon_twins_agree(spark, emb):
+    df, _, _ = emb
+    corpus = df.filter(F.col("label") != 0)
+    bench = df.filter(F.col("label") == 0)
+    expr = {
+        r.vec_id: r.n_hits
+        for r in semantic_decontaminate(corpus, bench, tau=0.2).collect()
+    }
+    fast = {
+        r.vec_id: r.n_hits
+        for r in semantic_decontaminate_vectorized(corpus, bench, tau=0.2).collect()
+    }
+    assert expr == fast
+
+
+def test_semantic_decon_vectorized_empty_benchmark(spark, emb):
+    df, _, _ = emb
+    empty = df.filter(F.col("label") == 999)
+    out = semantic_decontaminate_vectorized(df, empty, tau=0.2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "n_hits"]
+
+
+def test_semantic_decon_vectorized_rejects_null_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        semantic_decontaminate_vectorized(corpus, bench, tau=0.2)
+
+
+def test_semantic_decon_vectorized_zero_vectors_match_expr(spark):
+    # zero-norm on either side scores 0.0 against everything in BOTH twins
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (10, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    expr = {r.vec_id: r.n_hits for r in semantic_decontaminate(corpus, bench, 0.5).collect()}
+    fast = {
+        r.vec_id: r.n_hits
+        for r in semantic_decontaminate_vectorized(corpus, bench, 0.5).collect()
+    }
+    assert expr == fast == {1: 1}

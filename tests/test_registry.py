@@ -37,7 +37,7 @@ def test_changed_queries_inside_oracle_window():
         "dup_span_census", "strip_dup_spans", "dsir_importance",
         "token_apportionment", "gopher_funnel", "span_source_matrix",
         "ngram_diversity", "split_leakage", "knn_label_noise",
-        "semantic_decon", "label_centroid_outliers",
+        "semantic_decon", "semantic_decon_fast", "label_centroid_outliers",
         # the r7-front promised by r6: r6-new queries, the
         # fan_out-plan-changed dedup family, r3-era rotations
         "gopher_quality", "contamination_report", "dedup_minhash_lsh",
@@ -48,11 +48,12 @@ def test_changed_queries_inside_oracle_window():
         "topk_parts_per_brand", "tumbling_event_stats",
         "user_retention_cohorts",
     }
-    # r8 window front: the 13 stale-evidence rotations the 50-slot r7
-    # window could not fit (code unchanged since r4) — three fills were
+    # r8 window front: the 14 stale-evidence rotations the 50-slot r7
+    # window could not fit (code unchanged since r4) — four fills were
     # displaced by the late-r7 label-audit family.
     next_window = {
-        "purchase_attribution", "redact_pii_stats", "salted_lineitem_stats",
+        "pagerank_supplier_part", "purchase_attribution",
+        "redact_pii_stats", "salted_lineitem_stats",
         "shuffle_shards_q", "source_drift_tv",
         "top_prices_with_ties", "train_val_split_stats", "trim_length_outliers",
         "twap_value_by_user_type", "value_quantiles_by_type",
