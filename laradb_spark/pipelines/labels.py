@@ -73,14 +73,17 @@ def knn_label_audit(
         .groupBy(query_id_col, "_nlabel")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    # plurality with a deterministic tie-break: max over the lexicographic
-    # struct (votes asc, -label asc) picks highest votes, then lowest label.
+    # plurality with a deterministic tie-break: min over the lexicographic
+    # struct (-votes asc, label asc) picks highest votes, then lowest label.
+    # votes is always a count (bigint), so negating IT is safe for any
+    # label type — negating the LABEL (the old formulation) threw under
+    # ANSI mode for the common string-label case.
     maj = votes.groupBy(query_id_col).agg(
-        F.max_by(
+        F.min_by(
             F.struct(
                 F.col("_nlabel").alias("knn_label"), F.col("votes").alias("votes")
             ),
-            F.struct(F.col("votes"), (-F.col("_nlabel")).alias("_o")),
+            F.struct((-F.col("votes")).alias("_nv"), F.col("_nlabel")),
         ).alias("_m")
     )
     own = labels.select(F.col(id_col), F.col(label_col).alias("label"))

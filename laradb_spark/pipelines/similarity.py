@@ -126,6 +126,12 @@ def _topk_per_query(
         and n_queries
         >= MANY_GROUPS_FACTOR * spark.sparkContext.defaultParallelism
     ):
+        # persist here for the same reason grouped_rank does internally:
+        # the scored frame is usually an expensive Arrow scorer, and a
+        # downstream plan with multiple actions would re-execute it per
+        # consumer without the pin (DEVNOTES #3). Ranks are deterministic
+        # either way; this is purely a recompute guard.
+        scored = persist_once(scored)
         ranked = scored.withColumn(
             "_r",
             F.row_number().over(

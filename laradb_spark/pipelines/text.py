@@ -515,8 +515,14 @@ def ngram_diversity(
     ``count`` + ``count_distinct`` (Spark expands the distinct aggregate
     to a two-stage plan with map-side partial distinct — never a
     per-source collect). Integer ppm via integral division."""
+    # NULL text folds to '' BEFORE the gram stream so a NULL-text doc
+    # contributes the same single '' gram on every engine (the oracle
+    # mirrors with COALESCE; without it DuckDB's array_to_string yields a
+    # NULL gram that COUNT(DISTINCT) drops while Spark's concat_ws '' gram
+    # is counted — diverging diversity_ppm on NULL-bearing corpora).
     g = fan_out(df).select(
-        F.col(source_col), F.explode(_all_ngrams(F.col(text), n)).alias("_g")
+        F.col(source_col),
+        F.explode(_all_ngrams(F.coalesce(F.col(text), F.lit("")), n)).alias("_g"),
     )
     return (
         g.groupBy(source_col)

@@ -1740,11 +1740,14 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_DIVERSITY_SQL = """
 WITH t AS (
-  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  SELECT source,
+         list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '') AS toks
   FROM documents
 ),
 g AS (
-  SELECT source, array_to_string(list_slice(toks, i, i + 1), ' ') AS gr
+  -- COALESCE: array_to_string([]) is NULL in DuckDB but concat_ws([]) is
+  -- '' in Spark; both engines must count the empty-doc gram identically.
+  SELECT source, COALESCE(array_to_string(list_slice(toks, i, i + 1), ' '), '') AS gr
   FROM t, LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS i)
 )
 SELECT source,

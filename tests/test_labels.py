@@ -71,6 +71,23 @@ def test_knn_audit_vote_tie_breaks_to_smallest_label(spark):
     assert (row.knn_label, row.votes, row.mismatch) == (1, 2, 1)
 
 
+def test_knn_audit_string_labels_tie_break(spark):
+    # label_col is generic and string labels are the common case; the
+    # tie-break must not cast the label (ADVICE r7: unary minus on a
+    # string column throws under ANSI mode). Plurality tie between 'cat'
+    # and 'dog' -> smallest label 'cat'.
+    nbrs = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(0, "dog"), (10, "dog"), (11, "dog"), (12, "cat"), (13, "cat")],
+        "vec_id long, label string",
+    )
+    row = knn_label_audit(nbrs, labels).collect()[0]
+    assert (row.knn_label, row.votes, row.mismatch) == ("cat", 2, 1)
+
+
 def test_knn_audit_composes_with_any_neighbor_source(spark, emb):
     # the audit is frame-shaped, not scorer-shaped: feeding it a truncated
     # neighbor frame (as an LSH/IVF candidate set would produce) works and

@@ -1190,3 +1190,30 @@ def test_ngram_diversity_semantics(spark):
     got = {r.source: (r.total_ngrams, r.distinct_ngrams, r.diversity_ppm)
            for r in ngram_diversity(df, n=2).collect()}
     assert got == {"A": (4, 3, 750000), "B": (2, 1, 500000), "C": (1, 1, 1000000)}
+
+
+def test_ngram_diversity_null_text_matches_oracle(spark):
+    """NULL text folds to one '' gram on BOTH engines (ADVICE r7: Spark's
+    concat_ws counted an '' gram that DuckDB's NULL gram dropped from
+    COUNT(DISTINCT), diverging diversity_ppm on NULL-bearing corpora)."""
+    import duckdb
+    import pandas as pd
+
+    from laradb_spark.pipelines.text import ngram_diversity
+    from laradb_spark.workloads.pipelines_q import NGRAM_DIVERSITY_SQL
+
+    rows = [(1, None, "A"), (2, "a b a b", "A"), (3, None, "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.total_ngrams, r.distinct_ngrams, r.diversity_ppm)
+        for r in ngram_diversity(df, n=2).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(NGRAM_DIVERSITY_SQL).fetchall()
+    }
+    # A: NULL doc -> '' gram + 3 bigrams = 4 occ / 3 distinct; B: 1 occ ''.
+    assert got == want == {"A": (4, 3, 750000), "B": (1, 1, 1000000)}
