@@ -300,18 +300,67 @@ GROUP BY event_type
 """
 
 
-# --- approximate aggregates (rows-only: sketch internals are engine-specific) --
+# --- approximate aggregates, driver-certifiable ---------------------------------
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rsd=0.01 (not the 0.05 default): the checker's bound check asserts
-    ±5% vs the exact count, which is ~1σ at the default (observed a 6.4%
-    HLL deviation at sf0.001) but 5σ at rsd=0.01 — a bound that can't
-    flake, at a few extra KB of sketch."""
+    """Sketch aggregates with the error-bound check computed IN-PLAN, so
+    the oracle can certify them by hash instead of recording `no_oracle`
+    forever: the raw sketch values (engine-specific) never leave the
+    plan — what comes out is the exact counts (oracle-computable) plus
+    booleans stating the sketches landed inside their published bounds.
+
+    * ``ndv_within_5pct`` — approx_count_distinct at rsd=0.01 (NOT the
+      0.05 default: ±5% is ~5σ at rsd=0.01 vs the ~1σ coin-flip that
+      flaked 6.4% at sf0.001) within ±5% of the exact distinct count.
+    * ``p50_within_rank_eps`` — percentile_approx(accuracy=10000,
+      rank error ≤ n/10⁴) checked by re-ranking the returned value
+      against the data: |count(x ≤ med) − n/2| ≤ 0.01·n + 1, a 100×
+      slack over the guarantee (the +1 absorbs tiny-n discreteness).
+
+    Shape: one aggregate pass computes sketch + exact together; the
+    1-row result broadcasts back over a second scan for the rank count.
+    Two scans of one column each — no shuffle beyond the two aggregates."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    one = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_andv"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "_amed"
+        ),
+        F.count("l_extendedprice").alias("n_prices"),
     )
+    ranked = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(one))
+        .agg(
+            F.first("exact_orders").alias("exact_orders"),
+            F.first("n_prices").alias("n_prices"),
+            F.first("_andv").alias("_andv"),
+            F.first("_amed").alias("_amed"),
+            F.count_if(F.col("l_extendedprice") <= F.col("_amed")).alias("_rank"),
+        )
+    )
+    return ranked.select(
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("n_prices").cast("long").alias("n_prices"),
+        (
+            F.abs(F.col("_andv") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("ndv_within_5pct"),
+        (
+            F.abs(F.col("_rank") - 0.5 * F.col("n_prices"))
+            <= 0.01 * F.col("n_prices") + 1
+        ).alias("p50_within_rank_eps"),
+    )
+
+
+APPROX_STATS_SQL = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n_prices,
+       TRUE AS ndv_within_5pct,
+       TRUE AS p50_within_rank_eps
+FROM lineitem
+"""
 
 
 # --- multimodal features (fake codec is digest-derived → SQL-expressible) ------
@@ -347,6 +396,6 @@ QUERIES = {
     "events_json_stats": (events_json_stats, JSON_SQL),
     "raco_front_door_q": (raco_front_door_q, RACO_Q_SQL),
     "text_replace_map": (text_replace_map, REPLACE_SQL),
-    "approx_stats": (approx_stats, None),
+    "approx_stats": (approx_stats, APPROX_STATS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
 }

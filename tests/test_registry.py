@@ -82,8 +82,8 @@ def test_spec_shapes():
 
 def test_rows_only_queries_are_the_documented_ones():
     # every oracle-less query is a deliberate rows-only check, not an
-    # accidentally-dropped oracle
+    # accidentally-dropped oracle. As of r8 there are NONE: approx_stats
+    # (the last one) now emits in-plan bound booleans + exact counts the
+    # oracle states literally, so even the sketches hash-certify.
     no_oracle = {n for n, (_f, sql) in all_specs().items() if sql is None}
-    # approx_stats is the ONLY rows-only query (engine-specific sketches);
-    # ann_ivf_topk gained a real oracle (unrolled Lloyd rounds in SQL)
-    assert no_oracle == {"approx_stats"}
+    assert no_oracle == set()

@@ -55,31 +55,23 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def check_approx_stats(con, scols: list[str], srows: list[tuple]) -> list[str]:
-    """Sketch outputs can't hash-match an oracle, but they CAN be bounded:
-    approx_count_distinct (HLL++, rsd=0.01 — the query pins it down from
-    the 0.05 default precisely so this ±5% bound is ~5σ, not the ~1σ
-    coin-flip that flaked 6.4% at sf0.001) must land within 5% of the
-    exact distinct count, and percentile_approx (accuracy=10000 → rank
-    error ≤ n/10⁴) must land between the exact 45th and 55th percentiles.
-    Turns the one oracle-less aggregate from a permanent blind spot into a
-    checked claim."""
+    """approx_stats is now oracle-certified by hash (the query emits exact
+    counts plus in-plan bound booleans; the oracle states the expected
+    TRUEs as literals). This bound check stays as defense in depth: a
+    FALSE boolean should fail with a message that names the sketch, not
+    just an anonymous hash mismatch, and the exact count is re-derived
+    independently so a bug that breaks BOTH the in-plan exact and the
+    boolean the same way still gets caught."""
     row = dict(zip(scols, srows[0]))
-    exact_n, lo_p, hi_p = con.sql(
-        """
-        SELECT COUNT(DISTINCT l_orderkey),
-               quantile_disc(l_extendedprice, 0.45),
-               quantile_disc(l_extendedprice, 0.55)
-        FROM lineitem
-        """
-    ).fetchall()[0]
+    (exact_n,) = con.sql("SELECT COUNT(DISTINCT l_orderkey) FROM lineitem").fetchall()[0]
     errs = []
-    if not (0.95 * exact_n <= row["approx_orders"] <= 1.05 * exact_n):
+    if row["exact_orders"] != exact_n:
+        errs.append(f"exact_orders={row['exact_orders']} != DuckDB exact {exact_n}")
+    if row["ndv_within_5pct"] is not True:
+        errs.append("ndv_within_5pct is not TRUE: HLL++ rsd=0.01 sketch out of ±5%")
+    if row["p50_within_rank_eps"] is not True:
         errs.append(
-            f"approx_orders={row['approx_orders']} outside ±5% of exact {exact_n}"
-        )
-    if not (lo_p <= row["approx_median_price"] <= hi_p):
-        errs.append(
-            f"approx_median_price={row['approx_median_price']} outside exact p45..p55 [{lo_p}, {hi_p}]"
+            "p50_within_rank_eps is not TRUE: percentile_approx outside rank ±1%"
         )
     return errs
 
