@@ -515,6 +515,114 @@ def dsir_importance(
     )
 
 
+def train_quality_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+) -> DataFrame:
+    """Generatively-trained linear weights over the hashed feature space —
+    the in-engine trainer for ``quality_classifier_score``. Per-bucket
+    weight is the add-one-smoothed probability DIFFERENCE between the
+    positive (curated/high-quality seed) and negative (background) corpora
+    in ppm — the integer-exact stand-in for naive-Bayes log-odds (same
+    arithmetic discipline as ``dsir_importance``'s Δ table: a float log
+    would hash-diverge in the last ulp; the ppm difference ranks buckets
+    identically for the smoothed regime these histograms live in).
+
+    Output: exactly ``n_buckets`` rows ``(b, w)`` with ``w`` BIGINT ppm —
+    small enough to broadcast whole at any corpus scale. The offline
+    alternative (a fastText/logistic model trained elsewhere, quantized to
+    ppm ints) plugs into the same scorer; this trainer exists so the whole
+    FineWeb-Edu-style loop (seed → weights → score → filter) runs
+    in-engine with an exact SQL oracle."""
+    spark = pos.sparkSession
+    ph = (
+        _hashed_feature_stream(pos, text, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    nh = (
+        _hashed_feature_stream(neg, text, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    hist = (
+        buckets.join(ph, on="b", how="left")
+        .join(nh, on="b", how="left")
+        .select(
+            "b",
+            F.coalesce("pc", F.lit(0)).alias("pc"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    totals = hist.agg(F.sum("pc").alias("P"), F.sum("nc").alias("N"))
+    return hist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.expr(f"(CAST(1000000 AS DECIMAL(38,0)) * (pc + 1)) div (P + {n_buckets})")
+            - F.expr(f"(CAST(1000000 AS DECIMAL(38,0)) * (nc + 1)) div (N + {n_buckets})")
+        ).alias("w"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias_ppm: int = 0,
+    threshold_ppm: int = 0,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+) -> DataFrame:
+    """Learned quality-classifier inference (the FineWeb-Edu / DCLM filter
+    shape): score every document with a broadcast LINEAR model over its
+    hashed unigram+bigram features and flag keepers. ``weights`` is any
+    ``(b, w)`` frame — ``train_quality_weights`` output or an offline
+    fastText/logistic model quantized to ppm integers; missing buckets
+    score 0 so sparse external models work unchanged.
+
+    Output, one row per doc WITH features (token-less docs are absent,
+    like ``dsir_importance``): ``(doc_id, n_features, logit_ppm, keep)``
+    where ``logit_ppm = bias_ppm + (Σ_occ w_b(occ)) div n_features`` —
+    the per-feature mean (fastText's mean-of-embeddings normalization,
+    length-comparable) — and ``keep = logit_ppm >= threshold_ppm``.
+    The sigmoid is monotone, so thresholding the integer logit is exactly
+    thresholding the probability; keeping the arithmetic in BIGINT ppm
+    means a SQL oracle replays every score bit-for-bit.
+
+    Scale shape (100 TB): map-only scoring — the feature stream explodes
+    and hash-joins the broadcast weight table inside one stage (weights
+    ≤ n_buckets rows, a few KB); the only shuffle is the per-doc partial
+    sum (docs-sized, map-side combine). The corpus text never shuffles,
+    and no per-(doc, bucket) frame is materialized: Σ c_b·w_b is folded
+    as Σ over occurrences of w. No Python in the hot path — the whole
+    plan is whole-stage-codegen JVM, which is why (unlike the ANN/decon
+    family) there is no Arrow twin: an Arrow path could only re-implement
+    a slower version of this join+agg."""
+    occ = _hashed_feature_stream(df, text, n_buckets)
+    w = weights.select("b", F.col("w").cast("long").alias("_w"))
+    return (
+        occ.join(F.broadcast(w), on="b", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("_w", F.lit(0))).alias("_dot"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            (F.lit(bias_ppm) + F.expr("_dot div n_features")).alias("logit_ppm"),
+            (
+                F.lit(bias_ppm) + F.expr("_dot div n_features")
+                >= F.lit(threshold_ppm)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def token_apportionment(
     df: DataFrame,
     budget: int,

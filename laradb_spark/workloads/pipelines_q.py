@@ -16,6 +16,7 @@ from ..pipelines import dedup as dd
 from ..pipelines import labels as lb
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
+from ..pipelines import tokenizer as tk
 from ..util import persist_once
 from . import load
 
@@ -1852,6 +1853,93 @@ GROUP BY doc_id
 """
 
 
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the 40-merge demo BPE table (codegen
+    expression path; the Arrow twin handles 50k-merge real vocabs)."""
+    return tk.bpe_token_count(load(spark, sf_dir, "documents"))
+
+
+def _bpe_count_sql(merges: list[tuple[str, str]]) -> str:
+    """Replay the merge chain in DuckDB: same wrapped-symbol string, same
+    literal replaces in rank order (tokenizer.py's boundary-safe
+    representation was chosen precisely so RE2's no-lookaround dialect
+    can express it)."""
+    sep = tk.BPE_SEP
+    expr = (
+        f"regexp_replace(replace(word, '{sep}', ''), '(?s)(.)', '{sep}\\1{sep}', 'g')"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+s AS (SELECT doc_id, {expr} AS sym FROM w)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN sym = '' THEN 0
+                ELSE len(string_split(sym, '{sep}{sep}')) END) AS BIGINT) AS n_bpe_tokens
+FROM s GROUP BY doc_id
+"""
+
+
+BPE_TOKEN_COUNT_SQL = _bpe_count_sql(tk.DEMO_BPE_MERGES)
+
+
+_QC_POS = ("src0", "src1")
+
+
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu-shaped loop in-engine: train ppm linear weights with
+    src0+src1 as the curated positive seed vs the rest, then score and
+    flag EVERY document with the broadcast model."""
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source").isin(*_QC_POS))
+    neg = docs.filter(~F.col("source").isin(*_QC_POS))
+    w = cu.train_quality_weights(pos, neg)
+    return cu.quality_classifier_score(docs, w)
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         unnest(toks || list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM feats
+),
+ph AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS pc
+       FROM fb WHERE source IN {_QC_POS} GROUP BY b),
+nh AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nc
+       FROM fb WHERE source NOT IN {_QC_POS} GROUP BY b),
+bk AS (SELECT unnest(range(0, {_DSIR_B})) AS b),
+hist AS (
+  SELECT bk.b, COALESCE(pc, 0) AS pc, COALESCE(nc, 0) AS nc
+  FROM bk LEFT JOIN ph USING (b) LEFT JOIN nh USING (b)
+),
+tot AS (SELECT SUM(pc) AS p_tot, SUM(nc) AS n_tot FROM hist),
+w AS (
+  SELECT b,
+         CAST((1000000::HUGEINT * (pc + 1)) // (p_tot + {_DSIR_B})
+            - (1000000::HUGEINT * (nc + 1)) // (n_tot + {_DSIR_B}) AS BIGINT) AS w
+  FROM hist, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS logit_ppm,
+       CAST(CASE WHEN SUM(w.w) // COUNT(*) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM fb JOIN w USING (b)
+GROUP BY doc_id
+"""
+
+
 def token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder apportionment of a 10⁶-token budget across
     sources."""
@@ -2032,6 +2120,8 @@ QUERIES = {
     "split_leakage": (split_leakage_q, SPLIT_LEAKAGE_SQL),
     "strip_dup_spans": (strip_dup_spans_q, STRIP_DUP_SPANS_SQL),
     "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
+    "quality_classifier": (quality_classifier_q, QUALITY_CLASSIFIER_SQL),
+    "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
     "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),

@@ -259,6 +259,101 @@ def test_dsir_importance_replays_hashed_counts(spark):
     assert got[1][2] > got[2][2]  # target-like doc outranks the disjoint one
 
 
+def test_quality_classifier_replays_trained_weights(spark):
+    """The trained linear scorer is exactly reproducible from the recipe:
+    replay the md5 feature buckets, the add-one-smoothed ppm weight
+    diffs, and the per-doc mean logit in pure Python and demand equality
+    — and the positive-seed-like doc must score above the background-like
+    one, with `keep` thresholded at 0."""
+    import hashlib
+
+    from laradb_spark.pipelines.curation import (
+        DSIR_BUCKETS,
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    pos_rows = [(100, "good clean prose"), (101, "clean good text")]
+    neg_rows = [(200, "spam spam buy"), (201, "buy now spam")]
+    score_rows = [(1, "good clean text"), (2, "buy spam now"), (3, "")]
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    def feats(s):
+        toks = [w for w in s.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    pc, nc = {}, {}
+    for _, txt in pos_rows:
+        for f in feats(txt):
+            pc[bucket(f)] = pc.get(bucket(f), 0) + 1
+    for _, txt in neg_rows:
+        for f in feats(txt):
+            nc[bucket(f)] = nc.get(bucket(f), 0) + 1
+    P, N = sum(pc.values()), sum(nc.values())
+
+    def w(b):
+        return (1_000_000 * (pc.get(b, 0) + 1)) // (P + DSIR_BUCKETS) - (
+            1_000_000 * (nc.get(b, 0) + 1)
+        ) // (N + DSIR_BUCKETS)
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    want = {}
+    for did, txt in score_rows:
+        fs = feats(txt)
+        if not fs:
+            continue  # token-less doc: absent, like dsir_importance
+        dot = sum(w(bucket(f)) for f in fs)
+        logit = trunc_div(dot, len(fs))
+        want[did] = (len(fs), logit, int(logit >= 0))
+
+    weights = train_quality_weights(pos, neg)
+    got = {
+        r.doc_id: (r.n_features, r.logit_ppm, r.keep)
+        for r in quality_classifier_score(corpus, weights).collect()
+    }
+    assert got == want
+    assert got[1][1] > got[2][1]  # seed-like doc outscores the spam-like one
+    assert got[1][2] == 1 and got[2][2] == 0
+
+
+def test_quality_classifier_sparse_external_weights(spark):
+    """An offline-trained model quantized to ppm ints plugs into the same
+    scorer: missing buckets score 0 (left join + coalesce), bias and
+    threshold shift the keep decision. Weights pin exactly one unigram's
+    bucket, so the logit is hand-computable without the trainer."""
+    import hashlib
+
+    from laradb_spark.pipelines.curation import (
+        DSIR_BUCKETS,
+        quality_classifier_score,
+    )
+
+    b_good = int(hashlib.md5(b"good").hexdigest()[:8], 16) % DSIR_BUCKETS
+    weights = spark.createDataFrame([(b_good, 900)], "b long, w long")
+    corpus = spark.createDataFrame(
+        # "good good" -> feats: good, good, "good good" (3 features; the
+        # bigram hashes elsewhere) -> dot 1800 div 3 = 600
+        [(1, "good good"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_features, r.logit_ppm, r.keep)
+        for r in quality_classifier_score(
+            corpus, weights, bias_ppm=-100, threshold_ppm=200
+        ).collect()
+    }
+    assert got[1] == (3, 500, 1)
+    assert got[2] == (3, -100, 0)
+
+
 def test_token_apportionment_hamilton_semantics(spark):
     """Hand-computed largest-remainder apportionment: budget 10 over
     token counts 5/3/2 ⇒ exact proportional floors already sum to the
