@@ -47,8 +47,10 @@ HEADLINE = [
     "semantic_dedup_fast",
     "corpus_frequent_ngrams",
     "forward_fill_hourly",
-    # round-4 operators
-    "bm25_topk",
+    # round-4 operators (bm25 benched via its r8 Arrow sparse-tf twin —
+    # same floor-div chain, same oracle, bit-identical ranks; the
+    # expression path stays oracled as bm25_topk)
+    "bm25_topk_fast",
     "embedding_gram",
     "twap_value_by_user_type",
     # round-5 operators (SQ8 benched via its NumPy int-matmul twin — same

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..util import CPU_HEAVY, fan_out
+from ..util import CPU_HEAVY, fan_out, plan_size_bytes
 from .similarity import cosine
 
 
@@ -116,7 +116,13 @@ def semantic_decontaminate(
     Shape: the benchmark set (eval suites: thousands of rows) broadcasts
     whole; the corpus streams through one scan with a map-side count
     aggregate — no corpus shuffle, no N x N materialization beyond the
-    broadcast nested loop each batch already evaluates."""
+    broadcast nested loop each batch already evaluates.
+
+    COST WARNING: the per-pair HOF cosine runs interpreted and measured
+    158x slower than the matmul twin at the 30x probe — this is the
+    oracle-shaped reference; corpus-scale callers use
+    ``semantic_decontaminate_auto`` (size-gated) or the vectorized twin
+    directly."""
     b = benchmark.select(F.col(vec_col).cast("array<double>").alias("_bvec"))
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
@@ -202,6 +208,31 @@ def semantic_decontaminate_vectorized(
             )
 
     return c.mapInPandas(score, out_schema)
+
+
+SEMANTIC_DECON_MIN_BYTES = 2 << 20
+
+
+def semantic_decontaminate_auto(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cost-gated decon (the ``_assign_auto`` precedent): expression HOF
+    below ``SEMANTIC_DECON_MIN_BYTES`` of corpus plan size, NumPy matmul
+    above — the interpreted per-pair cosine measured 158x slower at the
+    30x probe (DEVNOTES #17), and nothing should pay that by accident.
+    Bit-identical hit flags on finite corpora (parity tests); the one
+    deliberate asymmetry is dirty input: the vectorized route raises the
+    uniform actionable error on NULL/non-finite embeddings where the
+    expression route silently no-hits them — at gate-tripping scale a
+    dirty embedding column should fail loudly, not quietly score 0."""
+    size = plan_size_bytes(corpus)
+    if size is not None and size < SEMANTIC_DECON_MIN_BYTES:
+        return semantic_decontaminate(corpus, benchmark, tau, id_col, vec_col)
+    return semantic_decontaminate_vectorized(corpus, benchmark, tau, id_col, vec_col)
 
 
 def label_centroids(

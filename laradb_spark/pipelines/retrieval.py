@@ -139,6 +139,92 @@ def bm25_topk(
     )
 
 
+def bm25_topk_fast(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow twin of ``bm25_topk`` — same integer floor-div chain
+    (``_score_terms``), same ranking, same oracle; bit-identical scores.
+
+    Why it's the scale path: the expression route explodes the corpus
+    into a TOKEN-OCCURRENCE stream and shuffles its (doc, term) profile
+    to build tf — a shuffle that scales with the vocabulary footprint of
+    100 TB of text. Only QUERY terms ever contribute to a score, so this
+    twin computes, per Arrow batch and per doc, exactly ``(dl, sparse
+    tf over the broadcast query-term set)`` with one Python pass over the
+    tokens (``tokenize_str`` — the tokens() contract, same split as the
+    postings the oracle replays). ONE docs-sized row leaves the scorer
+    per document (id, dl, matched terms+tfs); nothing token-sized ever
+    shuffles. Corpus scalars (n_docs, n_toks), per-term df, and the join
+    to the floor-div chain all derive from that frame in-plan, which is
+    what keeps the twin certified by the SAME SQL oracle instead of a
+    parallel reimplementation.
+
+    The docs-sized per-doc frame persists once (three consumers: corpus
+    scalars, df, scored stream — the DEVNOTES #3 Arrow-rerun guard)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    qterms = frozenset(
+        w for _, qtext in queries for w in tokenize_str(str(qtext))
+    )
+
+    def doc_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, dls, terms, tfs = [], [], [], []
+            for did, txt in zip(pdf["_id"], pdf["_txt"]):
+                toks = tokenize_str(txt or "")
+                if not toks:
+                    continue  # token-less docs are outside N, like explode
+                cnt: dict[str, int] = {}
+                for w in toks:
+                    if w in qterms:
+                        cnt[w] = cnt.get(w, 0) + 1
+                ids.append(did)
+                dls.append(len(toks))
+                terms.append(list(cnt.keys()))
+                tfs.append(list(cnt.values()))
+            if not ids:
+                # a batch of only token-less docs: an empty frame's list
+                # columns would infer float64 and break Arrow conversion
+                continue
+            yield pd.DataFrame({"id": ids, "dl": dls, "terms": terms, "tfs": tfs})
+
+    base = fan_out(docs).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    )
+    per_doc = persist_once(
+        base.mapInPandas(
+            doc_stats, "id long, dl long, terms array<string>, tfs array<long>"
+        )
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_toks")
+    )
+    hits = per_doc.select(
+        "id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("_z")
+    ).select(
+        "id", "dl", F.col("_z.terms").alias("term"), F.col("_z.tfs").alias("tf")
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = _query_terms_df(spark, queries)
+    scored = (
+        hits.join(F.broadcast(q), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+    )
+    agg = _score_terms(scored, id_col)
+    ranked = grouped_rank(agg, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+    return ranked.filter(F.col("_r") <= k).select(
+        "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
+    )
+
+
 def bm25_build_index(
     docs: DataFrame,
     path: str,

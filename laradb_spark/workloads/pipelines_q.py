@@ -1471,6 +1471,15 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), BM25_QUERIES, k=BM25_K)
 
 
+def bm25_topk_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow twin of bm25_topk: sparse per-doc query-term tfs computed in
+    one Python pass, docs-sized shuffle only — same floor-div chain, same
+    oracle, bit-identical scores."""
+    from ..pipelines.retrieval import bm25_topk_fast
+
+    return bm25_topk_fast(load(spark, sf_dir, "documents"), BM25_QUERIES, k=BM25_K)
+
+
 def _bm25_sql(queries=BM25_QUERIES, k=BM25_K) -> str:
     vals = ", ".join(
         f"({qid}, '{w}')" for qid, text in queries for w in dict.fromkeys(text.split())
@@ -2133,6 +2142,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_prefix_jaccard": (dedup_prefix_jaccard, DEDUP_JACCARD_SQL),
     "bm25_topk": (bm25_topk_q, _bm25_sql()),
+    "bm25_topk_fast": (bm25_topk_fast_q, _bm25_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_drift_tv": (source_drift_tv, SOURCE_DRIFT_SQL),

@@ -173,6 +173,28 @@ def test_semantic_decon_twins_agree(spark, emb):
     assert expr == fast
 
 
+def test_semantic_decon_auto_gate_routes_and_agrees(spark, emb, monkeypatch):
+    """The size gate is pure cost selection: both routes emit identical
+    hit flags, and the router picks expression below the byte threshold,
+    vectorized above (forced via a monkeypatched size estimate)."""
+    import laradb_spark.pipelines.labels as lbmod
+    from laradb_spark.pipelines.labels import semantic_decontaminate_auto
+
+    df, _, _ = emb
+    corpus = df.filter(F.col("label") != 0)
+    bench = df.filter(F.col("label") == 0)
+    small = {
+        (r.vec_id, r.n_hits)
+        for r in semantic_decontaminate_auto(corpus, bench, tau=0.2).collect()
+    }
+    monkeypatch.setattr(lbmod, "plan_size_bytes", lambda _df: 1 << 40)
+    big = {
+        (r.vec_id, r.n_hits)
+        for r in semantic_decontaminate_auto(corpus, bench, tau=0.2).collect()
+    }
+    assert small == big and len(small) > 0
+
+
 def test_semantic_decon_vectorized_empty_benchmark(spark, emb):
     df, _, _ = emb
     empty = df.filter(F.col("label") == 999)

@@ -755,6 +755,39 @@ def test_bm25_ranking_sanity(spark):
     assert all(s > 0 for _, s in out.values())
 
 
+def test_bm25_fast_twin_bit_identical_to_inline(spark, sf_dir):
+    """The Arrow twin (sparse per-doc query-term tfs, docs-sized shuffle)
+    must reproduce the expression path's integer scores and ranks exactly
+    — same _score_terms chain, so any divergence is a tokenization or
+    stats-assembly bug."""
+    from laradb_spark.pipelines.retrieval import bm25_topk, bm25_topk_fast
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg"), (3, "zzz-nohit")]
+    inline = sorted(map(tuple, bm25_topk(docs, queries, k=7).collect()))
+    fast = sorted(map(tuple, bm25_topk_fast(docs, queries, k=7).collect()))
+    assert inline == fast and len(inline) > 0
+
+
+def test_bm25_fast_twin_edge_docs(spark):
+    """Token-less and no-hit docs: outside N for avgdl on both paths;
+    repeated query terms in one query don't double-count."""
+    from laradb_spark.pipelines.retrieval import bm25_topk, bm25_topk_fast
+
+    rows = [
+        (1, "hash join hash"),
+        (2, ""),             # token-less: excluded from n_docs/n_toks
+        (3, "   "),          # whitespace-only: ditto
+        (4, "scan filter"),  # no query term but counts toward avgdl
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(9, "hash hash join")]  # dup term: deduped by contract
+    inline = sorted(map(tuple, bm25_topk(df, queries, k=10).collect()))
+    fast = sorted(map(tuple, bm25_topk_fast(df, queries, k=10).collect()))
+    assert inline == fast
+    assert {t[1] for t in fast} == {1}
+
+
 def test_time_weighted_avg_hand_computed(spark):
     from laradb_spark.operators.timeseries import time_weighted_avg
 
