@@ -75,6 +75,10 @@ HEADLINE = [
     "knn_label_noise",
     "semantic_decon_fast",
     "label_centroid_outliers",
+    # round-8 operators
+    "quality_classifier",
+    "bpe_token_count",
+    "approx_stats",
 ]
 
 

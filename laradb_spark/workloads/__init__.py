@@ -63,75 +63,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r7 window head (the driver oracles the FIRST 50) -------------------
-    # (a) changed in r7: the NaN-score fold (cosine/_assign nanvl,
-    # quantize_sq8 non-finite guard, semantic-dedup pair filter) touches
-    # every expression ANN path and both semantic-dedup twins; bigram_lm
-    # gets the DECIMAL(38,0) ppm numerator. Values identical on finite
-    # data (checker-green at sf0.01 this round), but changed plans
-    # re-earn driver rows.
-    "ann_brute_force",
-    "ann_sq8_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "hard_negatives",
-    "semantic_dedup",
-    "semantic_dedup_fast",
-    "dedup_embedding",
-    "bigram_lm",
-    # (b) NEW in r7 (no driver row yet): exact-substring duplicate-span
-    # census + strip (Lee et al. 2022 shape) and DSIR-shaped importance
-    # scoring.
-    "dup_span_census",
-    "strip_dup_spans",
-    "dsir_importance",
-    "token_apportionment",
-    "gopher_funnel",
-    "span_source_matrix",
-    "ngram_diversity",
-    "split_leakage",
-    "knn_label_noise",
-    "semantic_decon",
-    "semantic_decon_fast",
-    "label_centroid_outliers",
-    # (c) the r7-front promised by r6's test_registry: r6-new queries the
-    # r6 window couldn't fit, the fan_out-plan-changed dedup family, and
-    # the r3-era stale-evidence rotations.
-    "gopher_quality",
-    "contamination_report",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_simhash_fast",
-    "decontaminate_docs",
-    "supplier_copart_triangles",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "topk_parts_per_brand",
-    "tumbling_event_stats",
-    "user_retention_cohorts",
-    # (d) fill: the oldest remaining driver rows (all r4-era). 15 of the
-    # 25 r4-latest queries fit; the other 10 lead the r8 window.
+    # --- r8 window head (the driver oracles the FIRST 50) -------------------
+    # (a) NEW in r8 (no driver row yet): the learned quality classifier,
+    # BPE merge application, and the Arrow sparse-tf BM25 twin.
+    # (b) CHANGED in r8: approx_stats (reshaped to bounds-booleans with a
+    # real oracle — previously the perpetual no_oracle row), ngram_diversity
+    # (NULL-text fold, oracle COALESCE), knn_label_noise (ANSI-safe string
+    # tie-break + the many-groups rank branch now persists).
+    # (c) the 14 r4-era stale rotations VERDICT r7 #7 queued.
+    # (d) fill: the 30 alphabetically-first r5-era rows.
+    "quality_classifier",
+    "bpe_token_count",
+    "bm25_topk_fast",
     "approx_stats",
-    "event_transitions",
-    "event_trigram_paths",
-    "grouping_sets_revenue",
-    "mad_outliers_by_type",
-    "median_value_by_type",
-    "mix_sources_counts",
-    "moments_by_type",
-    "monthly_revenue_mom",
-    "orders_segment_at_day",
-    "pack_sequences_q",
-    # --- front of the r8 window ---------------------------------------------
-    # the 14 stale-evidence rotations the 50-slot r7 window couldn't fit:
-    # four r4-era fills displaced by the late-r7 label-audit family plus
-    # the 10 r4-era rotations already queued.
+    "ngram_diversity",
+    "knn_label_noise",
     "pagerank_supplier_part",
     "purchase_attribution",
     "redact_pii_stats",
@@ -146,7 +92,6 @@ _PRIORITY = [
     "value_spikes_by_type",
     "value_variance_by_type",
     "vocab_coverage",
-    # --- tail: green driver rows on current code (r5/r6-certified) ----------
     "all_account_balances",
     "asof_last_order",
     "cube_order_stats",
@@ -177,6 +122,8 @@ _PRIORITY = [
     "q20_promo_suppliers",
     "q21_sole_fault_suppliers",
     "q22_idle_rich_customers",
+    # --- front of the r9 window: the r5-era rows the 50-slot r8 window
+    # --- couldn't fit (after r8 no row should be older than r5).
     "q2_cheapest_part_per_type",
     "q6_forecast_revenue",
     "q7_nation_volume",
@@ -189,39 +136,69 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
+    # --- tail: r6/r7-certified on current code; fall out harmlessly ---
+    "ann_brute_force",
     "ann_brute_force_fast",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
     "ann_sq8_fast",
+    "ann_sq8_topk",
+    "bigram_lm",
     "bm25_topk",
     "cap_docs_per_source",
     "chunk_documents_q",
+    "contamination_report",
     "corpus_clean",
     "corpus_frequent_ngrams",
     "cross_source_dup_matrix",
     "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
+    "decontaminate_docs",
     "dedup_components",
+    "dedup_embedding",
     "dedup_exact",
     "dedup_keep_representatives",
     "dedup_lsh_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
     "dedup_rate_by_source",
+    "dedup_simhash",
+    "dedup_simhash_fast",
     "doc_boilerplate_ppm",
+    "dsir_importance",
+    "dup_span_census",
     "embedding_gram",
     "event_funnel",
+    "event_transitions",
+    "event_trigram_paths",
     "events_daily_pivot",
     "events_daily_users",
     "events_dow_hour_heatmap",
     "events_json_stats",
     "forward_fill_hourly",
     "fuzzy_part_pairs",
+    "gopher_funnel",
+    "gopher_quality",
+    "grouping_sets_revenue",
+    "hard_negatives",
+    "label_centroid_outliers",
     "lara_matmul_event_gram",
     "lara_union_max",
     "lara_union_revenue",
     "lara_wordcount",
     "lara_wordcount_py",
+    "mad_outliers_by_type",
+    "median_value_by_type",
+    "mix_sources_counts",
+    "moments_by_type",
+    "monthly_revenue_mom",
     "orders_quality_report",
+    "orders_segment_at_day",
+    "pack_sequences_q",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -230,12 +207,30 @@ _PRIORITY = [
     "rollup_returns",
     "running_customer_totals",
     "scd2_customer_segments",
+    "semantic_decon",
+    "semantic_decon_fast",
+    "semantic_dedup",
+    "semantic_dedup_fast",
     "sensor_covariance_events",
     "session_window_stats",
     "sessionize_events",
     "sliding_event_stats",
+    "span_source_matrix",
+    "split_leakage",
     "sql_front_door_q",
+    "strip_dup_spans",
+    "supplier_copart_triangles",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
     "tfidf_top_terms",
+    "token_apportionment",
+    "topk_parts_per_brand",
+    "tumbling_event_stats",
+    "user_retention_cohorts",
 ]
 
 

@@ -25,39 +25,32 @@ def test_changed_queries_inside_oracle_window():
     # them next. This test pins the current allocation so a registry
     # edit can't silently drop a changed query out of both windows.
     changed_in_window = {
-        # changed in r7: the NaN-score fold (cosine/_assign nanvl,
-        # quantize_sq8 non-finite guard, semantic-dedup pair filter)
-        # touches every expression ANN path and both semantic-dedup
-        # twins; bigram_lm gets the DECIMAL(38,0) ppm numerator
-        "ann_brute_force", "ann_sq8_topk", "ann_lsh_topk",
-        "ann_lsh_multiprobe", "ann_ivf_topk", "hard_negatives",
-        "semantic_dedup", "semantic_dedup_fast", "dedup_embedding",
-        "bigram_lm",
-        # new in r7 — no driver row yet
-        "dup_span_census", "strip_dup_spans", "dsir_importance",
-        "token_apportionment", "gopher_funnel", "span_source_matrix",
-        "ngram_diversity", "split_leakage", "knn_label_noise",
-        "semantic_decon", "semantic_decon_fast", "label_centroid_outliers",
-        # the r7-front promised by r6: r6-new queries, the
-        # fan_out-plan-changed dedup family, r3-era rotations
-        "gopher_quality", "contamination_report", "dedup_minhash_lsh",
-        "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
-        "decontaminate_docs", "supplier_copart_triangles",
-        "text_fingerprint", "text_langid", "text_normalize",
-        "text_quality", "text_repetition", "text_token_counts",
-        "topk_parts_per_brand", "tumbling_event_stats",
-        "user_retention_cohorts",
-    }
-    # r8 window front: the 14 stale-evidence rotations the 50-slot r7
-    # window could not fit (code unchanged since r4) — four fills were
-    # displaced by the late-r7 label-audit family.
-    next_window = {
+        # NEW in r8 (no driver row yet): the learned quality classifier,
+        # BPE merge application, the Arrow sparse-tf BM25 twin
+        "quality_classifier", "bpe_token_count", "bm25_topk_fast",
+        # CHANGED in r8: approx_stats gained a real oracle (bounds-boolean
+        # reshape — the formerly perpetual no_oracle row); ngram_diversity
+        # folds NULL text and its oracle COALESCEs; knn_label_noise got the
+        # ANSI-safe string-label tie-break and the persisted rank branch
+        "approx_stats", "ngram_diversity", "knn_label_noise",
+        # the 14 r4-era stale-evidence rotations VERDICT r7 #7 queued
         "pagerank_supplier_part", "purchase_attribution",
         "redact_pii_stats", "salted_lineitem_stats",
         "shuffle_shards_q", "source_drift_tv",
-        "top_prices_with_ties", "train_val_split_stats", "trim_length_outliers",
-        "twap_value_by_user_type", "value_quantiles_by_type",
-        "value_spikes_by_type", "value_variance_by_type", "vocab_coverage",
+        "top_prices_with_ties", "train_val_split_stats",
+        "trim_length_outliers", "twap_value_by_user_type",
+        "value_quantiles_by_type", "value_spikes_by_type",
+        "value_variance_by_type", "vocab_coverage",
+    }
+    # r9 window front: the 12 r5-era rows the 50-slot r8 window could not
+    # fit (code unchanged since r5; after r9 no driver row predates r6).
+    next_window = {
+        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+        "q9_profit_by_nation_year", "raco_front_door_q",
+        "repeat_customers_96_97", "small_quantity_revenue",
+        "status_except_all", "suppliers_without_recent_sales",
+        "text_replace_map", "unpivot_order_measures",
+        "q2_cheapest_part_per_type",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -67,7 +60,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "stale-evidence r4-era queries must lead the r8 window: "
+        "r5-era stale rows must lead the r9 window: "
         f"{next_window ^ next_slots}"
     )
 
