@@ -653,8 +653,6 @@ def token_apportionment(
     ``budget·t_s`` product uses a DECIMAL(38,0) intermediate (oracle:
     HUGEINT): both factors can be ~10¹³ at 100 TB, and their product
     overflows int64 at ~9.2e18."""
-    if budget < 0:
-        raise ValueError("budget must be >= 0")
     per_src = (
         fan_out(df)
         .groupBy(source_col)
@@ -663,6 +661,23 @@ def token_apportionment(
             F.sum(F.size(tokens(F.col(text))).cast("long")).alias("n_tokens"),
         )
     )
+    return apportion_token_counts(per_src, budget, source_col)
+
+
+def apportion_token_counts(
+    per_src: DataFrame,
+    budget: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """The Hamilton largest-remainder core of ``token_apportionment``,
+    factored over a pre-aggregated ``(source, n_docs, n_tokens)`` frame
+    so ANY token counter drives the same integer-exact allocation —
+    whitespace counts (``token_apportionment``), real BPE counts
+    (``bpe_token_apportionment_q``), or an offline tokenizer's exported
+    per-source totals. Same output contract and overflow discipline as
+    the wrapper (see its docstring)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
     tot = per_src.agg(F.sum("n_tokens").alias("t_tot"))
     staged = per_src.crossJoin(F.broadcast(tot)).select(
         source_col,

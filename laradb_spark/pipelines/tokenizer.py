@@ -122,6 +122,35 @@ def bpe_token_count(
     )
 
 
+def bpe_tokens_per_source(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    source_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-source BPE token totals ``(source, n_docs, n_tokens)`` — the
+    frame ``curation.apportion_token_counts`` apportions a budget over,
+    replacing the whitespace approximation with real merge-table counts
+    in mixture planning. ``n_docs`` counts EVERY doc of the source
+    (token-less ones hold 0 tokens but exist); the counts come off the
+    same codegen'd exploded-word chain as ``bpe_token_count``."""
+    merges = DEMO_BPE_MERGES if merges is None else merges
+    n_docs = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = fan_out(df).select(
+        F.col(source_col), F.explode(tokens(F.col(text))).alias("_w")
+    )
+    n_toks = (
+        w.select(source_col, _symbol_count(_word_symbols(F.col("_w"), merges)).alias("_c"))
+        .groupBy(source_col)
+        .agg(F.sum("_c").alias("n_tokens"))
+    )
+    return n_docs.join(n_toks, on=source_col, how="left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,
@@ -147,6 +176,27 @@ def bpe_encode(
         )
     )
     return df.select("doc_id", toks.alias(out_col))
+
+
+def bpe_save_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist a merge table as the shareable artifact ``(rank, a, b)``
+    — the tokenizer analogue of the stored ANN/BM25 index layouts: train
+    once (offline or via the test-suite trainer), apply everywhere.
+    Rank IS the file's authority on order; row order on disk is not."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a ``bpe_save_merges`` artifact back into rank order. The
+    merge list is vocabulary-sized (tens of KB at 50k merges) — a
+    bounded driver-side collect by construction."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.a, r.b) for r in rows]
 
 
 def bpe_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:

@@ -1979,6 +1979,57 @@ FROM st, l
 """
 
 
+def bpe_token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton apportionment of the same 10⁶-token budget, but over REAL
+    BPE token counts (demo merge table) instead of the whitespace
+    approximation — the integration VERDICT r7 #3 flagged as missing."""
+    per_src = tk.bpe_tokens_per_source(load(spark, sf_dir, "documents"))
+    return cu.apportion_token_counts(per_src, budget=_APPORTION_BUDGET)
+
+
+def _bpe_apportionment_sql(merges: list[tuple[str, str]]) -> str:
+    sep = tk.BPE_SEP
+    expr = (
+        f"regexp_replace(replace(word, '{sep}', ''), '(?s)(.)', '{sep}\\1{sep}', 'g')"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    return f"""
+WITH w AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+sy AS (SELECT source, {expr} AS sym FROM w),
+cnt AS (
+  SELECT source,
+         SUM(CASE WHEN sym = '' THEN 0
+             ELSE len(string_split(sym, '{sep}{sep}')) END) AS n_tokens
+  FROM sy GROUP BY source
+),
+d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+s AS (
+  SELECT d.source, d.n_docs, CAST(COALESCE(cnt.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM d LEFT JOIN cnt USING (source)
+),
+t AS (SELECT SUM(n_tokens) AS t_tot FROM s),
+st AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(CASE WHEN t_tot > 0 THEN (1000000::HUGEINT * n_tokens) // t_tot ELSE 0 END AS BIGINT) AS share_ppm,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * n_tokens) // t_tot ELSE 0 END AS BIGINT) AS fl,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * n_tokens) % t_tot ELSE 0 END AS BIGINT) AS rem
+  FROM s, t
+),
+l AS (SELECT CASE WHEN MAX(n_tokens) > 0 THEN {_APPORTION_BUDGET} - SUM(fl) ELSE 0 END AS leftover FROM st)
+SELECT source, n_docs, n_tokens, share_ppm,
+       CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) <= leftover
+                 THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM st, l
+"""
+
+
+BPE_TOKEN_APPORTIONMENT_SQL = _bpe_apportionment_sql(tk.DEMO_BPE_MERGES)
+
+
 def gopher_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential Gopher-rule filter-funnel report (4 stage rows)."""
     return tx.gopher_funnel(load(spark, sf_dir, "documents"))
@@ -2131,6 +2182,10 @@ QUERIES = {
     "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
     "quality_classifier": (quality_classifier_q, QUALITY_CLASSIFIER_SQL),
     "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
+    "bpe_token_apportionment": (
+        bpe_token_apportionment_q,
+        BPE_TOKEN_APPORTIONMENT_SQL,
+    ),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
     "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),

@@ -71,3 +71,24 @@ def test_text_quality_streams(spark, doc_dir):
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
     finally:
         q.stop()
+
+
+def test_quality_classifier_scores_streams(spark, doc_dir):
+    """Classifier inference is a stream-static broadcast join + one
+    streaming aggregate: offline-trained (static) weights score a
+    readStream exactly as the batch plan — the FineWeb-style filter
+    drops into an ingest pipeline unchanged."""
+    batch_docs = spark.read.parquet(doc_dir)
+    pos = batch_docs.filter(F.col("source") == "src0")
+    neg = batch_docs.filter(F.col("source") != "src0")
+    weights = cu.train_quality_weights(pos, neg)
+
+    batch = cu.quality_classifier_score(batch_docs, weights)
+    stream = cu.quality_classifier_score(_stream(spark, doc_dir), weights)
+    assert stream.isStreaming
+    q = run_stream_to_memory(stream, "clf_out", "complete")
+    try:
+        got = spark.sql("SELECT * FROM clf_out").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
+    finally:
+        q.stop()

@@ -143,6 +143,56 @@ def test_bpe_encode_preserves_token_order(spark):
     assert row.bpe_tokens == ["low", "er", "low", "er"]
 
 
+def test_merge_table_roundtrip(spark, tmp_path):
+    """Stored merge artifact: save → load preserves rank order exactly
+    (rank column is the authority, not file row order), and applying the
+    loaded table reproduces the original counts."""
+    from laradb_spark.pipelines.tokenizer import bpe_load_merges, bpe_save_merges
+
+    merges = train_bpe(["the cat sat on the mat", "a cattle call"], 10)
+    p = str(tmp_path / "merges")
+    bpe_save_merges(spark, merges, p)
+    assert bpe_load_merges(spark, p) == merges
+    df = spark.createDataFrame([(1, "the cattle sat")], "doc_id long, text string")
+    a = bpe_token_count(df, merges).collect()
+    b = bpe_token_count(df, bpe_load_merges(spark, p)).collect()
+    assert a == b
+
+
+def test_bpe_tokens_per_source_counts_and_apportionment(spark):
+    """Per-source totals replay the Python sweep; token-less docs count
+    toward n_docs with 0 tokens; the Hamilton core over BPE counts sums
+    exactly to the budget."""
+    from laradb_spark.pipelines.curation import apportion_token_counts
+    from laradb_spark.pipelines.tokenizer import bpe_tokens_per_source
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    rows = [
+        (1, "lower lower", "A"),
+        (2, "", "A"),          # token-less: n_docs yes, 0 tokens
+        (3, "er", "B"),
+        (4, "xyz lower", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    per_src = bpe_tokens_per_source(df, merges)
+    got = {r.source: (r.n_docs, r.n_tokens) for r in per_src.collect()}
+    want = {}
+    for _, txt, src in rows:
+        nd, nt = want.get(src, (0, 0))
+        want[src] = (
+            nd + 1,
+            nt
+            + sum(
+                len(bpe_encode_str_sweep(w, merges))
+                for w in txt.split(" ")
+                if w
+            ),
+        )
+    assert got == want
+    alloc = apportion_token_counts(per_src, budget=101).collect()
+    assert sum(r.alloc_tokens for r in alloc) == 101
+
+
 def test_demo_merges_compress_the_corpus(spark):
     """On real sf0.001 documents the learned table must strictly compress
     vs characters and stay >= word count (merging never crosses words)."""
