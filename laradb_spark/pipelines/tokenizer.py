@@ -178,6 +178,124 @@ def bpe_encode(
     return df.select("doc_id", toks.alias(out_col))
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BPE TRAINING (the classic Sennrich procedure, no
+    end-of-word marker): learn ``n_merges`` merges from the corpus —
+    most-frequent adjacent symbol pair per round, ties broken to the
+    lexicographically smallest pair, all deterministic.
+
+    Scale shape (the pagerank-style driver loop): the corpus tokenizes
+    ONCE into a persisted ``(word, count)`` VOCAB frame — distinct words,
+    not occurrences; Zipf makes this vocabulary-sized however big the
+    corpus is. Each round is then two small jobs over the vocab frame:
+    one pair-count aggregate (explode adjacent pairs weighted by word
+    count, map-side combine) and one deterministic argmax collected to
+    the driver (2 values), after which the symbol arrays rewrite via one
+    map-only ``transform`` and the new frame persists (old one
+    unpersists — the Lloyd-loop discipline). n_merges sequential rounds
+    is inherent to BPE (merge k+1's counts depend on merge k's rewrite).
+
+    Rewrite semantics match ``_merge_once`` exactly (left-to-right
+    non-overlapping), so the learned table replays bit-for-bit through
+    every apply path; the pure-Python test trainer is the oracle."""
+    from ..util import persist_once
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    vocab = persist_once(
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            # codepoint-safe char split: the proven (?s)(.) trick from the
+            # apply path (a lookaround split can land inside a surrogate
+            # pair); empties filtered so a reserved-char-only word is []
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("_w"), BPE_SEP, ""),
+                        "(?s)(.)",
+                        "$1" + BPE_SEP,
+                    ),
+                    BPE_SEP,
+                ),
+                lambda s: s != F.lit(""),
+            ).alias("syms"),
+            "c",
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        F.slice(
+                            F.col("syms"),
+                            2,
+                            F.greatest(F.size("syms") - 1, F.lit(0)),
+                        ),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b")).limit(1).collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        merged = F.lit(a + b)
+        old = vocab
+        # left-to-right non-overlapping rewrite as an aggregate fold over
+        # the symbol array: carry (out_array, skip_next) through the fold
+        vocab = persist_once(
+            old.select(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("syms"),
+                        F.concat(F.slice(F.col("syms"), 2, F.size("syms")), F.array(F.lit(None).cast("string"))),
+                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                    F.struct(
+                        F.expr("CAST(array() AS array<string>)").alias("out"),
+                        F.lit(False).alias("skip"),
+                    ),
+                    lambda acc, s: F.when(acc["skip"], F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")))
+                    .when(
+                        (s["x"] == F.lit(a)) & (s["y"].eqNullSafe(F.lit(b))),
+                        F.struct(
+                            F.concat(acc["out"], F.array(merged)).alias("out"),
+                            F.lit(True).alias("skip"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(s["x"])).alias("out"),
+                            F.lit(False).alias("skip"),
+                        )
+                    ),
+                    lambda acc: acc["out"],
+                ).alias("syms"),
+                "c",
+            )
+        )
+        old.unpersist()
+    vocab.unpersist()
+    return merges
+
+
 def bpe_save_merges(
     spark, merges: list[tuple[str, str]], path: str
 ) -> None:

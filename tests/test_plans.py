@@ -324,6 +324,12 @@ def test_embedding_gram_shuffles_cells_not_rows(spark, sfq):
 SINGLE_PARTITION_ALLOWED = {
     "approx_stats",            # one-row sketch aggregate
     "bm25_topk",               # query-term/stats scalar flows
+    "bm25_topk_fast",          # same scalar flows (n_docs/n_toks 1-row agg,
+                               # query-terms-sized df) over the Arrow twin
+    "quality_classifier",      # trainer totals: 1-row P/N aggregate over the
+                               # 4096-bucket histogram spine
+    "bpe_token_apportionment", # sources-sized Hamilton tail (1-row total +
+                               # whole-frame rank), same as token_apportionment
     "corpus_clean",            # scalar report row
     "dsir_importance",         # 1-row T/R totals over the 4096-bucket hist
     "gopher_funnel",           # 1-row conditional-count aggregate → 4-row stack

@@ -143,6 +143,46 @@ def test_bpe_encode_preserves_token_order(spark):
     assert row.bpe_tokens == ["low", "er", "low", "er"]
 
 
+def test_bpe_train_matches_python_trainer(spark):
+    """The distributed trainer learns the exact merge sequence of the
+    pure-Python classic trainer (same frequency counts, same
+    lexicographic tie-break) on corpora with ties, repeats, and unicode;
+    the learned table round-trips through apply."""
+    from laradb_spark.pipelines.tokenizer import bpe_train
+
+    corpora = [
+        ["the cat sat on the mat", "the cat ran", "a tall cattle call"],
+        ["aaa aab aba abb baa", "ababab bababa", "aa bb ab ba"],
+        ["héllo wörld héllo", "naïve héllo"],
+    ]
+    for texts in corpora:
+        want = train_bpe(texts, 10)
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = bpe_train(df, 10)
+        assert got == want, (texts, got, want)
+    # applying the in-engine-trained table == applying the python-trained
+    texts = corpora[0]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = bpe_train(df, 8)
+    a = sorted(map(tuple, bpe_token_count(df, merges).collect()))
+    b = sorted(map(tuple, bpe_token_count(df, train_bpe(texts, 8)).collect()))
+    assert a == b
+
+
+def test_bpe_train_exhausts_and_empty(spark):
+    """More merges requested than pairs exist -> stops clean; an empty /
+    token-less corpus trains an empty table."""
+    from laradb_spark.pipelines.tokenizer import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = bpe_train(df, 50)
+    assert got == train_bpe(["ab ab"], 50) == [("a", "b")]
+    empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    assert bpe_train(empty, 3) == []
+
+
 def test_merge_table_roundtrip(spark, tmp_path):
     """Stored merge artifact: save → load preserves rank order exactly
     (rank column is the authority, not file row order), and applying the
