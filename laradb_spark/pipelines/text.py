@@ -58,9 +58,10 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token estimate: word-boundary pieces plus one token per
-    4 chars of long words — a cheap, deterministic stand-in for a BPE
-    tokenizer's token count (real BPE is a table lookup; this keeps the
-    statistic JVM-side and oracle-reproducible)."""
+    4 chars of long words — a cheap, deterministic stand-in when no merge
+    table is at hand. For REAL merge-table counts use
+    ``pipelines.tokenizer`` (``bpe_token_count`` / the Arrow twin /
+    ``bpe_train``) — also JVM-side and oracle-reproducible."""
     words = tokens(text)
     return F.aggregate(
         words,

@@ -233,6 +233,40 @@ def test_bpe_tokens_per_source_counts_and_apportionment(spark):
     assert sum(r.alloc_tokens for r in alloc) == 101
 
 
+def test_bpe_fuzz_expression_matches_python(spark):
+    """Seeded fuzz: one batch of adversarial words (unicode, astral,
+    punctuation, the reserved US char, repeats) through a table trained
+    on the same corpus — expression path, Arrow twin, and Python sweep
+    must agree word for word."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    alphabet = "ab¢éxyz🎉._-\x1f"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(120)
+    ]
+    texts = [" ".join(words[i::6]) for i in range(6)]
+    # the engine strips the reserved US char before char-splitting; the
+    # pure-Python trainer must see the same stripped words
+    merges = train_bpe([t.replace(BPE_SEP, "") for t in texts], 20)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    expr = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_token_count(df, merges).collect()}
+    arrow = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+             for r in bpe_token_count_arrow(df, merges).collect()}
+    want = {}
+    for did, txt in enumerate(texts):
+        ws = [w for w in txt.split(" ") if w]
+        if not ws:
+            continue
+        want[did] = (
+            len(ws),
+            sum(len(bpe_encode_str_sweep(w, merges)) for w in ws),
+        )
+    assert expr == arrow == want
+
+
 def test_demo_merges_compress_the_corpus(spark):
     """On real sf0.001 documents the learned table must strictly compress
     vs characters and stay >= word count (merging never crosses words)."""
