@@ -198,9 +198,12 @@ def bm25_topk_fast(
     base = fan_out(docs).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     )
+    # id type follows the input (the expression path's joins are
+    # type-agnostic; a hardcoded `long` would break string doc ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
     per_doc = persist_once(
         base.mapInPandas(
-            doc_stats, "id long, dl long, terms array<string>, tfs array<long>"
+            doc_stats, f"id {id_type}, dl long, terms array<string>, tfs array<long>"
         )
     )
     stats = per_doc.agg(

@@ -1868,27 +1868,38 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.bpe_token_count(load(spark, sf_dir, "documents"))
 
 
-def _bpe_count_sql(merges: list[tuple[str, str]]) -> str:
-    """Replay the merge chain in DuckDB: same wrapped-symbol string, same
-    literal replaces in rank order (tokenizer.py's boundary-safe
-    representation was chosen precisely so RE2's no-lookaround dialect
-    can express it)."""
+def _bpe_sym_expr(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB merge chain over a `word` column: same wrapped-symbol
+    string, same literal replaces in rank order (tokenizer.py's
+    boundary-safe representation was chosen precisely so RE2's
+    no-lookaround dialect can express it). ONE definition feeds every
+    BPE oracle — a chain fix cannot desync the generated SQLs."""
     sep = tk.BPE_SEP
     expr = (
         f"regexp_replace(replace(word, '{sep}', ''), '(?s)(.)', '{sep}\\1{sep}', 'g')"
     )
     for a, b in merges:
         expr = f"replace({expr}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    return expr
+
+
+# symbol count of a wrapped `sym` string — shared by every BPE oracle
+_BPE_COUNT_CASE = (
+    "CASE WHEN sym = '' THEN 0 "
+    f"ELSE len(string_split(sym, '{tk.BPE_SEP}{tk.BPE_SEP}')) END"
+)
+
+
+def _bpe_count_sql(merges: list[tuple[str, str]]) -> str:
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
   FROM documents
 ),
-s AS (SELECT doc_id, {expr} AS sym FROM w)
+s AS (SELECT doc_id, {_bpe_sym_expr(merges)} AS sym FROM w)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(CASE WHEN sym = '' THEN 0
-                ELSE len(string_split(sym, '{sep}{sep}')) END) AS BIGINT) AS n_bpe_tokens
+       CAST(SUM({_BPE_COUNT_CASE}) AS BIGINT) AS n_bpe_tokens
 FROM s GROUP BY doc_id
 """
 
@@ -1988,22 +1999,15 @@ def bpe_token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_apportionment_sql(merges: list[tuple[str, str]]) -> str:
-    sep = tk.BPE_SEP
-    expr = (
-        f"regexp_replace(replace(word, '{sep}', ''), '(?s)(.)', '{sep}\\1{sep}', 'g')"
-    )
-    for a, b in merges:
-        expr = f"replace({expr}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
     return f"""
 WITH w AS (
   SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
   FROM documents
 ),
-sy AS (SELECT source, {expr} AS sym FROM w),
+sy AS (SELECT source, {_bpe_sym_expr(merges)} AS sym FROM w),
 cnt AS (
   SELECT source,
-         SUM(CASE WHEN sym = '' THEN 0
-             ELSE len(string_split(sym, '{sep}{sep}')) END) AS n_tokens
+         SUM({_BPE_COUNT_CASE}) AS n_tokens
   FROM sy GROUP BY source
 ),
 d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),

@@ -314,8 +314,15 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       flaked 6.4% at sf0.001) within ±5% of the exact distinct count.
     * ``p50_within_rank_eps`` — percentile_approx(accuracy=10000,
       rank error ≤ n/10⁴) checked by re-ranking the returned value
-      against the data: |count(x ≤ med) − n/2| ≤ 0.01·n + 1, a 100×
-      slack over the guarantee (the +1 absorbs tiny-n discreteness).
+      against the data. The returned value occupies the whole rank
+      INTERVAL [count(x < med)+1, count(x ≤ med)] when it has ties, and
+      the guarantee only promises SOME rank in that interval is close to
+      n/2 — so the check is interval intersection, not a point test:
+      ``lo_rank ≤ n/2 + ε`` AND ``hi_rank ≥ n/2 − ε`` with
+      ε = 0.01·n + 1, a 100× slack over the guarantee (the +1 absorbs
+      tiny-n discreteness). A point test on count(x ≤ med) alone would
+      flake on tie-heavy columns where the median value's multiplicity
+      exceeds ε.
 
     Shape: the sketches and the exacts run as SEPARATE 1-row aggregates
     crossJoined after — putting count_distinct in the same Aggregate as
@@ -344,9 +351,13 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_prices").alias("n_prices"),
             F.first("_andv").alias("_andv"),
             F.first("_amed").alias("_amed"),
-            F.count_if(F.col("l_extendedprice") <= F.col("_amed")).alias("_rank"),
+            (F.count_if(F.col("l_extendedprice") < F.col("_amed")) + 1).alias(
+                "_lo_rank"
+            ),
+            F.count_if(F.col("l_extendedprice") <= F.col("_amed")).alias("_hi_rank"),
         )
     )
+    eps = 0.01 * F.col("n_prices") + 1
     return ranked.select(
         F.col("exact_orders").cast("long").alias("exact_orders"),
         F.col("n_prices").cast("long").alias("n_prices"),
@@ -355,8 +366,8 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_orders")
         ).alias("ndv_within_5pct"),
         (
-            F.abs(F.col("_rank") - 0.5 * F.col("n_prices"))
-            <= 0.01 * F.col("n_prices") + 1
+            (F.col("_lo_rank") <= 0.5 * F.col("n_prices") + eps)
+            & (F.col("_hi_rank") >= 0.5 * F.col("n_prices") - eps)
         ).alias("p50_within_rank_eps"),
     )
 

@@ -788,6 +788,21 @@ def test_bm25_fast_twin_edge_docs(spark):
     assert {t[1] for t in fast} == {1}
 
 
+def test_bm25_fast_twin_string_ids(spark):
+    """id_col generality: the twin's Arrow schema follows the input id
+    type (a hardcoded `long` broke string doc ids — review r8)."""
+    from laradb_spark.pipelines.retrieval import bm25_topk, bm25_topk_fast
+
+    rows = [("u1", "hash join hash"), ("u2", "scan hash"), ("u3", "join")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    queries = [(1, "hash join")]
+    inline = sorted(map(tuple, bm25_topk(df, queries, k=5, id_col="url").collect()))
+    fast = sorted(
+        map(tuple, bm25_topk_fast(df, queries, k=5, id_col="url").collect())
+    )
+    assert inline == fast and len(fast) == 3
+
+
 def test_time_weighted_avg_hand_computed(spark):
     from laradb_spark.operators.timeseries import time_weighted_avg
 

@@ -267,10 +267,10 @@ def test_bpe_fuzz_expression_matches_python(spark):
     assert expr == arrow == want
 
 
-def test_demo_merges_compress_the_corpus(spark):
-    """On real sf0.001 documents the learned table must strictly compress
+def test_demo_merges_compress_the_corpus(spark, sf_dir):
+    """On real documents the learned table must strictly compress
     vs characters and stay >= word count (merging never crosses words)."""
-    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = bpe_token_count(df, DEMO_BPE_MERGES)
     agg = out.agg(
         F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")

@@ -179,6 +179,13 @@ def main() -> int:
             continue
         scols_l = [c.lower() for c in scols]
         problems = []
+        # Bound checks run IN ADDITION to the oracle hash for oracled
+        # queries (pre-r8 they only ran on oracle-less ones — approx_stats
+        # gaining an oracle silently dead-coded its check): a sketch
+        # drifting out of bounds should fail with a message that NAMES the
+        # sketch, not as an anonymous value-hash mismatch.
+        if name in BOUND_CHECKS:
+            problems.extend(BOUND_CHECKS[name](con, scols, srows))
         if sorted(scols_l) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols_l)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
