@@ -76,6 +76,7 @@ _PRIORITY = [
     "bpe_token_count",
     "bm25_topk_fast",
     "bpe_token_apportionment",
+    "quality_classifier_eval",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,9 +122,9 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",
-    "q21_sole_fault_suppliers",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
+    "q21_sole_fault_suppliers",
     "q22_idle_rich_customers",
     "q2_cheapest_part_per_type",
     "q6_forecast_revenue",

@@ -1960,6 +1960,48 @@ GROUP BY doc_id
 """
 
 
+def quality_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separation report for the trained filter: keep-rate of the seed
+    (positive) sources vs the background, in ppm — the sanity check a
+    FineWeb-style loop runs before trusting the filter (a keep-rate gap
+    near zero means the weights learned nothing). Two rows; the whole
+    report is one docs-sized join + a 2-group aggregate over the scored
+    frame."""
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source").isin(*_QC_POS))
+    neg = docs.filter(~F.col("source").isin(*_QC_POS))
+    scored = cu.quality_classifier_score(docs, cu.train_quality_weights(pos, neg))
+    return (
+        scored.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy(
+            F.col("source").isin(*_QC_POS).cast("int").alias("is_seed_pos")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.expr("(1000000 * CAST(SUM(keep) AS BIGINT)) div COUNT(*)").alias(
+                "keep_ppm"
+            ),
+            # integer mean logit — the separation signal even when the
+            # smoothing bias puts both groups under the keep threshold
+            # (synthetic sources barely differ; the GAP is what matters)
+            F.expr("SUM(logit_ppm) div COUNT(*)").alias("mean_logit_ppm"),
+        )
+    )
+
+
+QUALITY_CLASSIFIER_EVAL_SQL = f"""
+WITH qc AS ({{qc_sql}})
+SELECT CAST(CASE WHEN d.source IN {_QC_POS} THEN 1 ELSE 0 END AS INT) AS is_seed_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST((1000000 * SUM(keep)) // COUNT(*) AS BIGINT) AS keep_ppm,
+       CAST(SUM(logit_ppm) // COUNT(*) AS BIGINT) AS mean_logit_ppm
+FROM qc JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder apportionment of a 10⁶-token budget across
     sources."""
@@ -2185,6 +2227,10 @@ QUERIES = {
     "strip_dup_spans": (strip_dup_spans_q, STRIP_DUP_SPANS_SQL),
     "dsir_importance": (dsir_importance_q, DSIR_IMPORTANCE_SQL),
     "quality_classifier": (quality_classifier_q, QUALITY_CLASSIFIER_SQL),
+    "quality_classifier_eval": (
+        quality_classifier_eval_q,
+        QUALITY_CLASSIFIER_EVAL_SQL.format(qc_sql=QUALITY_CLASSIFIER_SQL),
+    ),
     "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
     "bpe_token_apportionment": (
         bpe_token_apportionment_q,

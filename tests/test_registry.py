@@ -28,7 +28,7 @@ def test_changed_queries_inside_oracle_window():
         # NEW in r8 (no driver row yet): the learned quality classifier,
         # BPE merge application, the Arrow sparse-tf BM25 twin
         "quality_classifier", "bpe_token_count", "bm25_topk_fast",
-        "bpe_token_apportionment",
+        "bpe_token_apportionment", "quality_classifier_eval",
         # CHANGED in r8: approx_stats gained a real oracle (bounds-boolean
         # reshape — the formerly perpetual no_oracle row); ngram_diversity
         # folds NULL text and its oracle COALESCEs; knn_label_noise got the
@@ -43,10 +43,10 @@ def test_changed_queries_inside_oracle_window():
         "value_quantiles_by_type", "value_spikes_by_type",
         "value_variance_by_type", "vocab_coverage",
     }
-    # r9 window front: the 13 r5-era rows the 50-slot r8 window could not
+    # r9 window front: the 14 r5-era rows the 50-slot r8 window could not
     # fit (code unchanged since r5; after r9 no driver row predates r6).
     next_window = {
-        "q22_idle_rich_customers",
+        "q21_sole_fault_suppliers", "q22_idle_rich_customers",
         "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
         "q9_profit_by_nation_year", "raco_front_door_q",
         "repeat_customers_96_97", "small_quantity_revenue",
