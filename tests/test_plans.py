@@ -328,6 +328,7 @@ SINGLE_PARTITION_ALLOWED = {
                                # query-terms-sized df) over the Arrow twin
     "quality_classifier",      # trainer totals: 1-row P/N aggregate over the
                                # 4096-bucket histogram spine
+    "quality_classifier_eval", # same trainer flows + a 2-group report agg
     "bpe_token_apportionment", # sources-sized Hamilton tail (1-row total +
                                # whole-frame rank), same as token_apportionment
     "corpus_clean",            # scalar report row
