@@ -79,6 +79,8 @@ HEADLINE = [
     "quality_classifier",
     "bpe_token_count",
     "approx_stats",
+    "ccnet_lm_buckets",
+    "source_datacard",
 ]
 
 

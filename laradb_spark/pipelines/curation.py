@@ -769,3 +769,64 @@ def split_leakage_report(
             ).alias("leakage_ppm"),
         )
     )
+
+
+def source_datacard(
+    df: DataFrame, text: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus data card — the summary table a "Datasheets for
+    Datasets" / data-card process asks for before a source enters a
+    training mix, as ONE integer-exact report: volume (docs, tokens,
+    mean doc length), language composition (distinct langs, dominant
+    lang + its ppm share), and exact-duplicate contamination
+    (``1e6·(n_docs − distinct md5(text)) div n_docs`` — the
+    within-source rate of byte-identical repeats). All ratios are ppm
+    via integral division, so a SQL oracle hash-matches bit-for-bit.
+
+    Scale shape: two aggregates over one corpus scan — per-(source,
+    lang) doc counts (a languages×sources-sized frame) and the
+    per-source rollup with map-side partial aggregation
+    (``count_distinct`` on the md5 digest expands to a two-stage
+    distinct aggregate; the shuffled key is the 32-char digest, never
+    the payload). The dominant-language rank windows the tiny
+    (source, lang) frame PARTITIONED BY SOURCE — parallelism equals the
+    source count, and both dimensions are catalog-sized (hundreds of
+    sources × ~200 languages) at any corpus size. NULL lang is a
+    composition bucket like any other ("unknown"); NULL text counts 0
+    tokens and one doc.
+    """
+    from .text import tokens
+
+    n_toks = F.size(tokens(F.coalesce(F.col(text), F.lit(""))))
+    per = df.groupBy(
+        source_col,
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("_lang"),
+    ).agg(F.count(F.lit(1)).alias("_lc"))
+    w = Window.partitionBy(source_col).orderBy(F.desc("_lc"), F.asc("_lang"))
+    lang_top = (
+        per.withColumn("_rk", F.row_number().over(w))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_lang"))).alias("top_lang"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_lc"))).alias("_top_n"),
+        )
+    )
+    base = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks.cast("long")).alias("n_tokens"),
+        F.count_distinct(F.md5(F.coalesce(F.col(text), F.lit("")))).alias("_uniq"),
+    )
+    return (
+        base.join(lang_top, on=source_col)
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens div n_docs").alias("mean_doc_tokens"),
+            "n_langs",
+            "top_lang",
+            F.expr("(1000000 * _top_n) div n_docs").alias("top_lang_ppm"),
+            F.expr("(1000000 * (n_docs - _uniq)) div n_docs").alias("exact_dup_ppm"),
+        )
+    )

@@ -540,3 +540,44 @@ def ngram_diversity(
             ),
         )
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text: str = "text",
+    group: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): bucket
+    each document WITHIN its ``group`` (language, per the CCNet recipe)
+    by corpus LM score — there KenLM perplexity, here the integer-exact
+    count-ratio LM from :func:`bigram_lm_score` so the cut is
+    hash-checkable cross-engine. Rank per group by (lm_score_ppm DESC,
+    id ASC) — head = most corpus-typical — and assign
+    ``bucket = ((rank−1)·n_buckets) div group_size + 1``: the rank-range
+    n-tile (NTILE-like; bucket sizes differ by ≤ 1, and the formula is
+    the contract on BOTH engines — NTILE's extra-row placement differs
+    subtly, so neither side uses it). Returns (id, group, lm_score_ppm,
+    bucket). Docs with < 2 tokens have no bigrams, hence no LM score,
+    and are absent — CCNet likewise drops what its LM cannot score.
+
+    Scale shape: bigram_lm_score's vocabulary-sized shuffles, then
+    ``grouped_rank``'s two-phase ranking — a plain per-group window
+    would sort each language's ENTIRE frame in one task (a language at
+    100 TB is billions of docs; group count ≈ 5 is the worst possible
+    window parallelism). Group sizes ride along from grouped_rank's
+    offset table — no second count pass."""
+    from ..operators.ranking import grouped_rank
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = bigram_lm_score(df, text)
+    g = df.select(id_col, F.col(group).alias("grp")).join(scored, on=id_col)
+    ranked = grouped_rank(g, ["grp"], [F.desc("lm_score_ppm"), F.asc(id_col)])
+    return ranked.select(
+        id_col,
+        F.col("grp").alias(group),
+        "lm_score_ppm",
+        F.expr(f"cast(((_r - 1) * {int(n_buckets)}) div _n + 1 as int)").alias("bucket"),
+    )

@@ -77,6 +77,8 @@ _PRIORITY = [
     "bm25_topk_fast",
     "bpe_token_apportionment",
     "quality_classifier_eval",
+    "ccnet_lm_buckets",
+    "source_datacard",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -120,10 +122,12 @@ _PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_count_by_part",
     "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
+    # --- q19/q20 fell off the r8 window when the two late-r8 queries
+    # --- (ccnet_lm_buckets, source_datacard) joined the head.
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
     "q21_sole_fault_suppliers",
     "q22_idle_rich_customers",
     "q2_cheapest_part_per_type",

@@ -1598,6 +1598,69 @@ GROUP BY doc_id
 """
 
 
+def source_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: volume, language composition, exact-dup rate."""
+    return cu.source_datacard(load(spark, sf_dir, "documents"))
+
+
+SOURCE_DATACARD_SQL = """
+WITH per AS (
+  SELECT source, COALESCE(lang, 'unknown') AS _lang, CAST(COUNT(*) AS BIGINT) AS _lc
+  FROM documents GROUP BY source, COALESCE(lang, 'unknown')
+),
+r AS (
+  SELECT source, _lang, _lc,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY _lc DESC, _lang ASC) AS rk
+  FROM per
+),
+lt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         MAX(CASE WHEN rk = 1 THEN _lang END) AS top_lang,
+         MAX(CASE WHEN rk = 1 THEN _lc END) AS _top_n
+  FROM r GROUP BY source
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS _uniq
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens // n_docs AS mean_doc_tokens,
+       n_langs, top_lang,
+       (1000000 * _top_n) // n_docs AS top_lang_ppm,
+       (1000000 * (n_docs - _uniq)) // n_docs AS exact_dup_ppm
+FROM base JOIN lt USING (source)
+"""
+
+
+def ccnet_lm_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language rank-range tertile of the
+    corpus bigram-LM score (Wenzek et al. 2020 shape, integer-exact)."""
+    return tx.lm_quality_buckets(load(spark, sf_dir, "documents"), n_buckets=3)
+
+
+# The scored subquery is BIGRAM_LM_SQL verbatim (one definition, two
+# oracles — the same reuse discipline as the BPE/_bm25 generated SQL).
+CCNET_LM_BUCKETS_SQL = f"""
+WITH scored AS ({BIGRAM_LM_SQL}),
+j AS (
+  SELECT d.doc_id, d.lang, s.lm_score_ppm
+  FROM documents d JOIN scored s USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, lm_score_ppm,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score_ppm DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, lm_score_ppm,
+       CAST(((rk - 1) * 3) // n + 1 AS INT) AS bucket
+FROM r
+"""
+
+
 def contamination_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded decontamination report: per-corpus-doc distinct-5-gram
     overlap with the benchmark slice (doc_id % 23 == 0), in ppm."""
@@ -2238,6 +2301,8 @@ QUERIES = {
     ),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
     "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
+    "ccnet_lm_buckets": (ccnet_lm_buckets_q, CCNET_LM_BUCKETS_SQL),
+    "source_datacard": (source_datacard_q, SOURCE_DATACARD_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),

@@ -452,3 +452,34 @@ def test_split_leakage_report_semantics(spark):
     # empty val split: frac 0 → zeros, no div-by-zero
     z = split_leakage_report(df, val_frac=0.0, n=n).collect()[0]
     assert (z.val_distinct_grams, z.leaked_grams, z.leakage_ppm) == (0, 0, 0)
+
+
+def test_source_datacard_semantics(spark):
+    """Hand-computed card: dup rate counts byte-identical text within a
+    source; NULL lang folds to 'unknown'; the dominant-language tie
+    breaks to the smaller lang string; NULL text counts as one 0-token
+    doc."""
+    from laradb_spark.pipelines.curation import source_datacard
+
+    df = spark.createDataFrame(
+        [
+            # s1: 4 docs, one exact dup pair; langs en,en,de,NULL
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),
+            (3, "d e", "de", "s1"),
+            (4, None, None, "s1"),
+            # s2: lang tie de=1, en=1 → top_lang 'de' (asc tie-break)
+            (5, "x", "en", "s2"),
+            (6, "y z", "de", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.source: r for r in source_datacard(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.mean_doc_tokens) == (4, 8, 2)
+    assert (s1.n_langs, s1.top_lang, s1.top_lang_ppm) == (3, "en", 500000)
+    # 4 docs, 3 distinct texts ('' for NULL) → (1e6*1)//4
+    assert s1.exact_dup_ppm == 250000
+    s2 = got["s2"]
+    assert (s2.n_docs, s2.top_lang, s2.top_lang_ppm) == (2, "de", 500000)
+    assert s2.exact_dup_ppm == 0

@@ -923,6 +923,41 @@ def test_bigram_lm_score_semantics(spark):
     assert got == {1: (666666, 1), 2: (666666, 1), 3: (333333, 1)}
 
 
+def test_lm_quality_buckets_semantics(spark):
+    """CCNet bucketing on a hand-built corpus: within each lang, rank by
+    (lm_score_ppm desc, doc_id asc); bucket = ((rank-1)·3) div n + 1.
+    Covers: group size not divisible by n_buckets (en: 4 docs → buckets
+    1,1,2,3 by the rank-range formula), a score tie broken by doc_id,
+    and a < 2-token doc absent from the output."""
+    from laradb_spark.pipelines.text import bigram_lm_score, lm_quality_buckets
+
+    df = spark.createDataFrame(
+        [
+            # en: 'a b' twice (typical) beats 'a c'; 'x y' is its own bigram
+            (1, "a b", "en"),
+            (2, "a b", "en"),  # tie with doc 1 → doc_id breaks it
+            (3, "a c", "en"),
+            (4, "x y", "en"),
+            # de: two docs → buckets 1 and 3 (rank-range, not NTILE)
+            (5, "p q", "de"),
+            (6, "p r", "de"),
+            (7, "solo", "de"),  # no bigrams → absent
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: (r.lang, r.bucket) for r in lm_quality_buckets(df).collect()}
+    scores = {r.doc_id: r.lm_score_ppm for r in bigram_lm_score(df).collect()}
+    # en ranks: 4 (1e6, 'x y' is the only x-bigram), then 1, 2 (666666,
+    # tie → id asc), then 3 (333333). n=4 → buckets: r1→1, r2→1, r3→2, r4→3.
+    assert scores[4] == 1000000 and scores[1] == scores[2] == 666666
+    assert got[4] == ("en", 1) and got[1] == ("en", 1)
+    assert got[2] == ("en", 2) and got[3] == ("en", 3)
+    # de: 'p q' vs 'p r' both (1e6*1)//2 → tie → doc 5 rank 1. n=2 →
+    # r1→bucket 1, r2→bucket 2 (((2-1)*3) div 2 + 1).
+    assert got[5] == ("de", 1) and got[6] == ("de", 2)
+    assert 7 not in got
+
+
 def test_bigram_ppm_expr_survives_int64_cliff(spark):
     """ADVICE r6: corpus-wide bigram counts beyond ~9.2e12 overflow the
     old `1000000 * cb` int64 numerator (ANSI Spark throws). The shipped
