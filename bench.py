@@ -81,6 +81,7 @@ HEADLINE = [
     "approx_stats",
     "ccnet_lm_buckets",
     "source_datacard",
+    "corpus_integrity",
 ]
 
 

@@ -293,3 +293,70 @@ def label_centroid_outliers(
             F.count_if(F.col("_cos") < tau).alias("n_outliers"),
         )
     )
+
+
+def corpus_integrity_audit(
+    docs: DataFrame,
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    text: str = "text",
+) -> DataFrame:
+    """Pre-flight integrity report over a (documents, embeddings) corpus
+    pair — the contract check a pipeline runs BEFORE dedup/training so a
+    broken export fails here, loudly, instead of as a silent quality
+    regression downstream. One row per rule: (rule, n_rows,
+    n_violations, violation_ppm); a NULL rule result is a violation
+    (contracts are three-valued-logic-hostile — see operators.quality).
+
+    Rules — document side: non-null id, non-null text, non-blank text,
+    known language, HAS an embedding row; embedding side: non-null id,
+    exact dimensionality, all-finite components, non-zero norm (a zero
+    vector poisons cosine scoring: the ANN family's validators demand
+    finiteness, this audit says WHICH export rows are to blame), HAS a
+    document row.
+
+    Scale shape: both referential rules ride the row streams as LEFT
+    joins against the OTHER table's distinct id projection (ids only —
+    payloads never join), so the whole report is two scans, each ending
+    in operators.quality's one-pass conditional-sum aggregate. The
+    element-wise finite/norm checks are higher-order expressions inside
+    whole-stage codegen — no UDF, no explode."""
+    from ..operators.quality import validate_constraints
+
+    d = docs.join(
+        emb.select(F.col(vec_id).alias(id_col)).distinct().withColumn(
+            "_has_vec", F.lit(True)
+        ),
+        on=id_col,
+        how="left",
+    )
+    doc_rules = {
+        "doc_id_not_null": F.col(id_col).isNotNull(),
+        "text_not_null": F.col(text).isNotNull(),
+        "text_nonblank": F.length(F.trim(F.col(text))) > 0,
+        "lang_known": F.col("lang").isNotNull(),
+        "doc_has_embedding": F.coalesce(F.col("_has_vec"), F.lit(False)),
+    }
+    e = emb.join(
+        docs.select(F.col(id_col).alias(vec_id)).distinct().withColumn(
+            "_has_doc", F.lit(True)
+        ),
+        on=vec_id,
+        how="left",
+    )
+    v = F.col(vec_col)
+    emb_rules = {
+        "vec_id_not_null": F.col(vec_id).isNotNull(),
+        "vec_dim_ok": F.size(v) == dim,
+        "vec_all_finite": F.forall(
+            v, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+        ),
+        "vec_nonzero_norm": F.exists(v, lambda x: x != 0),
+        "embedding_has_doc": F.coalesce(F.col("_has_doc"), F.lit(False)),
+    }
+    return validate_constraints(d, doc_rules).unionByName(
+        validate_constraints(e, emb_rules)
+    )

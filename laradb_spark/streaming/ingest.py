@@ -1,0 +1,124 @@
+"""End-to-end incremental curation ingest: the foreachBatch loop a
+continuously-fed training corpus runs per micro-batch, composing the
+stored-index dedup and classifier stages that exist separately in
+``streaming.dedup`` and ``pipelines.curation`` into ONE pipeline:
+
+  1. exact dedup — within the batch AND against the stored digest index
+     (re-read per batch; same freshness rationale as
+     ``dedup_ingest_stream``);
+  2. learned quality-classifier gate over the surviving new docs
+     (broadcast ppm-integer weights — ``quality_classifier_score``);
+  3. keepers append to the curated corpus; EVERY first-seen digest
+     (kept or rejected) appends to the index — so a later exact
+     duplicate of a REJECTED doc is dropped at step 1 instead of being
+     re-scored (the decision is deterministic, so recording it once is
+     both cheaper and idempotent);
+  4. an ingest ledger row per (batch, source) appends to ``stats_path``:
+     (batch_id, source, n_new, n_kept, n_tokens_kept) — the frame
+     ``apportion_token_counts`` / mixture planning reads to steer the
+     NEXT ingestion round.
+
+Green-field relative to the reference (SURVEY.md §2.4: no streaming).
+
+Scale shape: every stage is the batch operator's own 100 TB shape — the
+digest anti-join shuffles (digest, id) only, scoring is map-only against
+broadcast weights, the ledger aggregate is sources-sized. State lives in
+parquet indexes, not executor memory, so a month-long ingest holds no
+stream state at all.
+
+At-least-once note (same as ``dedup_ingest_stream``): foreachBatch can
+retry a partially-written batch; append-mode parquet can then duplicate
+rows. The dedup/score DECISIONS are idempotent (hash + deterministic
+model); production would stage per-batch output under a batch-id path
+and commit atomically, or use a transactional table format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_ingest_stream(
+    stream: DataFrame,
+    weights: DataFrame,
+    index_path: str,
+    out_path: str,
+    stats_path: str,
+    checkpoint_path: str,
+    threshold_ppm: int = 0,
+    bias_ppm: int = 0,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Start the incremental curation loop (availableNow trigger — drain
+    what's there, then stop; rerun to ingest new arrivals). ``weights``
+    is any (b, w) classifier frame (``train_quality_weights`` output or
+    an offline model quantized to ppm ints). Docs the classifier cannot
+    score (no tokens → no features) are REJECTED — a token-less doc has
+    no place in a text corpus, and silently passing it would bypass the
+    quality gate. Returns the started StreamingQuery."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..pipelines.curation import quality_classifier_score
+    from ..pipelines.text import token_count
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.withColumn(
+            "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        ).dropDuplicates(["_digest"])
+        try:
+            seen = spark.read.parquet(index_path).withColumnRenamed(
+                "digest", "_digest"
+            )
+            fresh = fresh.join(seen, on="_digest", how="left_anti")
+        except AnalysisException:
+            pass  # first batch: no index yet
+        fresh.persist()
+        gated = None
+        try:
+            scores = quality_classifier_score(
+                fresh,
+                weights,
+                bias_ppm=bias_ppm,
+                threshold_ppm=threshold_ppm,
+                text=text_col,
+            ).select(id_col, "keep")
+            gated = fresh.join(scores, on=id_col, how="left").withColumn(
+                "_keep", F.coalesce(F.col("keep"), F.lit(0)) == 1
+            )
+            gated.persist()
+            kept = gated.filter(F.col("_keep")).drop("_digest", "keep", "_keep")
+            kept.write.mode("append").parquet(out_path)
+            # ledger BEFORE the index append: if the task dies between the
+            # two writes, a retry re-ingests the batch against the
+            # un-updated index and overwrites nothing (both sinks append;
+            # see the module's at-least-once note)
+            gated.groupBy(F.col(source_col).alias("source")).agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                F.sum(
+                    F.when(
+                        F.col("_keep"),
+                        token_count(F.coalesce(F.col(text_col), F.lit(""))),
+                    ).otherwise(F.lit(0)).cast("long")
+                ).alias("n_tokens_kept"),
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                stats_path
+            )
+            gated.select(F.col("_digest").alias("digest")).write.mode(
+                "append"
+            ).parquet(index_path)
+        finally:
+            if gated is not None:
+                gated.unpersist()
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

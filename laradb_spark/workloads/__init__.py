@@ -79,6 +79,7 @@ _PRIORITY = [
     "quality_classifier_eval",
     "ccnet_lm_buckets",
     "source_datacard",
+    "corpus_integrity",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,11 +122,12 @@ _PRIORITY = [
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q19/q20 fell off the r8 window when the two late-r8 queries
-    # --- (ccnet_lm_buckets, source_datacard) joined the head.
+    # --- q18/q19/q20 fell off the r8 window when the three late-r8
+    # --- queries (ccnet_lm_buckets, source_datacard, corpus_integrity)
+    # --- joined the head.
+    "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",
     "q21_sole_fault_suppliers",

@@ -2279,6 +2279,71 @@ FROM sc GROUP BY label
 """
 
 
+# injected referential defects so the audit's nonzero path is certified:
+# drop vec_id % 5 == 0 embeddings (docs lose their vector) and
+# doc_id % 7 == 0 documents (vectors lose their doc)
+_IA_DOC_MOD, _IA_VEC_MOD = 7, 5
+
+
+def corpus_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight (documents, embeddings) integrity report, with
+    referential defects injected by slicing each side so both orphan
+    rules exercise their nonzero path."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _IA_DOC_MOD != 0
+    )
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _IA_VEC_MOD != 0
+    )
+    return lb.corpus_integrity_audit(docs, emb, dim=64)
+
+
+CORPUS_INTEGRITY_SQL = f"""
+WITH d0 AS (SELECT * FROM documents WHERE doc_id % {_IA_DOC_MOD} <> 0),
+e0 AS (SELECT * FROM embeddings WHERE vec_id % {_IA_VEC_MOD} <> 0),
+d AS (
+  SELECT d0.*, (e.vec_id IS NOT NULL) AS _has_vec
+  FROM d0 LEFT JOIN (SELECT DISTINCT vec_id FROM e0) e ON d0.doc_id = e.vec_id
+),
+e AS (
+  SELECT e0.*, (dx.doc_id IS NOT NULL) AS _has_doc
+  FROM e0 LEFT JOIN (SELECT DISTINCT doc_id FROM d0) dx ON e0.vec_id = dx.doc_id
+),
+dd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN COALESCE(doc_id IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN COALESCE(text IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN COALESCE(LENGTH(TRIM(text)) > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN COALESCE(lang IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN COALESCE(_has_vec, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  FROM d
+),
+ee AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN COALESCE(vec_id IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN COALESCE(len(embedding) = 64, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN COALESCE(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN COALESCE(len(list_filter(embedding, x -> x <> 0)) > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN COALESCE(_has_doc, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  FROM e
+)
+SELECT rule, n_rows, n_violations,
+       COALESCE((1000000 * n_violations) // NULLIF(n_rows, 0), 0) AS violation_ppm
+FROM (
+  SELECT 'doc_id_not_null' AS rule, n AS n_rows, v0 AS n_violations FROM dd
+  UNION ALL SELECT 'text_not_null', n, v1 FROM dd
+  UNION ALL SELECT 'text_nonblank', n, v2 FROM dd
+  UNION ALL SELECT 'lang_known', n, v3 FROM dd
+  UNION ALL SELECT 'doc_has_embedding', n, v4 FROM dd
+  UNION ALL SELECT 'vec_id_not_null', n, v0 FROM ee
+  UNION ALL SELECT 'vec_dim_ok', n, v1 FROM ee
+  UNION ALL SELECT 'vec_all_finite', n, v2 FROM ee
+  UNION ALL SELECT 'vec_nonzero_norm', n, v3 FROM ee
+  UNION ALL SELECT 'embedding_has_doc', n, v4 FROM ee
+)
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
@@ -2358,4 +2423,5 @@ QUERIES = {
     "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
     "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),
+    "corpus_integrity": (corpus_integrity_q, CORPUS_INTEGRITY_SQL),
 }

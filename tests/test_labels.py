@@ -228,3 +228,46 @@ def test_semantic_decon_vectorized_zero_vectors_match_expr(spark):
         for r in semantic_decontaminate_vectorized(corpus, bench, 0.5).collect()
     }
     assert expr == fast == {1: 1}
+
+
+def test_corpus_integrity_audit_counts_each_defect(spark):
+    """One synthetic defect per rule: NULL text, blank text, NULL lang,
+    doc without vector, NULL vec embedding... each lands in exactly the
+    right (rule, n_violations) row; NULL rule results count as
+    violations (3VL-hostile)."""
+    from laradb_spark.pipelines.labels import corpus_integrity_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good text", "en"),
+            (2, None, "en"),        # text_not_null + text_nonblank
+            (3, "   ", "en"),       # text_nonblank
+            (4, "fine", None),      # lang_known
+            (9, "orphan doc", "en"),  # no embedding row
+        ],
+        "doc_id long, text string, lang string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [float("nan"), 1.0]),   # vec_all_finite
+            (3, [1.0, 2.0, 3.0]),       # vec_dim_ok
+            (4, [0.0, 0.0]),            # vec_nonzero_norm
+            (8, [1.0, 1.0]),            # no document row
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_ppm)
+        for r in corpus_integrity_audit(docs, emb, dim=2).collect()
+    }
+    assert got["doc_id_not_null"] == (5, 0, 0)
+    assert got["text_not_null"] == (5, 1, 200000)
+    assert got["text_nonblank"] == (5, 2, 400000)  # NULL text is a violation too
+    assert got["lang_known"] == (5, 1, 200000)
+    assert got["doc_has_embedding"] == (5, 1, 200000)
+    assert got["vec_id_not_null"] == (5, 0, 0)
+    assert got["vec_dim_ok"] == (5, 1, 200000)
+    assert got["vec_all_finite"] == (5, 1, 200000)
+    assert got["vec_nonzero_norm"] == (5, 1, 200000)
+    assert got["embedding_has_doc"] == (5, 1, 200000)

@@ -329,6 +329,9 @@ SINGLE_PARTITION_ALLOWED = {
     "quality_classifier",      # trainer totals: 1-row P/N aggregate over the
                                # 4096-bucket histogram spine
     "quality_classifier_eval", # same trainer flows + a 2-group report agg
+    "corpus_integrity",        # 10-row rule report: two one-pass conditional-
+                               # sum scalar aggregates (operators.quality),
+                               # partials map-side; final agg is 1 row/side
     "bpe_token_apportionment", # sources-sized Hamilton tail (1-row total +
                                # whole-frame rank), same as token_apportionment
     "corpus_clean",            # scalar report row

@@ -92,3 +92,71 @@ def test_quality_classifier_scores_streams(spark, doc_dir):
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
     finally:
         q.stop()
+
+
+def test_curate_ingest_loop_dedups_gates_and_ledgers(spark, tmp_path):
+    """The end-to-end incremental loop: batch 2's exact duplicate of a
+    batch-1 text is dropped by the stored digest index; the classifier
+    gate rejects the bad-bucket doc AND the token-less doc; the ledger
+    records (n_new, n_kept, n_tokens_kept) per (batch, source); every
+    first-seen digest (kept or rejected) lands in the index."""
+    import os
+    import time
+
+    from laradb_spark.pipelines.curation import _hashed_feature_stream
+    from laradb_spark.streaming.ingest import curate_ingest_stream
+
+    # weights: every feature bucket the bad doc hits scores -1000 ppm;
+    # buckets computed via the SAME hashed stream the scorer uses
+    bad = spark.createDataFrame([(0, "bad bad bad")], "doc_id long, text string")
+    bad_buckets = [r.b for r in _hashed_feature_stream(bad, "text", 4096).select("b").distinct().collect()]
+    weights = spark.createDataFrame([(b, -1000) for b in bad_buckets], "b int, w long")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "good good good", "s1"), (2, "bad bad bad", "s1")], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → file 1 micro-batches before file 2
+    spark.createDataFrame(
+        [
+            (3, "good good good", "s2"),   # exact dup of doc 1 → index drop
+            (4, "fresh fresh fresh", "s2"),  # scores 0 → kept
+            (5, "", "s2"),                   # token-less → rejected by gate
+        ],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, stats, ck = (str(tmp_path / d) for d in ("idx", "out", "stats", "ck"))
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = curate_ingest_stream(stream, weights, idx, out, stats, ck, threshold_ppm=0)
+    q.awaitTermination(120)
+
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 4]
+    assert spark.read.parquet(idx).distinct().count() == 4  # good, bad, fresh, ''
+    ledger = {
+        (r.batch_id, r.source): (r.n_new, r.n_kept, r.n_tokens_kept)
+        for r in spark.read.parquet(stats).collect()
+    }
+    assert ledger[(0, "s1")] == (2, 1, 3)
+    assert ledger[(1, "s2")] == (2, 1, 3)  # dup doc 3 never reaches the ledger
+
+    # restart with new data: the grown index still screens batch-1 text,
+    # and the gate decision for a dup of a REJECTED doc is never re-made
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(6, "bad bad bad", "s3"), (7, "novel words here", "s3")], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = curate_ingest_stream(
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src),
+        weights, idx, out, stats, ck, threshold_ppm=0,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 4, 7]
+    ledger2 = {
+        (r.batch_id, r.source): (r.n_new, r.n_kept, r.n_tokens_kept)
+        for r in spark.read.parquet(stats).collect()
+    }
+    assert ledger2[(2, "s3")] == (1, 1, 3)  # only doc 7 is new
