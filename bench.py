@@ -82,6 +82,7 @@ HEADLINE = [
     "ccnet_lm_buckets",
     "source_datacard",
     "corpus_integrity",
+    "lang_classifier",
 ]
 
 

@@ -30,7 +30,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out, md5_mod
+from ..util import fan_out, md5_mod, persist_once
 from .text import TOKEN_SEP, bigram_arrays, tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
@@ -829,4 +829,143 @@ def source_datacard(
             F.expr("(1000000 * _top_n) div n_docs").alias("top_lang_ppm"),
             F.expr("(1000000 * (n_docs - _uniq)) div n_docs").alias("exact_dup_ppm"),
         )
+    )
+
+
+def train_multiclass_weights(
+    df: DataFrame,
+    label_col: str = "lang",
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """In-engine trainer for :func:`multiclass_classify` — the fastText
+    supervised shape (Joulin et al. 2017: hashed n-gram features, linear
+    per-class scores, mean-pooled) with the same generative integer-exact
+    stand-in as ``train_quality_weights``, per CLASS: the add-one-smoothed
+    probability of bucket b under class y, in ppm,
+    ``w_{b,y} = (10⁶·(c_{b,y}+1)) div (C_y + B)``. The canonical use is
+    learned language-ID (CCNet runs fastText langid before its LM
+    buckets), but any label column works.
+
+    Returns TWO frames shaped for the 100 TB scorer:
+      * ``weights``: SPARSE ``(b, label, w)`` — only observed (c>0)
+        buckets, ≤ min(corpus features, B·K) rows;
+      * ``class_stats``: ``(label, n_feats, floor_w)`` with ``floor_w``
+        the unobserved-bucket weight ``(10⁶·1) div (C_y+B)``.
+    Dense scoring ≡ ``nf·floor_y + Σ_{observed} (w−floor_y)`` EXACTLY
+    (integer arithmetic, no reassociation), so the scorer never
+    materializes the dense bucket×class table — for a 200-language model
+    that is the difference between joining the feature stream against
+    4096·200 rows and against the observed sliver. NULL labels fold to
+    'unknown' (a class like any other)."""
+    lab = F.coalesce(F.col(label_col), F.lit("unknown"))
+    toks = tokens(F.col(text))
+    heads, tails = bigram_arrays(toks)
+    feats = F.concat(toks, F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b)))
+    # label rides the explode (no doc_id join — the stream never re-keys)
+    ch = (
+        fan_out(df)
+        .select(lab.alias("label"), F.explode(feats).alias("_f"))
+        .select("label", md5_mod(F.col("_f"), 8, n_buckets).alias("b"))
+        .groupBy("label", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ch = persist_once(ch)
+    stats = ch.groupBy("label").agg(F.sum("c").alias("n_feats")).select(
+        "label",
+        "n_feats",
+        F.expr(
+            f"cast((CAST(1000000 AS DECIMAL(38,0))) div (n_feats + {n_buckets}) as bigint)"
+        ).alias("floor_w"),
+    )
+    weights = ch.join(F.broadcast(stats), on="label").select(
+        "b",
+        "label",
+        F.expr(
+            f"cast((CAST(1000000 AS DECIMAL(38,0)) * (c + 1)) div (n_feats + {n_buckets}) as bigint)"
+        ).alias("w"),
+    )
+    return weights, stats
+
+
+def multiclass_classify(
+    df: DataFrame,
+    weights: DataFrame,
+    class_stats: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every class and emit the argmax —
+    ``(id, n_features, pred_label, score_ppm)`` with ``score_ppm`` the
+    winner's per-feature mean weight (length-comparable). Ties break to
+    the SMALLEST label string; token-less docs have no features and are
+    absent (``quality_classifier_score`` discipline).
+
+    Scale shape: per-(doc, bucket) counts with map-side combine are the
+    only persist (the ``dsir_importance`` frame); the sparse weight
+    sliver and the K-row class table broadcast. Dense-equivalent scoring
+    via the floor decomposition (see trainer) — Σ c·w over a dense
+    bucket×class table would multiply the feature stream by K; here only
+    OBSERVED (b, label) weight rows join. The argmax is one aggregate of
+    ``max(struct(score, class_rank))`` — no per-doc window, no second
+    shuffle beyond the docs×K score frame."""
+    cf = persist_once(
+        _hashed_feature_stream(df, text, n_buckets)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded collect: the class list (≤ a few hundred labels) — the
+    # centroid/offset-table precedent. rank: smaller label ↔ LARGER rank
+    # so max(struct(score, rank)) tie-breaks to the smallest label.
+    classes = sorted(r.label for r in class_stats.select("label").distinct().collect())
+    if not classes:
+        raise ValueError("class_stats is empty — train on a non-empty corpus")
+    rank_of = {lab: len(classes) - i for i, lab in enumerate(classes)}
+    label_of = F.create_map(
+        *[x for lab in classes for x in (F.lit(rank_of[lab]), F.lit(lab))]
+    )
+    adj = (
+        cf.join(
+            F.broadcast(
+                weights.join(F.broadcast(class_stats), on="label").select(
+                    "b", "label", (F.col("w") - F.col("floor_w")).alias("_dw")
+                )
+            ),
+            on="b",
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("c") * F.col("_dw")).alias("_adj"))
+    )
+    nf = cf.groupBy(id_col).agg(F.sum("c").alias("n_features"))
+    scores = (
+        nf.crossJoin(F.broadcast(class_stats.select("label", "floor_w")))
+        .join(adj, on=[id_col, "label"], how="left")
+        .select(
+            id_col,
+            "n_features",
+            "label",
+            (
+                F.col("n_features") * F.col("floor_w")
+                + F.coalesce(F.col("_adj"), F.lit(0))
+            ).alias("_s"),
+        )
+    )
+    rank_expr = F.element_at(
+        F.create_map(*[x for lab in classes for x in (F.lit(lab), F.lit(rank_of[lab]))]),
+        F.col("label"),
+    )
+    best = (
+        scores.withColumn("_rk", rank_expr)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("_s"), F.col("_rk"))).alias("_best"),
+            F.first("n_features").alias("n_features"),
+        )
+    )
+    return best.select(
+        id_col,
+        "n_features",
+        F.element_at(label_of, F.col("_best._rk")).alias("pred_label"),
+        F.expr("_best._s div n_features").alias("score_ppm"),
     )

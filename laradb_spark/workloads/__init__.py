@@ -80,6 +80,8 @@ _PRIORITY = [
     "ccnet_lm_buckets",
     "source_datacard",
     "corpus_integrity",
+    "lang_classifier",
+    "lang_confusion",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -120,13 +122,13 @@ _PRIORITY = [
     "q12_priority_buckets",
     "q13_order_count_distribution",
     "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q18/q19/q20 fell off the r8 window when the three late-r8
-    # --- queries (ccnet_lm_buckets, source_datacard, corpus_integrity)
-    # --- joined the head.
+    # --- q15-q20 fell off the r8 window when the five late-r8 queries
+    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
+    # --- lang_classifier, lang_confusion) joined the head.
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q20_promo_suppliers",

@@ -2279,6 +2279,96 @@ FROM sc GROUP BY label
 """
 
 
+# learned language-ID: train on ~2/3 of docs, classify the held-out third
+_LC_MOD = 3
+
+
+def lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-langid-shaped multiclass classifier: train per-language
+    ppm weights on doc_id % 3 != 0, argmax-classify the held-out docs."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _LC_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _LC_MOD == 0)
+    w, st = cu.train_multiclass_weights(train)
+    return cu.multiclass_classify(test, w, st)
+
+
+# Oracle replays the DENSE formulation; the engine's sparse-plus-floor
+# decomposition is integer-identical (no division reassociation).
+LANG_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, COALESCE(lang, 'unknown') AS lang, doc_id % {_LC_MOD} <> 0 AS is_train,
+         unnest(toks || list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+),
+fb AS (
+  SELECT doc_id, lang, is_train,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % {{B}} AS b
+  FROM feats
+),
+ch AS (SELECT lang AS label, b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM fb WHERE is_train GROUP BY lang, b),
+stats AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_feats FROM ch GROUP BY label),
+bk AS (SELECT unnest(range(0, {{B}})) AS b),
+w AS (
+  SELECT bk.b, s.label,
+         CAST((1000000::HUGEINT * (COALESCE(ch.c, 0) + 1))
+              // (s.n_feats + {{B}}) AS BIGINT) AS w
+  FROM bk CROSS JOIN stats s
+  LEFT JOIN ch ON ch.b = bk.b AND ch.label = s.label
+),
+sc AS (
+  SELECT t.doc_id, w.label, CAST(SUM(w.w) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM (SELECT doc_id, b FROM fb WHERE NOT is_train) t
+  JOIN w ON w.b = t.b
+  GROUP BY t.doc_id, w.label
+),
+r AS (
+  SELECT doc_id, label, s, nf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS rk
+  FROM sc
+)
+SELECT doc_id, nf AS n_features, label AS pred_label,
+       CAST(s // nf AS BIGINT) AS score_ppm
+FROM r WHERE rk = 1
+""".replace("{B}", str(cu.DSIR_BUCKETS))
+
+
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix for the learned language classifier —
+    the eval a langid deployment reads before trusting predictions.
+
+    On the SYNTHETIC corpus this matrix honestly reports degeneracy:
+    every lang draws text from the same vocabulary (the lang column is
+    uncorrelated with the words), so the argmax collapses to the
+    majority class — which is exactly the failure mode this eval exists
+    to catch before anyone trusts the predictions (the
+    quality_classifier_eval precedent: the report is the product)."""
+    docs = load(spark, sf_dir, "documents")
+    pred = lang_classifier_q(spark, sf_dir)
+    return (
+        pred.join(docs.select("doc_id", "lang"), on="doc_id")
+        .groupBy(
+            F.coalesce(F.col("lang"), F.lit("unknown")).alias("true_lang"),
+            "pred_label",
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH lc AS ({LANG_CLASSIFIER_SQL})
+SELECT COALESCE(d.lang, 'unknown') AS true_lang, lc.pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lc JOIN documents d USING (doc_id)
+GROUP BY true_lang, pred_label
+"""
+
+
 # injected referential defects so the audit's nonzero path is certified:
 # drop vec_id % 5 == 0 embeddings (docs lose their vector) and
 # doc_id % 7 == 0 documents (vectors lose their doc)
@@ -2424,4 +2514,6 @@ QUERIES = {
     "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),
     "corpus_integrity": (corpus_integrity_q, CORPUS_INTEGRITY_SQL),
+    "lang_classifier": (lang_classifier_q, LANG_CLASSIFIER_SQL),
+    "lang_confusion": (lang_confusion_q, LANG_CONFUSION_SQL),
 }

@@ -483,3 +483,70 @@ def test_source_datacard_semantics(spark):
     s2 = got["s2"]
     assert (s2.n_docs, s2.top_lang, s2.top_lang_ppm) == (2, "de", 500000)
     assert s2.exact_dup_ppm == 0
+
+
+def test_multiclass_classifier_matches_dense_python_replay(spark):
+    """The engine's sparse-plus-floor decomposition must equal the DENSE
+    per-class score computed by a pure-Python replay (same md5 buckets,
+    same add-one ppm weights, same argmax with smallest-label ties) —
+    including a doc whose features are all UNSEEN in training (pure
+    floor scores — the ppm floors collapse to the same value across
+    these class sizes, so the argmax is an exact tie broken to the
+    smallest label) and a NULL training label folding to 'unknown'."""
+    import hashlib
+
+    from laradb_spark.pipelines.curation import (
+        DSIR_BUCKETS,
+        multiclass_classify,
+        train_multiclass_weights,
+    )
+
+    B = DSIR_BUCKETS
+    train_rows = [
+        (1, "aa bb aa", "en"),
+        (2, "cc dd cc", "es"),
+        (3, "ee ff", None),  # NULL label → class 'unknown'
+    ]
+    test_rows = [
+        (10, "aa bb"),       # en-ish
+        (11, "cc dd dd"),    # es-ish
+        (12, "zz yy"),       # unseen everywhere → floor tie-break
+        (13, ""),            # token-less → absent
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    w, st = train_multiclass_weights(train)
+    got = {
+        r.doc_id: (r.n_features, r.pred_label, r.score_ppm)
+        for r in multiclass_classify(test, w, st).collect()
+    }
+
+    def feats(text):
+        toks = [t for t in text.split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    counts, totals = {}, {}
+    for _, text, lang in train_rows:
+        y = lang if lang is not None else "unknown"
+        for f in feats(text):
+            counts[(y, bucket(f))] = counts.get((y, bucket(f)), 0) + 1
+            totals[y] = totals.get(y, 0) + 1
+    want = {}
+    for did, text in test_rows:
+        fs = [bucket(f) for f in feats(text)]
+        if not fs:
+            continue
+        scores = {
+            y: sum((1_000_000 * (counts.get((y, b), 0) + 1)) // (totals[y] + B) for b in fs)
+            for y in totals
+        }
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[did] = (len(fs), best[0], best[1] // len(fs))
+    assert got == want
+    assert 13 not in got
+    # the replay itself must have exercised the advertised edges
+    assert want[12][1] == min(totals)  # all-floor tie → smallest label
+    assert "unknown" in totals

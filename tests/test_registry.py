@@ -30,8 +30,10 @@ def test_changed_queries_inside_oracle_window():
         "quality_classifier", "bpe_token_count", "bm25_topk_fast",
         "bpe_token_apportionment", "quality_classifier_eval",
         # NEW late-r8: CCNet per-language LM bucketing, per-source data
-        # card, (documents, embeddings) integrity audit
+        # card, (documents, embeddings) integrity audit, learned
+        # multiclass language-ID + its held-out confusion eval
         "ccnet_lm_buckets", "source_datacard", "corpus_integrity",
+        "lang_classifier", "lang_confusion",
         # CHANGED in r8: approx_stats gained a real oracle (bounds-boolean
         # reshape — the formerly perpetual no_oracle row); ngram_diversity
         # folds NULL text and its oracle COALESCEs; knn_label_noise got the
@@ -48,8 +50,9 @@ def test_changed_queries_inside_oracle_window():
     }
     # r9 window front: the r5-era rows the 50-slot r8 window could not
     # fit (code unchanged since r5; after r9 no driver row predates r6).
-    # q18/q19/q20 were pushed out of the r8 window by the late-r8 queries.
+    # q15-q20 were pushed out of the r8 window by the late-r8 queries.
     next_window = {
+        "q15_top_supplier", "q16_supplier_count_by_part",
         "q18_large_volume_customers",
         "q19_disjunctive_revenue", "q20_promo_suppliers",
         "q21_sole_fault_suppliers", "q22_idle_rich_customers",
