@@ -83,6 +83,8 @@ HEADLINE = [
     "source_datacard",
     "corpus_integrity",
     "lang_classifier",
+    "c4_line_clean",
+    "corpus_line_dedup",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Line-structure curation operators — the line-granular half of web-scale
+text cleaning that :mod:`.text`'s token-granular rules deliberately left
+out (``gopher_quality_flags`` docstring: "line-based rules ... are
+omitted").
+
+Three public shapes, each citing its published rule set:
+
+* :func:`c4_line_clean` — C4's line filter (Raffel et al. 2020 §2.2):
+  keep lines that end in terminal punctuation and carry ≥ ``min_words``
+  words; drop whole documents containing a bad word, ``lorem ipsum``, or
+  a ``{``, or with fewer than ``min_lines`` surviving lines.
+* :func:`corpus_line_dedup` — RefinedWeb-style corpus-level repeated-line
+  removal (Penedo et al. 2023): a non-blank line occurring more than
+  ``max_occurrences`` times across the corpus is boilerplate (nav bars,
+  cookie banners) and is stripped from every document.
+* :func:`line_profile` — the Gopher line rules (Rae et al. 2021 §A1):
+  per-document bullet-start and ellipsis-end line fractions with the
+  published drop thresholds (>90 % bullet starts, >30 % ellipsis ends).
+
+Reference parity note: the reference engine has no line operators — its
+text surface is the WordCount tokenizer (`WordCountQuery.kt:33`); this
+family is beyond-reference LLM-pipeline surface, same tier as the dedup/
+DSIR/Gopher token rules.
+
+100 TB shape: ``c4_line_clean`` and ``line_profile`` are PURE PER-ROW
+PROJECTIONS — the lines array is split once and every rule is an array
+higher-order function over it, so the plan is a single embarrassingly
+parallel scan with no shuffle, no UDF, and full filter pushdown below it.
+Only ``corpus_line_dedup`` carries corpus state: one (line-hash → count)
+aggregate with map-side combine over the exploded line stream, the heavy
+subset joined back (AQE broadcasts it when small — the usual case: only
+lines duplicated ``> max_occurrences`` times survive the HAVING), and one
+per-doc reassembly aggregate. Integer ppm arithmetic throughout
+(DEVNOTES gotcha #4: no float ratios near hash compares).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import fan_out
+
+# C4 keeps a line only when it ends in terminal punctuation. Raffel et
+# al. 2020 §2.2: "we only retained lines that ended in a terminal
+# punctuation mark (i.e. a period, exclamation mark, question mark, or
+# end quotation mark)".
+TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_WORDS = 5     # "only retained lines that contained at least 5 words"
+C4_MIN_LINES = 3     # "discarded any page with fewer than 3 sentences"
+# Placeholder for the public "List of Dirty, Naughty, Obscene..." list C4
+# cites; callers pass their own. Matching is exact lowercase whitespace-token
+# membership (no substring matches — "class" must not trip on "ass").
+DEFAULT_BADWORDS = ("badword",)
+
+# Gopher §A1 line-rule thresholds, in ppm.
+GOPHER_MAX_BULLET_START_PPM = 900_000   # drop if >90% of lines start with a bullet
+GOPHER_MAX_ELLIPSIS_END_PPM = 300_000   # drop if >30% of lines end with an ellipsis
+BULLET_PREFIXES = ("- ", "* ", "• ")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def _lines(text_col: Column) -> Column:
+    """NULL-safe split of a document into its lines. ``split('')`` is
+    ``['']`` on both engines (DuckDB ``string_split``), so an empty doc
+    has exactly one blank line — the parity convention every operator
+    and oracle in this module shares."""
+    return F.split(F.coalesce(text_col, F.lit("")), "\n")
+
+
+def _line_word_count(line: Column) -> Column:
+    return F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+
+
+def _c4_keep(line: Column, min_words: int) -> Column:
+    punct = [line.endswith(p) for p in TERMINAL_PUNCT]
+    ends_ok = punct[0]
+    for p in punct[1:]:
+        ends_ok = ends_ok | p
+    return ends_ok & (_line_word_count(line) >= min_words)
+
+
+def c4_line_clean(
+    df: DataFrame,
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
+    badwords: tuple[str, ...] = DEFAULT_BADWORDS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) →
+    ``(id, clean_text, n_lines, n_lines_kept)`` for surviving documents.
+
+    Line rule: keep a line iff it ends in one of ``TERMINAL_PUNCT`` AND
+    has ≥ ``min_words`` whitespace words. Document rules (any one drops
+    the whole doc, evaluated on the ORIGINAL text): a lowercase
+    whitespace token equal to a ``badwords`` entry; the substring
+    ``lorem ipsum`` (lowercased); a ``{`` character (C4's javascript
+    tell); or fewer than ``min_lines`` surviving lines.
+
+    Plan: one projection computing the lines array once, HOF filter for
+    the kept lines, scalar doc flags, one filter — a single
+    shuffle-free scan (see module docstring). Dropped documents are
+    absent from the output (the ``quality_classifier_score``
+    keep-frame discipline)."""
+    lw = F.lower(F.col(text))
+    bad_tok = F.arrays_overlap(
+        F.split(lw, " "), F.array(*[F.lit(b) for b in badwords])
+    )
+    doc_ok = (
+        ~F.coalesce(bad_tok, F.lit(False))
+        & ~lw.contains("lorem ipsum")
+        & ~F.col(text).contains("{")
+    )
+    staged = df.select(
+        F.col(id_col),
+        doc_ok.alias("_doc_ok"),
+        _lines(F.col(text)).alias("_lines"),
+    ).select(
+        id_col,
+        "_doc_ok",
+        F.size("_lines").alias("n_lines"),
+        F.filter("_lines", lambda ln: _c4_keep(ln, min_words)).alias("_kept"),
+    )
+    return staged.select(
+        id_col,
+        F.array_join("_kept", "\n").alias("clean_text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_lines_kept"),
+        "_doc_ok",
+    ).filter(F.col("_doc_ok") & (F.col("n_lines_kept") >= min_lines)).drop("_doc_ok")
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    max_occurrences: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style corpus-level line dedup (Penedo et al. 2023):
+    strip every NON-BLANK line whose exact text occurs more than
+    ``max_occurrences`` times across the corpus (cookie banners, nav
+    boilerplate) → ``(id, clean_text, n_lines, n_lines_removed)`` for
+    every input document (a doc whose every line is boilerplate comes
+    back with ``clean_text = ''``). Blank lines are structural, never
+    counted or removed.
+
+    Scale shape: lines shuffle by ``md5(line)`` (narrow fixed-width key,
+    map-side combine; full 128-bit digest so collisions are not a
+    correctness concern at 10^12 lines, unlike a 64-bit prefix); the
+    HAVING keeps only genuinely repeated lines, so the heavy set is
+    boilerplate-sized and AQE broadcasts the join back; one per-doc
+    reassembly aggregate ordered by line position (conditional
+    ``collect_list`` — ``when()`` yields NULL for removed lines and
+    collect_list drops NULLs)."""
+    ls = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(_lines(F.col(text))).alias("ln", "line"))
+        .withColumn("_h", F.md5(F.col("line")))
+    )
+    heavy = (
+        ls.filter(F.col("line") != "")
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_occurrences)
+        .select("_h")
+    )
+    flagged = ls.join(heavy.withColumn("_rm", F.lit(True)), on="_h", how="left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_rm"), 1).otherwise(0)).cast("long").alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rm").isNull(), F.struct("ln", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_lines", "n_lines_removed")
+    )
+
+
+def line_profile(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher line rules (Rae et al. 2021 §A1) → per-document
+    ``(id, n_lines, bullet_start_ppm, ellipsis_end_ppm, flag_bullet,
+    flag_ellipsis)``. A doc flags when >90 % of its lines start with a
+    bullet (``- ``, ``* ``, ``• ``) or >30 % end with an ellipsis
+    (``...`` or ``…``) — the published drop thresholds, as integer ppm
+    (``div`` — gotcha #4). Pure per-row projection: lines split once,
+    two HOF ``size(filter(...))`` counts, zero shuffle."""
+
+    def starts_bullet(ln: Column) -> Column:
+        out = ln.startswith(BULLET_PREFIXES[0])
+        for p in BULLET_PREFIXES[1:]:
+            out = out | ln.startswith(p)
+        return out
+
+    def ends_ellipsis(ln: Column) -> Column:
+        out = ln.endswith(ELLIPSIS_SUFFIXES[0])
+        for s in ELLIPSIS_SUFFIXES[1:]:
+            out = out | ln.endswith(s)
+        return out
+
+    staged = df.select(F.col(id_col), _lines(F.col(text)).alias("_lines")).select(
+        id_col,
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(F.filter("_lines", starts_bullet)).alias("_nb"),
+        F.size(F.filter("_lines", ends_ellipsis)).alias("_ne"),
+    )
+    bullet_ppm = F.expr("(1000000 * _nb) div n_lines")
+    ellipsis_ppm = F.expr("(1000000 * _ne) div n_lines")
+    return staged.select(
+        id_col,
+        "n_lines",
+        bullet_ppm.alias("bullet_start_ppm"),
+        ellipsis_ppm.alias("ellipsis_end_ppm"),
+        (bullet_ppm > GOPHER_MAX_BULLET_START_PPM).alias("flag_bullet"),
+        (ellipsis_ppm > GOPHER_MAX_ELLIPSIS_END_PPM).alias("flag_ellipsis"),
+    )

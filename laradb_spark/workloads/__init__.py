@@ -82,6 +82,9 @@ _PRIORITY = [
     "corpus_integrity",
     "lang_classifier",
     "lang_confusion",
+    "c4_line_clean",
+    "corpus_line_dedup",
+    "line_profile",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -119,14 +122,15 @@ _PRIORITY = [
     "orders_within_30_days",
     "q10_returned_items",
     "q11_nation_balance_share",
+    # --- front of the r9 window: the r5-era rows the 50-slot r8 window
+    # --- couldn't fit (after r8 no row should be older than r5).
+    # --- q12-q20 fell off the r8 window when the eight late-r8 queries
+    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
+    # --- lang_classifier, lang_confusion, c4_line_clean,
+    # --- corpus_line_dedup, line_profile) joined the head.
     "q12_priority_buckets",
     "q13_order_count_distribution",
     "q14_promo_share",
-    # --- front of the r9 window: the r5-era rows the 50-slot r8 window
-    # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q15-q20 fell off the r8 window when the five late-r8 queries
-    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
-    # --- lang_classifier, lang_confusion) joined the head.
     "q15_top_supplier",
     "q16_supplier_count_by_part",
     "q18_large_volume_customers",

@@ -2369,6 +2369,177 @@ GROUP BY true_lang, pred_label
 """
 
 
+# ---------------------------------------------------------------------------
+# line-structure family (pipelines/lines.py). The synthetic corpus is flat
+# (no newlines, no punctuation), so each query FABRICATES deterministic line
+# structure first — 8-token lines with mod-arithmetic bullet prefixes,
+# terminal-punctuation/ellipsis suffixes, and injected lorem/badword/brace
+# lines — identically on both engines (the corpus_integrity injected-defect
+# precedent: the fabrication exists to certify the operators' nonzero paths).
+# ---------------------------------------------------------------------------
+
+_FAB_W = 8           # tokens per fabricated line
+_FAB_BULLET = 5      # (doc_id + i) % 5 == 0 → '- ' prefix
+_FAB_ELLIPSIS = 7    # (doc_id + i) % 7 == 3 → '...' suffix
+_FAB_PERIOD = 3      # else (doc_id + i) % 3 == 0 → '.' suffix
+_FAB_LOREM, _FAB_BAD, _FAB_BRACE = 53, 41, 59  # doc_id mods → injected lines
+
+
+def _fab_lines_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, text) with text rebuilt as fabricated lines."""
+    doc = F.col("doc_id")
+
+    def _opt_line(mod: int, line: str) -> F.Column:
+        return F.when(doc % mod == 0, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def _line(i: F.Column) -> F.Column:
+        return F.concat(
+            F.when((doc + i) % _FAB_BULLET == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(F.col("_toks"), i * _FAB_W + 1, _FAB_W), " "),
+            F.when((doc + i) % _FAB_ELLIPSIS == 3, F.lit("..."))
+            .when((doc + i) % _FAB_PERIOD == 0, F.lit("."))
+            .otherwise(F.lit("")),
+        )
+
+    staged = docs.select(doc, "source", tx.tokens(F.col("text")).alias("_toks"))
+    nl = F.floor((F.size("_toks") + F.lit(_FAB_W - 1)) / F.lit(_FAB_W)).cast("int")
+    base = F.when(F.size("_toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), nl - 1), _line)
+    )
+    lines = F.concat(
+        base,
+        _opt_line(_FAB_LOREM, "lorem ipsum dolor sit amet."),
+        _opt_line(_FAB_BAD, "badword in an injected line."),
+        _opt_line(_FAB_BRACE, "function() { return 1; }"),
+    )
+    return staged.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
+
+
+_FAB_CTE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '') AS toks
+  FROM documents
+),
+fab AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_transform(range(0, (len(toks) + {_FAB_W - 1}) // {_FAB_W}), i ->
+             (CASE WHEN (doc_id + i) % {_FAB_BULLET} = 0 THEN '- ' ELSE '' END) ||
+             array_to_string(list_slice(toks, i * {_FAB_W} + 1, i * {_FAB_W} + {_FAB_W}), ' ') ||
+             (CASE WHEN (doc_id + i) % {_FAB_ELLIPSIS} = 3 THEN '...'
+                   WHEN (doc_id + i) % {_FAB_PERIOD} = 0 THEN '.' ELSE '' END))
+           || (CASE WHEN doc_id % {_FAB_LOREM} = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END)
+           || (CASE WHEN doc_id % {_FAB_BAD} = 0 THEN ['badword in an injected line.'] ELSE []::VARCHAR[] END)
+           || (CASE WHEN doc_id % {_FAB_BRACE} = 0 THEN ['function() {{ return 1; }}'] ELSE []::VARCHAR[] END),
+           chr(10)) AS text
+  FROM t
+)
+"""
+
+
+def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning (Raffel et al. 2020 §2.2) over the fabricated
+    line corpus: badwords=('badword',) so the injected lines certify the
+    doc-drop path alongside lorem/brace."""
+    from ..pipelines import lines as li
+
+    return li.c4_line_clean(_fab_lines_df(load(spark, sf_dir, "documents")))
+
+
+C4_LINE_CLEAN_SQL = f"""
+{_FAB_CTE},
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS lt, text
+  FROM fab
+),
+k AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         list_filter(lines, l ->
+            (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+            AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5) AS kept,
+         len(list_filter(string_split(lt, ' '), w -> w IN ('badword'))) > 0 AS bad,
+         position('lorem ipsum' IN lt) > 0 AS lorem,
+         position('{{' IN text) > 0 AS brace
+  FROM ls
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+       CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept
+FROM k
+WHERE NOT bad AND NOT lorem AND NOT brace AND len(kept) >= 3
+"""
+
+
+_LINE_DEDUP_MAX = 2
+
+
+def corpus_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb corpus-level repeated-line removal over the fabricated
+    corpus — the injected lorem/badword/brace lines recur across docs
+    (doc_id mods), certifying the removal path."""
+    from ..pipelines import lines as li
+
+    return li.corpus_line_dedup(
+        _fab_lines_df(load(spark, sf_dir, "documents")),
+        max_occurrences=_LINE_DEDUP_MAX,
+    )
+
+
+CORPUS_LINE_DEDUP_SQL = f"""
+{_FAB_CTE},
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM fab),
+ls AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS ln, lines[CAST(i AS INT)] AS line
+  FROM lx, LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i)
+),
+hv AS (
+  SELECT md5(line) AS h FROM ls WHERE line <> ''
+  GROUP BY 1 HAVING COUNT(*) > {_LINE_DEDUP_MAX}
+),
+fl AS (
+  SELECT doc_id, ln, line, md5(line) IN (SELECT h FROM hv) AS rm FROM ls
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY ln) FILTER (WHERE NOT rm), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+FROM fl GROUP BY doc_id
+"""
+
+
+def line_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line rules (bullet-start / ellipsis-end ppm + flags) over
+    the fabricated corpus; mod-5 bullets and mod-7 ellipses make both
+    counts nonzero, and single-line docs can trip the >90% bullet flag."""
+    from ..pipelines import lines as li
+
+    return li.line_profile(_fab_lines_df(load(spark, sf_dir, "documents")))
+
+
+LINE_PROFILE_SQL = f"""
+{_FAB_CTE},
+lp AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM fab
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nb,
+         len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ne
+  FROM lp
+)
+SELECT doc_id, n_lines,
+       (1000000 * nb) // n_lines AS bullet_start_ppm,
+       (1000000 * ne) // n_lines AS ellipsis_end_ppm,
+       (1000000 * nb) // n_lines > 900000 AS flag_bullet,
+       (1000000 * ne) // n_lines > 300000 AS flag_ellipsis
+FROM c
+"""
+
+
 # injected referential defects so the audit's nonzero path is certified:
 # drop vec_id % 5 == 0 embeddings (docs lose their vector) and
 # doc_id % 7 == 0 documents (vectors lose their doc)
@@ -2516,4 +2687,7 @@ QUERIES = {
     "corpus_integrity": (corpus_integrity_q, CORPUS_INTEGRITY_SQL),
     "lang_classifier": (lang_classifier_q, LANG_CLASSIFIER_SQL),
     "lang_confusion": (lang_confusion_q, LANG_CONFUSION_SQL),
+    "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
+    "corpus_line_dedup": (corpus_line_dedup_q, CORPUS_LINE_DEDUP_SQL),
+    "line_profile": (line_profile_q, LINE_PROFILE_SQL),
 }
