@@ -191,12 +191,20 @@ def line_profile(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Gopher line rules (Rae et al. 2021 §A1) → per-document
-    ``(id, n_lines, bullet_start_ppm, ellipsis_end_ppm, flag_bullet,
-    flag_ellipsis)``. A doc flags when >90 % of its lines start with a
-    bullet (``- ``, ``* ``, ``• ``) or >30 % end with an ellipsis
-    (``...`` or ``…``) — the published drop thresholds, as integer ppm
-    (``div`` — gotcha #4). Pure per-row projection: lines split once,
-    two HOF ``size(filter(...))`` counts, zero shuffle."""
+    ``(id, n_lines, bullet_start_ppm, ellipsis_end_ppm, dup_line_ppm,
+    dup_line_char_ppm, flag_bullet, flag_ellipsis)``. A doc flags when
+    >90 % of its lines start with a bullet (``- ``, ``* ``, ``• ``) or
+    >30 % end with an ellipsis (``...`` or ``…``) — the published drop
+    thresholds, as integer ppm (``div`` — gotcha #4). The dup columns
+    are Gopher's WITHIN-doc repetition signals at line granularity
+    (§A1.2 "duplicate line fraction" / "duplicate line character
+    fraction"): the ppm of non-blank lines that are repeats of an
+    earlier identical line, and the ppm of non-blank-line characters
+    inside those repeats (denominators: non-blank lines / their total
+    chars; 0 when a doc has none). Complements
+    :func:`corpus_line_dedup`, which is the ACROSS-doc version. Pure
+    per-row projection: lines split once, HOF counts only, zero
+    shuffle."""
 
     def starts_bullet(ln: Column) -> Column:
         out = ln.startswith(BULLET_PREFIXES[0])
@@ -210,19 +218,40 @@ def line_profile(
             out = out | ln.endswith(s)
         return out
 
-    staged = df.select(F.col(id_col), _lines(F.col(text)).alias("_lines")).select(
-        id_col,
-        F.size("_lines").cast("long").alias("n_lines"),
-        F.size(F.filter("_lines", starts_bullet)).alias("_nb"),
-        F.size(F.filter("_lines", ends_ellipsis)).alias("_ne"),
+    def chars(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, ln: acc + F.length(ln)
+        )
+
+    staged = (
+        df.select(F.col(id_col), _lines(F.col(text)).alias("_lines"))
+        .withColumn("_nblines", F.filter("_lines", lambda ln: ln != ""))
+        .select(
+            id_col,
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.size(F.filter("_lines", starts_bullet)).alias("_nb"),
+            F.size(F.filter("_lines", ends_ellipsis)).alias("_ne"),
+            F.size("_nblines").alias("_nnb"),
+            F.size(F.array_distinct("_nblines")).alias("_ndist"),
+            chars(F.col("_nblines")).alias("_nbchars"),
+            chars(F.array_distinct("_nblines")).alias("_distchars"),
+        )
     )
     bullet_ppm = F.expr("(1000000 * _nb) div n_lines")
     ellipsis_ppm = F.expr("(1000000 * _ne) div n_lines")
+    dup_ppm = F.expr(
+        "CASE WHEN _nnb > 0 THEN (1000000 * (_nnb - _ndist)) div _nnb ELSE CAST(0 AS BIGINT) END"
+    )
+    dup_char_ppm = F.expr(
+        "CASE WHEN _nbchars > 0 THEN (1000000 * (_nbchars - _distchars)) div _nbchars ELSE CAST(0 AS BIGINT) END"
+    )
     return staged.select(
         id_col,
         "n_lines",
         bullet_ppm.alias("bullet_start_ppm"),
         ellipsis_ppm.alias("ellipsis_end_ppm"),
+        dup_ppm.alias("dup_line_ppm"),
+        dup_char_ppm.alias("dup_line_char_ppm"),
         (bullet_ppm > GOPHER_MAX_BULLET_START_PPM).alias("flag_bullet"),
         (ellipsis_ppm > GOPHER_MAX_ELLIPSIS_END_PPM).alias("flag_ellipsis"),
     )

@@ -2380,8 +2380,10 @@ GROUP BY true_lang, pred_label
 
 _FAB_W = 8           # tokens per fabricated line
 _FAB_BULLET = 5      # (doc_id + i) % 5 == 0 → '- ' prefix
+_FAB_ALLBULLET = 13  # doc_id % 13 == 2 → EVERY base line bulleted (>90% flag path)
 _FAB_ELLIPSIS = 7    # (doc_id + i) % 7 == 3 → '...' suffix
 _FAB_PERIOD = 3      # else (doc_id + i) % 3 == 0 → '.' suffix
+_FAB_DUPLINE = 11    # doc_id % 11 == 0 → first line repeated (within-doc dup path)
 _FAB_LOREM, _FAB_BAD, _FAB_BRACE = 53, 41, 59  # doc_id mods → injected lines
 
 
@@ -2396,7 +2398,10 @@ def _fab_lines_df(docs: DataFrame) -> DataFrame:
 
     def _line(i: F.Column) -> F.Column:
         return F.concat(
-            F.when((doc + i) % _FAB_BULLET == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.when(
+                (doc % _FAB_ALLBULLET == 2) | ((doc + i) % _FAB_BULLET == 0),
+                F.lit("- "),
+            ).otherwise(F.lit("")),
             F.array_join(F.slice(F.col("_toks"), i * _FAB_W + 1, _FAB_W), " "),
             F.when((doc + i) % _FAB_ELLIPSIS == 3, F.lit("..."))
             .when((doc + i) % _FAB_PERIOD == 0, F.lit("."))
@@ -2408,8 +2413,14 @@ def _fab_lines_df(docs: DataFrame) -> DataFrame:
     base = F.when(F.size("_toks") == 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), nl - 1), _line)
     )
+    staged = staged.select("doc_id", "source", "_toks", base.alias("_base"))
+    dup_first = F.when(
+        (doc % _FAB_DUPLINE == 0) & (F.size("_base") > 0),
+        F.array(F.element_at("_base", 1)),
+    ).otherwise(F.array().cast("array<string>"))
     lines = F.concat(
-        base,
+        F.col("_base"),
+        dup_first,
         _opt_line(_FAB_LOREM, "lorem ipsum dolor sit amet."),
         _opt_line(_FAB_BAD, "badword in an injected line."),
         _opt_line(_FAB_BRACE, "function() { return 1; }"),
@@ -2423,19 +2434,26 @@ WITH t AS (
          list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '') AS toks
   FROM documents
 ),
+lb AS (
+  SELECT doc_id, source,
+         list_transform(range(0, (len(toks) + {_FAB_W - 1}) // {_FAB_W}), i ->
+           (CASE WHEN doc_id % {_FAB_ALLBULLET} = 2 OR (doc_id + i) % {_FAB_BULLET} = 0
+                 THEN '- ' ELSE '' END) ||
+           array_to_string(list_slice(toks, i * {_FAB_W} + 1, i * {_FAB_W} + {_FAB_W}), ' ') ||
+           (CASE WHEN (doc_id + i) % {_FAB_ELLIPSIS} = 3 THEN '...'
+                 WHEN (doc_id + i) % {_FAB_PERIOD} = 0 THEN '.' ELSE '' END)) AS base
+  FROM t
+),
 fab AS (
   SELECT doc_id, source,
          array_to_string(
-           list_transform(range(0, (len(toks) + {_FAB_W - 1}) // {_FAB_W}), i ->
-             (CASE WHEN (doc_id + i) % {_FAB_BULLET} = 0 THEN '- ' ELSE '' END) ||
-             array_to_string(list_slice(toks, i * {_FAB_W} + 1, i * {_FAB_W} + {_FAB_W}), ' ') ||
-             (CASE WHEN (doc_id + i) % {_FAB_ELLIPSIS} = 3 THEN '...'
-                   WHEN (doc_id + i) % {_FAB_PERIOD} = 0 THEN '.' ELSE '' END))
+           base
+           || (CASE WHEN doc_id % {_FAB_DUPLINE} = 0 AND len(base) > 0 THEN [base[1]] ELSE []::VARCHAR[] END)
            || (CASE WHEN doc_id % {_FAB_LOREM} = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END)
            || (CASE WHEN doc_id % {_FAB_BAD} = 0 THEN ['badword in an injected line.'] ELSE []::VARCHAR[] END)
            || (CASE WHEN doc_id % {_FAB_BRACE} = 0 THEN ['function() {{ return 1; }}'] ELSE []::VARCHAR[] END),
            chr(10)) AS text
-  FROM t
+  FROM lb
 )
 """
 
@@ -2522,18 +2540,26 @@ def line_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_PROFILE_SQL = f"""
 {_FAB_CTE},
 lp AS (
-  SELECT doc_id, string_split(text, chr(10)) AS lines FROM fab
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS nbl
+  FROM fab
 ),
 c AS (
   SELECT doc_id,
          CAST(len(lines) AS BIGINT) AS n_lines,
          len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nb,
-         len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ne
+         len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ne,
+         CAST(len(nbl) AS BIGINT) AS nnb,
+         CAST(len(list_distinct(nbl)) AS BIGINT) AS ndist,
+         CAST(COALESCE(list_sum(list_transform(nbl, l -> LENGTH(l))), 0) AS BIGINT) AS nbchars,
+         CAST(COALESCE(list_sum(list_transform(list_distinct(nbl), l -> LENGTH(l))), 0) AS BIGINT) AS distchars
   FROM lp
 )
 SELECT doc_id, n_lines,
        (1000000 * nb) // n_lines AS bullet_start_ppm,
        (1000000 * ne) // n_lines AS ellipsis_end_ppm,
+       CASE WHEN nnb > 0 THEN (1000000 * (nnb - ndist)) // nnb ELSE 0 END AS dup_line_ppm,
+       CASE WHEN nbchars > 0 THEN (1000000 * (nbchars - distchars)) // nbchars ELSE 0 END AS dup_line_char_ppm,
        (1000000 * nb) // n_lines > 900000 AS flag_bullet,
        (1000000 * ne) // n_lines > 300000 AS flag_ellipsis
 FROM c

@@ -113,6 +113,24 @@ def test_line_profile_semantics(spark):
     assert (r4.n_lines, r4.bullet_start_ppm, r4.flag_bullet) == (1, 0, False)
 
 
+def test_line_profile_within_doc_dup_lines(spark):
+    rows = [
+        # 4 non-blank lines: "dup" ×3 (3 chars each) + "unique nine" (11);
+        # repeats = 2 lines, 6 chars of 20 total. Blank lines excluded
+        # from BOTH denominators.
+        (1, "dup\n\ndup\ndup\nunique nine"),
+        (2, "a\nb\nc"),          # no repeats
+        (3, "\n\n"),              # only blanks → both ppm 0, no div-by-zero
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in li.line_profile(df).collect()}
+    r1 = got[1]
+    assert r1.dup_line_ppm == 2 * 1_000_000 // 4
+    assert r1.dup_line_char_ppm == 6 * 1_000_000 // 20
+    assert got[2].dup_line_ppm == 0 and got[2].dup_line_char_ppm == 0
+    assert got[3].dup_line_ppm == 0 and got[3].dup_line_char_ppm == 0
+
+
 def test_projection_ops_are_shuffle_free(spark, lined):
     # c4_line_clean and line_profile must plan as a bare scan+project —
     # no Exchange anywhere (the module's 100 TB contract).
