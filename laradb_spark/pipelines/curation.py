@@ -653,7 +653,14 @@ def token_apportionment(
     ``budget·t_s`` product uses a DECIMAL(38,0) intermediate (oracle:
     HUGEINT): both factors can be ~10¹³ at 100 TB, and their product
     overflows int64 at ~9.2e18."""
-    per_src = (
+    return apportion_token_counts(
+        _per_source_tokens(df, source_col, text), budget, source_col
+    )
+
+
+def _per_source_tokens(df: DataFrame, source_col: str, text: str) -> DataFrame:
+    """(source, n_docs, n_tokens) via one map-side-combine aggregate."""
+    return (
         fan_out(df)
         .groupBy(source_col)
         .agg(
@@ -661,41 +668,43 @@ def token_apportionment(
             F.sum(F.size(tokens(F.col(text))).cast("long")).alias("n_tokens"),
         )
     )
-    return apportion_token_counts(per_src, budget, source_col)
 
 
 def apportion_token_counts(
     per_src: DataFrame,
     budget: int,
     source_col: str = "source",
+    weight_col: str = "n_tokens",
 ) -> DataFrame:
     """The Hamilton largest-remainder core of ``token_apportionment``,
     factored over a pre-aggregated ``(source, n_docs, n_tokens)`` frame
     so ANY token counter drives the same integer-exact allocation —
     whitespace counts (``token_apportionment``), real BPE counts
     (``bpe_token_apportionment_q``), or an offline tokenizer's exported
-    per-source totals. Same output contract and overflow discipline as
-    the wrapper (see its docstring)."""
+    per-source totals. ``weight_col`` picks the BIGINT column the
+    proportions follow (default the raw token counts; ``alpha_mixture``
+    passes its temperature-quantized weights), with every other input
+    column passed through. Same output contract and overflow discipline
+    as the wrapper (see its docstring); ``share_ppm`` is the weight
+    share."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    tot = per_src.agg(F.sum("n_tokens").alias("t_tot"))
+    tot = per_src.agg(F.sum(weight_col).alias("t_tot"))
     staged = per_src.crossJoin(F.broadcast(tot)).select(
-        source_col,
-        "n_docs",
-        "n_tokens",
+        per_src["*"],
         F.expr(
             "CASE WHEN t_tot > 0 THEN"
-            " (CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div t_tot"
+            f" (CAST(1000000 AS DECIMAL(38,0)) * {weight_col}) div t_tot"
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("share_ppm"),
         F.expr(
             f"CASE WHEN t_tot > 0 THEN"
-            f" (CAST({budget} AS DECIMAL(38,0)) * n_tokens) div t_tot"
+            f" (CAST({budget} AS DECIMAL(38,0)) * {weight_col}) div t_tot"
             f" ELSE CAST(0 AS BIGINT) END"
         ).alias("_floor"),
         F.expr(
             f"CASE WHEN t_tot > 0 THEN"
-            f" CAST((CAST({budget} AS DECIMAL(38,0)) * n_tokens) % t_tot AS BIGINT)"
+            f" CAST((CAST({budget} AS DECIMAL(38,0)) * {weight_col}) % t_tot AS BIGINT)"
             f" ELSE CAST(0 AS BIGINT) END"
         ).alias("_rem"),
     )
@@ -704,7 +713,7 @@ def apportion_token_counts(
     # is the whole tiny frame (documented bounded single partition).
     # T == 0 → no leftover distribution either (floors are all 0)
     left = staged.agg(
-        F.when(F.max("n_tokens") > 0, F.lit(budget) - F.sum("_floor"))
+        F.when(F.max(weight_col) > 0, F.lit(budget) - F.sum("_floor"))
         .otherwise(F.lit(0))
         .alias("_left")
     )
@@ -713,14 +722,75 @@ def apportion_token_counts(
         staged.crossJoin(F.broadcast(left))
         .withColumn("_rk", F.row_number().over(w))
         .select(
-            source_col,
-            "n_docs",
-            "n_tokens",
+            *per_src.columns,
             "share_ppm",
             (F.col("_floor") + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
             .cast("long")
             .alias("alloc_tokens"),
         )
+    )
+
+
+ALPHA_WEIGHT_SCALE = 1000  # milli-quantization of the tempered weight
+
+
+def alpha_mixture(
+    df: DataFrame,
+    budget: int,
+    alpha_quarters: int = 2,
+    source_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture planning — the exponentiated-smoothing
+    sampler of multilingual pretraining (Devlin et al. 2019 mBERT
+    exponent 0.7; Conneau et al. 2020 XLM-R α = 0.3): sample source s
+    with probability ``p_s ∝ n_s^α``, flattening the size distribution
+    so low-resource sources are upsampled. α = ``alpha_quarters``/4 ∈
+    {0, ¼, ½, ¾, 1}: dyadic quarters because ``n^(k/4)`` is a product of
+    iterated ``sqrt`` calls, and IEEE-754 requires sqrt (and ×) to be
+    correctly rounded — the weight doubles are therefore BIT-IDENTICAL
+    across engines, unlike a ``pow()`` whose libm differs (gotcha #4's
+    cross-engine float discipline, extended to roots). α = 0 weights
+    every non-empty source equally (the T → ∞ uniform limit); empty
+    sources get weight 0 at every α.
+
+    The weight is milli-quantized (``floor(1000·n^α)`` BIGINT)
+    immediately, so every downstream sum/ratio/apportionment is integer
+    arithmetic — no float SUM order hazard. Output per source:
+    ``n_docs, n_tokens, weight_q, sample_ppm`` (the tempered sampling
+    probability), ``alloc_tokens`` (Hamilton largest-remainder share of
+    ``budget`` by weight — Σ == budget exactly), and ``upsample_ppm``
+    (alloc/n_tokens; > 10⁶ means the source repeats epochs — the
+    UNIMAX-style signal planners cap on).
+
+    Scale shape: one corpus scan into the sources-sized frame, then
+    tiny-frame arithmetic (``apportion_token_counts``)."""
+    if not 0 <= alpha_quarters <= 4:
+        raise ValueError("alpha_quarters must be in [0, 4] (α = quarters/4)")
+    per_src = _per_source_tokens(df, source_col, text)
+    n = F.col("n_tokens").cast("double")
+    r2 = F.sqrt(n)
+    r4 = F.sqrt(r2)
+    w = {
+        0: F.when(n > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        1: r4,
+        2: r2,
+        3: r2 * r4,
+        4: n,
+    }[alpha_quarters]
+    weighted = per_src.withColumn(
+        "weight_q", F.floor(F.lit(float(ALPHA_WEIGHT_SCALE)) * w).cast("long")
+    )
+    out = apportion_token_counts(
+        weighted, budget, source_col, weight_col="weight_q"
+    ).withColumnRenamed("share_ppm", "sample_ppm")
+    return out.withColumn(
+        "upsample_ppm",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN"
+            " (CAST(1000000 AS DECIMAL(38,0)) * alloc_tokens) div n_tokens"
+            " ELSE CAST(0 AS BIGINT) END"
+        ),
     )
 
 

@@ -85,6 +85,7 @@ _PRIORITY = [
     "c4_line_clean",
     "corpus_line_dedup",
     "line_profile",
+    "alpha_mixture",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,13 +122,13 @@ _PRIORITY = [
     "order_status_pivot",
     "orders_within_30_days",
     "q10_returned_items",
-    "q11_nation_balance_share",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q12-q20 fell off the r8 window when the eight late-r8 queries
+    # --- q11-q20 fell off the r8 window when the nine late-r8 queries
     # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
     # --- lang_classifier, lang_confusion, c4_line_clean,
-    # --- corpus_line_dedup, line_profile) joined the head.
+    # --- corpus_line_dedup, line_profile, alpha_mixture) joined the head.
+    "q11_nation_balance_share",
     "q12_priority_buckets",
     "q13_order_count_distribution",
     "q14_promo_share",

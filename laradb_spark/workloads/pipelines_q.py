@@ -2095,6 +2095,49 @@ FROM st, l
 """
 
 
+def alpha_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture plan at α = ¼ (the nested-sqrt path —
+    closest dyadic quarter to XLM-R's 0.3) with the 10⁶-token budget."""
+    return cu.alpha_mixture(
+        load(spark, sf_dir, "documents"), budget=_APPORTION_BUDGET, alpha_quarters=1
+    )
+
+
+# weight doubles replayed exactly: sqrt is IEEE-correctly-rounded in both
+# engines, and the weight is milli-quantized before any sum (operator doc).
+ALPHA_MIXTURE_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wq AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR({cu.ALPHA_WEIGHT_SCALE}.0 * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS weight_q
+  FROM s
+),
+t AS (SELECT SUM(weight_q) AS t_tot FROM wq),
+st AS (
+  SELECT source, n_docs, n_tokens, weight_q,
+         CAST(CASE WHEN t_tot > 0 THEN (1000000::HUGEINT * weight_q) // t_tot ELSE 0 END AS BIGINT) AS sample_ppm,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * weight_q) // t_tot ELSE 0 END AS BIGINT) AS fl,
+         CAST(CASE WHEN t_tot > 0 THEN ({_APPORTION_BUDGET}::HUGEINT * weight_q) % t_tot ELSE 0 END AS BIGINT) AS rem
+  FROM wq, t
+),
+l AS (SELECT CASE WHEN MAX(weight_q) > 0 THEN {_APPORTION_BUDGET} - SUM(fl) ELSE 0 END AS leftover FROM st),
+fin AS (
+  SELECT source, n_docs, n_tokens, weight_q, sample_ppm,
+         CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) <= leftover
+                   THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+  FROM st, l
+)
+SELECT *,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000000::HUGEINT * alloc_tokens) // n_tokens
+            ELSE 0 END AS BIGINT) AS upsample_ppm
+FROM fin
+"""
+
+
 def bpe_token_apportionment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamilton apportionment of the same 10⁶-token budget, but over REAL
     BPE token counts (demo merge table) instead of the whitespace
@@ -2716,4 +2759,5 @@ QUERIES = {
     "c4_line_clean": (c4_line_clean_q, C4_LINE_CLEAN_SQL),
     "corpus_line_dedup": (corpus_line_dedup_q, CORPUS_LINE_DEDUP_SQL),
     "line_profile": (line_profile_q, LINE_PROFILE_SQL),
+    "alpha_mixture": (alpha_mixture_q, ALPHA_MIXTURE_SQL),
 }

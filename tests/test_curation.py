@@ -485,6 +485,67 @@ def test_source_datacard_semantics(spark):
     assert s2.exact_dup_ppm == 0
 
 
+def test_alpha_mixture_matches_python_replay(spark):
+    """α-temperature mixture vs a pure-Python replay at every dyadic α —
+    identical weight quantization (floor(1000·n^(k/4)) via IEEE sqrt),
+    exact Hamilton allocation (Σ alloc == budget), and the empty-source
+    weight-0 convention."""
+    import math
+
+    rows = [
+        (1, "a b c d e f g h i j", "big"),     # 10 tokens
+        (2, "a b c d e f g h i j", "big"),     # big: 20
+        (3, "a b c", "small"),                 # small: 3
+        (4, "", "empty"),                      # empty: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget = 1001
+    counts = {"big": 20, "small": 3, "empty": 0}
+
+    for q in range(5):
+        got = {r.source: r for r in cu.alpha_mixture(df, budget, alpha_quarters=q).collect()}
+
+        def wq(n, q=q):
+            if n == 0:
+                return 0
+            return math.floor(1000.0 * math.sqrt(math.sqrt(float(n))) ** q) if q else 1000
+
+        # replay: q applications of quarter-power via float sqrt chain
+        def wq_exact(n, q=q):
+            if n == 0:
+                return 0
+            r2, r4 = math.sqrt(float(n)), math.sqrt(math.sqrt(float(n)))
+            w = {0: 1.0, 1: r4, 2: r2, 3: r2 * r4, 4: float(n)}[q]
+            return math.floor(1000.0 * w)
+
+        W = {s: wq_exact(n) for s, n in counts.items()}
+        tot = sum(W.values())
+        fl = {s: budget * W[s] // tot for s in W}
+        rem = {s: budget * W[s] % tot for s in W}
+        left = budget - sum(fl.values())
+        order = sorted(W, key=lambda s: (-rem[s], s))
+        alloc = {s: fl[s] + (1 if order.index(s) < left else 0) for s in W}
+        for s in counts:
+            assert got[s].weight_q == W[s], (q, s)
+            assert got[s].alloc_tokens == alloc[s], (q, s)
+            assert got[s].sample_ppm == 1_000_000 * W[s] // tot
+            exp_up = 1_000_000 * alloc[s] // counts[s] if counts[s] else 0
+            assert got[s].upsample_ppm == exp_up
+        assert sum(r.alloc_tokens for r in got.values()) == budget
+
+    # α flattens: small source's share grows monotonically as α drops
+    shares = [
+        {r.source: r.sample_ppm for r in cu.alpha_mixture(df, budget, alpha_quarters=q).collect()}[
+            "small"
+        ]
+        for q in (4, 2, 0)
+    ]
+    assert shares[0] < shares[1] < shares[2]
+
+    with pytest.raises(ValueError):
+        cu.alpha_mixture(df, budget, alpha_quarters=5)
+
+
 def test_multiclass_classifier_matches_dense_python_replay(spark):
     """The engine's sparse-plus-floor decomposition must equal the DENSE
     per-class score computed by a pure-Python replay (same md5 buckets,
