@@ -200,6 +200,134 @@ def frequent_ngrams(df: DataFrame, n: int = 2, k: int = 20, text: str = "text") 
     )
 
 
+def _mg_update(counts: dict, batch_counts, cap: int) -> int:
+    """Fold one batch's token value-counts into a Misra–Gries summary
+    IN PLACE, compacting to ≤ ``cap`` entries; returns the decrement
+    applied (0 when no compaction was needed). Batched MG: subtract the
+    (cap+1)-th largest count from every entry and drop the non-positive
+    — every surviving estimate underestimates its true count by at most
+    the cumulative decrement returned across calls (Misra & Gries 1982).
+    Module-level and pure so the invariant is unit-testable without a
+    cluster."""
+    import numpy as np
+
+    for t, c in batch_counts.items():
+        counts[t] = counts.get(t, 0) + int(c)
+    if len(counts) <= cap:
+        return 0
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    d = int(np.partition(vals, -(cap + 1))[-(cap + 1)])
+    for t in [t for t, c in counts.items() if c <= d]:
+        del counts[t]
+    for t in counts:
+        counts[t] -= d
+    return d
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    min_ppm: int = 20_000,
+    text: str = "text",
+    counters: int | None = None,
+) -> DataFrame:
+    """Corpus-wide frequent tokens — every token whose occurrence
+    frequency is ≥ ``min_ppm`` of all token occurrences — via the
+    classic two-pass sketch-then-verify plan:
+    ``(token, n_occurrences, freq_ppm)``.
+
+    Pass 1 runs a per-partition Misra–Gries summary (``counters``
+    entries, default ``max(64, ceil(4·10⁶ / min_ppm))``) over the token
+    stream. Merged MG estimates NEVER overestimate and underestimate by
+    at most E = Σ_p (partition decrement totals) ≤ N/(counters+1), so
+    filtering candidates at ``est ≥ θN − E`` (θ = min_ppm/10⁶) has NO
+    false negatives. Pass 2 exact-counts ONLY the candidates (broadcast
+    semi-join against the token stream) and applies the exact integer
+    threshold ``10⁶·count ≥ min_ppm·N``. The output row set is
+    therefore EXACTLY the true heavy hitters — deterministic and
+    independent of partition layout; the sketch only gates work, never
+    truth, which is what makes a sketch operator SQL-oracle-able (a
+    broken sketch drops candidates and the hash catches it).
+
+    Scale shape: this is how you find frequent tokens WITHOUT the
+    vocabulary-sized shuffle ``frequent_ngrams`` pays — pass 1 shuffles
+    ≤ counters·partitions sketch rows (map-side bounded memory), pass 2
+    shuffles only candidate tokens (≤ ~1/θ of them exist). The corpus
+    is scanned twice and deliberately NOT persisted (at 100 TB a cache
+    would evict; two streaming scans beat one materialization). The
+    per-partition token count and decrement total ride pass 1 as
+    sentinel rows (tok NULL), so no third scan computes N."""
+    if min_ppm <= 0:
+        raise ValueError("min_ppm must be > 0")
+    cap = counters if counters is not None else max(64, -(-4_000_000 // min_ppm))
+    # the no-false-negative guarantee needs E ≤ N/(cap+1) < θN, i.e.
+    # cap ≥ 1/θ — refuse a cap that silently voids the contract
+    if cap < -(-1_000_000 // min_ppm):
+        raise ValueError(
+            f"counters={cap} voids the no-false-negative bound for "
+            f"min_ppm={min_ppm}; need ≥ ceil(1e6/min_ppm)"
+        )
+
+    toks = fan_out(df).select(F.explode(tokens(F.col(text))).alias("tok"))
+
+    def sketch(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        dec = 0
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            dec += _mg_update(counts, pdf["tok"].value_counts().to_dict(), cap)
+        yield pd.DataFrame(
+            {
+                "tok": list(counts.keys()) + [None],
+                "est": list(counts.values()) + [dec],
+                "np": [0] * len(counts) + [n],
+            }
+        )
+
+    sk = toks.mapInPandas(sketch, "tok string, est long, np long")
+    totals = sk.filter(F.col("tok").isNull()).agg(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("E"),
+        F.coalesce(F.sum("np"), F.lit(0)).alias("N"),
+    )
+    cands = (
+        sk.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("est").alias("_est"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.expr(
+                f"CAST(1000000 AS DECIMAL(38,0)) * _est"
+                f" >= CAST({min_ppm} AS DECIMAL(38,0)) * N"
+                f" - CAST(1000000 AS DECIMAL(38,0)) * E"
+            )
+        )
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(cands), on="tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.expr(
+                f"CAST(1000000 AS DECIMAL(38,0)) * n_occurrences"
+                f" >= CAST({min_ppm} AS DECIMAL(38,0)) * N"
+            )
+        )
+        .select(
+            F.col("tok").alias("token"),
+            "n_occurrences",
+            F.expr("(CAST(1000000 AS DECIMAL(38,0)) * n_occurrences) div N").alias(
+                "freq_ppm"
+            ),
+        )
+    )
+
+
 def boilerplate_ppm(
     df: DataFrame, n: int = 2, top_k: int = 20, text: str = "text"
 ) -> DataFrame:

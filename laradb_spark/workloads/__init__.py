@@ -86,6 +86,7 @@ _PRIORITY = [
     "corpus_line_dedup",
     "line_profile",
     "alpha_mixture",
+    "heavy_hitters",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,13 +122,14 @@ _PRIORITY = [
     "order_price_percentiles",
     "order_status_pivot",
     "orders_within_30_days",
-    "q10_returned_items",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q11-q20 fell off the r8 window when the nine late-r8 queries
+    # --- q10-q20 fell off the r8 window when the ten late-r8 queries
     # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
     # --- lang_classifier, lang_confusion, c4_line_clean,
-    # --- corpus_line_dedup, line_profile, alpha_mixture) joined the head.
+    # --- corpus_line_dedup, line_profile, alpha_mixture, heavy_hitters)
+    # --- joined the head.
+    "q10_returned_items",
     "q11_nation_balance_share",
     "q12_priority_buckets",
     "q13_order_count_distribution",

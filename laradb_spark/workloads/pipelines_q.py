@@ -2412,6 +2412,33 @@ GROUP BY true_lang, pred_label
 """
 
 
+_HH_MIN_PPM = 20_000
+
+
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries two-pass heavy hitters at θ = 2%. The output is the
+    EXACT frequent-token set (the sketch only gates pass-2 work), so a
+    plain count/HAVING oracle certifies it — a sketch false negative
+    would drop a row and hash-mismatch."""
+    return tx.heavy_hitter_tokens(
+        load(spark, sf_dir, "documents"), min_ppm=_HH_MIN_PPM
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')) AS token
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST((1000000::HUGEINT * COUNT(*)) // N AS BIGINT) AS freq_ppm
+FROM tok, n
+GROUP BY token, N
+HAVING 1000000::HUGEINT * COUNT(*) >= {_HH_MIN_PPM}::HUGEINT * N
+"""
+
+
 # ---------------------------------------------------------------------------
 # line-structure family (pipelines/lines.py). The synthetic corpus is flat
 # (no newlines, no punctuation), so each query FABRICATES deterministic line
@@ -2760,4 +2787,5 @@ QUERIES = {
     "corpus_line_dedup": (corpus_line_dedup_q, CORPUS_LINE_DEDUP_SQL),
     "line_profile": (line_profile_q, LINE_PROFILE_SQL),
     "alpha_mixture": (alpha_mixture_q, ALPHA_MIXTURE_SQL),
+    "heavy_hitters": (heavy_hitters_q, HEAVY_HITTERS_SQL),
 }

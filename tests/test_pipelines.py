@@ -1300,3 +1300,70 @@ def test_ngram_diversity_null_text_matches_oracle(spark):
     }
     # A: NULL doc -> '' gram + 3 bigrams = 4 occ / 3 distinct; B: 1 occ ''.
     assert got == want == {"A": (4, 3, 750000), "B": (1, 1, 1000000)}
+
+
+def test_mg_update_invariants():
+    """Batched Misra–Gries compactor: ≤ cap entries survive, estimates
+    underestimate true counts by at most the cumulative decrement, and
+    no-compaction batches return 0."""
+    from collections import Counter
+
+    from laradb_spark.pipelines.text import _mg_update
+
+    rng_tokens = [f"t{i}" for i in range(50)]
+    stream = (rng_tokens * 3) + ["heavy"] * 40 + rng_tokens[:7] + ["heavy2"] * 25
+    true = Counter(stream)
+    counts, dec = {}, 0
+    for i in range(0, len(stream), 17):  # 17-token "batches"
+        batch = Counter(stream[i : i + 17])
+        dec += _mg_update(counts, batch, cap=8)
+        assert len(counts) <= 8
+    assert dec > 0  # compaction actually happened
+    for t, est in counts.items():
+        assert est <= true[t]               # never overestimates
+        assert true[t] - est <= dec         # bounded underestimate
+    # every token heavier than the decrement must have survived
+    for t, c in true.items():
+        if c > dec:
+            assert t in counts
+
+
+def test_heavy_hitter_tokens_exact_output(spark):
+    """Two-pass MG heavy hitters: output == the EXACT heavy-hitter set
+    even when the vocabulary (303 tokens) far exceeds the sketch cap
+    (32), i.e. compaction and the candidate bound are load-bearing."""
+    from laradb_spark.pipelines.text import heavy_hitter_tokens
+
+    # 300 singleton tokens + three genuinely heavy ones, spread over docs
+    rare = [f"rare{i}" for i in range(300)]
+    texts = []
+    for i in range(0, 300, 10):
+        texts.append(" ".join(rare[i : i + 10]))
+    texts += ["alpha " * 60 + "beta " * 45, "alpha " * 40 + "gamma " * 55]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_total = 300 + 60 + 45 + 40 + 55  # 500
+    got = {
+        r.token: (r.n_occurrences, r.freq_ppm)
+        for r in heavy_hitter_tokens(df, min_ppm=80_000, counters=32).collect()
+    }
+    # θN = 40: alpha(100), gamma(55), beta(45) qualify; every rare misses
+    assert got == {
+        "alpha": (100, 1_000_000 * 100 // n_total),
+        "gamma": (55, 1_000_000 * 55 // n_total),
+        "beta": (45, 1_000_000 * 45 // n_total),
+    }
+
+
+def test_heavy_hitter_tokens_edges(spark):
+    import pytest as _pytest
+
+    from laradb_spark.pipelines.text import heavy_hitter_tokens
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitter_tokens(empty, min_ppm=1000).count() == 0
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert heavy_hitter_tokens(nulls, min_ppm=1000).count() == 0
+    with _pytest.raises(ValueError):
+        heavy_hitter_tokens(empty, min_ppm=1000, counters=10)  # cap < 1/θ
