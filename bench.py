@@ -85,6 +85,8 @@ HEADLINE = [
     "lang_classifier",
     "c4_line_clean",
     "corpus_line_dedup",
+    "alpha_mixture",
+    "heavy_hitters",
 ]
 
 

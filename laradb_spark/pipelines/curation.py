@@ -794,6 +794,99 @@ def alpha_mixture(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): distribute a token
+    budget as UNIFORMLY as possible across sources, but never repeat a
+    source beyond ``max_epochs`` passes — the fairness-first alternative
+    to temperature sampling (:func:`alpha_mixture`) that provably
+    minimizes worst-case per-source epochs. Output per source:
+    ``n_docs, n_tokens, capacity_tokens (= max_epochs·n_tokens),
+    alloc_tokens, capped, epochs_ppm``.
+
+    Exact integer water-filling, closed-form over windows: sort sources
+    ascending by (capacity, source). The capped set is a PREFIX of that
+    order — if ``c_i·(K−i+1) > B − P_{i−1}`` fails at i it fails at
+    every j > i (ascending capacities; the classic waterfill argument) —
+    so ``capped_i ⇔ c_i·(K−i+1) ≤ B − P_{i−1}`` directly, no iteration.
+    Capped sources take their full capacity; the remaining budget
+    ``R = B − ΣC_capped`` splits evenly over the ``u`` uncapped sources
+    (``R div u`` each, the ``R mod u`` leftover one-each to the first
+    uncapped in sort order — which cannot breach a cap:
+    ``c_i·u > R ⇒ c_i ≥ R div u + 1``). Σ alloc == min(budget, ΣC)
+    exactly. Products go through DECIMAL(38,0) (100 TB token counts ×
+    budget overflow int64 — the ``token_apportionment`` discipline).
+
+    Scale shape: one corpus scan to the sources-sized frame, then
+    whole-frame windows on that tiny frame (documented bounded single
+    partition — the apportionment precedent)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    per_src = _per_source_tokens(df, source_col, text).withColumn(
+        "capacity_tokens", (F.lit(max_epochs) * F.col("n_tokens")).cast("long")
+    )
+    w_ord = Window.orderBy(F.asc("capacity_tokens"), F.asc(source_col))
+    staged = per_src.select(
+        "*",
+        F.row_number().over(w_ord).alias("_i"),
+        F.coalesce(
+            F.sum("capacity_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_pprev"),
+        F.count(F.lit(1)).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_k"),
+    ).withColumn(
+        "capped",
+        F.expr(
+            f"CAST(capacity_tokens AS DECIMAL(38,0)) * (_k - _i + 1)"
+            f" <= CAST({budget} AS DECIMAL(38,0)) - _pprev"
+        ),
+    )
+    tot = staged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), 1)), F.lit(0)).alias("_m"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("capacity_tokens"))), F.lit(0)
+        ).alias("_pm"),
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity_tokens")).otherwise(
+        F.expr(f"CAST(({budget} - _pm) AS BIGINT) div (_k - _m)")
+        + F.when(
+            (F.col("_i") - F.col("_m"))
+            <= F.expr(f"CAST(({budget} - _pm) AS BIGINT) % (_k - _m)"),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "capacity_tokens",
+            alloc.cast("long").alias("alloc_tokens"),
+            "capped",
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (CAST(1000000 AS DECIMAL(38,0)) * alloc_tokens) div n_tokens"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+
+
 def split_leakage_report(
     df: DataFrame,
     val_frac: float = 0.1,

@@ -87,6 +87,7 @@ _PRIORITY = [
     "line_profile",
     "alpha_mixture",
     "heavy_hitters",
+    "unimax_allocation",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,14 +122,14 @@ _PRIORITY = [
     "order_price_histogram",
     "order_price_percentiles",
     "order_status_pivot",
-    "orders_within_30_days",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- q10-q20 fell off the r8 window when the ten late-r8 queries
-    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
-    # --- lang_classifier, lang_confusion, c4_line_clean,
-    # --- corpus_line_dedup, line_profile, alpha_mixture, heavy_hitters)
-    # --- joined the head.
+    # --- orders_within_30_days and q10-q20 fell off the r8 window when
+    # --- the eleven late-r8 queries (ccnet_lm_buckets, source_datacard,
+    # --- corpus_integrity, lang_classifier, lang_confusion,
+    # --- c4_line_clean, corpus_line_dedup, line_profile, alpha_mixture,
+    # --- heavy_hitters, unimax_allocation) joined the head.
+    "orders_within_30_days",
     "q10_returned_items",
     "q11_nation_balance_share",
     "q12_priority_buckets",

@@ -2412,6 +2412,54 @@ GROUP BY true_lang, pred_label
 """
 
 
+def unimax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfill at max_epochs=1 with budget = 95% of corpus
+    tokens — the one regime guaranteed to mix capped and uncapped
+    sources at every SF (sources are near-uniform: the small ones cap
+    at 1 epoch, the rest split the slack). The budget is a 1-row
+    bounded collect; the oracle replays the same integer formula."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(tx.token_count(F.col("text"))).alias("t")).collect()[0].t
+    return cu.unimax_allocation(docs, budget=95 * int(total) // 100, max_epochs=1)
+
+
+UNIMAX_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(95 * SUM(n_tokens) // 100 AS BIGINT) AS budget FROM s),
+c AS (
+  SELECT s.*, budget, n_tokens AS capacity_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
+         COUNT(*) OVER () AS k
+  FROM s, b
+),
+d AS (
+  SELECT *, (capacity_tokens::HUGEINT * (k - i + 1)) <= (budget::HUGEINT - pprev) AS capped
+  FROM c
+),
+t AS (SELECT COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS m,
+             COALESCE(SUM(CASE WHEN capped THEN capacity_tokens ELSE 0 END), 0) AS pm
+      FROM d),
+fin AS (
+  SELECT source, n_docs, n_tokens, capacity_tokens, capped,
+         CAST(CASE WHEN capped THEN capacity_tokens
+              ELSE (budget - pm) // (k - m)
+                   + CASE WHEN (i - m) <= (budget - pm) % (k - m) THEN 1 ELSE 0 END
+              END AS BIGINT) AS alloc_tokens
+  FROM d, t
+)
+SELECT source, n_docs, n_tokens, capacity_tokens, alloc_tokens, capped,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000000::HUGEINT * alloc_tokens) // n_tokens
+            ELSE 0 END AS BIGINT) AS epochs_ppm
+FROM fin
+"""
+
+
 _HH_MIN_PPM = 20_000
 
 
@@ -2788,4 +2836,5 @@ QUERIES = {
     "line_profile": (line_profile_q, LINE_PROFILE_SQL),
     "alpha_mixture": (alpha_mixture_q, ALPHA_MIXTURE_SQL),
     "heavy_hitters": (heavy_hitters_q, HEAVY_HITTERS_SQL),
+    "unimax_allocation": (unimax_q, UNIMAX_SQL),
 }

@@ -546,6 +546,63 @@ def test_alpha_mixture_matches_python_replay(spark):
         cu.alpha_mixture(df, budget, alpha_quarters=5)
 
 
+def _unimax_replay(sizes, budget, max_epochs):
+    """Pure-Python waterfill replay of cu.unimax_allocation."""
+    caps = {s: max_epochs * n for s, n in sizes.items()}
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    K = len(order)
+    alloc, spent, m = {}, 0, 0
+    for idx, s in enumerate(order, start=1):
+        if caps[s] * (K - idx + 1) <= budget - spent:
+            alloc[s] = caps[s]
+            spent += caps[s]
+            m = idx
+        else:
+            break
+    unc = order[m:]
+    if unc:
+        R = budget - spent
+        per, extra = divmod(R, len(unc))
+        for j, s in enumerate(unc):
+            alloc[s] = per + (1 if j < extra else 0)
+    return alloc, m
+
+
+def test_unimax_allocation_matches_python_replay(spark):
+    """UniMax waterfill vs a pure-Python replay across regimes: mixed
+    capped/uncapped, all-capped (budget > ΣC: leftover deliberately
+    unallocated), none-capped (uniform + remainder order), a zero-token
+    source, and Σ alloc == min(budget, ΣC) throughout."""
+    rows = []
+    sizes = {"a": 10, "b": 100, "c": 100, "d": 1000, "e": 0}
+    did = 0
+    for s, n in sizes.items():
+        rows.append((did, " ".join(["w"] * n), s))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for budget, epochs in [(900, 2), (5000, 2), (3, 1), (0, 1), (121, 3)]:
+        got = {
+            r.source: r
+            for r in cu.unimax_allocation(df, budget, max_epochs=epochs).collect()
+        }
+        want, _ = _unimax_replay(sizes, budget, epochs)
+        assert {s: g.alloc_tokens for s, g in got.items()} == want, (budget, epochs)
+        total_cap = sum(epochs * n for n in sizes.values())
+        assert sum(want.values()) == min(budget, total_cap)
+        for s, g in got.items():
+            assert g.capacity_tokens == epochs * sizes[s]
+            assert g.alloc_tokens <= g.capacity_tokens  # caps never breached
+            exp_up = 1_000_000 * g.alloc_tokens // sizes[s] if sizes[s] else 0
+            assert g.epochs_ppm == exp_up
+            assert g.epochs_ppm <= 1_000_000 * epochs
+
+    with pytest.raises(ValueError):
+        cu.unimax_allocation(df, -1)
+    with pytest.raises(ValueError):
+        cu.unimax_allocation(df, 10, max_epochs=0)
+
+
 def test_multiclass_classifier_matches_dense_python_replay(spark):
     """The engine's sparse-plus-floor decomposition must equal the DENSE
     per-class score computed by a pure-Python replay (same md5 buckets,
