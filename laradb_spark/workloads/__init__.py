@@ -88,6 +88,7 @@ _PRIORITY = [
     "alpha_mixture",
     "heavy_hitters",
     "unimax_allocation",
+    "curation_funnel",
     "approx_stats",
     "ngram_diversity",
     "knn_label_noise",
@@ -121,14 +122,15 @@ _PRIORITY = [
     "nation_region_full_outer",
     "order_price_histogram",
     "order_price_percentiles",
-    "order_status_pivot",
     # --- front of the r9 window: the r5-era rows the 50-slot r8 window
     # --- couldn't fit (after r8 no row should be older than r5).
-    # --- orders_within_30_days and q10-q20 fell off the r8 window when
-    # --- the eleven late-r8 queries (ccnet_lm_buckets, source_datacard,
-    # --- corpus_integrity, lang_classifier, lang_confusion,
-    # --- c4_line_clean, corpus_line_dedup, line_profile, alpha_mixture,
-    # --- heavy_hitters, unimax_allocation) joined the head.
+    # --- order_status_pivot, orders_within_30_days and q10-q20 fell off
+    # --- the r8 window when the twelve late-r8 queries
+    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
+    # --- lang_classifier, lang_confusion, c4_line_clean,
+    # --- corpus_line_dedup, line_profile, alpha_mixture, heavy_hitters,
+    # --- unimax_allocation, curation_funnel) joined the head.
+    "order_status_pivot",
     "orders_within_30_days",
     "q10_returned_items",
     "q11_nation_balance_share",

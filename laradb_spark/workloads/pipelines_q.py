@@ -2684,6 +2684,127 @@ FROM c
 """
 
 
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch curation funnel — the operators COMPOSED the way
+    a real pipeline chains them, with per-stage survivor counts
+    ``(stage, n_docs, n_tokens)``: fabricated line corpus → C4 line
+    cleaning → corpus-level line dedup (drop docs scrubbed empty) →
+    Gopher token rules. The report is the product (the
+    quality_classifier_eval precedent): on this synthetic corpus the
+    Gopher word-count floor (≥50 words post-clean) honestly collapses
+    the tail to a handful of long documents.
+
+    Stage aggregates are GLOBAL one-row aggs (not groupBy on a literal)
+    so an empty stage still emits its ``(stage, 0, 0)`` row on both
+    engines. Token counts are newline→space normalized first: the
+    tokenizer contract splits on ' ' only, and un-normalized multi-line
+    text would fuse the words at line boundaries. Intermediate frames
+    persist once (each feeds its own stage row AND the next stage)."""
+    from ..pipelines import lines as li
+
+    fab = persist_once(_fab_lines_df(load(spark, sf_dir, "documents")))
+    c4 = persist_once(li.c4_line_clean(fab))
+    dd_in = c4.select("doc_id", F.col("clean_text").alias("text"))
+    dd2 = li.corpus_line_dedup(dd_in, max_occurrences=_LINE_DEDUP_MAX)
+    s2 = persist_once(
+        dd2.filter(F.col("clean_text") != "").select(
+            "doc_id",
+            F.regexp_replace("clean_text", "\n", " ").alias("text"),
+        )
+    )
+    g = tx.gopher_quality_flags(s2).filter(F.col("pass_gopher"))
+
+    def stage(name: str, d: DataFrame, text_col: str) -> DataFrame:
+        flat = F.regexp_replace(F.col(text_col), "\n", " ")
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(tx.token_count(flat)), F.lit(0)).alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        stage("00_input", fab, "text")
+        .unionAll(stage("01_c4_clean", c4, "clean_text"))
+        .unionAll(stage("02_line_dedup", s2, "text"))
+        .unionAll(stage("03_gopher", s2.join(g.select("doc_id"), on="doc_id"), "text"))
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+
+CURATION_FUNNEL_SQL = f"""
+{_FAB_CTE},
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS lt, text
+  FROM fab
+),
+k AS (
+  SELECT doc_id,
+         list_filter(lines, l ->
+            (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+            AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5) AS kept,
+         len(list_filter(string_split(lt, ' '), w -> w IN ('badword'))) > 0 AS bad,
+         position('lorem ipsum' IN lt) > 0 AS lorem,
+         position('{{' IN text) > 0 AS brace
+  FROM ls
+),
+c4 AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+  FROM k WHERE NOT bad AND NOT lorem AND NOT brace AND len(kept) >= 3
+),
+lx2 AS (SELECT doc_id, string_split(clean_text, chr(10)) AS lines FROM c4),
+ls2 AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS ln, lines[CAST(i AS INT)] AS line
+  FROM lx2, LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i)
+),
+hv2 AS (
+  SELECT md5(line) AS h FROM ls2 WHERE line <> ''
+  GROUP BY 1 HAVING COUNT(*) > {_LINE_DEDUP_MAX}
+),
+dd AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY ln)
+                  FILTER (WHERE NOT (md5(line) IN (SELECT h FROM hv2))), '') AS clean_text
+  FROM ls2 GROUP BY doc_id
+),
+s2 AS (
+  SELECT doc_id, replace(clean_text, chr(10), ' ') AS text
+  FROM dd WHERE clean_text <> ''
+),
+s2t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM s2
+),
+g AS (
+  SELECT doc_id, text FROM s2t
+  WHERE len(toks) BETWEEN {tx.GOPHER_MIN_WORDS} AND {tx.GOPHER_MAX_WORDS}
+    AND (1000 * list_sum(list_transform(toks, w -> LENGTH(w)))) // len(toks)
+        BETWEEN {tx.GOPHER_MIN_MEAN_WORD_LEN_MILLI} AND {tx.GOPHER_MAX_MEAN_WORD_LEN_MILLI}
+    AND len(list_filter(toks, w -> lower(w) IN ({_GOPHER_STOP_SQL}))) >= {tx.GOPHER_MIN_STOPWORD_HITS}
+    AND (1000000 * len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))) // len(toks)
+        >= {tx.GOPHER_MIN_ALPHA_WORD_PPM}
+),
+tc AS (
+  SELECT '00_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(list_filter(string_split(replace(text, chr(10), ' '), ' '), w -> w <> ''))), 0) AS BIGINT) AS n_tokens
+  FROM fab
+  UNION ALL
+  SELECT '01_c4_clean', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(len(list_filter(string_split(replace(clean_text, chr(10), ' '), ' '), w -> w <> ''))), 0) AS BIGINT)
+  FROM c4
+  UNION ALL
+  SELECT '02_line_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0) AS BIGINT)
+  FROM s2
+  UNION ALL
+  SELECT '03_gopher', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0) AS BIGINT)
+  FROM g
+)
+SELECT stage, n_docs, n_tokens FROM tc
+"""
+
+
 # injected referential defects so the audit's nonzero path is certified:
 # drop vec_id % 5 == 0 embeddings (docs lose their vector) and
 # doc_id % 7 == 0 documents (vectors lose their doc)
@@ -2837,4 +2958,5 @@ QUERIES = {
     "alpha_mixture": (alpha_mixture_q, ALPHA_MIXTURE_SQL),
     "heavy_hitters": (heavy_hitters_q, HEAVY_HITTERS_SQL),
     "unimax_allocation": (unimax_q, UNIMAX_SQL),
+    "curation_funnel": (curation_funnel_q, CURATION_FUNNEL_SQL),
 }

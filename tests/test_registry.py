@@ -39,6 +39,7 @@ def test_changed_queries_inside_oracle_window():
         # the α-temperature mixture planner
         "c4_line_clean", "corpus_line_dedup", "line_profile",
         "alpha_mixture", "heavy_hitters", "unimax_allocation",
+        "curation_funnel",
         # CHANGED in r8: approx_stats gained a real oracle (bounds-boolean
         # reshape — the formerly perpetual no_oracle row); ngram_diversity
         # folds NULL text and its oracle COALESCEs; knn_label_noise got the
@@ -55,9 +56,10 @@ def test_changed_queries_inside_oracle_window():
     }
     # r9 window front: the r5-era rows the 50-slot r8 window could not
     # fit (code unchanged since r5; after r9 no driver row predates r6).
-    # orders_within_30_days and q10-q20 were pushed out of the r8
-    # window by the late-r8 queries.
+    # order_status_pivot, orders_within_30_days and q10-q20 were pushed
+    # out of the r8 window by the late-r8 queries.
     next_window = {
+        "order_status_pivot",
         "orders_within_30_days",
         "q10_returned_items",
         "q11_nation_balance_share",
