@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out
+from ..util import fan_out, persist_once
 
 # C4 keeps a line only when it ends in terminal punctuation. Raffel et
 # al. 2020 §2.2: "we only retained lines that ended in a terminal
@@ -131,40 +131,21 @@ def c4_line_clean(
     ).filter(F.col("_doc_ok") & (F.col("n_lines_kept") >= min_lines)).drop("_doc_ok")
 
 
-def corpus_line_dedup(
-    df: DataFrame,
-    max_occurrences: int = 2,
-    text: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """RefinedWeb-style corpus-level line dedup (Penedo et al. 2023):
-    strip every NON-BLANK line whose exact text occurs more than
-    ``max_occurrences`` times across the corpus (cookie banners, nav
-    boilerplate) → ``(id, clean_text, n_lines, n_lines_removed)`` for
-    every input document (a doc whose every line is boilerplate comes
-    back with ``clean_text = ''``). Blank lines are structural, never
-    counted or removed.
-
-    Scale shape: lines shuffle by ``md5(line)`` (narrow fixed-width key,
-    map-side combine; full 128-bit digest so collisions are not a
-    correctness concern at 10^12 lines, unlike a 64-bit prefix); the
-    HAVING keeps only genuinely repeated lines, so the heavy set is
-    boilerplate-sized and AQE broadcasts the join back; one per-doc
-    reassembly aggregate ordered by line position (conditional
-    ``collect_list`` — ``when()`` yields NULL for removed lines and
-    collect_list drops NULLs)."""
-    ls = (
+def _line_stream(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Exploded ``(id, ln, line, _h)`` line stream, md5-keyed."""
+    return (
         fan_out(df)
         .select(F.col(id_col), F.posexplode(_lines(F.col(text))).alias("ln", "line"))
         .withColumn("_h", F.md5(F.col("line")))
     )
-    heavy = (
-        ls.filter(F.col("line") != "")
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_occurrences)
-        .select("_h")
-    )
+
+
+def _strip_heavy(ls: DataFrame, heavy: DataFrame, id_col: str) -> DataFrame:
+    """Remove the heavy-hash lines from the stream and reassemble each
+    doc → ``(id, clean_text, n_lines, n_lines_removed)``. One per-doc
+    aggregate ordered by line position (conditional ``collect_list`` —
+    ``when()`` yields NULL for removed lines and collect_list drops
+    NULLs)."""
     flagged = ls.join(heavy.withColumn("_rm", F.lit(True)), on="_h", how="left")
     return (
         flagged.groupBy(id_col)
@@ -185,6 +166,115 @@ def corpus_line_dedup(
         )
         .select(id_col, "clean_text", "n_lines", "n_lines_removed")
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    max_occurrences: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style corpus-level line dedup (Penedo et al. 2023):
+    strip every NON-BLANK line whose exact text occurs more than
+    ``max_occurrences`` times across the corpus (cookie banners, nav
+    boilerplate) → ``(id, clean_text, n_lines, n_lines_removed)`` for
+    every input document (a doc whose every line is boilerplate comes
+    back with ``clean_text = ''``). Blank lines are structural, never
+    counted or removed.
+
+    Scale shape: lines shuffle by ``md5(line)`` (narrow fixed-width key,
+    map-side combine; full 128-bit digest so collisions are not a
+    correctness concern at 10^12 lines, unlike a 64-bit prefix); the
+    HAVING keeps only genuinely repeated lines, so the heavy set is
+    boilerplate-sized and AQE broadcasts the join back; one per-doc
+    reassembly aggregate ordered by line position (``_strip_heavy``)."""
+    ls = _line_stream(df, text, id_col)
+    heavy = (
+        ls.filter(F.col("line") != "")
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_occurrences)
+        .select("_h")
+    )
+    return _strip_heavy(ls, heavy, id_col)
+
+
+def line_index_build(
+    df: DataFrame, path: str, text: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the corpus's per-line-hash occurrence COUNTS as
+    parquet ``(h, n)`` — the frozen half of INCREMENTAL line dedup
+    (the ``span_build_index`` pattern, but with counts instead of a
+    seen-set: a line is boilerplate only once its CUMULATIVE count
+    crosses the threshold, so the index must add across shards).
+    Append further shards with :func:`line_index_update`; readers sum
+    per hash, so appended part files never need compaction to be
+    correct. Blank lines are structural and never indexed."""
+    (
+        _line_stream(df, text, id_col)
+        .filter(F.col("line") != "")
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def line_index_update(
+    df: DataFrame, path: str, text: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Append one shard's per-line-hash counts to a stored line index
+    (``mode='append'`` twin of :func:`line_index_build`)."""
+    (
+        _line_stream(df, text, id_col)
+        .filter(F.col("line") != "")
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def strip_indexed_lines(
+    df: DataFrame,
+    index_path: str,
+    max_occurrences: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental :func:`corpus_line_dedup` against history: strip every
+    line whose CUMULATIVE count — stored index (all prior shards) PLUS
+    this batch — exceeds ``max_occurrences``. A cookie banner that was
+    seen ``max_occurrences`` times in history is stripped from every new
+    document that carries it; a batch-internal flood crosses the
+    threshold even with no history. Same output contract as
+    ``corpus_line_dedup``.
+
+    Scale shape: the index aggregates to one count per DISTINCT line
+    hash (boilerplate-vocabulary-sized, shrinking under map-side
+    combine no matter how many appended part files), joins the batch's
+    own counts, and only then filters heavy — the batch's line stream
+    shuffles once, the heavy set broadcasts back (AQE)."""
+    spark = df.sparkSession
+    ls = persist_once(_line_stream(df, text, id_col))
+    batch_counts = (
+        ls.filter(F.col("line") != "")
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = (
+        spark.read.parquet(index_path)
+        .groupBy("h")
+        .agg(F.sum("n").alias("n_hist"))
+    )
+    heavy = (
+        batch_counts.join(hist, on="h", how="left")
+        .filter(
+            F.col("n") + F.coalesce(F.col("n_hist"), F.lit(0)) > max_occurrences
+        )
+        .select(F.col("h").alias("_h"))
+    )
+    return _strip_heavy(ls, heavy, id_col)
 
 
 def line_profile(

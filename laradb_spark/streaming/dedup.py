@@ -88,6 +88,58 @@ def dedup_ingest_stream(
     )
 
 
+def line_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_occurrences: int = 2,
+    text_col: str = "text",
+):
+    """The foreachBatch incremental LINE-dedup loop — RefinedWeb
+    boilerplate-line stripping as a continuous ingest: per micro-batch,
+    strip every line whose cumulative count (stored line index + this
+    batch) exceeds ``max_occurrences``, append the rewritten docs to
+    ``out_path`` and the batch's per-hash line counts to the index.
+    A nav banner crosses the threshold mid-stream and is stripped from
+    every document after that point.
+
+    Index re-read per batch (fresh static plan — same rationale and
+    file-listing caveat as ``dedup_ingest_stream``); same at-least-once
+    retry note (appends can duplicate on partial-write retry, which for
+    a COUNT index also inflates counts — production would stage
+    per-batch and commit atomically). The index is written ALWAYS, even
+    for batches whose docs were all stripped empty: the counts are the
+    history. Returns the started query (availableNow trigger)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..pipelines.lines import line_index_update, strip_indexed_lines
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            stripped = strip_indexed_lines(
+                batch_df, index_path, max_occurrences, text=text_col
+            )
+        except AnalysisException:
+            # first batch: no index yet — intra-batch threshold only
+            from ..pipelines.lines import corpus_line_dedup
+
+            stripped = corpus_line_dedup(
+                batch_df, max_occurrences, text=text_col
+            )
+        stripped.write.mode("append").parquet(out_path)
+        line_index_update(batch_df, index_path, text=text_col)
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def span_ingest_stream(
     stream: DataFrame,
     index_path: str,

@@ -137,3 +137,95 @@ def test_projection_ops_are_shuffle_free(spark, lined):
     for op in (li.c4_line_clean, li.line_profile):
         plan = op(lined)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_strip_indexed_lines_cumulative_threshold(spark, tmp_path):
+    """Incremental line dedup: a line crosses the boilerplate threshold
+    via history alone, via the batch alone, or via history+batch
+    combined; novel and blank lines survive."""
+    banner = "accept cookies now"
+    hist = spark.createDataFrame(
+        [(1, f"{banner}\nhist one"), (2, f"{banner}\nhist two"), (3, f"{banner}\nhist three"),
+         (4, "seen once in history\nfiller")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lidx")
+    li.line_index_build(hist, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, f"{banner}\nnovel body ten"),          # heavy via history (3 > 2)
+            (11, "flood\nflood\nflood\nnovel eleven"),  # heavy via batch alone
+            (12, "seen once in history\nseen once in history\nnovel twelve"),  # 1 hist + 2 batch > 2
+            (13, "novel thirteen\n\nnovel thirteen tail"),  # untouched, blank kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in li.strip_indexed_lines(batch, idx, max_occurrences=2).collect()}
+    assert got[10].clean_text == "novel body ten" and got[10].n_lines_removed == 1
+    assert got[11].clean_text == "novel eleven" and got[11].n_lines_removed == 3
+    assert got[12].clean_text == "novel twelve" and got[12].n_lines_removed == 2
+    assert got[13].clean_text == "novel thirteen\n\nnovel thirteen tail"
+    assert got[13].n_lines_removed == 0
+
+    # appending the batch via line_index_update makes its lines history:
+    # a later shard carrying "flood" once now crosses 3(+1) > 2
+    li.line_index_update(batch, idx)
+    later = spark.createDataFrame([(20, "flood\nnovel twenty")], "doc_id long, text string")
+    got2 = {r.doc_id: r for r in li.strip_indexed_lines(later, idx, max_occurrences=2).collect()}
+    assert got2[20].clean_text == "novel twenty" and got2[20].n_lines_removed == 1
+
+
+def test_line_ingest_loop_strips_across_and_within_batches(spark, tmp_path):
+    """line_ingest_stream: a banner line accumulating across micro-batches
+    is stripped once its cumulative count crosses the threshold; within-
+    batch floods strip immediately; novel lines pass verbatim."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming.dedup import line_ingest_stream
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    banner = "subscribe to our newsletter"
+    # batch 1: banner ×2 (≤ threshold 2 → kept), flood ×3 within batch
+    spark.createDataFrame(
+        [(1, f"{banner}\nbody one"), (2, f"{banner}\nbody two"),
+         (3, "flood\nflood\nflood\nbody three")],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2: banner's cumulative count hits 3 (> 2) → stripped now
+    spark.createDataFrame(
+        [(10, f"{banner}\nbody ten"), (11, "completely novel text")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("lidx", "lout", "lck"))
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = line_ingest_stream(stream, idx, out, ck, max_occurrences=2)
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.clean_text, r.n_lines_removed)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: (f"{banner}\nbody one", 0),   # cumulative 2 ≤ 2 in batch 1
+        2: (f"{banner}\nbody two", 0),
+        3: ("body three", 3),            # intra-batch flood
+        10: ("body ten", 1),             # history(2) + batch(1) > 2
+        11: ("completely novel text", 0),
+    }
+    # index holds per-batch count rows; cumulative banner count == 3
+    from pyspark.sql import functions as F
+
+    idx_df = spark.read.parquet(idx)
+    ban = idx_df.filter(F.col("h") == F.md5(F.lit(banner))).agg(F.sum("n")).collect()[0][0]
+    assert ban == 3
