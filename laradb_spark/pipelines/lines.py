@@ -104,8 +104,12 @@ def c4_line_clean(
     absent from the output (the ``quality_classifier_score``
     keep-frame discipline)."""
     lw = F.lower(F.col(text))
+    # Split on the [ \n] whitespace CLASS, not ' ' alone: with a
+    # space-only split, the last word of one line and the first word of
+    # the next fuse into one token ('prev.\nbadword') and a badword at
+    # line start is never detected (round-8 ADVICE item).
     bad_tok = F.arrays_overlap(
-        F.split(lw, " "), F.array(*[F.lit(b) for b in badwords])
+        F.split(lw, "[ \n]"), F.array(*[F.lit(b) for b in badwords])
     )
     doc_ok = (
         ~F.coalesce(bad_tok, F.lit(False))
@@ -131,13 +135,22 @@ def c4_line_clean(
     ).filter(F.col("_doc_ok") & (F.col("n_lines_kept") >= min_lines)).drop("_doc_ok")
 
 
-def _line_stream(df: DataFrame, text: str, id_col: str) -> DataFrame:
-    """Exploded ``(id, ln, line, _h)`` line stream, md5-keyed."""
+def line_stream(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded ``(id, ln, line, _h)`` line stream, md5-keyed. Public so
+    callers that manage their own caching (the streaming ingest loop,
+    which would otherwise leak one cached plan per micro-batch) can
+    build it once, ``persist()`` it, pass it to
+    :func:`strip_indexed_lines` / :func:`line_index_update` via their
+    ``lines=`` parameter, and ``unpersist()`` in a ``finally``."""
     return (
         fan_out(df)
         .select(F.col(id_col), F.posexplode(_lines(F.col(text))).alias("ln", "line"))
         .withColumn("_h", F.md5(F.col("line")))
     )
+
+
+def _line_stream(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    return line_stream(df, text, id_col)
 
 
 def _strip_heavy(ls: DataFrame, heavy: DataFrame, id_col: str) -> DataFrame:
@@ -173,6 +186,7 @@ def corpus_line_dedup(
     max_occurrences: int = 2,
     text: str = "text",
     id_col: str = "doc_id",
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """RefinedWeb-style corpus-level line dedup (Penedo et al. 2023):
     strip every NON-BLANK line whose exact text occurs more than
@@ -187,8 +201,10 @@ def corpus_line_dedup(
     correctness concern at 10^12 lines, unlike a 64-bit prefix); the
     HAVING keeps only genuinely repeated lines, so the heavy set is
     boilerplate-sized and AQE broadcasts the join back; one per-doc
-    reassembly aggregate ordered by line position (``_strip_heavy``)."""
-    ls = _line_stream(df, text, id_col)
+    reassembly aggregate ordered by line position (``_strip_heavy``).
+    ``lines`` optionally supplies a pre-built (caller-persisted)
+    :func:`line_stream`."""
+    ls = lines if lines is not None else _line_stream(df, text, id_col)
     heavy = (
         ls.filter(F.col("line") != "")
         .groupBy("_h")
@@ -221,12 +237,18 @@ def line_index_build(
 
 
 def line_index_update(
-    df: DataFrame, path: str, text: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lines: DataFrame | None = None,
 ) -> None:
     """Append one shard's per-line-hash counts to a stored line index
-    (``mode='append'`` twin of :func:`line_index_build`)."""
+    (``mode='append'`` twin of :func:`line_index_build`). ``lines``
+    optionally supplies a pre-built (often pre-persisted)
+    :func:`line_stream` to avoid re-exploding ``df``."""
     (
-        _line_stream(df, text, id_col)
+        (lines if lines is not None else _line_stream(df, text, id_col))
         .filter(F.col("line") != "")
         .groupBy(F.col("_h").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -241,6 +263,7 @@ def strip_indexed_lines(
     max_occurrences: int = 2,
     text: str = "text",
     id_col: str = "doc_id",
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental :func:`corpus_line_dedup` against history: strip every
     line whose CUMULATIVE count — stored index (all prior shards) PLUS
@@ -254,9 +277,14 @@ def strip_indexed_lines(
     hash (boilerplate-vocabulary-sized, shrinking under map-side
     combine no matter how many appended part files), joins the batch's
     own counts, and only then filters heavy — the batch's line stream
-    shuffles once, the heavy set broadcasts back (AQE)."""
+    shuffles once, the heavy set broadcasts back (AQE).
+
+    ``lines`` optionally supplies a pre-built :func:`line_stream` whose
+    persistence the CALLER manages (streaming loops must, or each
+    micro-batch leaks one cached plan); when omitted, the stream is
+    ``persist_once``-cached for this one-shot query."""
     spark = df.sparkSession
-    ls = persist_once(_line_stream(df, text, id_col))
+    ls = lines if lines is not None else persist_once(_line_stream(df, text, id_col))
     batch_counts = (
         ls.filter(F.col("line") != "")
         .groupBy(F.col("_h").alias("h"))

@@ -1,4 +1,4 @@
-from .dedup import dedup_stream, span_ingest_stream
+from .dedup import dedup_stream, line_ingest_stream, span_ingest_stream
 from .ingest import curate_ingest_stream
 from .joins import interval_join
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
@@ -16,6 +16,7 @@ __all__ = [
     "session_window_agg",
     "dedup_stream",
     "span_ingest_stream",
+    "line_ingest_stream",
     "curate_ingest_stream",
     "interval_join",
     "kafka_source_options",

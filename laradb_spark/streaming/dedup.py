@@ -113,24 +113,35 @@ def line_ingest_stream(
     history. Returns the started query (availableNow trigger)."""
     from pyspark.sql.utils import AnalysisException
 
-    from ..pipelines.lines import line_index_update, strip_indexed_lines
+    from ..pipelines.lines import (
+        line_index_update,
+        line_stream,
+        strip_indexed_lines,
+    )
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.persist()
+        # Build + persist the exploded line stream HERE and pass it down
+        # via lines=: strip_indexed_lines' own persist_once cache is for
+        # one-shot queries and would leak one cached plan per micro-batch
+        # (round-8 ADVICE item) — the loop owns the cache lifecycle, same
+        # try/finally discipline as curate_ingest_stream.
+        ls = line_stream(batch_df, text=text_col).persist()
         try:
-            stripped = strip_indexed_lines(
-                batch_df, index_path, max_occurrences, text=text_col
-            )
-        except AnalysisException:
-            # first batch: no index yet — intra-batch threshold only
-            from ..pipelines.lines import corpus_line_dedup
+            try:
+                stripped = strip_indexed_lines(
+                    batch_df, index_path, max_occurrences, text=text_col, lines=ls
+                )
+            except AnalysisException:
+                # first batch: no index yet — intra-batch threshold only
+                from ..pipelines.lines import corpus_line_dedup
 
-            stripped = corpus_line_dedup(
-                batch_df, max_occurrences, text=text_col
-            )
-        stripped.write.mode("append").parquet(out_path)
-        line_index_update(batch_df, index_path, text=text_col)
-        batch_df.unpersist()
+                stripped = corpus_line_dedup(
+                    batch_df, max_occurrences, text=text_col, lines=ls
+                )
+            stripped.write.mode("append").parquet(out_path)
+            line_index_update(batch_df, index_path, text=text_col, lines=ls)
+        finally:
+            ls.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -2536,11 +2536,23 @@ def _fab_lines_df(docs: DataFrame) -> DataFrame:
         (doc % _FAB_DUPLINE == 0) & (F.size("_base") > 0),
         F.array(F.element_at("_base", 1)),
     ).otherwise(F.array().cast("array<string>"))
+    # The badword line goes FIRST for even multiples of _FAB_BAD and last
+    # for odd ones, so the line-INITIAL badword path (the round-8 ADVICE
+    # blind spot: under a space-only split it fused with the previous
+    # line's final token) genuinely fires for some docs.
+    bad = "badword in an injected line."
+    bad_first = F.when(doc % (2 * _FAB_BAD) == 0, F.array(F.lit(bad))).otherwise(
+        F.array().cast("array<string>")
+    )
+    bad_last = F.when(
+        (doc % _FAB_BAD == 0) & (doc % (2 * _FAB_BAD) != 0), F.array(F.lit(bad))
+    ).otherwise(F.array().cast("array<string>"))
     lines = F.concat(
+        bad_first,
         F.col("_base"),
         dup_first,
         _opt_line(_FAB_LOREM, "lorem ipsum dolor sit amet."),
-        _opt_line(_FAB_BAD, "badword in an injected line."),
+        bad_last,
         _opt_line(_FAB_BRACE, "function() { return 1; }"),
     )
     return staged.select("doc_id", "source", F.array_join(lines, "\n").alias("text"))
@@ -2565,10 +2577,11 @@ lb AS (
 fab AS (
   SELECT doc_id, source,
          array_to_string(
-           base
+           (CASE WHEN doc_id % {2 * _FAB_BAD} = 0 THEN ['badword in an injected line.'] ELSE []::VARCHAR[] END)
+           || base
            || (CASE WHEN doc_id % {_FAB_DUPLINE} = 0 AND len(base) > 0 THEN [base[1]] ELSE []::VARCHAR[] END)
            || (CASE WHEN doc_id % {_FAB_LOREM} = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END)
-           || (CASE WHEN doc_id % {_FAB_BAD} = 0 THEN ['badword in an injected line.'] ELSE []::VARCHAR[] END)
+           || (CASE WHEN doc_id % {_FAB_BAD} = 0 AND doc_id % {2 * _FAB_BAD} <> 0 THEN ['badword in an injected line.'] ELSE []::VARCHAR[] END)
            || (CASE WHEN doc_id % {_FAB_BRACE} = 0 THEN ['function() {{ return 1; }}'] ELSE []::VARCHAR[] END),
            chr(10)) AS text
   FROM lb
@@ -2597,7 +2610,7 @@ k AS (
          list_filter(lines, l ->
             (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
             AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5) AS kept,
-         len(list_filter(string_split(lt, ' '), w -> w IN ('badword'))) > 0 AS bad,
+         len(list_filter(string_split(replace(lt, chr(10), ' '), ' '), w -> w IN ('badword'))) > 0 AS bad,
          position('lorem ipsum' IN lt) > 0 AS lorem,
          position('{{' IN text) > 0 AS brace
   FROM ls
@@ -2742,7 +2755,7 @@ k AS (
          list_filter(lines, l ->
             (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
             AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5) AS kept,
-         len(list_filter(string_split(lt, ' '), w -> w IN ('badword'))) > 0 AS bad,
+         len(list_filter(string_split(replace(lt, chr(10), ' '), ' '), w -> w IN ('badword'))) > 0 AS bad,
          position('lorem ipsum' IN lt) > 0 AS lorem,
          position('{{' IN text) > 0 AS brace
   FROM ls

@@ -339,6 +339,14 @@ SINGLE_PARTITION_ALLOWED = {
     "gopher_funnel",           # 1-row conditional-count aggregate → 4-row stack
     "split_leakage",           # two 1-row distinct-set counts → one summary row
     "token_apportionment",     # sources-sized frame: 1-row total + whole-frame rank
+    "alpha_mixture",           # sources-sized frame only: 1-row token total +
+                               # whole-frame window over ~20 sources (curation.py)
+    "unimax_allocation",       # closed-form waterfill over the sources-sized
+                               # frame: 1-row totals + whole-frame sort (~20 rows)
+    "heavy_hitters",           # 1-row E/N totals aggregate; the candidate merge
+                               # itself is a distributed groupBy("tok") (text.py)
+    "curation_funnel",         # deliberate 1-row global per-stage survivor
+                               # aggregates, 4-row report (pipelines_q.py)
     "event_funnel",            # three scalar counts
     "forward_fill_hourly",     # bounded time-grid series
     "monthly_revenue_mom",     # ~83-month aggregated series window
