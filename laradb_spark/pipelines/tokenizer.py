@@ -12,7 +12,12 @@ sweep is exactly equivalent to the repeatedly-merge-the-lowest-rank-pair
 formulation (the GPT-2 encoder loop) — ``tests/test_tokenizer.py`` pins
 that equivalence property.
 
-Two engine paths, bit-identical by construction:
+Two engine paths, bit-identical FOR TRAINED MERGE TABLES (the
+``bpe_validate_merges`` precondition: every pair's symbols are single
+codepoints or products of earlier merges — exactly what the trainer
+emits; a hand-edited table violating it would make the sweep and the
+rank-priority encoder diverge, so every entry point validates and
+raises instead):
 
 * **expression path** (``bpe_token_count`` / ``bpe_encode``): each word's
   symbol sequence is a STRING ``\\x1f a \\x1f\\x1f b \\x1f ...`` — every
@@ -71,6 +76,52 @@ DEMO_BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+# Demo BYTE-LEVEL merge table: 48 merges trained with bpe_train_bytes on
+# the synthetic sf0.01 documents corpus decorated with the deterministic
+# punctuation/unicode suffixes the registry's byte-BPE queries fabricate
+# (workloads/pipelines_q.py `_fab_punct_*`) — re-derivable from public test
+# data in ~30s; 'Ġ' is the byte-0x20 (space) mapped symbol, exactly as in
+# published GPT-2-family vocabularies. Real deployments pass their own
+# exported byte-level merge list instead.
+DEMO_BYTE_BPE_MERGES: list[tuple[str, str]] = [
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("Ġ", "c"), ("t", "a"), ("a", "s"), ("m", "er"), ("l", "u"),
+    ("Ġ", "b"), ("Ġ", "v"), ("a", "r"), ("p", "ar"), ("Ġ", "f"),
+    ("Ġ", "a"), ("as", "h"), ("Ġ", "d"), ("q", "u"), ("j", "o"),
+    ("jo", "in"), ("h", "ash"), ("Ġ", "join"), ("s", "t"), ("r", "ow"),
+    ("a", "t"), ("at", "c"), ("atc", "h"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("o", "mer"),
+    ("st", "omer"), ("u", "stomer"), ("i", "l"), ("il", "t"),
+    ("ilt", "er"), ("Ġ", "hash"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("Ġ", "row"), ("Ġs", "can"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+]
+
+
+def bpe_validate_merges(
+    merges: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Reject merge tables that are not TRAINED-shaped: each pair's two
+    symbols must be single codepoints or the product of an EARLIER merge
+    (``a+b`` of a lower rank). The classic BPE trainer can only ever emit
+    such tables, and the property is what makes the in-rank-order sweep
+    (expression path) and the rank-priority encoder (Arrow path)
+    provably equivalent — e.g. ``[('ab','c'), ('a','b')]`` silently
+    diverges between them on ``'abc'``, so it is an error here, not a
+    table. Returns ``merges`` unchanged so call sites can validate
+    inline. O(len(merges)); every public apply/load path calls this."""
+    known: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for s in (a, b):
+            if len(s) != 1 and s not in known:
+                raise ValueError(
+                    f"merge table is not trained-shaped: merge {i} "
+                    f"({a!r}, {b!r}) uses symbol {s!r} which is neither a "
+                    "single codepoint nor the product of an earlier merge"
+                )
+        known.add(a + b)
+    return merges
+
+
 def _wrap(a: str) -> str:
     return f"{BPE_SEP}{a}{BPE_SEP}"
 
@@ -109,7 +160,7 @@ def bpe_token_count(
     projection under whole-stage codegen, NOT an interpreted transform
     lambda), then one docs-sized count aggregate with map-side combine.
     The corpus text never shuffles."""
-    merges = DEMO_BPE_MERGES if merges is None else merges
+    merges = DEMO_BPE_MERGES if merges is None else bpe_validate_merges(merges)
     w = fan_out(df).select("doc_id", F.explode(tokens(F.col(text))).alias("_w"))
     cnt = _symbol_count(_word_symbols(F.col("_w"), merges))
     return (
@@ -134,7 +185,7 @@ def bpe_tokens_per_source(
     in mixture planning. ``n_docs`` counts EVERY doc of the source
     (token-less ones hold 0 tokens but exist); the counts come off the
     same codegen'd exploded-word chain as ``bpe_token_count``."""
-    merges = DEMO_BPE_MERGES if merges is None else merges
+    merges = DEMO_BPE_MERGES if merges is None else bpe_validate_merges(merges)
     n_docs = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
     w = fan_out(df).select(
         F.col(source_col), F.explode(tokens(F.col(text))).alias("_w")
@@ -162,7 +213,7 @@ def bpe_encode(
     lambda runs interpreted — use ``bpe_token_count`` when only the
     statistic is needed (codegen path) and the Arrow twin for real
     vocabularies."""
-    merges = DEMO_BPE_MERGES if merges is None else merges
+    merges = DEMO_BPE_MERGES if merges is None else bpe_validate_merges(merges)
     toks = F.flatten(
         F.transform(
             tokens(F.col(text)),
@@ -202,11 +253,7 @@ def bpe_train(
     Rewrite semantics match ``_merge_once`` exactly (left-to-right
     non-overlapping), so the learned table replays bit-for-bit through
     every apply path; the pure-Python test trainer is the oracle."""
-    from ..util import persist_once
-
-    if n_merges < 0:
-        raise ValueError("n_merges must be >= 0")
-    vocab = persist_once(
+    vocab = (
         fan_out(df)
         .select(F.explode(tokens(F.col(text))).alias("_w"))
         .groupBy("_w")
@@ -229,6 +276,21 @@ def bpe_train(
             "c",
         )
     )
+    return _bpe_train_loop(vocab, n_merges)
+
+
+def _bpe_train_loop(
+    vocab0: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """The shared merge-learning loop over a ``(syms array<string>, c)``
+    vocab frame — codepoint-level (:func:`bpe_train`) and byte-level
+    (:func:`bpe_train_bytes`) training differ only in how the vocab is
+    built."""
+    from ..util import persist_once
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    vocab = persist_once(vocab0)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -312,9 +374,12 @@ def bpe_save_merges(
 def bpe_load_merges(spark, path: str) -> list[tuple[str, str]]:
     """Load a ``bpe_save_merges`` artifact back into rank order. The
     merge list is vocabulary-sized (tens of KB at 50k merges) — a
-    bounded driver-side collect by construction."""
+    bounded driver-side collect by construction. The loaded table is
+    validated (:func:`bpe_validate_merges`): stored ranks are trusted
+    for ORDER but not for trained-shape, so a hand-edited artifact
+    raises here instead of silently diverging between apply paths."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
-    return [(r.a, r.b) for r in rows]
+    return bpe_validate_merges([(r.a, r.b) for r in rows])
 
 
 def bpe_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
@@ -377,7 +442,7 @@ def bpe_token_count_arrow(
 
     from .text import tokenize_str
 
-    merges = DEMO_BPE_MERGES if merges is None else merges
+    merges = DEMO_BPE_MERGES if merges is None else bpe_validate_merges(merges)
     ranks = bpe_ranks(merges)
 
     def count(batches):
@@ -405,3 +470,299 @@ def bpe_token_count_arrow(
     return fan_out(df).select("doc_id", text).mapInPandas(
         count, "doc_id long, n_words long, n_bpe_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 / Llama-family shape): regex pre-tokenization over
+# the ORIGINAL text, then each pretoken's UTF-8 bytes map through the
+# published byte<->unicode table, then merges apply over the 256-char mapped
+# alphabet. Counts therefore track production byte-level tokenizers on
+# punctuation / whitespace / unicode, where the whitespace-split codepoint
+# path above diverges.
+# ---------------------------------------------------------------------------
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte<->unicode table (Radford et al. 2019,
+    byte-level BPE): visible single-byte chars — printable ASCII
+    0x21-0x7E and latin-1 0xA1-0xAC / 0xAE-0xFF — map to themselves;
+    every other byte b maps to ``chr(256 + k)`` with k assigned in
+    ascending byte order. A bijection into 256 BMP codepoints none of
+    which is whitespace, a control char, or the reserved 0x1f separator
+    — which is exactly why merges over mapped symbols need no stripping
+    and the ``(.)`` wrap regex needs no DOTALL."""
+    keep = (
+        set(range(ord("!"), ord("~") + 1))
+        | set(range(0xA1, 0xAC + 1))
+        | set(range(0xAE, 0xFF + 1))
+    )
+    table: dict[int, str] = {}
+    shift = 0
+    for b in range(256):
+        if b in keep:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + shift)
+            shift += 1
+    return table
+
+
+#: mapped char for byte b == BYTE_ALPHABET[b] — the 256-char lookup string
+#: both engines index by byte value (Spark ``substring``, DuckDB oracle
+#: ``substring``; both are character-addressed).
+BYTE_ALPHABET = "".join(bytes_to_unicode()[b] for b in range(256))
+
+#: GPT-2-STYLE pre-tokenizer, restricted to the regex subset Java
+#: (Spark), RE2 (DuckDB), and the hand-rolled Python scanner all agree
+#: on. Deliberate divergences from the original GPT-2 pattern, both
+#: forced by RE2's no-lookaround dialect: (1) no ``\s+(?!\S)`` trailing-
+#: space alternative, so an inter-word space run stands alone instead of
+#: donating its last space to the next word when the run length exceeds
+#: one; (2) whitespace is the EXPLICIT class ``[ \t\n\r\f]`` (Java \s
+#: includes \x0B where RE2 does not — pinning the class removes the
+#: disagreement). Leftmost-first alternation in all three engines.
+PRETOKENIZE_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"
+)
+
+_PRETOK_WS = " \t\n\r\f"
+_PRETOK_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def pretokenize_str(text: str) -> list[str]:
+    """Pure-Python twin of ``regexp_extract_all(text, PRETOKENIZE_RE)``
+    — a hand-rolled leftmost-first scanner (Python ``re`` lacks ``\\p``
+    classes; ``unicodedata`` categories are the same L*/N* definitions
+    Java and RE2 use). Property-tested equal to the Spark split."""
+    import unicodedata
+
+    def cat(c: str) -> str:
+        return unicodedata.category(c)[0]
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            for suf in _PRETOK_CONTRACTIONS:
+                if text.startswith(suf, i):
+                    out.append(suf)
+                    i += len(suf)
+                    break
+            else:
+                suf = None
+            if suf is not None:
+                continue
+        j = i + 1 if c == " " else i
+        if j < n and cat(text[j]) == "L":
+            k = j + 1
+            while k < n and cat(text[k]) == "L":
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        if j < n and cat(text[j]) == "N":
+            k = j + 1
+            while k < n and cat(text[k]) == "N":
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+
+        def other(ch: str) -> bool:
+            return ch not in _PRETOK_WS and cat(ch) not in ("L", "N")
+
+        if j < n and other(text[j]):
+            k = j + 1
+            while k < n and other(text[k]):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        if c in _PRETOK_WS:
+            k = i + 1
+            while k < n and text[k] in _PRETOK_WS:
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        out.append(c)  # pragma: no cover — unreachable by construction
+        i += 1
+    return out
+
+
+def byte_map_str(tok: str) -> str:
+    """Pure-Python byte mapping: the pretoken's UTF-8 bytes through
+    ``BYTE_ALPHABET``."""
+    return "".join(BYTE_ALPHABET[b] for b in tok.encode("utf-8"))
+
+
+def _byte_mapped(tok: Column) -> Column:
+    """Expression-path byte mapping: hex the UTF-8 bytes (2 chars/byte),
+    chunk into pairs, index ``BYTE_ALPHABET`` per pair — whole-stage-
+    codegen string ops only, and the exact construction the DuckDB
+    oracle replays (``hex(encode(..))`` + strpos digit arithmetic)."""
+    hexed = F.hex(F.encode(tok, "UTF-8"))
+    chunks = F.filter(
+        F.split(F.regexp_replace(hexed, "(..)", "$1" + BPE_SEP), BPE_SEP),
+        lambda s: s != F.lit(""),
+    )
+    return F.array_join(
+        F.transform(
+            chunks,
+            lambda ch: F.substring(
+                F.lit(BYTE_ALPHABET), F.conv(ch, 16, 10).cast("int") + 1, F.lit(1)
+            ),
+        ),
+        "",
+    )
+
+
+def _mapped_symbols(mapped: Column, merges: list[tuple[str, str]]) -> Column:
+    """Wrapped symbol string over an already byte-mapped pretoken: wrap
+    every mapped char, apply the merge chain. No reserved-char strip —
+    the mapped alphabet cannot contain 0x1f (see ``bytes_to_unicode``)."""
+    sym = F.regexp_replace(mapped, "(.)", f"{BPE_SEP}$1{BPE_SEP}")
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(_wrap(a) + _wrap(b)), F.lit(_wrap(a + b)))
+    return sym
+
+
+def pretokens(text_col: Column) -> Column:
+    """NULL-safe array of ``PRETOKENIZE_RE`` pretokens."""
+    return F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")), F.lit(PRETOKENIZE_RE), F.lit(0)
+    )
+
+
+def bpe_byte_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+) -> DataFrame:
+    """Per-document BYTE-LEVEL BPE token count:
+    ``(doc_id, n_pretokens, n_bpe_tokens)``; docs with no pretokens
+    (empty/NULL text) are absent, like ``bpe_token_count``.
+
+    Scale shape: identical to ``bpe_token_count`` — explode pretokens
+    (map-only codegen projection: regex findall, hex byte map, literal
+    merge chain), one docs-sized count aggregate with map-side combine.
+    Expression path: demo/oracle-sized merge tables; real ~50k vocabs
+    take :func:`bpe_byte_token_count_arrow` (or the auto route)."""
+    bpe_validate_merges(merges)
+    p = fan_out(df).select(
+        "doc_id", F.explode(pretokens(F.col(text))).alias("_p")
+    )
+    cnt = _symbol_count(_mapped_symbols(_byte_mapped(F.col("_p")), merges))
+    return (
+        p.select("doc_id", cnt.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("_c").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_byte_token_count_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+) -> DataFrame:
+    """Arrow twin of :func:`bpe_byte_token_count` for real vocabularies:
+    broadcast rank dict, per-pretoken LRU (Zipfian reuse), rank-priority
+    encoder over the byte-mapped symbols. Bit-identical contract for
+    trained tables (validated on entry)."""
+    import pandas as pd
+
+    bpe_validate_merges(merges)
+    ranks = bpe_ranks(merges)
+
+    def count(batches):
+        n_tokens = lru_cache(maxsize=1 << 20)(
+            lambda tok: len(bpe_encode_str(byte_map_str(tok), ranks))
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids, n_pre, n_toks = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf[text]):
+                pts = pretokenize_str(txt or "")
+                if not pts:
+                    continue
+                doc_ids.append(did)
+                n_pre.append(len(pts))
+                n_toks.append(sum(n_tokens(t) for t in pts))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "n_pretokens": n_pre, "n_bpe_tokens": n_toks}
+            )
+
+    return fan_out(df).select("doc_id", text).mapInPandas(
+        count, "doc_id long, n_pretokens long, n_bpe_tokens long"
+    )
+
+
+def bpe_train_bytes(
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BYTE-LEVEL BPE training: pretokenize with
+    ``PRETOKENIZE_RE``, byte-map each distinct pretoken, then run the
+    shared merge-learning loop (:func:`_bpe_train_loop` — same scale
+    shape and determinism as :func:`bpe_train`). Learned symbols live in
+    the mapped alphabet, so the table feeds every ``bpe_byte_*`` apply
+    path and replays bit-for-bit through the pure-Python twin."""
+    vocab = (
+        fan_out(df)
+        .select(F.explode(pretokens(F.col(text))).alias("_p"))
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.filter(
+                F.split(
+                    F.regexp_replace(_byte_mapped(F.col("_p")), "(.)", "$1" + BPE_SEP),
+                    BPE_SEP,
+                ),
+                lambda s: s != F.lit(""),
+            ).alias("syms"),
+            "c",
+        )
+    )
+    return _bpe_train_loop(vocab, n_merges)
+
+
+#: Expression-path ceiling for the auto routes: each merge is one literal
+#: ``replace`` node in the plan, so past a few hundred merges the chain
+#: stops being a plan and starts being a codegen/stack liability; the
+#: Arrow twin's per-task LRU wins well before 50k-merge production vocabs.
+BPE_EXPR_MAX_MERGES = 256
+
+
+def bpe_token_count_auto(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Size-gated route between the codegen expression chain and the
+    Arrow twin on ``len(merges)`` (the ``semantic_decontaminate_auto``
+    precedent): demo/oracle-sized tables stay JVM-side; production
+    vocabularies take the Arrow encoder. Both sides are bit-identical
+    for trained tables, so the gate changes the PLAN, never the answer
+    (route-parity-tested)."""
+    merges = DEMO_BPE_MERGES if merges is None else merges
+    if len(merges) <= BPE_EXPR_MAX_MERGES:
+        return bpe_token_count(df, merges, text=text)
+    return bpe_token_count_arrow(df, merges, text=text)
+
+
+def bpe_byte_token_count_auto(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+) -> DataFrame:
+    """Byte-level twin of :func:`bpe_token_count_auto`: same
+    ``BPE_EXPR_MAX_MERGES`` gate, same bit-identical contract."""
+    if len(merges) <= BPE_EXPR_MAX_MERGES:
+        return bpe_byte_token_count(df, merges, text=text)
+    return bpe_byte_token_count_arrow(df, merges, text=text)

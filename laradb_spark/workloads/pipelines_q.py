@@ -2883,6 +2883,136 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# byte-level BPE family (pipelines/tokenizer.py byte section). The synthetic
+# corpus is flat lowercase words, so the queries FABRICATE deterministic
+# punctuation/unicode decoration first (the fab-lines precedent): a per-doc
+# suffix cycling café/naïve/quotes/emoji/percent plus a doc_id-derived
+# number — multi-byte UTF-8, astral emoji, contractions-adjacent
+# apostrophes, digits: every limb of the pretokenizer + byte map fires.
+# ---------------------------------------------------------------------------
+
+_FAB_PUNCT_DECOR = [
+    " café!",
+    " naïve (beta).",
+    " 'quote' — dash…",
+    " emoji 😀 ok?",
+    " 100% *done*;",
+]
+
+
+def _fab_punct_df(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(
+                F.array(*[F.lit(d) for d in _FAB_PUNCT_DECOR]),
+                (F.col("doc_id") % 5).cast("int") + 1,
+            ),
+            F.lit(" #"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+
+
+def _sql_str(s: str) -> str:
+    """Escape a Python string into a DuckDB single-quoted literal body."""
+    return s.replace("'", "''")
+
+
+_FAB_PUNCT_CTE = f"""
+WITH fabp AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+           || (CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '{_sql_str(_FAB_PUNCT_DECOR[0])}'
+                 WHEN 1 THEN '{_sql_str(_FAB_PUNCT_DECOR[1])}'
+                 WHEN 2 THEN '{_sql_str(_FAB_PUNCT_DECOR[2])}'
+                 WHEN 3 THEN '{_sql_str(_FAB_PUNCT_DECOR[3])}'
+                 ELSE '{_sql_str(_FAB_PUNCT_DECOR[4])}' END)
+           || ' #' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents
+)
+"""
+
+
+def _bpe_byte_sym_expr(merges: list[tuple[str, str]]) -> str:
+    """DuckDB merge chain over a byte-MAPPED `word` column: wrap every
+    mapped char (no strip, no DOTALL — the mapped alphabet has no 0x1f
+    and no newline), then the same literal replaces as `_bpe_sym_expr`."""
+    sep = tk.BPE_SEP
+    expr = f"regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g')"
+    for a, b in merges:
+        wa, wb, wab = (
+            _sql_str(f"{sep}{a}{sep}"),
+            _sql_str(f"{sep}{b}{sep}"),
+            _sql_str(f"{sep}{a}{b}{sep}"),
+        )
+        expr = f"replace({expr}, '{wa}{wb}', '{wab}')"
+    return expr
+
+
+def _bpe_byte_count_sql(merges: list[tuple[str, str]]) -> str:
+    """Oracle: the exact hex-pair byte-map construction the Spark
+    expression path uses — hex(encode(tok)) chunked into pairs, each
+    indexed into the 256-char BYTE_ALPHABET via strpos digit arithmetic
+    — then the merge chain and the shared symbol count."""
+    sep = tk.BPE_SEP
+    alpha = _sql_str(tk.BYTE_ALPHABET)
+    pat = _sql_str(tk.PRETOKENIZE_RE)
+    hexd = "0123456789ABCDEF"
+    return f"""
+{_FAB_PUNCT_CTE},
+p AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
+  FROM fabp
+),
+m AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(
+             string_split(regexp_replace(hex(encode(tok)), '(..)', '\\1{sep}', 'g'), '{sep}'),
+             x -> x <> ''),
+           ch -> substring('{alpha}',
+                           16 * (strpos('{hexd}', ch[1]) - 1) + strpos('{hexd}', ch[2]),
+                           1)
+         ), '') AS word
+  FROM p
+),
+s AS (SELECT doc_id, {_bpe_byte_sym_expr(merges)} AS sym FROM m)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM({_BPE_COUNT_CASE}) AS BIGINT) AS n_bpe_tokens
+FROM s GROUP BY doc_id
+"""
+
+
+def bpe_byte_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE counts (expression path) under the 48-merge demo
+    byte table over the punctuation/unicode-decorated corpus."""
+    return tk.bpe_byte_token_count(
+        _fab_punct_df(load(spark, sf_dir, "documents")), tk.DEMO_BYTE_BPE_MERGES
+    )
+
+
+def bpe_byte_token_count_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow rank-priority twin of ``bpe_byte_token_count`` — same
+    oracle certifies the bit-identical contract at the driver gate."""
+    return tk.bpe_byte_token_count_arrow(
+        _fab_punct_df(load(spark, sf_dir, "documents")), tk.DEMO_BYTE_BPE_MERGES
+    )
+
+
+def bpe_token_count_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size-gated auto route (demo table → expression side); the
+    word-level BPE oracle certifies the route returns the same answer."""
+    return tk.bpe_token_count_auto(load(spark, sf_dir, "documents"))
+
+
+BPE_BYTE_TOKEN_COUNT_SQL = _bpe_byte_count_sql(tk.DEMO_BYTE_BPE_MERGES)
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
@@ -2899,6 +3029,12 @@ QUERIES = {
         QUALITY_CLASSIFIER_EVAL_SQL.format(qc_sql=QUALITY_CLASSIFIER_SQL),
     ),
     "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
+    "bpe_token_count_auto": (bpe_token_count_auto_q, BPE_TOKEN_COUNT_SQL),
+    "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
+    "bpe_byte_token_count_fast": (
+        bpe_byte_token_count_fast_q,
+        BPE_BYTE_TOKEN_COUNT_SQL,
+    ),
     "bpe_token_apportionment": (
         bpe_token_apportionment_q,
         BPE_TOKEN_APPORTIONMENT_SQL,

@@ -279,3 +279,239 @@ def test_demo_merges_compress_the_corpus(spark, sf_dir):
         F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("c")
     ).collect()[0].c
     assert agg.w <= agg.t < chars
+
+
+# ---------------------------------------------------------------------------
+# merge-table validation (round-8 ADVICE: untrained tables silently
+# diverged between the sweep and the rank-priority encoder)
+# ---------------------------------------------------------------------------
+
+def test_validate_merges_rejects_untrained_tables():
+    import pytest
+
+    from laradb_spark.pipelines.tokenizer import bpe_validate_merges
+
+    # the divergence example: sweep('abc') -> ['ab','c'] stays (rank-0
+    # pair ('ab','c') needs symbol 'ab' which nothing built); priority
+    # encoder would first apply ('a','b') then ('ab','c') -> ['abc'].
+    bad = [("ab", "c"), ("a", "b")]
+    with pytest.raises(ValueError, match="not trained-shaped"):
+        bpe_validate_merges(bad)
+    # every trained table passes, including multi-level products
+    bpe_validate_merges(DEMO_BPE_MERGES)
+    bpe_validate_merges(train_bpe(["the cat sat on the mat"] * 3, 10))
+    bpe_validate_merges([])
+
+
+def test_apply_and_load_paths_validate(spark, tmp_path):
+    import pytest
+
+    from laradb_spark.pipelines.tokenizer import bpe_load_merges, bpe_save_merges
+
+    bad = [("ab", "c"), ("a", "b")]
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not trained-shaped"):
+        bpe_token_count(df, bad)
+    with pytest.raises(ValueError, match="not trained-shaped"):
+        bpe_token_count_arrow(df, bad)
+    p = str(tmp_path / "badmerges")
+    bpe_save_merges(spark, bad, p)
+    with pytest.raises(ValueError, match="not trained-shaped"):
+        bpe_load_merges(spark, p)
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE: pretokenizer, byte map, apply twins, trainer, auto route
+# ---------------------------------------------------------------------------
+
+NASTY_TEXTS = [
+    "Hello, wörld's 42 tests!  \U0001F600end",
+    "it's Dr. O'Neil who'll've seen 3.14159 and £5 — naïve café…",
+    "tabs\tand\nnewlines\r\nmixed   runs    here",
+    "'s't're've'm'll'd 'sx q'd 'Q",
+    "ALL-CAPS? yes/no; «quotes» ¿señor?  nbsp  ls",
+    "数字123と漢字テスト abc123def",
+    "emoji run 🎉🎉🎉 then 🎉x, done.",
+    "", "   ", "....", "1a2b3c",
+]
+
+
+def _pytok_words():
+    from laradb_spark.pipelines.tokenizer import byte_map_str, pretokenize_str
+
+    import collections
+
+    freq = collections.Counter()
+    for t in NASTY_TEXTS:
+        for p in pretokenize_str(t):
+            freq[byte_map_str(p)] += 1
+    return freq
+
+
+def train_bpe_bytes_py(texts, n_merges):
+    """Pure-Python byte-level trainer: pretokenize + byte-map, then the
+    identical pair-count loop as train_bpe."""
+    import collections
+
+    from laradb_spark.pipelines.tokenizer import byte_map_str, pretokenize_str
+
+    wordfreq = collections.Counter(
+        byte_map_str(p) for t in texts for p in pretokenize_str(t)
+    )
+    vocab = {tuple(w): c for w, c in wordfreq.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        a, b = sorted(p for p, c in pairs.items() if c == mx)[0]
+        merges.append((a, b))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_byte_alphabet_is_gpt2_shaped():
+    from laradb_spark.pipelines.tokenizer import BPE_SEP, BYTE_ALPHABET
+
+    assert len(BYTE_ALPHABET) == 256
+    assert len(set(BYTE_ALPHABET)) == 256  # bijection
+    assert BYTE_ALPHABET[0x20] == "Ġ"      # the famous GPT-2 space symbol
+    assert BYTE_ALPHABET[0x0A] == "Ċ"      # newline
+    assert BYTE_ALPHABET[ord("!")] == "!"  # printable ASCII keeps itself
+    assert BYTE_ALPHABET[ord("~")] == "~"
+    assert BYTE_ALPHABET[0xE9] == "é"      # latin-1 keep range
+    # reserved separator / whitespace can never appear in mapped strings
+    assert BPE_SEP not in BYTE_ALPHABET
+    assert not any(c.isspace() for c in BYTE_ALPHABET)
+
+
+def test_pretokenize_scanner_matches_spark(spark):
+    """The hand-rolled Python scanner IS regexp_extract_all(PRETOKENIZE_RE)
+    — parity on the adversarial corpus (astral, contractions, unicode
+    digits, mixed whitespace runs, leading/trailing edge cases)."""
+    from laradb_spark.pipelines.tokenizer import PRETOKENIZE_RE, pretokenize_str
+
+    df = spark.createDataFrame(
+        list(enumerate(NASTY_TEXTS)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all("text", F.lit(PRETOKENIZE_RE), F.lit(0)).alias("p"),
+        ).collect()
+    }
+    for did, txt in enumerate(NASTY_TEXTS):
+        assert got[did] == pretokenize_str(txt), (did, txt)
+        assert "".join(pretokenize_str(txt)) == txt  # lossless cover
+
+
+def test_byte_map_expression_matches_python(spark):
+    from laradb_spark.pipelines.tokenizer import _byte_mapped, byte_map_str, pretokenize_str
+
+    toks = sorted({p for t in NASTY_TEXTS for p in pretokenize_str(t)})
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r.tok: r.m for r in df.select("tok", _byte_mapped(F.col("tok")).alias("m")).collect()}
+    for t in toks:
+        assert got[t] == byte_map_str(t), repr(t)
+
+
+def test_byte_expression_arrow_and_python_agree(spark):
+    """Trained byte table: expression chain == Arrow rank-priority twin
+    == pure-Python replay, per document, on the adversarial corpus."""
+    from laradb_spark.pipelines.tokenizer import (
+        bpe_byte_token_count,
+        bpe_byte_token_count_arrow,
+        byte_map_str,
+        pretokenize_str,
+    )
+
+    merges = train_bpe_bytes_py(NASTY_TEXTS, 25)
+    df = spark.createDataFrame(
+        list(enumerate(NASTY_TEXTS)), "doc_id long, text string"
+    )
+    expr = {r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+            for r in bpe_byte_token_count(df, merges).collect()}
+    arrow = {r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+             for r in bpe_byte_token_count_arrow(df, merges).collect()}
+    want = {}
+    for did, txt in enumerate(NASTY_TEXTS):
+        pts = pretokenize_str(txt)
+        if not pts:
+            continue
+        want[did] = (
+            len(pts),
+            sum(len(bpe_encode_str_sweep(byte_map_str(p), merges)) for p in pts),
+        )
+    assert expr == arrow == want
+    assert 7 not in expr  # empty text ("") -> absent
+    assert expr[8][0] == 1  # "   " is ONE whitespace-run pretoken
+
+
+def test_bpe_train_bytes_matches_python_trainer(spark):
+    from laradb_spark.pipelines.tokenizer import bpe_train_bytes
+
+    df = spark.createDataFrame(
+        list(enumerate(NASTY_TEXTS)), "doc_id long, text string"
+    )
+    got = bpe_train_bytes(df, 15)
+    assert got == train_bpe_bytes_py(NASTY_TEXTS, 15)
+
+
+def test_auto_route_gates_on_merge_count(spark):
+    """<=BPE_EXPR_MAX_MERGES stays JVM-side (no MapInPandas);
+    above it routes to the Arrow twin; both sides return identical
+    counts for the same trained table straddled across the gate."""
+    from laradb_spark.pipelines.tokenizer import (
+        BPE_EXPR_MAX_MERGES,
+        bpe_token_count_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300 + " aa aaa"), (2, "aa a")], "doc_id long, text string"
+    )
+    # a synthetic TRAINED-shaped chain: ('a','a'), ('aa','a'), ('aaa','a') …
+    # every product is a prefix of the previous + 'a', so validation holds
+    big = [("a", "a")] + [("a" * k, "a") for k in range(2, BPE_EXPR_MAX_MERGES + 2)]
+    assert len(big) > BPE_EXPR_MAX_MERGES
+    small = DEMO_BPE_MERGES
+    plan_small = bpe_token_count_auto(df, small)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small
+    plan_big = bpe_token_count_auto(df, big)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big
+    # parity across the gate: force both paths on the big table
+    a = sorted(map(tuple, bpe_token_count(df, big).collect()))
+    b = sorted(map(tuple, bpe_token_count_auto(df, big).collect()))
+    assert a == b
+
+
+def test_byte_auto_route_parity(spark):
+    from laradb_spark.pipelines.tokenizer import (
+        DEMO_BYTE_BPE_MERGES,
+        bpe_byte_token_count,
+        bpe_byte_token_count_arrow,
+        bpe_byte_token_count_auto,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(NASTY_TEXTS)), "doc_id long, text string"
+    )
+    via_auto = sorted(map(tuple, bpe_byte_token_count_auto(df, DEMO_BYTE_BPE_MERGES).collect()))
+    expr = sorted(map(tuple, bpe_byte_token_count(df, DEMO_BYTE_BPE_MERGES).collect()))
+    arrow = sorted(map(tuple, bpe_byte_token_count_arrow(df, DEMO_BYTE_BPE_MERGES).collect()))
+    assert via_auto == expr == arrow
