@@ -3013,6 +3013,169 @@ def bpe_token_count_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_BYTE_TOKEN_COUNT_SQL = _bpe_byte_count_sql(tk.DEMO_BYTE_BPE_MERGES)
 
 
+# ---------------------------------------------------------------------------
+# URL/domain web-curation family (pipelines/web.py). The synthetic corpus
+# has no URL column, so the queries FABRICATE deterministic URLs from
+# (doc_id, source) with every normalization hazard represented: uppercase
+# scheme/host, default ports, www prefixes, fragments, tracking params,
+# unsorted query params, trailing slashes, a blocklisted domain, and
+# non-URL strings. Variants 0/1/4 canonicalize IDENTICALLY per (source,
+# pid), so exact-URL dedup genuinely collapses clusters.
+# ---------------------------------------------------------------------------
+
+_URL_BLOCKLIST = ["tracker.example.org"]
+_URL_CAP_K = 15
+
+
+def _fab_url_df(docs: DataFrame) -> DataFrame:
+    doc = F.col("doc_id")
+    pid = (doc % 40).cast("string")
+    src = F.col("source")
+    v = (doc % 6).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW."), src, F.lit(".Example.COM:80/Page/"), pid, F.lit("?utm_source=feed&b=2&a=1#top")))
+        .when(v == 1, F.concat(F.lit("http://"), src, F.lit(".example.com/Page/"), pid, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://"), src, F.lit(".example.com:443/Page/"), pid, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://tracker.example.org/Page/"), pid, F.lit("?gclid=abc")))
+        .when(v == 4, F.concat(F.lit("http://"), src, F.lit(".example.com/Page/"), pid, F.lit("?b=2&a=1&fbclid=x")))
+        .otherwise(F.concat(F.lit("not a url "), pid))
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_FAB_URL_CTE = """
+WITH u AS (
+  SELECT doc_id, source,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Page/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&b=2&a=1#top'
+           WHEN 1 THEN 'http://' || source || '.example.com/Page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+           WHEN 2 THEN 'https://' || source || '.example.com:443/Page/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+           WHEN 3 THEN 'https://tracker.example.org/Page/' || CAST(doc_id % 40 AS VARCHAR) || '?gclid=abc'
+           WHEN 4 THEN 'http://' || source || '.example.com/Page/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1&fbclid=x'
+           ELSE 'not a url ' || CAST(doc_id % 40 AS VARCHAR)
+         END AS url
+  FROM documents
+)
+"""
+
+# The DuckDB replay of pipelines/web.canonical_url — same patterns, same
+# group indexes, same tracking regex, so the oracle certifies the
+# normalization rules themselves.
+_URL_CANON_CTE = f"""
+parts AS (
+  SELECT doc_id, source, url,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS hostport,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?]*)', 2) AS rawpath,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS rawq
+  FROM u
+),
+canon AS (
+  SELECT doc_id, source, url,
+    CASE WHEN scheme = '' THEN url ELSE
+      scheme || '://' ||
+      regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                          ELSE hostport END, '^www\\.', '') ||
+      (CASE WHEN rawpath = '' THEN '/' ELSE regexp_replace(rawpath, '(.)/$', '\\1') END) ||
+      (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+    END AS canonical_url,
+    regexp_replace(regexp_replace(hostport, ':(80|443)$', ''), '^www\\.', '') AS domain
+  FROM (
+    SELECT *,
+           list_sort(list_filter(string_split(rawq, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)')))
+             AS params
+    FROM parts
+  )
+)
+"""
+
+
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the fabricated URL corpus — every rule
+    (case, ports, www, fragment, tracking params, param sort, trailing
+    slash, non-URL passthrough) exercised and oracle-certified."""
+    from ..pipelines import web as wb
+
+    return wb.url_canonicalize(
+        _fab_url_df(load(spark, sf_dir, "documents"))
+    ).select("doc_id", "url", "canonical_url", "domain")
+
+
+URL_CANONICALIZE_SQL = f"""
+{_FAB_URL_CTE},
+{_URL_CANON_CTE}
+SELECT doc_id, url, canonical_url, domain FROM canon
+"""
+
+
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL screening: blocklist the tracker domain, then
+    exact-dedup on the canonical URL keeping the min doc_id — raw variants
+    0/1/4 collapse to one keeper per (source, pid)."""
+    from ..pipelines import web as wb
+
+    fab = _fab_url_df(load(spark, sf_dir, "documents"))
+    kept = wb.drop_exact_url_duplicates(
+        wb.domain_blocklist_filter(fab, _URL_BLOCKLIST)
+    )
+    return wb.url_canonicalize(kept).select("doc_id", "canonical_url", "domain")
+
+
+URL_DEDUP_SQL = f"""
+{_FAB_URL_CTE},
+{_URL_CANON_CTE},
+f AS (SELECT * FROM canon WHERE domain NOT IN ('{_URL_BLOCKLIST[0]}'))
+SELECT doc_id, canonical_url, domain FROM f
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(canonical_url))
+"""
+
+
+def domain_caps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain report of the full URL funnel: raw docs → post-dedup
+    unique URLs → after the at-most-k-per-domain frequency cap
+    (``cap_per_group`` over the canonical domain)."""
+    from ..pipelines import curation as cuw
+    from ..pipelines import web as wb
+
+    fab = _fab_url_df(load(spark, sf_dir, "documents"))
+    blocked = wb.domain_blocklist_filter(fab, _URL_BLOCKLIST)
+    canon = persist_once(wb.url_canonicalize(wb.drop_exact_url_duplicates(blocked)))
+    raw = (
+        wb.url_canonicalize(blocked)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    uniq = canon.groupBy("domain").agg(F.count(F.lit(1)).alias("n_unique_urls"))
+    capped = (
+        cuw.cap_per_group(canon, "domain", _URL_CAP_K)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        raw.join(uniq, on="domain").join(capped, on="domain")
+        .select("domain", "n_docs", "n_unique_urls", "n_kept")
+    )
+
+
+DOMAIN_CAPS_SQL = f"""
+{_FAB_URL_CTE},
+{_URL_CANON_CTE},
+f AS (SELECT * FROM canon WHERE domain NOT IN ('{_URL_BLOCKLIST[0]}')),
+d AS (SELECT doc_id, canonical_url, domain FROM f
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(canonical_url))),
+capped AS (SELECT domain FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY domain
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_URL_CAP_K})
+SELECT f.domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE d.domain = f.domain) AS n_unique_urls,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM capped c WHERE c.domain = f.domain) AS n_kept
+FROM f GROUP BY f.domain
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
@@ -3035,6 +3198,9 @@ QUERIES = {
         bpe_byte_token_count_fast_q,
         BPE_BYTE_TOKEN_COUNT_SQL,
     ),
+    "url_canonicalize": (url_canonicalize_q, URL_CANONICALIZE_SQL),
+    "url_dedup": (url_dedup_q, URL_DEDUP_SQL),
+    "domain_caps": (domain_caps_q, DOMAIN_CAPS_SQL),
     "bpe_token_apportionment": (
         bpe_token_apportionment_q,
         BPE_TOKEN_APPORTIONMENT_SQL,
