@@ -1,5 +1,5 @@
 from .dedup import dedup_stream, line_ingest_stream, span_ingest_stream
-from .ingest import curate_ingest_stream
+from .ingest import curate_ingest_stream, url_ingest_stream
 from .joins import interval_join
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
 from .windows import (
@@ -18,6 +18,7 @@ __all__ = [
     "span_ingest_stream",
     "line_ingest_stream",
     "curate_ingest_stream",
+    "url_ingest_stream",
     "interval_join",
     "kafka_source_options",
     "kafka_stream_source",

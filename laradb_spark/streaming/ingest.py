@@ -108,12 +108,75 @@ def curate_ingest_stream(
             ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
                 stats_path
             )
-            gated.select(F.col("_digest").alias("digest")).write.mode(
+            # coalesce(1): the digest frame is 16 bytes/row and map-only
+            # (32 partitions -> 32 tiny part files per micro-batch, and
+            # the per-batch index re-read pays the file listing forever —
+            # measured in tools/bench_stream_probe.py); one write task per
+            # batch is the right default at micro-batch sizes
+            gated.select(F.col("_digest").alias("digest")).coalesce(1).write.mode(
                 "append"
             ).parquet(index_path)
         finally:
             if gated is not None:
                 gated.unpersist()
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def url_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    blocked_domains: list[str] | None = None,
+    url_col: str = "url",
+):
+    """The foreachBatch URL-screening loop — RefinedWeb §3.1's
+    URL-filtering stage as a continuous ingest: per micro-batch, drop
+    blocklisted domains, dedup on the CANONICAL url within the batch
+    (first row per canonical wins) and against the stored canonical-
+    digest index, append survivors to ``out_path`` and their digests to
+    the index. A URL seen in any earlier batch — under ANY raw spelling
+    that canonicalizes the same — never re-enters the corpus.
+
+    Index re-read per batch (fresh static plan — the
+    ``dedup_ingest_stream`` rationale and file-listing caveat) and the
+    same at-least-once append note. Returns the started query
+    (availableNow trigger)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..pipelines.web import canonical_url, domain_blocklist_filter
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df
+        if blocked_domains:
+            fresh = domain_blocklist_filter(fresh, blocked_domains, url_col=url_col)
+        fresh = fresh.withColumn(
+            "_digest", F.md5(canonical_url(F.col(url_col)))
+        ).dropDuplicates(["_digest"])
+        try:
+            seen = spark.read.parquet(index_path).withColumnRenamed(
+                "digest", "_digest"
+            )
+            fresh = fresh.join(seen, on="_digest", how="left_anti")
+        except AnalysisException:
+            pass  # first batch: no index yet
+        fresh.persist()
+        try:
+            fresh.drop("_digest").write.mode("append").parquet(out_path)
+            # coalesce(1): same many-small-files rationale as
+            # curate_ingest_stream's index append
+            fresh.select(F.col("_digest").alias("digest")).coalesce(1).write.mode(
+                "append"
+            ).parquet(index_path)
+        finally:
             fresh.unpersist()
 
     return (

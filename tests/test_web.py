@@ -105,3 +105,46 @@ def test_domain_cap_composes(spark):
     capped = cap_per_group(canon, "domain", 3)
     got = capped.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
     assert {r.domain: r.n for r in got} == {"dom0.com": 3, "dom1.com": 3}
+
+
+def test_url_ingest_loop_screens_across_batches(spark, tmp_path):
+    """url_ingest_stream: blocklisted domains never land; a canonical URL
+    entering in batch 1 blocks every later raw spelling of it; within-
+    batch canonical dups collapse to one row."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming import url_ingest_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+    ])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "http://a.com/p?a=1"),
+         (2, "HTTP://WWW.a.com:80/p?a=1&utm_s=x"),  # within-batch dup of 1
+         (3, "http://spam.net/x")],                  # blocklisted
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, "http://a.com/p?a=1#frag"),   # seen in batch 1 -> dropped
+         (11, "http://a.com/new")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("uidx", "uout", "uck"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = url_ingest_stream(stream, idx, out, ck, blocked_domains=["spam.net"])
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 11} or got == {2, 11}  # one winner per canonical in batch 1
+    assert spark.read.parquet(idx).distinct().count() == 2
