@@ -135,6 +135,73 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_perm: "int | None" = None,
+    bands: "int | None" = None,
+) -> DataFrame:
+    """NEAR-duplicate eval decontamination (the fuzzy companion to
+    ``decontaminate``'s exact n-gram hit rule — GPT-3 App. C / Llama-report
+    style): drop every training document whose word-``n``-gram Jaccard
+    with ANY benchmark document is ≥ ``threshold``, so paraphrased or
+    lightly-edited copies of eval items are caught, not just verbatim
+    overlaps.
+
+    Physical shape — nothing is all-pairs, and the 100 TB corpus never
+    shuffles its text:
+      * both sides get MinHash band buckets (``dedup.minhash_band_buckets``
+        — staged md5 projections, the interpreted-HOF lesson);
+      * the BENCHMARK side is eval-set-sized, so its bucket table
+        broadcasts; candidates = train docs sharing any (band, band-hash)
+        bucket with a bench doc — a broadcast equi-join on the train
+        bucket stream;
+      * exact Jaccard verifies ONLY the candidates (benchmark shingle
+        arrays broadcast; the train side joins its candidate ids);
+      * the flagged-id set (tiny) broadcasts back as a left-anti join.
+    Recall follows the LSH banding guarantee: a pair at Jaccard j is
+    proposed with probability 1-(1-j^r)^b — tune (num_perm, bands) for
+    the threshold; the defaults match the dedup family."""
+    from . import dedup as dd
+
+    num_perm = dd.NUM_PERM if num_perm is None else num_perm
+    bands = dd.LSH_BANDS if bands is None else bands
+    bt = dd.minhash_band_buckets(train, n, id_col, text, num_perm, bands)
+    be = dd.minhash_band_buckets(benchmark, n, id_col, text, num_perm, bands)
+    cand = (
+        bt.join(
+            F.broadcast(be.select("band", "bh", F.col("id").alias("_eid"))),
+            on=["band", "bh"],
+        )
+        .select("id", "_eid")
+        .dropDuplicates(["id", "_eid"])
+    )
+    sh_t = fan_out(train).select(
+        F.col(id_col).alias("id"), dd.word_shingles(F.col(text), n).alias("_sha")
+    )
+    sh_e = benchmark.select(
+        F.col(id_col).alias("_eid"), dd.word_shingles(F.col(text), n).alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    # The candidate-pair set broadcasts INTO the train shingle stream
+    # (ids only, bounded by |bench bands| × bucket occupancy — the eval
+    # set is small by contract, like `decontaminate`'s hit set), so the
+    # corpus-sized shingle scan is never exchanged.
+    flagged = (
+        sh_t.join(F.broadcast(cand), on="id")
+        .join(F.broadcast(sh_e), on="_eid")
+        .filter(F.round(inter / union, 6) >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+
 def contamination_score(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1236,3 +1236,440 @@ def hard_negatives(
     return _topk_per_query(
         cand, query_id_col, "_cos", k, rank_col="neg_rank", prebatch_prune=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed exhaustive ANN with ADC scoring
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks (Jégou et al. 2011 shape): split
+    each ``dim``-vector into ``m`` contiguous subvectors of ``dim/m``
+    dims and k-means each subspace independently with the SAME
+    deterministic recipe as IVF (``_train_centroids``: init = the
+    ``k_sub`` lowest-id subvectors, ``lloyd_iters`` cosine Lloyd rounds,
+    bit-identical expression/Arrow assignment twins) — so a SQL oracle
+    can unroll the whole training per subspace, exactly like the IVF /
+    SemDeDup oracles.
+
+    Returns a LITERAL ``(sub, code, cid, cent)`` frame — m·k_sub rows,
+    lineage-free. ``code`` is the dense rank of ``cid`` (cid ASC) within
+    its subspace: codes are what get stored per vector (m small ints ≈
+    m bytes at k_sub ≤ 256 — the 100 TB story: a 256-dim float32 corpus
+    compresses ~256×, small enough that EXHAUSTIVE scoring of the codes
+    is a map-only scan of a table ~0.4 % the original size).
+
+    Each subspace trains over a SLICE projection of the same corpus scan
+    (column-pruned parquet read; no cache pinned — at 100 TB the re-scan
+    per subspace is the right trade vs caching the corpus)."""
+    if dim % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m {m}")
+    sd = dim // m
+    spark = corpus.sparkSession
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    rows = []
+    for s in range(m):
+        c_s = c.select(
+            "neighbor_id", F.slice(F.col("cvec"), s * sd + 1, sd).alias("cvec")
+        )
+        cents = _train_centroids(c_s, k_sub, lloyd_iters)
+        for code, r in enumerate(sorted(cents.collect(), key=lambda t: t["cid"])):
+            rows.append(
+                (
+                    s,
+                    code,
+                    int(r["cid"]),
+                    None if r["cent"] is None else [float(x) for x in r["cent"]],
+                )
+            )
+    return spark.createDataFrame(
+        rows, "sub int, code int, cid long, cent array<double>"
+    )
+
+
+def _pq_codebook_rows(codebooks: DataFrame) -> list:
+    """Collect a codebook frame driver-side, sorted (sub, code) — bounded
+    by m·k_sub rows by construction."""
+    return sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its ``m`` PQ codes: per subspace, assign the
+    subvector to its nearest codebook centroid (the bit-identical
+    ``_assign_auto`` twins — encoding IS k-means assignment), then fold
+    the per-subspace codes into one ``codes array<int>`` column ordered
+    by subspace.
+
+    Output: ``(neighbor_id, codes)``. One shuffle (the m-rows-per-vector
+    fold); assignments themselves are broadcast-join map stages."""
+    cb = _pq_codebook_rows(codebooks)
+    subs = sorted({r["sub"] for r in cb})
+    sd = dim // len(subs)
+    spark = corpus.sparkSession
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    parts = []
+    for s in subs:
+        cents_s = spark.createDataFrame(
+            [(r["cid"], r["cent"]) for r in cb if r["sub"] == s],
+            "cid long, cent array<double>",
+        )
+        code_of = {r["cid"]: r["code"] for r in cb if r["sub"] == s}
+        c_s = c.select(
+            "neighbor_id", F.slice(F.col("cvec"), s * sd + 1, sd).alias("cvec")
+        )
+        mapping = F.create_map(
+            *[F.lit(v) for kv in code_of.items() for v in kv]
+        )
+        parts.append(
+            _assign_auto(c_s, cents_s).select(
+                "neighbor_id",
+                F.lit(s).alias("sub"),
+                mapping[F.col("cid")].cast("int").alias("code"),
+            )
+        )
+    longf = parts[0]
+    for p in parts[1:]:
+        longf = longf.unionByName(p)
+    return (
+        longf.groupBy("neighbor_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    cb: list,
+    dim: int,
+    k: int,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared ADC scorer: per query build the m×k_sub lookup table of
+    subvector·centroid dots AS EXPRESSIONS ON THE QUERY FRAME (the
+    expensive interpreted HOF folds run once per query, not per corpus
+    row — DEVNOTES gotcha #2), then score every code row with m
+    ``element_at`` lookups and a fixed-order sum:
+
+        cos ≈ (Σₛ lutₛ[codeₛ]) / (‖q‖ · sqrt(Σₛ ‖centₛ,codeₛ‖²))
+
+    — the asymmetric-distance approximation of cosine (query exact,
+    corpus reconstructed from centroids). The corpus side never touches
+    floats wider than m ints per row; ranking is the two-phase
+    grouped_rank with the exact batch-local pre-prune."""
+    qlut = _pq_qlut(queries, cb, dim, query_id_col)
+    scored = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", _pq_cos(cb).alias("cos"))
+    )
+    return _topk_per_query(scored, query_id_col, "cos", k, prebatch_prune=True)
+
+
+def _pq_qlut(
+    queries: DataFrame,
+    cb: list,
+    dim: int,
+    query_id_col: str,
+    extra: tuple = (),
+) -> DataFrame:
+    """Per-query LUT frame: (query_id, _nq, _lut{s}…, *extra) — the m·k_sub
+    dot folds evaluated once per query row."""
+    subs = sorted({r["sub"] for r in cb})
+    sd = dim // len(subs)
+    lut_cols = []
+    for s in subs:
+        ents = [r for r in cb if r["sub"] == s]
+        qs = F.slice(F.col("qvec"), s * sd + 1, sd)
+        lut_cols.append(
+            F.array(
+                *[
+                    dot(qs, F.array(*[F.lit(float(x)) for x in (r["cent"] or [])]))
+                    if r["cent"] is not None
+                    else F.lit(0.0)
+                    for r in ents
+                ]
+            ).alias(f"_lut{s}")
+        )
+    return queries.select(
+        query_id_col, norm(F.col("qvec")).alias("_nq"), *lut_cols, *extra
+    )
+
+
+def _pq_cos(cb: list) -> Column:
+    """ADC approximate-cosine over a row holding ``codes`` + the query's
+    ``_nq``/``_lut{s}`` columns; fixed sub-ASC addition order on both the
+    numerator and the reconstructed-norm sum. Centroid norms² are literal
+    arrays (they depend only on the codebook, not the query)."""
+    subs = sorted({r["sub"] for r in cb})
+    num = None
+    den_sq = None
+    for s in subs:
+        ents = [r for r in cb if r["sub"] == s]
+        nsq = F.array(
+            *[
+                F.lit(
+                    0.0 if r["cent"] is None else float(sum(x * x for x in r["cent"]))
+                )
+                for r in ents
+            ]
+        )
+        code_s = F.element_at(F.col("codes"), s + 1)
+        term = F.element_at(F.col(f"_lut{s}"), code_s + 1)
+        nterm = F.element_at(nsq, code_s + 1)
+        num = term if num is None else num + term
+        den_sq = nterm if den_sq is None else den_sq + nterm
+    den = F.col("_nq") * F.sqrt(den_sq)
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-compressed EXHAUSTIVE ANN: train codebooks, encode the corpus
+    to m-byte codes, score every code row against every query via the
+    ADC lookup table, rank top-k. Unlike LSH/IVF there is no candidate
+    pruning — recall loss comes only from quantization — and the scan
+    side is the compressed codes, not the vectors.
+
+    Deterministic end to end (fixed init + fixed rounds + total rank
+    order), so the full train→encode→score→rank flow is SQL-replayable
+    and hash-checked, like IVF. Output: (query_id, neighbor_id, rank)."""
+    cb_df = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cb = _pq_codebook_rows(cb_df)
+    codes = pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    return _pq_adc_topk(codes, q, cb, dim, k, query_id_col)
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train + encode once, persist ``{path}/codes`` (neighbor_id, codes
+    — the ~m-bytes-per-vector compressed corpus) and
+    ``{path}/codebooks`` (the tiny (sub, code, cid, cent) table). Every
+    subsequent search scans ONLY the code table: at 100 TB of float32
+    embeddings the index is hundreds of GB — the difference between
+    re-scanning the corpus per query batch and a cheap map-only pass.
+    Same build/serve split as ``ivf_build_index``; the two compose
+    (IVF-PQ) by writing codes partitioned by an IVF cid."""
+    cb_df = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over a stored PQ index (``pq_build_index`` layout): read
+    the codebooks (m·k_sub rows, driver-side), build the per-query LUTs,
+    map-scan the code table. No shuffle on the corpus side at all until
+    the candidates-sized ranking."""
+    cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
+    codes = spark.read.parquet(f"{path}/codes")
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    return _pq_adc_topk(codes, q, cb, dim, k, query_id_col)
+
+
+def _ivfpq_probes(
+    q: DataFrame, coarse: DataFrame, n_probe: int, query_id_col: str
+) -> DataFrame:
+    """Each query's n_probe nearest coarse centroids — centroid-bounded
+    window per query (see ivf_topk)."""
+    qc = q.crossJoin(F.broadcast(coarse)).select(
+        query_id_col, "qvec", "cid", cosine(F.col("qvec"), F.col("cent")).alias("_cc")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
+    return (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id_col, "qvec", "cid")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the coarse quantizer prunes WHICH lists a query reads
+    (IVF), product quantization compresses WHAT each list stores (PQ
+    codes of the raw vectors — the non-residual IVFPQ variant, so the
+    same deterministic recipes compose and the whole flow stays
+    SQL-replayable). This is the memory-AND-compute shape real
+    100 TB vector serving uses: probes cut the scan to n_probe lists,
+    codes cut the scanned bytes ~dim·4/m, and scoring is m array
+    lookups per candidate.
+
+    Both trainings run over the same corpus scan; the one corpus-sized
+    shuffle is the build-time cid⋈codes zip (amortized across every
+    query batch in the stored layout — ``ivfpq_build_index``)."""
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    coarse = _train_centroids(c, n_centroids, lloyd_iters)
+    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
+    cb_df = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cb = _pq_codebook_rows(cb_df)
+    coded = assigned.join(
+        pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col), on="neighbor_id"
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    probes = _ivfpq_probes(q, coarse, n_probe, query_id_col)
+    qlut = _pq_qlut(
+        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
+        cb, dim, query_id_col,
+    )
+    scored = (
+        coded.join(F.broadcast(probes.select(query_id_col, "cid")), on="cid")
+        .join(F.broadcast(qlut), on=query_id_col)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", _pq_cos(cb).alias("cos"))
+    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_sub: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ layout: ``{path}/codes`` = (neighbor_id, codes)
+    written ``partitionBy("cid")`` — compressed inverted lists, the
+    serving artifact — plus the two tiny tables ``{path}/coarse`` and
+    ``{path}/codebooks``. Build pays the one corpus-sized cid⋈codes
+    shuffle; every search after that is a partition-pruned scan of
+    ~m bytes/vector."""
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    coarse = _train_centroids(c, n_centroids, lloyd_iters)
+    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
+    cb_df = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    coded = assigned.join(
+        pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col), on="neighbor_id"
+    )
+    coded.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    n_probe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a stored IVF-PQ index: the probed cid set lands as a literal
+    ``cid IN (...)`` on the partition column (partition-pruned scan, as
+    ivf_search_index), then ADC-score just those lists' codes. The
+    probe set is collected and rebuilt as a literal frame — same
+    serving-loop cache rationale as ivf_search_index."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    probes_plan = _ivfpq_probes(q, coarse, n_probe, query_id_col)
+    probe_rows = probes_plan.collect()
+    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probe_cids = sorted({r.cid for r in probe_rows})
+    qlut = _pq_qlut(
+        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
+        cb, dim, query_id_col,
+    )
+    idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
+    scored = (
+        idx.join(F.broadcast(probes.select(query_id_col, "cid")), on="cid")
+        .join(F.broadcast(qlut), on=query_id_col)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", _pq_cos(cb).alias("cos"))
+    )
+    return _topk_per_query(scored, query_id_col, "cos", k)

@@ -766,3 +766,49 @@ def bpe_byte_token_count_auto(
     if len(merges) <= BPE_EXPR_MAX_MERGES:
         return bpe_byte_token_count(df, merges, text=text)
     return bpe_byte_token_count_arrow(df, merges, text=text)
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility / compression report per group:
+    ``(group, n_docs, n_bytes, n_pretokens, n_bpe_tokens,
+    bytes_per_token)`` — the metric a production pipeline uses to budget
+    compute per source or language (bytes-per-token varies 2-4× between
+    English prose and code/unicode-heavy text under one vocab, so token
+    budgets planned on a corpus-wide average misallocate).
+
+    Scale shape: two map-side-combine aggregates over the same corpus
+    scan — the byte-BPE token stream grouped DIRECTLY by the group key
+    (no per-doc intermediate, so nothing docs-sized ever shuffles) and a
+    per-group byte/doc count — joined on the group-sized key set.
+    Groups whose docs yield zero pretokens (all-empty text) drop out
+    with the inner join rather than emitting a 0/0 ratio."""
+    bpe_validate_merges(merges)
+    p = fan_out(df).select(
+        F.col(group_col).alias("_g"), F.explode(pretokens(F.col(text))).alias("_p")
+    )
+    cnt = _symbol_count(_mapped_symbols(_byte_mapped(F.col("_p")), merges))
+    tok = (
+        p.select("_g", cnt.alias("_c"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("_c").alias("n_bpe_tokens"),
+        )
+    )
+    by = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.coalesce(F.col(text), F.lit("")))).alias("n_bytes"),
+    )
+    return by.join(tok, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_bytes",
+        "n_pretokens",
+        "n_bpe_tokens",
+        F.round(F.col("n_bytes") / F.col("n_bpe_tokens"), 6).alias("bytes_per_token"),
+    )

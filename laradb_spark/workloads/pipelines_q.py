@@ -933,6 +933,192 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+PQ_M = 4
+PQ_KSUB = 16
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed EXHAUSTIVE ANN (Jégou et al. 2011 shape): per-subspace
+    k-means codebooks with the same FIXED deterministic recipe as IVF
+    (init = k_sub lowest-id subvectors, exactly 2 Lloyd rounds), corpus
+    encoded to m dense codes, every code row ADC-scored against every
+    query via per-query lookup tables. The oracle unrolls training PER
+    SUBSPACE (m independent Lloyd CTE chains over list slices) and scores
+    by joining each vector's assigned centroid back in — mathematically
+    identical to the engine's LUT-by-code, so the full train → encode →
+    score → rank flow is hash-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM, m=PQ_M, k_sub=PQ_KSUB, k=TOP_K
+    )
+
+
+def _pq_sub_ctes(s: int, sd: int, k_sub: int, iters: int) -> list[str]:
+    """Per-subspace Lloyd chain over the slice vec[s·sd+1 : (s+1)·sd],
+    ending in e{s}(vec_id, cent) = each vector's assigned centroid."""
+    lo, hi = s * sd + 1, (s + 1) * sd
+
+    def assign(src: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, svec, cid FROM (
+    SELECT v.vec_id, v.svec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.svec, c.cent) DESC, c.cid ASC) AS rn
+    FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1
+"""
+
+    def mean(src: str) -> str:
+        return f"""
+  SELECT cid, list(m ORDER BY d) AS cent FROM (
+    SELECT cid, d, AVG(x) AS m
+    FROM (SELECT cid, UNNEST(svec) AS x, UNNEST(range(1, len(svec) + 1)) AS d FROM {src})
+    GROUP BY cid, d)
+  GROUP BY cid
+"""
+
+    ctes = [
+        f"v{s} AS (SELECT vec_id, vec[{lo}:{hi}] AS svec FROM v)",
+        f"c{s}_0 AS (SELECT vec_id AS cid, svec AS cent FROM v{s} ORDER BY vec_id LIMIT {k_sub})",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{s}_{i} AS ({assign(f'v{s}', f'c{s}_{i}')})")
+        ctes.append(f"c{s}_{i + 1} AS ({mean(f'a{s}_{i}')})")
+    ctes.append(
+        f"e{s} AS (SELECT a.vec_id, c.cent FROM ({assign(f'v{s}', f'c{s}_{iters}')}) a "
+        f"JOIN c{s}_{iters} c USING (cid))"
+    )
+    return ctes
+
+
+def _ann_pq_sql(m: int = PQ_M, k_sub: int = PQ_KSUB, iters: int = 2) -> str:
+    sd = EMB_DIM // m
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)"
+    ]
+    for s in range(m):
+        ctes += _pq_sub_ctes(s, sd, k_sub, iters)
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, "
+        f"sqrt(list_dot_product(vec, vec)) AS nq FROM v WHERE vec_id < {N_QUERIES})"
+    )
+    num = " + ".join(
+        f"list_dot_product(q.qvec[{s * sd + 1}:{(s + 1) * sd}], e{s}.cent)" for s in range(m)
+    )
+    nsq = " + ".join(f"list_dot_product(e{s}.cent, e{s}.cent)" for s in range(m))
+    joins = "e0" + "".join(f" JOIN e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m))
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT q.query_id, e0.vec_id AS neighbor_id,
+         CASE WHEN q.nq * sqrt({nsq}) > 0
+              THEN ({num}) / (q.nq * sqrt({nsq})) ELSE 0.0 END AS c
+  FROM q CROSS JOIN {joins}
+  WHERE e0.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: coarse k-means prunes which lists a query
+    scans, PQ codes compress what the lists store (non-residual variant,
+    so the two deterministic recipes compose). The oracle chains the
+    coarse Lloyd CTEs with the m per-subspace PQ chains and scores the
+    probed lists by reconstructed-centroid dot — the ADC LUT's
+    mathematical identity."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM,
+        n_centroids=16, n_probe=4, m=PQ_M, k_sub=PQ_KSUB, k=TOP_K,
+    )
+
+
+def _ann_ivfpq_sql(
+    n_centroids: int = 16, n_probe: int = 4, m: int = PQ_M,
+    k_sub: int = PQ_KSUB, iters: int = 2,
+) -> str:
+    sd = EMB_DIM // m
+    ctes = _lloyd_ctes(n_centroids, iters)  # v, c0..c{iters}, af (coarse)
+    for s in range(m):
+        ctes += _pq_sub_ctes(s, sd, k_sub, iters)  # v{s}, c{s}_*, e{s}
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, "
+        f"sqrt(list_dot_product(vec, vec)) AS nq FROM v WHERE vec_id < {N_QUERIES})"
+    )
+    ctes.append(f"""probes AS (
+  SELECT query_id, qvec, nq, cid FROM (
+    SELECT q.query_id, q.qvec, q.nq, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe}
+)""")
+    num = " + ".join(
+        f"list_dot_product(p.qvec[{s * sd + 1}:{(s + 1) * sd}], e{s}.cent)" for s in range(m)
+    )
+    nsq = " + ".join(f"list_dot_product(e{s}.cent, e{s}.cent)" for s in range(m))
+    joins = "".join(f" JOIN e{s} ON e{s}.vec_id = a.vec_id" for s in range(m))
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CASE WHEN p.nq * sqrt({nsq}) > 0
+              THEN ({num}) / (p.nq * sqrt({nsq})) ELSE 0.0 END AS c
+  FROM af a
+  JOIN probes p ON a.cid = p.cid{joins}
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ index against exact brute force — the standard
+    ANN quality report, computed in-engine: per query, how many of the
+    exact top-k survive quantization. Both sides are deterministic, so
+    the oracle composes the two SQL replays and the recall fractions
+    hash-check exactly (hits/k of identical ints)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    pq = sim.pq_topk(emb, q, dim=EMB_DIM, m=PQ_M, k_sub=PQ_KSUB, k=TOP_K)
+    bf = sim.brute_force_topk(emb, q, k=TOP_K)
+    hits = (
+        pq.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_h"))
+    )
+    return (
+        pq.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("int").alias("hits"),
+            (F.coalesce(F.col("_h"), F.lit(0)) / F.lit(TOP_K)).alias("recall"),
+        )
+    )
+
+
+def _ann_pq_recall_sql() -> str:
+    return f"""
+WITH pq AS ({_ann_pq_sql()}),
+bf AS ({ANN_BRUTE_SQL}),
+hits AS (
+  SELECT pq.query_id, COUNT(*) AS h
+  FROM pq JOIN bf ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+  GROUP BY pq.query_id
+)
+SELECT q.query_id, CAST(COALESCE(h, 0) AS INT) AS hits,
+       CAST(COALESCE(h, 0) AS DOUBLE) / {TOP_K} AS recall
+FROM (SELECT DISTINCT query_id FROM pq) q LEFT JOIN hits USING (query_id)
+"""
+
+
 SEM_TAU = 0.9
 
 
@@ -1021,6 +1207,67 @@ corp AS (SELECT doc_id, UNNEST(gs) AS ng FROM g WHERE doc_id % {_BENCH_MOD} <> 0
 hits AS (SELECT DISTINCT doc_id FROM corp WHERE ng IN (SELECT ng FROM bench))
 SELECT doc_id FROM documents
 WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def decon_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval decontamination: the same benchmark slice as
+    decontaminate_docs, but the drop rule is word-3-gram Jaccard ≥ 0.5
+    against any bench doc, with MinHash-LSH banding proposing candidates
+    (never all-pairs) and exact Jaccard verifying only them. The oracle
+    replays the full minhash → band → candidate → verify → anti-join
+    decision chain."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return cu.decontaminate_fuzzy(corpus, bench, threshold=0.5, n=3).select("doc_id")
+
+
+def _decon_fuzzy_sql() -> str:
+    rows = dd.NUM_PERM // dd.LSH_BANDS
+    perm_rows = ", ".join(f"({i}, {dd._A[i]}, {dd._B[i]})" for i in range(dd.NUM_PERM))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {dd.SHINGLE_BITS_MOD}) AS hs
+  FROM sh
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT id, pi,
+         list_min(list_transform(hs, h -> (a * h + b) % {dd.MINHASH_PRIME})) AS mh
+  FROM hashed, perms
+),
+bands AS (
+  SELECT id, pi // {rows} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)) AS bh
+  FROM sig
+  GROUP BY id, band
+),
+cand AS (
+  SELECT DISTINCT t.id AS id, e.id AS eid
+  FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
+  WHERE t.id % {_BENCH_MOD} <> 0 AND e.id % {_BENCH_MOD} = 0
+),
+ex AS (SELECT doc_id AS id, UNNEST(shingles) AS s FROM sh),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT c.id, c.eid, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN ex a ON a.id = c.id
+  JOIN ex b ON b.id = c.eid AND b.s = a.s
+  GROUP BY c.id, c.eid
+),
+flagged AS (
+  SELECT DISTINCT i.id FROM inter i
+  JOIN sizes sa ON sa.id = i.id
+  JOIN sizes sb ON sb.id = i.eid
+  WHERE ROUND(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id NOT IN (SELECT id FROM flagged)
 """
 
 
@@ -2904,6 +3151,7 @@ _FAB_PUNCT_DECOR = [
 def _fab_punct_df(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
+        "source",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
             F.element_at(
@@ -2923,7 +3171,7 @@ def _sql_str(s: str) -> str:
 
 _FAB_PUNCT_CTE = f"""
 WITH fabp AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          COALESCE(text, '')
            || (CASE CAST(doc_id % 5 AS INT)
                  WHEN 0 THEN '{_sql_str(_FAB_PUNCT_DECOR[0])}'
@@ -3011,6 +3259,63 @@ def bpe_token_count_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_BYTE_TOKEN_COUNT_SQL = _bpe_byte_count_sql(tk.DEMO_BYTE_BPE_MERGES)
+
+
+def bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (UTF-8 bytes per byte-BPE token)
+    over the punctuation/unicode-decorated corpus — the compression
+    metric that drives per-source compute budgeting."""
+    return tk.bpe_fertility(
+        _fab_punct_df(load(spark, sf_dir, "documents")), tk.DEMO_BYTE_BPE_MERGES
+    )
+
+
+def _bpe_fertility_sql(merges: list[tuple[str, str]]) -> str:
+    """Oracle: the byte-map + merge-chain CTEs of ``_bpe_byte_count_sql``
+    grouped directly by source, joined with per-source byte/doc counts
+    (DuckDB ``strlen`` is BYTE length, matching Spark octet_length)."""
+    sep = tk.BPE_SEP
+    alpha = _sql_str(tk.BYTE_ALPHABET)
+    pat = _sql_str(tk.PRETOKENIZE_RE)
+    hexd = "0123456789ABCDEF"
+    return f"""
+{_FAB_PUNCT_CTE},
+p AS (
+  SELECT source, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
+  FROM fabp
+),
+m AS (
+  SELECT source,
+         array_to_string(list_transform(
+           list_filter(
+             string_split(regexp_replace(hex(encode(tok)), '(..)', '\\1{sep}', 'g'), '{sep}'),
+             x -> x <> ''),
+           ch -> substring('{alpha}',
+                           16 * (strpos('{hexd}', ch[1]) - 1) + strpos('{hexd}', ch[2]),
+                           1)
+         ), '') AS word
+  FROM p
+),
+s AS (SELECT source, {_bpe_byte_sym_expr(merges)} AS sym FROM m),
+tok AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+         CAST(SUM({_BPE_COUNT_CASE}) AS BIGINT) AS n_bpe_tokens
+  FROM s GROUP BY source
+),
+docs_by AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+  FROM fabp GROUP BY source
+)
+SELECT d.source, d.n_docs, d.n_bytes, t.n_pretokens, t.n_bpe_tokens,
+       ROUND(d.n_bytes / t.n_bpe_tokens, 6) AS bytes_per_token
+FROM docs_by d JOIN tok t USING (source)
+"""
+
+
+BPE_FERTILITY_SQL = _bpe_fertility_sql(tk.DEMO_BYTE_BPE_MERGES)
 
 
 # ---------------------------------------------------------------------------
@@ -3194,6 +3499,7 @@ QUERIES = {
     "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
     "bpe_token_count_auto": (bpe_token_count_auto_q, BPE_TOKEN_COUNT_SQL),
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
+    "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
     "bpe_byte_token_count_fast": (
         bpe_byte_token_count_fast_q,
         BPE_BYTE_TOKEN_COUNT_SQL,
@@ -3231,6 +3537,7 @@ QUERIES = {
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "decon_fuzzy": (decon_fuzzy_docs, _decon_fuzzy_sql()),
     "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),
     "mix_sources_counts": (mix_sources_counts, MIX_SOURCES_SQL),
     "redact_pii_stats": (redact_pii_stats, REDACT_PII_SQL),
@@ -3250,6 +3557,9 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
+    "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
+    "ann_pq_recall": (ann_pq_recall, _ann_pq_recall_sql()),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ann_ivfpq_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

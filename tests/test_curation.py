@@ -668,3 +668,39 @@ def test_multiclass_classifier_matches_dense_python_replay(spark):
     # the replay itself must have exercised the advertised edges
     assert want[12][1] == min(totals)  # all-floor tie → smallest label
     assert "unknown" in totals
+
+
+def test_decontaminate_fuzzy_drops_near_dups_only(spark):
+    """The fuzzy drop path genuinely fires: a training doc that is a
+    lightly-edited copy of a bench doc (high 3-gram Jaccard, but NOT an
+    exact 5-gram-sharing copy necessarily) is dropped; unrelated docs and
+    low-overlap docs survive. Also pins the exact-Jaccard verification:
+    a doc sharing a band bucket by minhash luck but below threshold must
+    survive."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    near = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    train = spark.createDataFrame(
+        [
+            (10, near, "s"),  # ~0.67 3-gram Jaccard with bench → dropped
+            (11, "completely different text about sparkly query engines", "s"),
+            (12, "alpha bravo charlie and then something entirely else here", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    bench = spark.createDataFrame([(1, base, "s")], ["doc_id", "text", "source"])
+    clean = cu.decontaminate_fuzzy(train, bench, threshold=0.5, n=3)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {11, 12}
+    # tighter threshold: nothing reaches 0.9, everything survives
+    loose = cu.decontaminate_fuzzy(train, bench, threshold=0.9, n=3)
+    assert loose.count() == 3
+    # bench side broadcasts; the train text is never sort-merge exchanged
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_fuzzy_empty_bench_is_identity(spark):
+    train = spark.createDataFrame(
+        [(1, "some text here for the corpus", "s")], ["doc_id", "text", "source"]
+    )
+    bench = train.filter(F.col("doc_id") < 0)
+    assert cu.decontaminate_fuzzy(train, bench).count() == 1

@@ -515,3 +515,61 @@ def test_byte_auto_route_parity(spark):
     expr = sorted(map(tuple, bpe_byte_token_count(df, DEMO_BYTE_BPE_MERGES).collect()))
     arrow = sorted(map(tuple, bpe_byte_token_count_arrow(df, DEMO_BYTE_BPE_MERGES).collect()))
     assert via_auto == expr == arrow
+
+
+def test_bpe_fertility_matches_python_replay(spark):
+    """Per-group fertility == a pure-Python replay (pretokenize →
+    byte-map → rank-priority encode → per-group sums, bytes via UTF-8
+    encode), including the ratio rounding."""
+    from laradb_spark.pipelines.tokenizer import (
+        bpe_fertility,
+        byte_map_str,
+        pretokenize_str,
+    )
+
+    merges = train_bpe_bytes_py(NASTY_TEXTS, 25)
+    rows = [
+        (i, t, ["ascii", "unicode"][i % 2]) for i, t in enumerate(NASTY_TEXTS)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_bytes, r.n_pretokens, r.n_bpe_tokens, r.bytes_per_token)
+        for r in bpe_fertility(df, merges).collect()
+    }
+    agg: dict = {}
+    for _i, t, src in rows:
+        n_docs, n_bytes, n_pre, n_tok = agg.get(src, (0, 0, 0, 0))
+        pts = pretokenize_str(t or "")
+        agg[src] = (
+            n_docs + 1,
+            n_bytes + len((t or "").encode("utf-8")),
+            n_pre + len(pts),
+            n_tok + sum(
+                len(bpe_encode_str_sweep(byte_map_str(p), merges)) for p in pts
+            ),
+        )
+    assert set(got) == set(agg)
+    for src, (n_docs, n_bytes, n_pre, n_tok) in agg.items():
+        gd, gb, gp, gt, ratio = got[src]
+        assert (gd, gb, gp, gt) == (n_docs, n_bytes, n_pre, n_tok), src
+        assert ratio == round(n_bytes / n_tok, 6), src
+
+
+def test_bpe_fertility_unicode_needs_more_tokens_per_byte(spark):
+    """Sanity on the metric's point: unmerged multi-byte unicode sits at
+    ~1 token per BYTE under a byte-level table (an astral emoji is 4
+    tokens), while merged ASCII prose packs several bytes per token — so
+    unicode-heavy text shows LOWER bytes_per_token, i.e. more compute
+    per byte. That asymmetry is exactly what the report exists to
+    surface."""
+    from laradb_spark.pipelines.tokenizer import DEMO_BYTE_BPE_MERGES, bpe_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again", "ascii"),
+            (2, "😀😀😀 café naïve — 😀 … 😀😀 ünïcödé 😀", "emoji"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.bytes_per_token for r in bpe_fertility(df, DEMO_BYTE_BPE_MERGES).collect()}
+    assert got["emoji"] < got["ascii"]
