@@ -87,6 +87,14 @@ HEADLINE = [
     "corpus_line_dedup",
     "alpha_mixture",
     "heavy_hitters",
+    # round-9 operators (byte-BPE benched via its Arrow rank-priority
+    # twin — the route real vocab sizes take)
+    "bpe_byte_token_count_fast",
+    "bpe_fertility",
+    "url_dedup",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "decon_fuzzy",
 ]
 
 

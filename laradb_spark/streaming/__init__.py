@@ -1,6 +1,7 @@
 from .dedup import dedup_stream, line_ingest_stream, span_ingest_stream
 from .ingest import curate_ingest_stream, url_ingest_stream
 from .joins import interval_join
+from .serve import ann_serve_stream
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
 from .windows import (
     session_window_agg,
@@ -19,6 +20,7 @@ __all__ = [
     "line_ingest_stream",
     "curate_ingest_stream",
     "url_ingest_stream",
+    "ann_serve_stream",
     "interval_join",
     "kafka_source_options",
     "kafka_stream_source",

@@ -1,0 +1,90 @@
+"""Streaming ANN serving: a continuous query-vector stream probed against
+a STORED vector index (the ``ivf_build_index`` / ``pq_build_index`` /
+``ivfpq_build_index`` layouts) per micro-batch — the online half of the
+build/serve split the stored-index family exists for.
+
+Green-field relative to the reference (SURVEY.md §2.4: no streaming);
+the batch searchers are ``pipelines.similarity``'s ``*_search_index``.
+
+Shape per micro-batch: the searcher re-reads the index's tiny driver-side
+tables (centroids / codebooks — bounded by construction) and scans ONLY
+the probed partitions of the stored corpus/codes (partition-pruned, plan-
+asserted in test_ann) — so a serving loop's marginal cost per batch is
+probes × list size, independent of corpus size, and vectors appended to
+the index between batches (``ivf_append_index``) are visible to the next
+batch with no restart (parquet listing resolves per plan).
+
+At-least-once note (the ingest-loop caveat, same trade): foreachBatch can
+re-run a batch after a partial write; results are deterministic per
+(query, index state), so replays write duplicate-but-identical rows —
+consumers key on (batch_id, query_id, rank) or stage per-batch paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEARCHERS = ("ivf", "pq", "ivfpq")
+
+
+def ann_serve_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    kind: str = "ivfpq",
+    dim: int | None = None,
+    n_probe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Start the serving loop (availableNow trigger — drain the queued
+    query batches, then stop; rerun to serve new arrivals). Each
+    micro-batch runs the stored-index searcher for ``kind`` and appends
+    ``(query_id, neighbor_id, rank, batch_id)`` to ``out_path``.
+
+    ``dim`` is required for the PQ searchers (subspace slicing); the
+    IVF-flat searcher derives everything from the stored layout."""
+    if kind not in _SEARCHERS:
+        raise ValueError(f"ann_serve_stream: kind must be one of {_SEARCHERS}")
+    if kind in ("pq", "ivfpq") and dim is None:
+        raise ValueError(f"ann_serve_stream: kind={kind!r} requires dim")
+
+    from ..pipelines.similarity import (
+        ivf_search_index,
+        ivfpq_search_index,
+        pq_search_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        queries = batch_df.select(query_id_col, vec_col)
+        if queries.isEmpty():
+            return
+        if kind == "ivf":
+            res = ivf_search_index(
+                spark, index_path, queries, n_probe=n_probe, k=k,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+        elif kind == "pq":
+            res = pq_search_index(
+                spark, index_path, queries, dim=dim, k=k,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+        else:
+            res = ivfpq_search_index(
+                spark, index_path, queries, dim=dim, n_probe=n_probe, k=k,
+                vec_col=vec_col, query_id_col=query_id_col,
+            )
+        res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -63,73 +63,28 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r8 window head (the driver oracles the FIRST 50) -------------------
-    # (a) NEW in r8 (no driver row yet): the learned quality classifier,
-    # BPE merge application, and the Arrow sparse-tf BM25 twin.
-    # (b) CHANGED in r8: approx_stats (reshaped to bounds-booleans with a
-    # real oracle — previously the perpetual no_oracle row), ngram_diversity
-    # (NULL-text fold, oracle COALESCE), knn_label_noise (ANSI-safe string
-    # tie-break + the many-groups rank branch now persists).
-    # (c) the 14 r4-era stale rotations VERDICT r7 #7 queued.
-    # (d) fill: the 30 alphabetically-first r5-era rows.
-    "quality_classifier",
-    "bpe_token_count",
-    "bm25_topk_fast",
-    "bpe_token_apportionment",
-    "quality_classifier_eval",
-    "ccnet_lm_buckets",
-    "source_datacard",
-    "corpus_integrity",
-    "lang_classifier",
-    "lang_confusion",
+    # --- r9 window head (the driver oracles the FIRST 50) -------------------
+    # (a) NEW in r9 (no driver row yet): byte-level BPE family + auto route,
+    # URL/domain web curation, PQ / IVF-PQ ANN + recall eval, MinHash fuzzy
+    # decontamination, BPE fertility.
+    "bpe_token_count_auto",
+    "bpe_byte_token_count",
+    "bpe_byte_token_count_fast",
+    "bpe_fertility",
+    "url_canonicalize",
+    "url_dedup",
+    "domain_caps",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "decon_fuzzy",
+    # (b) CHANGED in r9: the badword line-boundary fix altered both the
+    # Spark plan and the oracle of these two (whitespace-class split +
+    # genuinely-firing drop path).
     "c4_line_clean",
-    "corpus_line_dedup",
-    "line_profile",
-    "alpha_mixture",
-    "heavy_hitters",
-    "unimax_allocation",
     "curation_funnel",
-    "approx_stats",
-    "ngram_diversity",
-    "knn_label_noise",
-    "pagerank_supplier_part",
-    "purchase_attribution",
-    "redact_pii_stats",
-    "salted_lineitem_stats",
-    "shuffle_shards_q",
-    "source_drift_tv",
-    "top_prices_with_ties",
-    "train_val_split_stats",
-    "trim_length_outliers",
-    "twap_value_by_user_type",
-    "value_quantiles_by_type",
-    "value_spikes_by_type",
-    "value_variance_by_type",
-    "vocab_coverage",
-    "all_account_balances",
-    "asof_last_order",
-    "cube_order_stats",
-    "customer_order_counts_left",
-    "customer_spend_quartiles",
-    "d4m_set_filter",
-    "graph_brand_degree",
-    "graph_brand_gram",
-    "lara_cross_grid",
-    "lara_union_quarters",
-    "monthly_revenue",
-    "multimodal_features",
-    "nation_presence_trio",
-    "nation_region_full_outer",
-    "order_price_histogram",
-    "order_price_percentiles",
-    # --- front of the r9 window: the r5-era rows the 50-slot r8 window
-    # --- couldn't fit (after r8 no row should be older than r5).
-    # --- order_status_pivot, orders_within_30_days and q10-q20 fell off
-    # --- the r8 window when the twelve late-r8 queries
-    # --- (ccnet_lm_buckets, source_datacard, corpus_integrity,
-    # --- lang_classifier, lang_confusion, c4_line_clean,
-    # --- corpus_line_dedup, line_profile, alpha_mixture, heavy_hitters,
-    # --- unimax_allocation, curation_funnel) joined the head.
+    # (c) the 26 r5-era stale rows VERDICT r8 #5 queued (code unchanged
+    # since r5; after r9 no driver row predates r6).
     "order_status_pivot",
     "orders_within_30_days",
     "q10_returned_items",
@@ -156,69 +111,41 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
-    # --- tail: r6/r7-certified on current code; fall out harmlessly ---
-    "ann_brute_force",
+    # (d) fill: the 11 alphabetically-first r6-era rows.
     "ann_brute_force_fast",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
     "ann_sq8_fast",
-    "ann_sq8_topk",
-    "bigram_lm",
     "bm25_topk",
     "cap_docs_per_source",
     "chunk_documents_q",
-    "contamination_report",
     "corpus_clean",
     "corpus_frequent_ngrams",
     "cross_source_dup_matrix",
     "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
-    "decontaminate_docs",
+    # --- front of the r10 window: the remaining 36 r6-era rows ------------
     "dedup_components",
-    "dedup_embedding",
     "dedup_exact",
     "dedup_keep_representatives",
     "dedup_lsh_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
     "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
     "dedup_rate_by_source",
-    "dedup_simhash",
-    "dedup_simhash_fast",
     "doc_boilerplate_ppm",
-    "dsir_importance",
-    "dup_span_census",
     "embedding_gram",
     "event_funnel",
-    "event_transitions",
-    "event_trigram_paths",
     "events_daily_pivot",
     "events_daily_users",
     "events_dow_hour_heatmap",
     "events_json_stats",
     "forward_fill_hourly",
     "fuzzy_part_pairs",
-    "gopher_funnel",
-    "gopher_quality",
-    "grouping_sets_revenue",
-    "hard_negatives",
-    "label_centroid_outliers",
     "lara_matmul_event_gram",
     "lara_union_max",
     "lara_union_revenue",
     "lara_wordcount",
     "lara_wordcount_py",
-    "mad_outliers_by_type",
-    "median_value_by_type",
-    "mix_sources_counts",
-    "moments_by_type",
-    "monthly_revenue_mom",
     "orders_quality_report",
-    "orders_segment_at_day",
-    "pack_sequences_q",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -227,30 +154,12 @@ _PRIORITY = [
     "rollup_returns",
     "running_customer_totals",
     "scd2_customer_segments",
-    "semantic_decon",
-    "semantic_decon_fast",
-    "semantic_dedup",
-    "semantic_dedup_fast",
     "sensor_covariance_events",
     "session_window_stats",
     "sessionize_events",
     "sliding_event_stats",
-    "span_source_matrix",
-    "split_leakage",
     "sql_front_door_q",
-    "strip_dup_spans",
-    "supplier_copart_triangles",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
     "tfidf_top_terms",
-    "token_apportionment",
-    "topk_parts_per_brand",
-    "tumbling_event_stats",
-    "user_retention_cohorts",
 ]
 
 

@@ -16,65 +16,64 @@ def test_priority_order_is_registration_order():
 def test_changed_queries_inside_oracle_window():
     # Window policy: the driver oracles 50 queries/round, so changed
     # queries are budgeted against stale-evidence rotations. Priority
-    # order: (1) plan-changed queries whose BEHAVIOR could differ →
-    # this round's window; (2) queries with no driver row on current-era
-    # code → fill the window; (3) remaining changed queries (value-
-    # identical refactors and oracle-text edits, each verified against
-    # DuckDB at all three SFs by tools/check_correctness.py this round)
-    # → pinned to the FRONT of the next window so the driver certifies
-    # them next. This test pins the current allocation so a registry
-    # edit can't silently drop a changed query out of both windows.
+    # order: (1) queries with no driver row yet and queries whose
+    # BEHAVIOR changed this round → this round's window; (2) the stalest
+    # green rows → fill the window; (3) the next-stalest rows → pinned to
+    # the FRONT of the next window. This test pins the current allocation
+    # so a registry edit can't silently drop a changed query out of both
+    # windows.
     changed_in_window = {
-        # NEW in r8 (no driver row yet): the learned quality classifier,
-        # BPE merge application, the Arrow sparse-tf BM25 twin
-        "quality_classifier", "bpe_token_count", "bm25_topk_fast",
-        "bpe_token_apportionment", "quality_classifier_eval",
-        # NEW late-r8: CCNet per-language LM bucketing, per-source data
-        # card, (documents, embeddings) integrity audit, learned
-        # multiclass language-ID + its held-out confusion eval
-        "ccnet_lm_buckets", "source_datacard", "corpus_integrity",
-        "lang_classifier", "lang_confusion",
-        # NEW late-r8: the line-structure family (C4 line cleaning,
-        # RefinedWeb corpus-level line dedup, Gopher line profile) and
-        # the α-temperature mixture planner
-        "c4_line_clean", "corpus_line_dedup", "line_profile",
-        "alpha_mixture", "heavy_hitters", "unimax_allocation",
-        "curation_funnel",
-        # CHANGED in r8: approx_stats gained a real oracle (bounds-boolean
-        # reshape — the formerly perpetual no_oracle row); ngram_diversity
-        # folds NULL text and its oracle COALESCEs; knn_label_noise got the
-        # ANSI-safe string-label tie-break and the persisted rank branch
-        "approx_stats", "ngram_diversity", "knn_label_noise",
-        # the 14 r4-era stale-evidence rotations VERDICT r7 #7 queued
-        "pagerank_supplier_part", "purchase_attribution",
-        "redact_pii_stats", "salted_lineitem_stats",
-        "shuffle_shards_q", "source_drift_tv",
-        "top_prices_with_ties", "train_val_split_stats",
-        "trim_length_outliers", "twap_value_by_user_type",
-        "value_quantiles_by_type", "value_spikes_by_type",
-        "value_variance_by_type", "vocab_coverage",
-    }
-    # r9 window front: the r5-era rows the 50-slot r8 window could not
-    # fit (code unchanged since r5; after r9 no driver row predates r6).
-    # order_status_pivot, orders_within_30_days and q10-q20 were pushed
-    # out of the r8 window by the late-r8 queries.
-    next_window = {
-        "order_status_pivot",
-        "orders_within_30_days",
-        "q10_returned_items",
-        "q11_nation_balance_share",
+        # NEW in r9 (no driver row yet): byte-level BPE + auto route,
+        # URL/domain web curation, PQ / IVF-PQ ANN + recall eval,
+        # MinHash fuzzy decontamination, per-source BPE fertility
+        "bpe_token_count_auto", "bpe_byte_token_count",
+        "bpe_byte_token_count_fast", "bpe_fertility",
+        "url_canonicalize", "url_dedup", "domain_caps",
+        "ann_pq_topk", "ann_pq_recall", "ann_ivfpq_topk",
+        "decon_fuzzy",
+        # CHANGED in r9: the badword line-boundary fix (whitespace-class
+        # split, ADVICE r8) altered both the Spark plan and the oracle
+        "c4_line_clean", "curation_funnel",
+        # the 26 r5-era stale-evidence rotations VERDICT r8 #5 queued
+        "order_status_pivot", "orders_within_30_days",
+        "q10_returned_items", "q11_nation_balance_share",
         "q12_priority_buckets", "q13_order_count_distribution",
-        "q14_promo_share",
-        "q15_top_supplier", "q16_supplier_count_by_part",
-        "q18_large_volume_customers",
+        "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_count_by_part", "q18_large_volume_customers",
         "q19_disjunctive_revenue", "q20_promo_suppliers",
         "q21_sole_fault_suppliers", "q22_idle_rich_customers",
-        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+        "q2_cheapest_part_per_type", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share",
         "q9_profit_by_nation_year", "raco_front_door_q",
         "repeat_customers_96_97", "small_quantity_revenue",
         "status_except_all", "suppliers_without_recent_sales",
         "text_replace_map", "unpivot_order_measures",
-        "q2_cheapest_part_per_type",
+        # fill: the 11 alphabetically-first r6-era rows
+        "ann_brute_force_fast", "ann_sq8_fast", "bm25_topk",
+        "cap_docs_per_source", "chunk_documents_q", "corpus_clean",
+        "corpus_frequent_ngrams", "cross_source_dup_matrix",
+        "customer_merge_upsert", "customer_order_gaps",
+        "customers_without_orders",
+    }
+    # r10 window front: the remaining 36 r6-era rows (code unchanged
+    # since r6; after r10 no driver row should predate r7).
+    next_window = {
+        "dedup_components", "dedup_exact", "dedup_keep_representatives",
+        "dedup_lsh_jaccard", "dedup_ngram_jaccard",
+        "dedup_prefix_jaccard", "dedup_rate_by_source",
+        "doc_boilerplate_ppm", "embedding_gram", "event_funnel",
+        "events_daily_pivot", "events_daily_users",
+        "events_dow_hour_heatmap", "events_json_stats",
+        "forward_fill_hourly", "fuzzy_part_pairs",
+        "lara_matmul_event_gram", "lara_union_max",
+        "lara_union_revenue", "lara_wordcount", "lara_wordcount_py",
+        "orders_quality_report", "q1_pricing_summary",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "revenue_share_by_nation",
+        "rollup_returns", "running_customer_totals",
+        "scd2_customer_segments", "sensor_covariance_events",
+        "session_window_stats", "sessionize_events",
+        "sliding_event_stats", "sql_front_door_q", "tfidf_top_terms",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -84,7 +83,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "r5-era stale rows must lead the r9 window: "
+        "r6-era stale rows must lead the r10 window: "
         f"{next_window ^ next_slots}"
     )
 

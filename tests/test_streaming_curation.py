@@ -160,3 +160,82 @@ def test_curate_ingest_loop_dedups_gates_and_ledgers(spark, tmp_path):
         for r in spark.read.parquet(stats).collect()
     }
     assert ledger2[(2, "s3")] == (1, 1, 3)  # only doc 7 is new
+
+
+def test_ann_serve_stream_matches_batch_and_sees_appends(spark, tmp_path):
+    """The streaming serving loop: two query micro-batches against a
+    stored IVF-PQ index reproduce the batch searcher's results exactly
+    (deterministic per index state); after ivf-appending new vectors to
+    a stored IVF index, a RESTARTED ivf serving loop sees them with no
+    rebuild (parquet listing resolves per plan)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from laradb_spark.pipelines import similarity as sim
+    from laradb_spark.streaming.serve import ann_serve_stream
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.5])
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq_idx")
+    sim.ivfpq_build_index(corpus, idx, dim=8, n_centroids=4, m=2, k_sub=4)
+
+    qschema = "query_id long, embedding array<double>"
+    src = str(tmp_path / "queries")
+    os.makedirs(src)
+    q1 = [(i, rows[i][1]) for i in range(2)]
+    q2 = [(i, rows[i][1]) for i in range(2, 4)]
+    spark.createDataFrame(q1, qschema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(q2, qschema).coalesce(1).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(qschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ann_serve_stream(stream, idx, out, ck, kind="ivfpq", dim=8, n_probe=2, k=3)
+    q.awaitTermination(120)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    all_q = spark.createDataFrame(q1 + q2, qschema)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivfpq_search_index(spark, idx, all_q, dim=8, n_probe=2, k=3).collect()
+    }
+    assert got == want
+    # two micro-batches ran (one file per trigger)
+    batches = {r.batch_id for r in spark.read.parquet(out).collect()}
+    assert batches == {0, 1}
+
+    # IVF-flat: append new vectors to a stored index, restart the loop →
+    # the new vectors are candidates with no rebuild
+    ivf_idx = str(tmp_path / "ivf_idx")
+    sim.ivf_build_index(corpus, ivf_idx, n_centroids=4)
+    probe = spark.createDataFrame([q1[0]], qschema)
+    before = {
+        r.neighbor_id
+        for r in sim.ivf_search_index(spark, ivf_idx, probe, n_probe=4, k=3).collect()
+    }
+    clone = spark.createDataFrame(
+        [(1000, [float(x) * 1.0001 for x in q1[0][1]])], "vec_id long, embedding array<double>"
+    )
+    sim.ivf_append_index(clone, ivf_idx)
+    src2, out2, ck2 = (str(tmp_path / d) for d in ("q2src", "out2", "ck2"))
+    os.makedirs(src2)
+    probe.coalesce(1).write.mode("append").parquet(src2)
+    q2s = ann_serve_stream(
+        spark.readStream.schema(qschema).parquet(src2),
+        ivf_idx, out2, ck2, kind="ivf", n_probe=4, k=3,
+    )
+    q2s.awaitTermination(120)
+    after = {r.neighbor_id for r in spark.read.parquet(out2).collect()}
+    assert 1000 in after and 1000 not in before
