@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "decon_fuzzy",
+    "token_shard_stats",
 ]
 
 

@@ -812,3 +812,52 @@ def bpe_fertility(
         "n_bpe_tokens",
         F.round(F.col("n_bytes") / F.col("n_bpe_tokens"), 6).alias("bytes_per_token"),
     )
+
+
+def bpe_byte_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """GPT-2-style id assignment over mapped symbols: the 256 base byte
+    symbols get ids 0..255 in byte order (= their index in
+    ``BYTE_ALPHABET``); merge product i gets 256+i. A bijection, since a
+    trained table never re-produces an existing symbol."""
+    vocab = {BYTE_ALPHABET[b]: b for b in range(256)}
+    for i, (a, b) in enumerate(merges):
+        vocab[a + b] = 256 + i
+    return vocab
+
+
+def bpe_byte_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Per-document ORDER-PRESERVING byte-level BPE encoding to integer
+    ids: ``(doc_id, token_ids array<int>)``. Base bytes are ids 0..255,
+    merge products 256+rank (``bpe_byte_vocab``) — the id scheme real
+    byte-BPE vocabs use, so downstream shard consumers get contiguous
+    dense ids.
+
+    Pretokens stay inside one ``transform`` lambda so token order needs
+    no re-sort; the symbol→id map is a literal MapType expression
+    (vocab-sized — demo/oracle tables; a production ~50k vocab would
+    broadcast-join a vocab table instead). Docs with NULL/empty text
+    yield an empty array (kept — the shard writer's packing treats them
+    as zero-length)."""
+    merges = bpe_validate_merges(merges)
+    vocab = bpe_byte_vocab(merges)
+    id_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    toks = F.flatten(
+        F.transform(
+            pretokens(F.col(text)),
+            lambda p: F.filter(
+                F.transform(
+                    F.split(_mapped_symbols(_byte_mapped(p), merges), BPE_SEP + BPE_SEP),
+                    lambda q: F.replace(q, F.lit(BPE_SEP), F.lit("")),
+                ),
+                lambda s: s != F.lit(""),
+            ),
+        )
+    )
+    return df.select(
+        "doc_id", F.transform(toks, lambda t: id_map[t].cast("int")).alias(out_col)
+    )

@@ -78,6 +78,7 @@ _PRIORITY = [
     "ann_pq_recall",
     "ann_ivfpq_topk",
     "decon_fuzzy",
+    "token_shard_stats",
     # (b) CHANGED in r9: the badword line-boundary fix altered both the
     # Spark plan and the oracle of these two (whitespace-class split +
     # genuinely-firing drop path).
@@ -111,7 +112,7 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
-    # (d) fill: the 11 alphabetically-first r6-era rows.
+    # (d) fill: the 10 alphabetically-first r6-era rows.
     "ann_brute_force_fast",
     "ann_sq8_fast",
     "bm25_topk",
@@ -122,8 +123,8 @@ _PRIORITY = [
     "cross_source_dup_matrix",
     "customer_merge_upsert",
     "customer_order_gaps",
+    # --- front of the r10 window: the remaining 37 r6-era rows ------------
     "customers_without_orders",
-    # --- front of the r10 window: the remaining 36 r6-era rows ------------
     "dedup_components",
     "dedup_exact",
     "dedup_keep_representatives",

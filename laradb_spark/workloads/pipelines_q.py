@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..pipelines import curation as cu
 from ..pipelines import dedup as dd
 from ..pipelines import labels as lb
+from ..pipelines import shards as shd
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
 from ..pipelines import tokenizer as tk
@@ -3261,6 +3262,68 @@ def bpe_token_count_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_BYTE_TOKEN_COUNT_SQL = _bpe_byte_count_sql(tk.DEMO_BYTE_BPE_MERGES)
 
 
+_SHARD_LEN = 128
+
+
+def token_shard_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-occupancy report for a token-shard materialization run:
+    byte-BPE counts of the decorated corpus concatenated in doc_id order
+    and cut into 128-token contexts — per pack, its token fill and how
+    many documents start inside it. The cumsum is the two-phase parallel
+    scan; the oracle's single global window is what it must equal."""
+    fab = _fab_punct_df(load(spark, sf_dir, "documents"))
+    counted = tk.bpe_byte_token_count(fab, tk.DEMO_BYTE_BPE_MERGES).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return shd.pack_occupancy(counted, _SHARD_LEN)
+
+
+def _token_shard_stats_sql(merges: list[tuple[str, str]]) -> str:
+    sep = tk.BPE_SEP
+    alpha = _sql_str(tk.BYTE_ALPHABET)
+    pat = _sql_str(tk.PRETOKENIZE_RE)
+    hexd = "0123456789ABCDEF"
+    L = _SHARD_LEN
+    return f"""
+{_FAB_PUNCT_CTE},
+p AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
+  FROM fabp
+),
+m AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(
+             string_split(regexp_replace(hex(encode(tok)), '(..)', '\\1{sep}', 'g'), '{sep}'),
+             x -> x <> ''),
+           ch -> substring('{alpha}',
+                           16 * (strpos('{hexd}', ch[1]) - 1) + strpos('{hexd}', ch[2]),
+                           1)
+         ), '') AS word
+  FROM p
+),
+s AS (SELECT doc_id, {_bpe_byte_sym_expr(merges)} AS sym FROM m),
+c AS (SELECT doc_id, CAST(SUM({_BPE_COUNT_CASE}) AS BIGINT) AS n FROM s GROUP BY doc_id),
+cum AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM c
+),
+per AS (
+  SELECT st, n, UNNEST(range(st // {L}, (st + n - 1) // {L} + 1)) AS pack_id
+  FROM cum WHERE n > 0
+)
+SELECT pack_id,
+       CAST(SUM(LEAST((pack_id + 1) * {L}, st + n) - GREATEST(pack_id * {L}, st)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN st >= pack_id * {L} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting
+FROM per GROUP BY pack_id
+"""
+
+
+TOKEN_SHARD_STATS_SQL = _token_shard_stats_sql(tk.DEMO_BYTE_BPE_MERGES)
+
+
 def bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility (UTF-8 bytes per byte-BPE token)
     over the punctuation/unicode-decorated corpus — the compression
@@ -3500,6 +3563,7 @@ QUERIES = {
     "bpe_token_count_auto": (bpe_token_count_auto_q, BPE_TOKEN_COUNT_SQL),
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
+    "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
     "bpe_byte_token_count_fast": (
         bpe_byte_token_count_fast_q,
         BPE_BYTE_TOKEN_COUNT_SQL,

@@ -1,0 +1,89 @@
+"""Token-shard materialization: the packed-corpus write is exactly the
+concat-and-chunk of the per-doc byte-BPE encodings, and the metadata-only
+occupancy report agrees with the materialized shards."""
+
+from pyspark.sql import functions as F
+
+from laradb_spark.pipelines import shards as sh
+from laradb_spark.pipelines.tokenizer import (
+    bpe_byte_encode_ids,
+    bpe_byte_vocab,
+    bpe_encode_str_sweep,
+    byte_map_str,
+    pretokenize_str,
+)
+
+MERGES = [("h", "e"), ("l", "l"), ("he", "ll"), ("ll", "o")]
+TEXTS = [
+    (1, "hello hello world"),
+    (2, ""),  # zero tokens — packing must skip it without breaking
+    (3, "shell shellfish hell"),
+    (4, "what the hell — hello? hellllo!"),
+    (5, "llllll llhe hehehe"),
+]
+L = 7
+
+
+def _encode_py(t):
+    vocab = bpe_byte_vocab(MERGES)
+    out = []
+    for p in pretokenize_str(t or ""):
+        out += [vocab[s] for s in bpe_encode_str_sweep(byte_map_str(p), MERGES)]
+    return out
+
+
+def test_encode_ids_matches_python(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {r.doc_id: list(r.token_ids) for r in bpe_byte_encode_ids(df, MERGES).collect()}
+    for did, t in TEXTS:
+        assert got[did] == _encode_py(t), did
+
+
+def test_write_token_shards_matches_python_replay(spark, tmp_path):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    sh.write_token_shards(df, MERGES, path, context_len=L)
+
+    # python replay: concat in doc_id order, chunk every L
+    stream, starts = [], {}
+    for did, t in sorted(TEXTS):
+        ids = _encode_py(t)
+        if ids:
+            starts.setdefault(len(stream) // L, []).append(
+                (len(stream) % L, did)
+            )
+            stream += ids
+    want = {
+        p: stream[p * L : (p + 1) * L] for p in range((len(stream) + L - 1) // L)
+    }
+
+    rows = spark.read.parquet(path).collect()
+    got = {r.pack_id: list(r.token_ids) for r in rows}
+    assert got == want
+    # all packs full except the last
+    last = max(got)
+    for p, ids in got.items():
+        assert len(ids) == (len(stream) - last * L if p == last else L)
+    got_starts = {
+        r.pack_id: [(s.pos, s.doc_id) for s in (r.doc_starts or [])] for r in rows
+    }
+    for p in want:
+        assert got_starts[p] == sorted(starts.get(p, [])), p
+
+
+def test_pack_occupancy_agrees_with_materialized_shards(spark, tmp_path):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    counted = bpe_byte_encode_ids(df, MERGES).select(
+        "doc_id", F.size("token_ids").alias("n_tokens")
+    )
+    occ = {
+        r.pack_id: (r.n_tokens, r.n_docs_starting)
+        for r in sh.pack_occupancy(counted, L).collect()
+    }
+    path = str(tmp_path / "shards2")
+    sh.write_token_shards(df, MERGES, path, context_len=L)
+    mat = {
+        r.pack_id: (len(r.token_ids), len(r.doc_starts or []))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert occ == mat
