@@ -1199,3 +1199,62 @@ def multiclass_classify(
         F.element_at(label_of, F.col("_best._rk")).alias("pred_label"),
         F.expr("_best._s div n_features").alias("score_ppm"),
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    allocation: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic FRACTIONAL-EPOCH materialization of a per-source
+    token allocation — the step after :func:`unimax_allocation` /
+    :func:`alpha_mixture` DECIDE budgets: turn ``alloc_tokens`` into an
+    actual instance stream with repeats.
+
+    ``allocation`` is any ``(source, n_tokens, alloc_tokens)`` frame
+    (both planners emit it). With per-source rate r = alloc/avail, every
+    doc is emitted ``floor(r)`` times (full epochs — epoch semantics
+    mean full bit-identical passes), plus ONE extra copy for the
+    md5-selected fraction of docs: ``bucket("mix:"||id) <
+    ((alloc mod avail)·BUCKETS) div avail``. All integer arithmetic, so
+    the oracle replays every per-doc copy count; the hash key is
+    namespaced so mixture selection is independent of ``hash_split``'s
+    buckets. Like those, the choice is layout-independent and stable
+    under corpus growth — reruns and engine changes emit the SAME
+    instances (Spark ``sample`` can guarantee neither).
+
+    The doc-count fraction is exact to 1/BUCKETS; emitted TOKENS hit the
+    fractional budget in expectation (doc sizes vary — exact-token
+    packing is a knapsack no production mixture bothers with). Sources
+    with ``n_tokens = 0`` or ``alloc_tokens = 0`` emit nothing.
+
+    Output: the input columns plus ``epoch_idx`` (0-based copy index).
+    Scale shape: broadcast the sources-sized allocation, map-side
+    explode — no shuffle at all."""
+    alloc = allocation.select(
+        source_col,
+        F.col("n_tokens").alias("_avail"),
+        F.col("alloc_tokens").alias("_alloc"),
+    )
+    j = fan_out(df).join(F.broadcast(alloc), on=source_col)
+    full = F.expr("_alloc div _avail")
+    frac_buckets = F.expr(f"((_alloc % _avail) * {BUCKETS}) div _avail")
+    extra = F.when(
+        md5_mod(
+            F.concat(F.lit("mix:"), F.col(id_col).cast("string")),
+            _HEX_DIGITS,
+            BUCKETS,
+        )
+        < frac_buckets,
+        1,
+    ).otherwise(0)
+    copies = F.when(F.col("_avail") > 0, full + extra).otherwise(F.lit(0))
+    return (
+        j.withColumn("_copies", copies.cast("int"))
+        .filter(F.col("_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias("epoch_idx"),
+        )
+    )

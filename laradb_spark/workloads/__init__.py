@@ -79,6 +79,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "decon_fuzzy",
     "token_shard_stats",
+    "mixture_materialize",
     # (b) CHANGED in r9: the badword line-boundary fix altered both the
     # Spark plan and the oracle of these two (whitespace-class split +
     # genuinely-firing drop path).
@@ -112,7 +113,7 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
-    # (d) fill: the 10 alphabetically-first r6-era rows.
+    # (d) fill: the 9 alphabetically-first r6-era rows.
     "ann_brute_force_fast",
     "ann_sq8_fast",
     "bm25_topk",
@@ -122,8 +123,8 @@ _PRIORITY = [
     "corpus_frequent_ngrams",
     "cross_source_dup_matrix",
     "customer_merge_upsert",
+    # --- front of the r10 window: the remaining 38 r6-era rows ------------
     "customer_order_gaps",
-    # --- front of the r10 window: the remaining 37 r6-era rows ------------
     "customers_without_orders",
     "dedup_components",
     "dedup_exact",

@@ -2708,6 +2708,78 @@ FROM fin
 """
 
 
+def mixture_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax allocation at budget = 150% of corpus tokens, max_epochs=2,
+    MATERIALIZED: every doc emitted floor(r) times + the md5-selected
+    fractional copy, then summarized per source (instances + emitted
+    tokens — aggregating keeps the row count small while hashing every
+    per-doc copy decision, the hash_split precedent). The 150%/2-epoch
+    regime guarantees genuine upsampling: capped sources replay a full
+    second epoch, uncapped ones get fractional extras."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(tx.token_count(F.col("text"))).alias("t")).collect()[0].t
+    alloc = cu.unimax_allocation(docs, budget=150 * int(total) // 100, max_epochs=2)
+    inst = cu.materialize_mixture(docs, alloc)
+    stats = inst.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens_emitted"),
+    )
+    return stats.join(F.broadcast(alloc.select("source", "alloc_tokens")), on="source")
+
+
+MIXTURE_MATERIALIZE_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(150 * SUM(n_tokens) // 100 AS BIGINT) AS budget FROM s),
+c AS (
+  SELECT s.*, budget, CAST(2 * n_tokens AS BIGINT) AS capacity_tokens,
+         ROW_NUMBER() OVER (ORDER BY 2 * n_tokens ASC, source ASC) AS i,
+         COALESCE(SUM(2 * n_tokens) OVER (ORDER BY 2 * n_tokens ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
+         COUNT(*) OVER () AS k
+  FROM s, b
+),
+d AS (
+  SELECT *, (capacity_tokens::HUGEINT * (k - i + 1)) <= (budget::HUGEINT - pprev) AS capped
+  FROM c
+),
+t AS (SELECT COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS m,
+             COALESCE(SUM(CASE WHEN capped THEN capacity_tokens ELSE 0 END), 0) AS pm
+      FROM d),
+fin AS (
+  SELECT source, n_tokens,
+         CAST(CASE WHEN capped THEN capacity_tokens
+              ELSE (budget - pm) // (k - m)
+                   + CASE WHEN (i - m) <= (budget - pm) % (k - m) THEN 1 ELSE 0 END
+              END AS BIGINT) AS alloc_tokens
+  FROM d, t
+),
+docs_t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS nd
+  FROM documents
+),
+inst AS (
+  SELECT d.source, d.nd,
+         (f.alloc_tokens // f.n_tokens)
+         + CASE WHEN ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                     < ((f.alloc_tokens % f.n_tokens) * 10000) // f.n_tokens
+                THEN 1 ELSE 0 END AS copies
+  FROM docs_t d JOIN fin f USING (source)
+  WHERE f.n_tokens > 0
+)
+SELECT i.source, CAST(SUM(i.copies) AS BIGINT) AS n_instances,
+       CAST(SUM(i.copies * i.nd) AS BIGINT) AS n_tokens_emitted,
+       f.alloc_tokens
+FROM inst i JOIN fin f ON f.source = i.source
+WHERE i.copies > 0
+GROUP BY i.source, f.alloc_tokens
+"""
+
+
 _HH_MIN_PPM = 20_000
 
 
@@ -3564,6 +3636,7 @@ QUERIES = {
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
     "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
+    "mixture_materialize": (mixture_materialize_q, MIXTURE_MATERIALIZE_SQL),
     "bpe_byte_token_count_fast": (
         bpe_byte_token_count_fast_q,
         BPE_BYTE_TOKEN_COUNT_SQL,

@@ -704,3 +704,53 @@ def test_decontaminate_fuzzy_empty_bench_is_identity(spark):
     )
     bench = train.filter(F.col("doc_id") < 0)
     assert cu.decontaminate_fuzzy(train, bench).count() == 1
+
+
+def test_materialize_mixture_full_and_fractional_epochs(spark):
+    """r = 2 emits exactly two copies of every doc (full epochs are full);
+    r = 1 emits exactly one; fractional r emits floor(r) everywhere plus
+    the md5-selected extras, layout-independently."""
+    rows = [(i, "w " * 10, "a") for i in range(1, 21)] + [
+        (100 + i, "w " * 10, "b") for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(
+        [(d, t.strip(), s) for d, t, s in rows], ["doc_id", "text", "source"]
+    )
+    # a: 200 tokens avail, alloc 400 → r=2; b: alloc 200 → r=1
+    alloc = spark.createDataFrame(
+        [("a", 200, 400), ("b", 200, 200)],
+        "source string, n_tokens long, alloc_tokens long",
+    )
+    out = cu.materialize_mixture(df, alloc)
+    counts = {
+        (r.source, r.doc_id): r.n
+        for r in out.groupBy("source", "doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v == 2 for (s, _), v in counts.items() if s == "a")
+    assert all(v == 1 for (s, _), v in counts.items() if s == "b")
+    assert {r.epoch_idx for r in out.filter(F.col("source") == "a").collect()} == {0, 1}
+
+    # fractional: r = 1.5 → every doc once, ~half twice; deterministic
+    # under repartition (layout independence) and grows only ADDITIVELY
+    frac = spark.createDataFrame(
+        [("a", 200, 300)], "source string, n_tokens long, alloc_tokens long"
+    )
+    da = df.filter(F.col("source") == "a")
+    c1 = {
+        r.doc_id: r.n
+        for r in cu.materialize_mixture(da, frac)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    c2 = {
+        r.doc_id: r.n
+        for r in cu.materialize_mixture(da.repartition(7), frac)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert c1 == c2
+    assert set(c1.values()) == {1, 2} and len(c1) == 20
+    # zero-avail and zero-alloc sources emit nothing
+    z = spark.createDataFrame(
+        [("a", 0, 100), ("b", 200, 0)],
+        "source string, n_tokens long, alloc_tokens long",
+    )
+    assert cu.materialize_mixture(df, z).count() == 0
