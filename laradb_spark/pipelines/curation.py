@@ -369,6 +369,7 @@ def global_exclusive_cumsum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "offset",
+    caches: "list | None" = None,
 ) -> DataFrame:
     """Exact global running total (exclusive) of ``value_col`` in
     ``order_cols`` order, without a global single-task window.
@@ -382,6 +383,12 @@ def global_exclusive_cumsum(
     PROVIDED the persist below stays: the totals collect and the final
     join are two actions, and an unpersisted repartitionByRange can
     sample different bounds per action (DEVNOTES gotcha 15).
+
+    ``caches``: loop callers (a foreachBatch body builds a NEW plan per
+    micro-batch, so the internal pin would accumulate one CacheManager
+    entry per batch — the line-loop lesson) pass a list; the pinned
+    frame is appended for the caller to unpersist after its consumers
+    have run. One-shot callers omit it.
     """
     nparts = df.sparkSession.sparkContext.defaultParallelism
     from ..util import persist_once
@@ -390,6 +397,8 @@ def global_exclusive_cumsum(
         df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
     )
+    if caches is not None:
+        caches.append(ranged)
     totals = {
         r["_pid"]: r["tot"]
         for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()

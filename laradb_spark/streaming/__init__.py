@@ -1,5 +1,5 @@
 from .dedup import dedup_stream, line_ingest_stream, span_ingest_stream
-from .ingest import curate_ingest_stream, url_ingest_stream
+from .ingest import curate_ingest_stream, shard_ingest_stream, url_ingest_stream
 from .joins import interval_join
 from .serve import ann_serve_stream
 from .sources import kafka_source_options, kafka_stream_source, kafka_value_json
@@ -21,6 +21,7 @@ __all__ = [
     "curate_ingest_stream",
     "url_ingest_stream",
     "ann_serve_stream",
+    "shard_ingest_stream",
     "interval_join",
     "kafka_source_options",
     "kafka_stream_source",

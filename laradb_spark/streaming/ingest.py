@@ -185,3 +185,189 @@ def url_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def shard_ingest_stream(
+    stream: DataFrame,
+    merges: list[tuple[str, str]],
+    shards_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental token-shard materialization: the streaming completion
+    of ``pipelines.shards.write_token_shards``. Each micro-batch encodes
+    its documents (byte-level BPE → integer ids), concatenates them onto
+    the GLOBAL token stream (carrying the previous batch's unfinished
+    pack), appends every COMPLETED fixed-length pack to ``shards_path``,
+    and persists the new tail state — so a continuously-fed corpus
+    materializes into training contexts without ever re-tokenizing or
+    re-packing history.
+
+    State (1 row at ``state_path``): ``total`` tokens ever ingested, the
+    ≤ context_len unwritten ``partial`` token ids, and the doc-start
+    offsets inside that partial pack. Bounded by context_len by
+    construction — state never grows with corpus size.
+
+    Scale shape per batch: encoding is the map-only expression chain;
+    offsets come from the two-phase parallel cumsum (ordering: carry
+    row first, then ``id_col`` ascending within the batch); pack
+    assembly groups ≤ context_len tokens per pack. Only the single
+    partial pack is ever collected driver-side.
+
+    At-least-once note (sharper here than the dedup loops because state
+    is read-modify-write): a foreachBatch retry after the shard append
+    but before the state overwrite would re-append the same packs.
+    Production would write state+shards under a batch-id staging path
+    and commit atomically; pack_ids are deterministic, so duplicates
+    are exact duplicates, detectable by pack_id."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..pipelines.curation import global_exclusive_cumsum
+    from ..pipelines.tokenizer import bpe_byte_encode_ids, bpe_validate_merges
+    from ..util import persist_once
+
+    bpe_validate_merges(merges)
+    L = int(context_len)
+    start_schema = ArrayType(
+        StructType(
+            [StructField("pos", IntegerType()), StructField("doc_id", LongType())]
+        )
+    )
+    state_schema = StructType(
+        [
+            StructField("total", LongType()),
+            StructField("partial", ArrayType(IntegerType())),
+            StructField("partial_starts", start_schema),
+        ]
+    )
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            st = spark.read.parquet(state_path).collect()
+            total = int(st[0]["total"]) if st else 0
+            partial = list(st[0]["partial"]) if st else []
+            partial_starts = (
+                [(int(s["pos"]), int(s["doc_id"])) for s in st[0]["partial_starts"]]
+                if st
+                else []
+            )
+        except AnalysisException:  # first batch: no state yet
+            total, partial, partial_starts = 0, [], []
+        base = total - len(partial)  # L-aligned global start of the unwritten region
+
+        enc = bpe_byte_encode_ids(
+            batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), merges,
+            text=text_col,
+        )
+        counted = enc.select(
+            F.lit(1).alias("_ord"), "doc_id",
+            F.size("token_ids").alias("_n"), "token_ids",
+        )
+        if partial:
+            carry = spark.createDataFrame(
+                [(0, -1, len(partial), partial)],
+                "_ord int, doc_id long, _n long, token_ids array<int>",
+            )
+            counted = carry.unionByName(counted)
+        caches: list = []
+        cum = global_exclusive_cumsum(
+            counted, ["_ord", "doc_id"], "_n", "start_tok", caches=caches
+        )
+        # total stream length off the PINNED ranged frame — no re-encode
+        batch_tokens = caches[0].agg(F.sum("_n")).collect()[0][0] or 0
+        new_total = base + int(batch_tokens)  # == total + new doc tokens
+        complete = new_total // L  # packs [0, complete) are full
+
+        tokpos = (
+            cum.filter(F.col("_n") > 0)
+            .select(
+                (F.lit(base) + F.col("start_tok")).alias("_gs"),
+                F.posexplode("token_ids").alias("_i", "_tid"),
+            )
+            .select((F.col("_gs") + F.col("_i")).alias("_g"), "_tid")
+            .select(
+                F.expr(f"_g div {L}").alias("pack_id"),
+                (F.col("_g") % L).cast("int").alias("_pos"),
+                "_tid",
+            )
+        )
+        tokpos = persist_once(tokpos)
+        try:
+            # global doc-start positions: new docs' are absolute; the
+            # carried-in ones are offsets within the partial pack, whose
+            # global base is the L-aligned `base`
+            starts_new = [
+                (int(r["_s"]), int(r["doc_id"]))
+                for r in cum.filter((F.col("_n") > 0) & (F.col("_ord") == 1))
+                .select(
+                    "doc_id", (F.lit(base) + F.col("start_tok")).alias("_s")
+                )
+                .collect()
+            ]
+            starts_all = [(base + p, d) for p, d in partial_starts] + starts_new
+
+            full = tokpos.filter(F.col("pack_id") < complete)
+            if complete > base // L:
+                seqs = full.groupBy("pack_id").agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_tid"))),
+                        lambda s: s["_tid"],
+                    ).alias("token_ids")
+                )
+                sd = {}
+                for g, d in starts_all:
+                    if g // L < complete:
+                        sd.setdefault(g // L, []).append((int(g % L), d))
+                if sd:
+                    sf = spark.createDataFrame(
+                        [(p, sorted(v)) for p, v in sd.items()],
+                        StructType(
+                            [
+                                StructField("pack_id", LongType()),
+                                StructField("doc_starts", start_schema),
+                            ]
+                        ),
+                    )
+                    seqs = seqs.join(F.broadcast(sf), on="pack_id", how="left")
+                else:
+                    seqs = seqs.withColumn(
+                        "doc_starts", F.lit(None).cast(start_schema)
+                    )
+                seqs.write.mode("append").parquet(shards_path)
+
+            tail_rows = sorted(
+                (int(r["_pos"]), int(r["_tid"]))
+                for r in tokpos.filter(F.col("pack_id") >= complete).collect()
+            )
+            new_partial = [t for _p, t in tail_rows]
+            new_partial_starts = sorted(
+                (int(g % L), d) for g, d in starts_all if g // L >= complete
+            )
+            spark.createDataFrame(
+                [(new_total, new_partial, new_partial_starts)], state_schema
+            ).coalesce(1).write.mode("overwrite").parquet(state_path)
+        finally:
+            tokpos.unpersist()
+            for c in caches:
+                c.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -239,3 +239,91 @@ def test_ann_serve_stream_matches_batch_and_sees_appends(spark, tmp_path):
     q2s.awaitTermination(120)
     after = {r.neighbor_id for r in spark.read.parquet(out2).collect()}
     assert 1000 in after and 1000 not in before
+
+
+def test_shard_ingest_stream_equals_batch_packing(spark, tmp_path):
+    """Incremental shard materialization across two micro-batches (with a
+    pack spanning the batch boundary) produces EXACTLY the packs the
+    one-shot batch writer produces on the concatenated corpus, plus a
+    state row holding the unwritten tail."""
+    import os
+    import time
+
+    from laradb_spark.pipelines import shards as sh
+    from laradb_spark.streaming.ingest import shard_ingest_stream
+
+    MERGES = [("h", "e"), ("l", "l"), ("he", "ll")]
+    L = 7
+    batch1 = [(1, "hello hell"), (2, "")]
+    batch2 = [(3, "shell hello"), (4, "llhe he hell")]
+    schema = "doc_id long, text string"
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    shards, state, ck = (str(tmp_path / d) for d in ("shards", "state", "ck"))
+    q = shard_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        MERGES, shards, state, ck, context_len=L,
+    )
+    q.awaitTermination(120)
+
+    ref = str(tmp_path / "ref")
+    sh.write_token_shards(
+        spark.createDataFrame(batch1 + batch2, schema), MERGES, ref, context_len=L
+    )
+    want_rows = spark.read.parquet(ref).collect()
+    want_full = {
+        r.pack_id: (list(r.token_ids), [(s.pos, s.doc_id) for s in (r.doc_starts or [])])
+        for r in want_rows
+        if len(r.token_ids) == L
+    }
+    want_tail = {
+        r.pack_id: (list(r.token_ids), [(s.pos, s.doc_id) for s in (r.doc_starts or [])])
+        for r in want_rows
+        if len(r.token_ids) < L
+    }
+    got = {
+        r.pack_id: (list(r.token_ids), [(s.pos, s.doc_id) for s in (r.doc_starts or [])])
+        for r in spark.read.parquet(shards).collect()
+    }
+    assert got == want_full  # every FULL pack, bit-identical incl. boundaries
+    [st] = spark.read.parquet(state).collect()
+    total_tokens = sum(len(ids) for ids, _ in want_full.values()) + sum(
+        len(ids) for ids, _ in want_tail.values()
+    )
+    assert st.total == total_tokens
+    if want_tail:
+        [(tail_ids, tail_starts)] = want_tail.values()
+        assert list(st.partial) == tail_ids
+        assert [(s.pos, s.doc_id) for s in st.partial_starts] == tail_starts
+    else:
+        assert list(st.partial) == []
+
+    # a third batch resumes from the stored state (restart, new loop)
+    time.sleep(1.1)
+    spark.createDataFrame([(5, "hehe shell llll")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = shard_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        MERGES, shards, state, ck, context_len=L,
+    )
+    q2.awaitTermination(120)
+    ref2 = str(tmp_path / "ref2")
+    sh.write_token_shards(
+        spark.createDataFrame(batch1 + batch2 + [(5, "hehe shell llll")], schema),
+        MERGES, ref2, context_len=L,
+    )
+    want2 = {
+        r.pack_id: list(r.token_ids)
+        for r in spark.read.parquet(ref2).collect()
+        if len(r.token_ids) == L
+    }
+    got2 = {
+        r.pack_id: list(r.token_ids) for r in spark.read.parquet(shards).collect()
+    }
+    assert got2 == want2
