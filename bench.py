@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "decon_fuzzy",
     "token_shard_stats",
+    "fuzzy_cross_batch",
 ]
 
 

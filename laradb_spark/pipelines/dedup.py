@@ -1097,3 +1097,150 @@ def span_source_matrix(
         )
     )
     return cross.unionByName(diag)
+
+
+# --- stored MinHash signature index: incremental FUZZY dedup ----------------
+#
+# The fuzzy member of the stored-index family (digest/span/line/url indexes
+# are all EXACT): history keeps each doc's minhash SIGNATURE (num_perm
+# longs — fixed-size regardless of doc length) plus its band buckets; a
+# new shard is screened by band-bucket candidate match, then verified by
+# SIGNATURE AGREEMENT — the fraction of equal components is an unbiased
+# estimator of true Jaccard (std ≈ sqrt(j(1-j)/num_perm)), deterministic
+# under the fixed permutation table, so the whole decision is
+# SQL-replayable without storing any shingle sets.
+
+#: default signature-agreement threshold (matches/num_perm ≈ Jaccard)
+MINHASH_AGREE_T = 0.5
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """(id, sig array<long>) — the staged shingle→md5→signature
+    projections of ``minhash_band_buckets``, exposed for signature
+    storage and agreement verification."""
+    hashed = fan_out(df, CPU_HEAVY).select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), n), shingle_hash).alias("hs"),
+    )
+    return hashed.select("id", minhash_signature(F.col("hs"), num_perm).alias("sig"))
+
+
+def bands_of_signatures(
+    sigs: DataFrame, num_perm: int = NUM_PERM, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(id, band, bh) from an (id, sig) frame — the same band-hash
+    construction ``minhash_band_buckets`` fuses inline."""
+    rows = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+                )
+            ).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def drop_near_seen_frames(
+    new: DataFrame,
+    history_sigs: DataFrame,
+    history_bands: DataFrame,
+    threshold: float = MINHASH_AGREE_T,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Drop new docs whose signature agreement with ANY history doc is ≥
+    ``threshold`` (integer compare: matches ≥ ceil(threshold·num_perm)).
+
+    Scale shape: the NEW shard is batch-sized, so its band buckets and
+    signatures broadcast; history tables are only ever SCANNED map-side
+    (bands: candidate match against the broadcast batch buckets; sigs:
+    semi-joined by the broadcast candidate ids) — no history-sized
+    shuffle, the stored-index family contract."""
+    import math
+
+    thr = math.ceil(threshold * num_perm)
+    sig_n = minhash_signatures(new, n, id_col, text_col, num_perm)
+    bb_n = bands_of_signatures(sig_n, num_perm, bands)
+    cand = (
+        history_bands.join(
+            F.broadcast(bb_n.select("band", "bh", F.col("id").alias("_nid"))),
+            on=["band", "bh"],
+        )
+        .select(F.col("id").alias("_oid"), "_nid")
+        .dropDuplicates(["_oid", "_nid"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("_nsig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    flagged = (
+        history_sigs.join(F.broadcast(cand), history_sigs["id"] == F.col("_oid"))
+        .join(
+            F.broadcast(sig_n.select(F.col("id").alias("_nid"), F.col("sig").alias("_nsig"))),
+            on="_nid",
+        )
+        .filter(matches >= F.lit(thr))
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+
+def minhash_index_build(
+    df: DataFrame, path: str, n: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+) -> None:
+    """Persist ``{path}/sigs`` (id, sig) and ``{path}/bands`` (id, band,
+    bh) — fixed bytes per doc (num_perm longs + bands digests), no
+    shingle sets, no raw text."""
+    sigs = minhash_signatures(df, n, id_col, text_col, num_perm)
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    bands_of_signatures(sigs, num_perm, bands).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def minhash_index_update(
+    df: DataFrame, path: str, n: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+) -> None:
+    """Append a (screened) shard's signatures + bands to the index."""
+    sigs = minhash_signatures(df, n, id_col, text_col, num_perm)
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    bands_of_signatures(sigs, num_perm, bands).write.mode("append").parquet(
+        f"{path}/bands"
+    )
+
+
+def drop_near_seen(
+    df: DataFrame, index_path: str, threshold: float = MINHASH_AGREE_T,
+    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Screen a new shard against a stored minhash index
+    (``minhash_index_build`` layout): cross-snapshot FUZZY dedup, the
+    CommonCrawl snapshot-over-snapshot case exact digests cannot catch.
+    Same freshness caveat as ``drop_seen_digests`` (parquet listing
+    resolves per plan)."""
+    spark = df.sparkSession
+    return drop_near_seen_frames(
+        df,
+        spark.read.parquet(f"{index_path}/sigs"),
+        spark.read.parquet(f"{index_path}/bands"),
+        threshold, n, id_col, text_col, num_perm, bands,
+    )

@@ -193,3 +193,65 @@ def domain_blocklist_filter(
             .drop("_dom")
         )
     return df.filter(~dom.isin(*blocked))
+
+
+# ---------------------------------------------------------------------------
+# markup text extraction (the WET step: raw HTML-ish payload → clean text)
+# ---------------------------------------------------------------------------
+
+#: extraction passes, in order. Literal-shared with the SQL oracle; every
+#: pattern stays in the RE2 ∩ Java dialect ((?is) inline flags, non-greedy
+#: quantifiers, explicit classes — no lookaround, no backrefs).
+HTML_STRIP_PASSES: tuple[tuple[str, str], ...] = (
+    # script/style/comment CONTENT is payload, not prose — drop whole blocks
+    # (unterminated blocks drop to end-of-doc, matching browser behavior)
+    (r"(?is)<script\b.*?(</script>|$)", " "),
+    (r"(?is)<style\b.*?(</style>|$)", " "),
+    (r"(?s)<!--.*?(-->|$)", " "),
+    # every remaining tag is a word boundary
+    (r"(?s)<[^>]*>", " "),
+)
+
+#: entity decodes applied AFTER tag stripping; ``&amp;`` decodes LAST so
+#: double-encoded text does not double-decode (the standard ordering).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(markup: Column) -> Column:
+    """Clean prose from an HTML-ish payload — the WET-extraction step
+    between URL curation and the text-quality family (C4 §2.1 starts
+    from exactly this): drop script/style/comment blocks, break on tags,
+    decode the six ubiquitous entities, collapse whitespace runs to one
+    space, trim. A deliberately rule-based extractor (the
+    trafilatura/jusText DOM walk needs an HTML parser — out of scope and
+    out of container); NULL-safe, zero-shuffle, whole-stage codegen, and
+    every pass is a shared literal the SQL oracle replays verbatim."""
+    s = F.coalesce(markup, F.lit(""))
+    for pat, rep in HTML_STRIP_PASSES:
+        s = F.regexp_replace(s, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"[ \t\r\n]+", " "))
+
+
+def html_extract(
+    df: DataFrame, markup_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """Apply :func:`extract_text`, keeping all other columns; adds
+    ``had_markup`` (the payload contained at least one tag/entity —
+    cheap triage for routing mixed plain-text/HTML corpora)."""
+    raw = F.coalesce(F.col(markup_col), F.lit(""))
+    had = raw.rlike(r"<[^>]*>|&(lt|gt|quot|amp|nbsp|#39);")
+    others = [c for c in df.columns if c != markup_col]
+    return df.select(
+        *others,
+        extract_text(F.col(markup_col)).alias(out_col),
+        had.alias("had_markup"),
+    )

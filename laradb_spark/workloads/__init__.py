@@ -80,6 +80,8 @@ _PRIORITY = [
     "decon_fuzzy",
     "token_shard_stats",
     "mixture_materialize",
+    "html_extract",
+    "fuzzy_cross_batch",
     # (b) CHANGED in r9: the badword line-boundary fix altered both the
     # Spark plan and the oracle of these two (whitespace-class split +
     # genuinely-firing drop path).
@@ -113,7 +115,7 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
-    # (d) fill: the 9 alphabetically-first r6-era rows.
+    # (d) fill: the 7 alphabetically-first r6-era rows.
     "ann_brute_force_fast",
     "ann_sq8_fast",
     "bm25_topk",
@@ -121,9 +123,9 @@ _PRIORITY = [
     "chunk_documents_q",
     "corpus_clean",
     "corpus_frequent_ngrams",
+    # --- front of the r10 window: the remaining 40 r6-era rows ------------
     "cross_source_dup_matrix",
     "customer_merge_upsert",
-    # --- front of the r10 window: the remaining 38 r6-era rows ------------
     "customer_order_gaps",
     "customers_without_orders",
     "dedup_components",

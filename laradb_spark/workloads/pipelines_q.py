@@ -1272,6 +1272,68 @@ WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id NOT IN (SELECT id FROM flagged)
 """
 
 
+_FUZZY_XBATCH_MOD = 3
+_FUZZY_XBATCH_THR = 16  # = ceil(0.5 * NUM_PERM): signature-agreement count
+
+
+def fuzzy_cross_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot fuzzy dedup by STORED-SIGNATURE agreement (the
+    decision rule of dedup.drop_near_seen, run frame-to-frame so the
+    driver can certify it): docs in the 'new' slice (doc_id % 3 == 0)
+    whose minhash signatures agree with any 'history' doc's on ≥ 16/32
+    components are dropped. The oracle replays signatures for both
+    slices, band-candidates them, and counts per-permutation agreement."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % _FUZZY_XBATCH_MOD != 0)
+    new = docs.filter(F.col("doc_id") % _FUZZY_XBATCH_MOD == 0)
+    sigs = dd.minhash_signatures(hist)
+    return dd.drop_near_seen_frames(
+        new, sigs, dd.bands_of_signatures(sigs),
+        threshold=_FUZZY_XBATCH_THR / dd.NUM_PERM,
+    ).select("doc_id")
+
+
+def _fuzzy_cross_batch_sql() -> str:
+    rows = dd.NUM_PERM // dd.LSH_BANDS
+    perm_rows = ", ".join(f"({i}, {dd._A[i]}, {dd._B[i]})" for i in range(dd.NUM_PERM))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL.format(n=3)}),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(shingles,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {dd.SHINGLE_BITS_MOD}) AS hs
+  FROM sh
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT id, pi,
+         list_min(list_transform(hs, h -> (a * h + b) % {dd.MINHASH_PRIME})) AS mh
+  FROM hashed, perms
+),
+bands AS (
+  SELECT id, pi // {rows} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)) AS bh
+  FROM sig
+  GROUP BY id, band
+),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, h.id AS old_id
+  FROM bands n JOIN bands h ON n.band = h.band AND n.bh = h.bh
+  WHERE n.id % {_FUZZY_XBATCH_MOD} = 0 AND h.id % {_FUZZY_XBATCH_MOD} <> 0
+),
+agree AS (
+  SELECT c.new_id, c.old_id, CAST(COUNT(*) AS BIGINT) AS m
+  FROM cand c
+  JOIN sig a ON a.id = c.new_id
+  JOIN sig b ON b.id = c.old_id AND b.pi = a.pi AND b.mh = a.mh
+  GROUP BY c.new_id, c.old_id
+),
+flagged AS (SELECT DISTINCT new_id FROM agree WHERE m >= {_FUZZY_XBATCH_THR})
+SELECT doc_id FROM documents
+WHERE doc_id % {_FUZZY_XBATCH_MOD} = 0 AND doc_id NOT IN (SELECT new_id FROM flagged)
+"""
+
+
 def train_val_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split, summarized per split (the split itself is
     row-level; aggregating keeps the oracle row count small while hashing
@@ -3616,8 +3678,68 @@ FROM f GROUP BY f.domain
 """
 
 
+def _fab_html_df(docs: DataFrame) -> DataFrame:
+    """Deterministic markup decoration: per doc_id % 5, wrap the text in
+    a different extraction hazard — full page with script/style/comment,
+    entity-bearing div, PLAIN TEXT (had_markup must stay false), inline
+    tags + double-encoded entities, and an UNTERMINATED script (drops to
+    end-of-doc, the browser behavior)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    v = (F.col("doc_id") % 5).cast("int")
+    markup = (
+        F.when(v == 0, F.concat(
+            F.lit("<html><head><script>var x = 1 < 2;</script><style>p{color:red}</style>"
+                  "</head><body><p>"), t,
+            F.lit("</p><!-- trailing\ncomment --></body></html>")))
+        .when(v == 1, F.concat(F.lit('<div class="a">'), t, F.lit(" fish &amp; chips</div>")))
+        .when(v == 2, t)
+        .when(v == 3, F.concat(t, F.lit(" <b>bold</b> &lt;tag&gt;&nbsp;&quot;q&quot; &amp;lt;")))
+        .otherwise(F.concat(F.lit("<p>"), t, F.lit(" tail<script>alert('never seen')")))
+    )
+    return docs.select("doc_id", markup.alias("text"))
+
+
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based markup→text extraction (the WET step) over the
+    fabricated-markup corpus; every strip pass and entity decode is a
+    literal shared with the oracle, which replays the identical
+    regexp_replace/replace chain."""
+    from ..pipelines import web as wb
+
+    return wb.html_extract(_fab_html_df(load(spark, sf_dir, "documents")))
+
+
+def _html_extract_sql() -> str:
+    from ..pipelines import web as wb
+
+    s = "text"
+    for pat, rep in wb.HTML_STRIP_PASSES:
+        s = f"regexp_replace({s}, '{_sql_str(pat)}', '{rep}', 'g')"
+    for ent, ch in wb.HTML_ENTITIES:
+        s = f"replace({s}, '{_sql_str(ent)}', '{_sql_str(ch)}')"
+    s = f"trim(regexp_replace({s}, '[ \\t\\r\\n]+', ' ', 'g'))"
+    return f"""
+WITH fabh AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN '<html><head><script>var x = 1 < 2;</script><style>p{{color:red}}</style></head><body><p>'
+                       || COALESCE(text, '') || '</p><!-- trailing' || chr(10) || 'comment --></body></html>'
+           WHEN 1 THEN '<div class="a">' || COALESCE(text, '') || ' fish &amp; chips</div>'
+           WHEN 2 THEN COALESCE(text, '')
+           WHEN 3 THEN COALESCE(text, '') || ' <b>bold</b> &lt;tag&gt;&nbsp;&quot;q&quot; &amp;lt;'
+           ELSE '<p>' || COALESCE(text, '') || ' tail<script>alert(''never seen'')'
+         END AS text
+  FROM documents
+)
+SELECT doc_id, {s} AS text,
+       COALESCE(regexp_matches(text, '<[^>]*>|&(lt|gt|quot|amp|nbsp|#39);'), FALSE) AS had_markup
+FROM fabh
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "html_extract": (html_extract_q, _html_extract_sql()),
     "dup_span_census": (dup_span_census_q, DUP_SPAN_CENSUS_SQL),
     "token_apportionment": (token_apportionment_q, TOKEN_APPORTIONMENT_SQL),
     "gopher_funnel": (gopher_funnel_q, GOPHER_FUNNEL_SQL),
@@ -3675,6 +3797,7 @@ QUERIES = {
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "decon_fuzzy": (decon_fuzzy_docs, _decon_fuzzy_sql()),
+    "fuzzy_cross_batch": (fuzzy_cross_batch_q, _fuzzy_cross_batch_sql()),
     "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),
     "mix_sources_counts": (mix_sources_counts, MIX_SOURCES_SQL),
     "redact_pii_stats": (redact_pii_stats, REDACT_PII_SQL),

@@ -1367,3 +1367,43 @@ def test_heavy_hitter_tokens_edges(spark):
     assert heavy_hitter_tokens(nulls, min_ppm=1000).count() == 0
     with _pytest.raises(ValueError):
         heavy_hitter_tokens(empty, min_ppm=1000, counters=10)  # cap < 1/θ
+
+
+def test_minhash_index_cross_batch_fuzzy_dedup(spark, tmp_path):
+    """The stored-signature fuzzy index: a near-duplicate (one word
+    changed) of an indexed doc is dropped by signature agreement; a
+    fresh doc and a sub-threshold doc survive; appending a screened
+    batch makes ITS near-dups drop next round."""
+    from laradb_spark.pipelines import dedup as dd
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    hist = spark.createDataFrame(
+        [(1, base, "s"), (2, "totally different content about query engines and planners", "s")],
+        ["doc_id", "text", "source"],
+    )
+    idx = str(tmp_path / "mh_idx")
+    dd.minhash_index_build(hist, idx)
+
+    near = base.replace("kilo", "zulu")
+    batch1 = spark.createDataFrame(
+        [
+            (10, near, "s"),  # near-dup of doc 1 → dropped
+            (11, "completely novel words never indexed anywhere at all", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    kept = dd.drop_near_seen(batch1, idx, threshold=0.5)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {11}
+    # threshold monotonicity: at an impossible threshold everything survives
+    assert dd.drop_near_seen(batch1, idx, threshold=1.01).count() == 2
+
+    # append the SCREENED batch; a near-dup of doc 11 now drops too
+    dd.minhash_index_update(kept, idx)
+    batch2 = spark.createDataFrame(
+        [(20, "completely novel words never indexed anywhere at most", "s")],
+        ["doc_id", "text", "source"],
+    )
+    assert dd.drop_near_seen(batch2, idx, threshold=0.5).count() == 0
+    # history tables are scanned, never shuffled: no SortMergeJoin
+    plan = dd.drop_near_seen(batch1, idx, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

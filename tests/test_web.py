@@ -148,3 +148,26 @@ def test_url_ingest_loop_screens_across_batches(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 11} or got == {2, 11}  # one winner per canonical in batch 1
     assert spark.read.parquet(idx).distinct().count() == 2
+
+
+def test_extract_text_hand_computed(spark):
+    from laradb_spark.pipelines.web import html_extract
+
+    rows = [
+        (1, "<html><head><script>if (a<b) {x}</script><style>p{}</style></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b></p><!-- no --></body></html>"),
+        (2, "plain text, no markup at all"),
+        (3, "a &lt;tag&gt; &quot;quoted&quot; &#39;s &nbsp; fish &amp; chips &amp;lt;"),
+        (4, "start <script>dropped to end of doc"),
+        (5, None),
+        (6, "spaced\t\tout\n\nlines  here "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.had_markup) for r in html_extract(df).collect()}
+    assert got[1] == ("Title Hello world", True)
+    assert got[2] == ("plain text, no markup at all", False)
+    # &amp; decodes LAST: double-encoded "&amp;lt;" yields literal "&lt;"
+    assert got[3] == ("a <tag> \"quoted\" 's fish & chips &lt;", True)
+    assert got[4] == ("start", True)  # unterminated script drops to EOF
+    assert got[5] == ("", False)
+    assert got[6] == ("spaced out lines here", False)
