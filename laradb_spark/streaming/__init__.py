@@ -1,4 +1,4 @@
-from .dedup import dedup_stream, line_ingest_stream, span_ingest_stream
+from .dedup import dedup_stream, fuzzy_ingest_stream, line_ingest_stream, span_ingest_stream
 from .ingest import curate_ingest_stream, shard_ingest_stream, url_ingest_stream
 from .joins import interval_join
 from .serve import ann_serve_stream
@@ -22,6 +22,7 @@ __all__ = [
     "url_ingest_stream",
     "ann_serve_stream",
     "shard_ingest_stream",
+    "fuzzy_ingest_stream",
     "interval_join",
     "kafka_source_options",
     "kafka_stream_source",

@@ -226,3 +226,92 @@ def span_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fuzzy_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: "float | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The FUZZY member of the incremental-ingest loop family: per
+    micro-batch, screen new docs against the stored minhash-signature
+    index (``dedup.minhash_index_build`` layout — band candidates, then
+    integer signature-agreement ≥ ceil(τ·num_perm)), ALSO drop
+    within-batch near-dups (keep min id), append survivors to
+    ``out_path`` and their signatures+bands to the index. Catches the
+    snapshot-over-snapshot near-duplicates the exact-digest loop cannot.
+
+    Index re-read per batch (fresh static plan — earlier batches of this
+    run are visible); same at-least-once caveat as dedup_ingest_stream;
+    the screening decision is deterministic under the fixed permutation
+    table, so retries re-derive identical drops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from ..pipelines import dedup as dd
+
+    tau = dd.MINHASH_AGREE_T if threshold is None else threshold
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within-batch near-dup pass: band-candidate pairs (a < b), both
+        # signatures joined back by key, agreement bar, drop the LARGER
+        # id — the batch is batch-sized, so every side broadcasts
+        import math
+
+        thr = math.ceil(tau * dd.NUM_PERM)
+        sigs = dd.minhash_signatures(batch_df, id_col=id_col, text_col=text_col)
+        bb = dd.bands_of_signatures(sigs)
+        cand = (
+            bb.select("band", "bh", F.col("id").alias("_ia"))
+            .join(
+                F.broadcast(bb.select("band", "bh", F.col("id").alias("_ib"))),
+                on=["band", "bh"],
+            )
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select("_ia", "_ib")
+            .dropDuplicates(["_ia", "_ib"])
+        )
+        intra_losers = (
+            cand.join(
+                F.broadcast(sigs.select(F.col("id").alias("_ia"), F.col("sig").alias("_sa"))),
+                on="_ia",
+            )
+            .join(
+                F.broadcast(sigs.select(F.col("id").alias("_ib"), F.col("sig").alias("_sb"))),
+                on="_ib",
+            )
+            .filter(
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, c: a == c),
+                        lambda x: x,
+                    )
+                )
+                >= F.lit(thr)
+            )
+            .select(F.col("_ib").alias(id_col))
+            .distinct()
+        )
+        deduped = batch_df.join(F.broadcast(intra_losers), on=id_col, how="left_anti")
+        try:
+            kept = dd.drop_near_seen(deduped, index_path, threshold=tau,
+                                     id_col=id_col, text_col=text_col)
+        except AnalysisException:  # first batch: no index yet
+            kept = deduped
+        kept.persist()
+        kept.write.mode("append").parquet(out_path)
+        dd.minhash_index_update(kept, index_path, id_col=id_col, text_col=text_col)
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -253,3 +253,44 @@ def test_span_ingest_loop_strips_across_and_within_batches(spark, tmp_path):
     # one of which ("a b c") batch 1 already wrote → 14 distinct
     n_idx = spark.read.parquet(idx).distinct().count()
     assert n_idx == 14
+
+
+def test_fuzzy_ingest_loop_drops_near_dups_across_batches(spark, tmp_path):
+    """The fuzzy loop: batch 1 indexes a doc; batch 2's lightly-edited
+    copy is dropped by stored-signature agreement while its fresh doc
+    survives and is indexed; within-batch near-dups keep the smaller id."""
+    import os
+    import time
+
+    from laradb_spark.streaming.dedup import fuzzy_ingest_stream
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base.replace("kilo", "zulu"), "s"),  # intra-batch near-dup → dropped
+            (3, "some genuinely different text about engines and planners", "s"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [
+            (10, base.replace("alpha", "omega"), "s"),  # near-dup of indexed 1 → dropped
+            (11, "fresh words that match nothing stored anywhere at all", "s"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+    q = fuzzy_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        idx, out, ck, threshold=0.5,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3, 11]
+    # the index holds exactly the survivors' signatures
+    assert sorted(r.id for r in spark.read.parquet(f"{idx}/sigs").collect()) == [1, 3, 11]
