@@ -343,6 +343,10 @@ SINGLE_PARTITION_ALLOWED = {
                                # whole-frame window over ~20 sources (curation.py)
     "unimax_allocation",       # closed-form waterfill over the sources-sized
                                # frame: 1-row totals + whole-frame sort (~20 rows)
+    "mixture_materialize",     # runs the unimax waterfill above verbatim (same
+                               # sources-sized windows + 1-row totals); the
+                               # materialization itself is broadcast+explode,
+                               # map-only (curation.materialize_mixture)
     "heavy_hitters",           # 1-row E/N totals aggregate; the candidate merge
                                # itself is a distributed groupBy("tok") (text.py)
     "curation_funnel",         # deliberate 1-row global per-stage survivor
