@@ -1242,6 +1242,89 @@ def hard_negatives(
 # Product quantization (PQ): compressed exhaustive ANN with ADC scoring
 # ---------------------------------------------------------------------------
 
+def _pq_books(per_sub: "list[list[tuple[int, list | None]]]", sd: int):
+    """Driver-side NumPy form of per-subspace codebooks: for each sub,
+    (cid array sorted ASC, centroid matrix with None/non-finite rows
+    zero-filled, dim-sequential norms) — the same substitutions and fold
+    association as ``_assign_vectorized`` (see its exactness argument)."""
+    import numpy as np
+
+    books = []
+    for ents in per_sub:
+        ents = sorted(ents, key=lambda t: t[0])
+        cids = np.asarray([c for c, _ in ents], dtype=np.int64)
+        C = np.asarray(
+            [([0.0] * sd if v is None else list(v)) for _, v in ents], dtype=np.float64
+        )
+        bad = ~np.isfinite(C).all(axis=1)
+        if bad.any():
+            C[bad] = 0.0
+        nc = np.zeros(len(C))
+        for j in range(sd):
+            nc = nc + C[:, j] * C[:, j]
+        books.append((cids, C, np.sqrt(nc)))
+    return books
+
+
+def _pq_assign_fn(books, dim: int, emit: str, with_vec: bool):
+    """mapInPandas kernel assigning ALL subspaces in one corpus pass —
+    per sub, the exact ``_assign_vectorized`` math on the slice
+    (dim-sequential dot/norm folds, zero-norm guard, per-SLICE
+    non-finite → zero-vector substitution, first-argmax → smallest cid).
+    ``emit='cid'`` yields centroid labels (training rounds need them for
+    the mean update); ``emit='code'`` yields dense positions in cid-ASC
+    order (= the stored PQ code)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    sd = dim // m
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["cvec"].tolist()
+            zero = [0.0] * dim
+            filled = [zero if v is None else v for v in vals]
+            try:
+                V = np.asarray(filled, dtype=np.float64)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    "pq assignment: embeddings have mixed dims; normalize upstream"
+                ) from e
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"pq assignment: embedding dim {V.shape[1]} != {dim}"
+                )
+            out = np.empty((len(V), m), dtype=np.int64)
+            for si in range(m):
+                cids, C, nc = books[si]
+                Vs = V[:, si * sd : (si + 1) * sd].copy()
+                bad = ~np.isfinite(Vs).all(axis=1)
+                if bad.any():
+                    Vs[bad] = 0.0
+                nv = np.zeros(len(Vs))
+                dot_m = np.zeros((len(Vs), len(C)))
+                for j in range(sd):
+                    col = Vs[:, j]
+                    nv = nv + col * col
+                    dot_m = dot_m + col[:, None] * C[None, :, j]
+                nv = np.sqrt(nv)
+                denom = nv[:, None] * nc[None, :]
+                pos = denom > 0
+                cc = np.where(pos, dot_m / np.where(pos, denom, 1.0), 0.0)
+                best = np.argmax(cc, axis=1)
+                out[:, si] = best if emit == "code" else cids[best]
+            data = {"neighbor_id": pdf["neighbor_id"]}
+            if with_vec:
+                data["cvec"] = pdf["cvec"]
+            data["codes" if emit == "code" else "cids"] = out.tolist()
+            yield pd.DataFrame(data)
+
+    return assign
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -1254,22 +1337,24 @@ def pq_train_codebooks(
     """Train per-subspace PQ codebooks (Jégou et al. 2011 shape): split
     each ``dim``-vector into ``m`` contiguous subvectors of ``dim/m``
     dims and k-means each subspace independently with the SAME
-    deterministic recipe as IVF (``_train_centroids``: init = the
-    ``k_sub`` lowest-id subvectors, ``lloyd_iters`` cosine Lloyd rounds,
-    bit-identical expression/Arrow assignment twins) — so a SQL oracle
-    can unroll the whole training per subspace, exactly like the IVF /
-    SemDeDup oracles.
+    deterministic recipe as IVF (init = the ``k_sub`` lowest-id
+    subvectors, ``lloyd_iters`` cosine Lloyd rounds, smallest-cid ties)
+    — so a SQL oracle can unroll the whole training per subspace,
+    exactly like the IVF / SemDeDup oracles.
+
+    The m subspace trainings are FUSED into one loop: each Lloyd round
+    is ONE corpus pass (an Arrow kernel assigning all m subspaces at
+    once — ``_pq_assign_fn``, per-sub math identical to the
+    ``_assign_vectorized`` twin) plus one (sub, cid, dim)-grouped mean
+    aggregate, instead of m independent chains — at 100 TB that is
+    lloyd_iters corpus scans total, not m·lloyd_iters.
 
     Returns a LITERAL ``(sub, code, cid, cent)`` frame — m·k_sub rows,
     lineage-free. ``code`` is the dense rank of ``cid`` (cid ASC) within
     its subspace: codes are what get stored per vector (m small ints ≈
     m bytes at k_sub ≤ 256 — the 100 TB story: a 256-dim float32 corpus
     compresses ~256×, small enough that EXHAUSTIVE scoring of the codes
-    is a map-only scan of a table ~0.4 % the original size).
-
-    Each subspace trains over a SLICE projection of the same corpus scan
-    (column-pruned parquet read; no cache pinned — at 100 TB the re-scan
-    per subspace is the right trade vs caching the corpus)."""
+    is a map-only scan of a table ~0.4 % the original size)."""
     if dim % m != 0:
         raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m {m}")
     sd = dim // m
@@ -1278,24 +1363,57 @@ def pq_train_codebooks(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
+    init = c.orderBy("neighbor_id").limit(k_sub).collect()
+    schema = "sub int, code int, cid long, cent array<double>"
+    if not init:
+        return spark.createDataFrame([], schema)
+    # per-sub state: [(cid, cent-or-None)] — init = slices of the lowest ids
+    state: list[list] = [
+        [
+            (
+                int(r["neighbor_id"]),
+                None if r["cvec"] is None else [float(x) for x in r["cvec"]][s * sd : (s + 1) * sd],
+            )
+            for r in init
+        ]
+        for s in range(m)
+    ]
+    for _ in range(lloyd_iters):
+        assigned = c.mapInPandas(
+            _pq_assign_fn(_pq_books(state, sd), dim, emit="cid", with_vec=True),
+            "neighbor_id long, cvec array<double>, cids array<long>",
+        )
+        # mean update for ALL subspaces in one aggregate: explode the
+        # vector once, route each component to (its sub, that sub's
+        # assigned cid, its within-sub dim) — m·k_sub·sd result rows
+        means = (
+            assigned.select("cids", F.posexplode("cvec").alias("d", "x"))
+            .select(
+                F.expr(f"d div {sd}").cast("int").alias("sub"),
+                F.element_at("cids", F.expr(f"d div {sd}").cast("int") + 1).alias("cid"),
+                (F.col("d") % sd).alias("dd"),
+                "x",
+            )
+            .groupBy("sub", "cid", "dd")
+            .agg(F.avg("x").alias("mv"))
+            .collect()
+        )
+        agg: dict = {}
+        for r in means:
+            agg.setdefault((r["sub"], int(r["cid"])), {})[int(r["dd"])] = float(r["mv"])
+        state = [
+            [
+                (cid, [vals[j] for j in range(sd)])
+                for (s2, cid), vals in sorted(agg.items())
+                if s2 == s
+            ]
+            for s in range(m)
+        ]
     rows = []
     for s in range(m):
-        c_s = c.select(
-            "neighbor_id", F.slice(F.col("cvec"), s * sd + 1, sd).alias("cvec")
-        )
-        cents = _train_centroids(c_s, k_sub, lloyd_iters)
-        for code, r in enumerate(sorted(cents.collect(), key=lambda t: t["cid"])):
-            rows.append(
-                (
-                    s,
-                    code,
-                    int(r["cid"]),
-                    None if r["cent"] is None else [float(x) for x in r["cent"]],
-                )
-            )
-    return spark.createDataFrame(
-        rows, "sub int, code int, cid long, cent array<double>"
-    )
+        for code, (cid, cent) in enumerate(sorted(state[s], key=lambda t: t[0])):
+            rows.append((s, code, cid, cent))
+    return spark.createDataFrame(rows, schema)
 
 
 def _pq_codebook_rows(codebooks: DataFrame) -> list:
@@ -1311,53 +1429,29 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Encode each vector to its ``m`` PQ codes: per subspace, assign the
-    subvector to its nearest codebook centroid (the bit-identical
-    ``_assign_auto`` twins — encoding IS k-means assignment), then fold
-    the per-subspace codes into one ``codes array<int>`` column ordered
-    by subspace.
-
-    Output: ``(neighbor_id, codes)``. One shuffle (the m-rows-per-vector
-    fold); assignments themselves are broadcast-join map stages."""
+    """Encode each vector to its ``m`` PQ codes — ONE map-only Arrow pass
+    assigning every subspace at once (encoding IS k-means assignment;
+    same kernel the trainer uses, dense cid-ASC positions out). No
+    shuffle at all: the 100 TB encode is a single scan writing m bytes
+    per vector. Output: ``(neighbor_id, codes array<int>)``."""
     cb = _pq_codebook_rows(codebooks)
     subs = sorted({r["sub"] for r in cb})
     sd = dim // len(subs)
-    spark = corpus.sparkSession
+    per_sub = [
+        [
+            (int(r["cid"]), None if r["cent"] is None else list(r["cent"]))
+            for r in cb
+            if r["sub"] == s
+        ]
+        for s in subs
+    ]
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    parts = []
-    for s in subs:
-        cents_s = spark.createDataFrame(
-            [(r["cid"], r["cent"]) for r in cb if r["sub"] == s],
-            "cid long, cent array<double>",
-        )
-        code_of = {r["cid"]: r["code"] for r in cb if r["sub"] == s}
-        c_s = c.select(
-            "neighbor_id", F.slice(F.col("cvec"), s * sd + 1, sd).alias("cvec")
-        )
-        mapping = F.create_map(
-            *[F.lit(v) for kv in code_of.items() for v in kv]
-        )
-        parts.append(
-            _assign_auto(c_s, cents_s).select(
-                "neighbor_id",
-                F.lit(s).alias("sub"),
-                mapping[F.col("cid")].cast("int").alias("code"),
-            )
-        )
-    longf = parts[0]
-    for p in parts[1:]:
-        longf = longf.unionByName(p)
-    return (
-        longf.groupBy("neighbor_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda t: t["code"],
-            ).alias("codes")
-        )
+    return c.mapInPandas(
+        _pq_assign_fn(_pq_books(per_sub, sd), dim, emit="code", with_vec=False),
+        "neighbor_id long, codes array<int>",
     )
 
 
