@@ -1731,6 +1731,34 @@ def ivfpq_build_index(
     cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a stored IVF-PQ index WITHOUT retraining:
+    frozen coarse centroids assign the (shard-sized) batch to lists,
+    frozen codebooks encode it, codes append to the ``cid=`` partition
+    directories. Same stable-centroid trade as ``ivf_append_index``
+    (historical codes stay valid; retrain via ``ivfpq_build_index`` when
+    drift accumulates). Searches see appended codes on their next plan."""
+    spark = new_vectors.sparkSession
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cb_df = spark.read.parquet(f"{path}/codebooks")
+    c = fan_out(new_vectors, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
+    coded = assigned.join(
+        pq_encode(new_vectors, cb_df, dim, id_col=id_col, vec_col=vec_col),
+        on="neighbor_id",
+    )
+    coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
+
+
 def ivfpq_search_index(
     spark,
     path: str,

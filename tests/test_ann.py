@@ -680,3 +680,29 @@ def test_ivfpq_topk_reasonable_and_stored_index_matches(spark, clustered, tmp_pa
     total_files = len(spark.read.parquet(f"{path}/codes").inputFiles())
     read_files = scan_num_files(one, "codes")
     assert 0 < read_files < total_files
+
+
+def test_ivfpq_append_index_serves_new_vectors(spark, clustered, tmp_path):
+    """Appending without retraining: a near-clone of a query vector added
+    via ivfpq_append_index becomes retrievable on the next search plan."""
+    path = str(tmp_path / "ivfpq_app")
+    sim.ivfpq_build_index(clustered, path, dim=8, n_centroids=8, m=2, k_sub=8)
+    q = _queries(clustered).limit(1)
+    before = {
+        r.neighbor_id
+        for r in sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=4, k=3).collect()
+    }
+    [qrow] = q.collect()
+    # PQ scores collide for identical code tuples and ties go to the
+    # SMALLEST neighbor_id — so the appended clone gets an id below every
+    # existing one to make "retrievable" assertable deterministically
+    clone = spark.createDataFrame(
+        [(-1, [float(x) * 1.0001 for x in qrow.embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    sim.ivfpq_append_index(clone, path, dim=8)
+    after = {
+        r.neighbor_id
+        for r in sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=4, k=3).collect()
+    }
+    assert -1 in after and -1 not in before
