@@ -1795,3 +1795,71 @@ def ivfpq_search_index(
         .select(query_id_col, "neighbor_id", _pq_cos(cb).alias("cos"))
     )
     return _topk_per_query(scored, query_id_col, "cos", k)
+
+
+# ---------------------------------------------------------------------------
+# binary sign-hash embeddings: Hamming-distance ANN
+# ---------------------------------------------------------------------------
+
+def sign_words(vec: Column, dim: int) -> list[Column]:
+    """Pack the sign pattern of a ``dim``-vector into ⌈dim/32⌉ BIGINT
+    words (bit i of word w set ⇔ component 32w+i > 0) — 32 bits per word
+    keeps every literal and sum inside positive int64 on both engines.
+    The extreme of the quantization ladder (float32 → SQ8 → PQ → 1 bit
+    per dim): a 64-dim embedding becomes TWO integers, Hamming distance
+    becomes two XOR+popcounts, and a 100 TB float corpus shrinks ~256×
+    into something a single scan ranks exhaustively."""
+    words = []
+    for w in range((dim + 31) // 32):
+        bits = [
+            F.when(
+                F.element_at(vec, w * 32 + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(min(32, dim - w * 32))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc.cast("long"))
+    return words
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exhaustive sign-binary ANN: rank by ``dim − Hamming(sign(q),
+    sign(x))`` (agreeing sign bits — for zero-mean embeddings an
+    integer, monotone proxy of cosine), ties to the smaller neighbor id.
+    All-integer scores, so ranks are exactly engine-portable; the
+    corpus-side scan touches only the packed words. Same broadcast-query
+    shape as brute_force_topk."""
+    v = F.col(vec_col).cast("array<double>")
+    cw = sign_words(v, dim)
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[w.alias(f"_w{i}") for i, w in enumerate(cw)],
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        *[w.alias(f"_q{i}") for i, w in enumerate(sign_words(v, dim))],
+    )
+    ham = None
+    for i in range(len(cw)):
+        t = F.bit_count(F.col(f"_w{i}").bitwiseXOR(F.col(f"_q{i}")))
+        ham = t if ham is None else ham + t
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (F.lit(dim) - ham).cast("long").alias("agree"),
+        )
+    )
+    return _topk_per_query(scored, query_id_col, "agree", k, prebatch_prune=True)

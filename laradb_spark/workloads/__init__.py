@@ -82,6 +82,7 @@ _PRIORITY = [
     "mixture_materialize",
     "html_extract",
     "fuzzy_cross_batch",
+    "ann_hamming_topk",
     # (b) CHANGED in r9: the badword line-boundary fix altered both the
     # Spark plan and the oracle of these two (whitespace-class split +
     # genuinely-firing drop path).
@@ -115,15 +116,15 @@ _PRIORITY = [
     "suppliers_without_recent_sales",
     "text_replace_map",
     "unpivot_order_measures",
-    # (d) fill: the 7 alphabetically-first r6-era rows.
+    # (d) fill: the 6 alphabetically-first r6-era rows.
     "ann_brute_force_fast",
     "ann_sq8_fast",
     "bm25_topk",
     "cap_docs_per_source",
     "chunk_documents_q",
     "corpus_clean",
+    # --- front of the r10 window: the remaining 41 r6-era rows ------------
     "corpus_frequent_ngrams",
-    # --- front of the r10 window: the remaining 40 r6-era rows ------------
     "cross_source_dup_matrix",
     "customer_merge_upsert",
     "customer_order_gaps",

@@ -1023,6 +1023,41 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-binary exhaustive ANN: embeddings packed to 2×32 sign bits,
+    ranked by agreeing bits (dim − Hamming) with id tie-breaks —
+    all-integer scores, so the ranks are exactly engine-portable."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.hamming_topk(emb, _queries_df(spark, sf_dir), dim=EMB_DIM, k=TOP_K)
+
+
+def _ann_hamming_sql() -> str:
+    def word(w: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN vec[{w * 32 + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+w AS (SELECT vec_id, CAST({word(0)} AS BIGINT) AS w0, CAST({word(1)} AS BIGINT) AS w1 FROM v),
+q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM w WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, w.vec_id AS neighbor_id,
+         CAST({EMB_DIM} - (bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))) AS BIGINT) AS agree
+  FROM w, q
+  WHERE w.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY agree DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition: coarse k-means prunes which lists a query
     scans, PQ codes compress what the lists store (non-residual variant,
@@ -3820,6 +3855,7 @@ QUERIES = {
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_pq_recall": (ann_pq_recall, _ann_pq_recall_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ann_ivfpq_sql()),
+    "ann_hamming_topk": (ann_hamming_topk, _ann_hamming_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

@@ -706,3 +706,30 @@ def test_ivfpq_append_index_serves_new_vectors(spark, clustered, tmp_path):
         for r in sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=4, k=3).collect()
     }
     assert -1 in after and -1 not in before
+
+
+def test_hamming_topk_matches_numpy_replay_and_recall(spark, clustered):
+    """Sign-binary ranks == a NumPy popcount replay exactly (integer
+    scores, id ties); on clustered data the 8-bit sign pattern still
+    beats chance comfortably."""
+    q = _queries(clustered)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.hamming_topk(clustered, q, dim=8, k=5).collect()
+    )
+    data = {r.vec_id: np.array(r.embedding) for r in clustered.collect()}
+    expect = []
+    for qi in range(5):
+        qb = [1 if x > 0 else 0 for x in data[qi]]
+        scores = []
+        for i, v in data.items():
+            if i == qi:
+                continue
+            agree = sum(1 for a, b in zip(qb, [1 if x > 0 else 0 for x in v]) if a == b)
+            scores.append((agree, i))
+        top = sorted(scores, key=lambda t: (-t[0], t[1]))[:5]
+        expect += [(qi, i, r + 1) for r, (_a, i) in enumerate(top)]
+    assert got == sorted(expect)
+    exact = _pairs(sim.brute_force_topk(clustered, q, k=5))
+    ham = {(a, b) for a, b, _ in got}
+    assert len(ham & exact) >= 3  # 8 sign bits: far above the ~0.6 chance overlap

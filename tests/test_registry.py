@@ -31,7 +31,7 @@ def test_changed_queries_inside_oracle_window():
         "url_canonicalize", "url_dedup", "domain_caps",
         "ann_pq_topk", "ann_pq_recall", "ann_ivfpq_topk",
         "decon_fuzzy", "token_shard_stats", "mixture_materialize",
-        "html_extract", "fuzzy_cross_batch",
+        "html_extract", "fuzzy_cross_batch", "ann_hamming_topk",
         # CHANGED in r9: the badword line-boundary fix (whitespace-class
         # split, ADVICE r8) altered both the Spark plan and the oracle
         "c4_line_clean", "curation_funnel",
@@ -49,15 +49,14 @@ def test_changed_queries_inside_oracle_window():
         "repeat_customers_96_97", "small_quantity_revenue",
         "status_except_all", "suppliers_without_recent_sales",
         "text_replace_map", "unpivot_order_measures",
-        # fill: the 7 alphabetically-first r6-era rows
+        # fill: the 6 alphabetically-first r6-era rows
         "ann_brute_force_fast", "ann_sq8_fast", "bm25_topk",
         "cap_docs_per_source", "chunk_documents_q", "corpus_clean",
-        "corpus_frequent_ngrams",
     }
-    # r10 window front: the remaining 40 r6-era rows (code unchanged
+    # r10 window front: the remaining 41 r6-era rows (code unchanged
     # since r6; after r10 no driver row should predate r7).
     next_window = {
-        "cross_source_dup_matrix",
+        "corpus_frequent_ngrams", "cross_source_dup_matrix",
         "customer_merge_upsert", "customer_order_gaps",
         "customers_without_orders", "dedup_components", "dedup_exact", "dedup_keep_representatives",
         "dedup_lsh_jaccard", "dedup_ngram_jaccard",
