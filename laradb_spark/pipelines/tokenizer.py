@@ -861,3 +861,49 @@ def bpe_byte_encode_ids(
     return df.select(
         "doc_id", F.transform(toks, lambda t: id_map[t].cast("int")).alias(out_col)
     )
+
+
+def bpe_decode_str(ids: list[int], merges: list[tuple[str, str]]) -> str:
+    """Pure-Python byte-level BPE decode: ids → mapped symbols → bytes →
+    UTF-8 text. Byte-level BPE is LOSSLESS, so
+    ``bpe_decode_str(encode(t)) == t`` for EVERY string — the round-trip
+    property test pins it (the whole point of the byte alphabet: no
+    unknown-token fallback, no lossy normalization)."""
+    vocab = bpe_byte_vocab(merges)
+    sym_of = {i: s for s, i in vocab.items()}
+    byte_of = {ch: b for b, ch in enumerate(BYTE_ALPHABET)}
+    mapped = "".join(sym_of[i] for i in ids)
+    return bytes(byte_of[ch] for ch in mapped).decode("utf-8")
+
+
+def bpe_byte_decode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+) -> DataFrame:
+    """Decode ``(doc_id, token_ids)`` back to text — the inspection /
+    debugging path of the shard pipeline (read a pack, decode a window,
+    eyeball what the model will see). Arrow-batched (binary assembly has
+    no codegen expression form); exact inverse of
+    :func:`bpe_byte_encode_ids` by the losslessness property."""
+    import pandas as pd
+
+    bpe_validate_merges(merges)
+    vocab = bpe_byte_vocab(merges)
+    sym_of = {i: s for s, i in vocab.items()}
+    byte_of = {ch: b for b, ch in enumerate(BYTE_ALPHABET)}
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = []
+            for ids in pdf[ids_col]:
+                mapped = "".join(sym_of[int(i)] for i in ids)
+                texts.append(bytes(byte_of[ch] for ch in mapped).decode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], out_col: texts})
+
+    return df.select("doc_id", ids_col).mapInPandas(
+        decode, f"doc_id long, {out_col} string"
+    )

@@ -573,3 +573,46 @@ def test_bpe_fertility_unicode_needs_more_tokens_per_byte(spark):
     )
     got = {r.source: r.bytes_per_token for r in bpe_fertility(df, DEMO_BYTE_BPE_MERGES).collect()}
     assert got["emoji"] < got["ascii"]
+
+
+def test_byte_bpe_roundtrip_is_lossless(spark):
+    """decode(encode(t)) == t for EVERY string — byte-level BPE's
+    defining property (no unknowns, no lossy normalization): pinned on
+    the adversarial corpus plus hypothesis-generated unicode, via both
+    the pure-Python pair and the Spark encode→decode pipeline."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from laradb_spark.pipelines.tokenizer import (
+        bpe_byte_decode,
+        bpe_byte_encode_ids,
+        bpe_byte_vocab,
+        bpe_decode_str,
+        bpe_encode_str_sweep,
+        byte_map_str,
+        pretokenize_str,
+    )
+
+    merges = train_bpe_bytes_py(NASTY_TEXTS, 25)
+    vocab = bpe_byte_vocab(merges)
+
+    def encode_py(t):
+        return [
+            vocab[s]
+            for p in pretokenize_str(t)
+            for s in bpe_encode_str_sweep(byte_map_str(p), merges)
+        ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def roundtrip(t):
+        assert bpe_decode_str(encode_py(t), merges) == t
+
+    roundtrip()
+
+    # Spark pipeline round trip on the adversarial corpus
+    df = spark.createDataFrame(list(enumerate(NASTY_TEXTS)), "doc_id long, text string")
+    enc = bpe_byte_encode_ids(df, merges)
+    got = {r.doc_id: r.text for r in bpe_byte_decode(enc, merges).collect()}
+    for did, t in enumerate(NASTY_TEXTS):
+        assert got[did] == t, repr(t)
