@@ -214,8 +214,10 @@ def shard_ingest_stream(
     Scale shape per batch: encoding is the map-only expression chain;
     offsets come from the two-phase parallel cumsum (ordering: carry
     row first, then ``id_col`` ascending within the batch); pack
-    assembly groups ≤ context_len tokens per pack. Only the single
-    partial pack is ever collected driver-side.
+    assembly groups ≤ context_len tokens per pack. Driver-side collects
+    are the single ≤ context_len partial pack and the batch's doc-start
+    offsets (one (pos, id) pair per batch DOC — micro-batch-bounded by
+    construction, never corpus- or token-bounded).
 
     At-least-once note (sharper here than the dedup loops because state
     is read-modify-write): a foreachBatch retry after the shard append
