@@ -252,10 +252,15 @@ def heavy_hitter_tokens(
     vocabulary-sized shuffle ``frequent_ngrams`` pays — pass 1 shuffles
     ≤ counters·partitions sketch rows (map-side bounded memory), pass 2
     shuffles only candidate tokens (≤ ~1/θ of them exist). The corpus
-    is scanned twice and deliberately NOT persisted (at 100 TB a cache
-    would evict; two streaming scans beat one materialization). The
-    per-partition token count and decrement total ride pass 1 as
-    sentinel rows (tok NULL), so no third scan computes N."""
+    is scanned exactly twice and deliberately NOT persisted (at 100 TB a
+    cache would evict; two streaming scans beat one materialization) —
+    but the SKETCH OUTPUT (bounded: ≤ counters·partitions + sentinel
+    rows) IS persisted, because both the totals broadcast and the
+    candidate broadcast hang off it and Spark would otherwise recompute
+    the whole scan+explode+sketch subtree once per broadcast (measured
+    at sf0.1: three corpus passes instead of two, ~1.5× the steady-state
+    time). The per-partition token count and decrement total ride pass 1
+    as sentinel rows (tok NULL), so no extra scan computes N."""
     if min_ppm <= 0:
         raise ValueError("min_ppm must be > 0")
     cap = counters if counters is not None else max(64, -(-4_000_000 // min_ppm))
@@ -288,7 +293,7 @@ def heavy_hitter_tokens(
             }
         )
 
-    sk = toks.mapInPandas(sketch, "tok string, est long, np long")
+    sk = persist_once(toks.mapInPandas(sketch, "tok string, est long, np long"))
     totals = sk.filter(F.col("tok").isNull()).agg(
         F.coalesce(F.sum("est"), F.lit(0)).alias("E"),
         F.coalesce(F.sum("np"), F.lit(0)).alias("N"),
