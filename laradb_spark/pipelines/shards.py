@@ -117,4 +117,11 @@ def write_token_shards(
             ).alias("doc_starts")
         )
     )
-    seqs.join(starts, on="pack_id", how="left").write.mode("overwrite").parquet(path)
+    # A pack fully inside one long document has no doc start at all — the
+    # left join yields NULL there. Store an EMPTY typed array instead so
+    # the on-disk format is non-nullable and loaders need no null guard.
+    dt = starts.schema["doc_starts"].dataType.simpleString()
+    seqs.join(starts, on="pack_id", how="left").withColumn(
+        "doc_starts",
+        F.coalesce(F.col("doc_starts"), F.expr(f"CAST(array() AS {dt})")),
+    ).write.mode("overwrite").parquet(path)

@@ -1433,8 +1433,17 @@ def pq_encode(
     assigning every subspace at once (encoding IS k-means assignment;
     same kernel the trainer uses, dense cid-ASC positions out). No
     shuffle at all: the 100 TB encode is a single scan writing m bytes
-    per vector. Output: ``(neighbor_id, codes array<int>)``."""
+    per vector. Output: ``(neighbor_id, codes array<int>)``.
+
+    An empty codebook frame (training ran over an empty corpus —
+    ``pq_train_codebooks`` returns its empty-init frame) short-circuits
+    to an empty result of the same schema instead of dividing by a zero
+    subspace count."""
     cb = _pq_codebook_rows(codebooks)
+    if not cb:
+        return corpus.sparkSession.createDataFrame(
+            [], "neighbor_id long, codes array<int>"
+        )
     subs = sorted({r["sub"] for r in cb})
     sd = dim // len(subs)
     per_sub = [
@@ -1474,7 +1483,17 @@ def _pq_adc_topk(
     — the asymmetric-distance approximation of cosine (query exact,
     corpus reconstructed from centroids). The corpus side never touches
     floats wider than m ints per row; ranking is the two-phase
-    grouped_rank with the exact batch-local pre-prune."""
+    grouped_rank with the exact batch-local pre-prune.
+
+    An empty codebook list (empty training corpus) short-circuits to an
+    empty ranked frame — there is nothing to reconstruct, and the LUT
+    construction would otherwise emit zero ``_lut{s}`` columns and fail
+    in ``_pq_cos``."""
+    if not cb:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
+        )
     qlut = _pq_qlut(queries, cb, dim, query_id_col)
     scored = (
         codes.crossJoin(F.broadcast(qlut))

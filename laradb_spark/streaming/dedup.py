@@ -241,9 +241,13 @@ def fuzzy_ingest_stream(
     micro-batch, screen new docs against the stored minhash-signature
     index (``dedup.minhash_index_build`` layout — band candidates, then
     integer signature-agreement ≥ ceil(τ·num_perm)), ALSO drop
-    within-batch near-dups (keep min id), append survivors to
-    ``out_path`` and their signatures+bands to the index. Catches the
-    snapshot-over-snapshot near-duplicates the exact-digest loop cannot.
+    within-batch near-dups — keep-one-per-CLUSTER: agreeing pairs are
+    resolved transitively (connected components, min id kept), the same
+    semantics as the batch family's ``drop_near_duplicates``, so a chain
+    A~B~C keeps exactly A rather than greedy-pairwise dropping both B
+    and C independently. Survivors append to ``out_path`` and their
+    signatures+bands to the index. Catches the snapshot-over-snapshot
+    near-duplicates the exact-digest loop cannot.
 
     Index re-read per batch (fresh static plan — earlier batches of this
     run are visible); same at-least-once caveat as dedup_ingest_stream;
@@ -260,8 +264,10 @@ def fuzzy_ingest_stream(
         if batch_df.isEmpty():
             return
         # within-batch near-dup pass: band-candidate pairs (a < b), both
-        # signatures joined back by key, agreement bar, drop the LARGER
-        # id — the batch is batch-sized, so every side broadcasts
+        # signatures joined back by key, agreement bar, then RESOLVE
+        # TRANSITIVELY — keep min id per connected component (the batch
+        # family's drop_near_duplicates) — the batch is batch-sized, so
+        # every join side broadcasts and the component graph is tiny
         import math
 
         thr = math.ceil(tau * dd.NUM_PERM)
@@ -277,7 +283,7 @@ def fuzzy_ingest_stream(
             .select("_ia", "_ib")
             .dropDuplicates(["_ia", "_ib"])
         )
-        intra_losers = (
+        agree_pairs = (
             cand.join(
                 F.broadcast(sigs.select(F.col("id").alias("_ia"), F.col("sig").alias("_sa"))),
                 on="_ia",
@@ -295,10 +301,9 @@ def fuzzy_ingest_stream(
                 )
                 >= F.lit(thr)
             )
-            .select(F.col("_ib").alias(id_col))
-            .distinct()
+            .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"))
         )
-        deduped = batch_df.join(F.broadcast(intra_losers), on=id_col, how="left_anti")
+        deduped = dd.drop_near_duplicates(batch_df, agree_pairs, id_col=id_col)
         try:
             kept = dd.drop_near_seen(deduped, index_path, threshold=tau,
                                      id_col=id_col, text_col=text_col)

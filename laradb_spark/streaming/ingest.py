@@ -219,12 +219,17 @@ def shard_ingest_stream(
     offsets (one (pos, id) pair per batch DOC — micro-batch-bounded by
     construction, never corpus- or token-bounded).
 
-    At-least-once note (sharper here than the dedup loops because state
-    is read-modify-write): a foreachBatch retry after the shard append
-    but before the state overwrite would re-append the same packs.
-    Production would write state+shards under a batch-id staging path
-    and commit atomically; pack_ids are deterministic, so duplicates
-    are exact duplicates, detectable by pack_id."""
+    Exactly-once mechanics (state is read-modify-write, so replays are
+    sharper here than in the append-only dedup loops): (a) each batch's
+    completed packs land under the deterministic directory
+    ``{shards_path}/batch=<batch_id>`` in OVERWRITE mode — a retry that
+    crashed between the pack write and the state write recomputes the
+    identical packs (state unchanged) and overwrites the same directory,
+    never duplicating; (b) the state row records the last committed
+    ``batch_id``, so a replay arriving AFTER the state write (checkpoint
+    lag) no-ops instead of re-applying the batch on top of post-batch
+    state. Readers see ``batch_id`` as a hive partition column on the
+    shard table; pack_ids stay globally unique and dense."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -249,6 +254,7 @@ def shard_ingest_stream(
             StructField("total", LongType()),
             StructField("partial", ArrayType(IntegerType())),
             StructField("partial_starts", start_schema),
+            StructField("batch_id", LongType()),
         ]
     )
 
@@ -267,8 +273,13 @@ def shard_ingest_stream(
                 if st
                 else []
             )
+            # pre-batch_id state files lack the column; treat as "unknown,
+            # assume not yet applied" (the overwrite dir still dedups)
+            done = st[0].asDict().get("batch_id") if st else None
         except AnalysisException:  # first batch: no state yet
-            total, partial, partial_starts = 0, [], []
+            total, partial, partial_starts, done = 0, [], [], None
+        if done is not None and int(_batch_id) <= int(done):
+            return  # replay of an already-committed batch: state and packs landed
         base = total - len(partial)  # L-aligned global start of the unwritten region
 
         enc = bpe_byte_encode_ids(
@@ -345,11 +356,21 @@ def shard_ingest_stream(
                         ),
                     )
                     seqs = seqs.join(F.broadcast(sf), on="pack_id", how="left")
-                else:
-                    seqs = seqs.withColumn(
-                        "doc_starts", F.lit(None).cast(start_schema)
-                    )
-                seqs.write.mode("append").parquet(shards_path)
+                # packs fully inside one long document carry an EMPTY
+                # doc_starts array, not NULL — same stored format as the
+                # batch writer (write_token_shards)
+                empty = F.expr(f"CAST(array() AS {start_schema.simpleString()})")
+                seqs = seqs.withColumn(
+                    "doc_starts",
+                    F.coalesce(F.col("doc_starts"), empty)
+                    if "doc_starts" in seqs.columns
+                    else empty,
+                )
+                # deterministic per-batch directory in overwrite mode: a
+                # retry that recomputes this batch rewrites the SAME path
+                seqs.write.mode("overwrite").parquet(
+                    f"{shards_path}/batch={int(_batch_id)}"
+                )
 
             tail_rows = sorted(
                 (int(r["_pos"]), int(r["_tid"]))
@@ -360,7 +381,8 @@ def shard_ingest_stream(
                 (int(g % L), d) for g, d in starts_all if g // L >= complete
             )
             spark.createDataFrame(
-                [(new_total, new_partial, new_partial_starts)], state_schema
+                [(new_total, new_partial, new_partial_starts, int(_batch_id))],
+                state_schema,
             ).coalesce(1).write.mode("overwrite").parquet(state_path)
         finally:
             tokpos.unpersist()

@@ -124,3 +124,24 @@ def test_merge_and_pit_empty(spark):
     dim = spark.createDataFrame([], "k long, seg string, valid_from long, valid_to long")
     facts = spark.createDataFrame([(1, 5)], "fk long, day long")
     assert point_in_time_join(facts, dim, "fk", "k", "day").count() == 0
+
+
+def test_pq_ops_empty(spark, empty_emb):
+    """ADVICE r9: an empty training corpus yields an empty codebook frame;
+    pq_encode and the topk paths must short-circuit to empty frames of the
+    full schema instead of dividing by a zero subspace count."""
+    from laradb_spark.pipelines import similarity as sim
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "query_id long, qvec array<double>"
+    ).withColumnRenamed("qvec", "embedding")
+    cbs = sim.pq_train_codebooks(empty_emb, dim=8, m=2, k_sub=4)
+    assert cbs.count() == 0
+    enc = sim.pq_encode(empty_emb, cbs, dim=8)
+    assert enc.count() == 0
+    assert [f.name for f in enc.schema.fields] == ["neighbor_id", "codes"]
+    res = sim.pq_topk(empty_emb, q, dim=8, m=2, k_sub=4, k=3)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]

@@ -87,3 +87,20 @@ def test_pack_occupancy_agrees_with_materialized_shards(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert occ == mat
+
+
+def test_doc_starts_stored_as_empty_array_not_null(spark, tmp_path):
+    """A pack fully inside one long document has no doc start; the stored
+    value must be an EMPTY array, not NULL, so loaders need no null guard
+    (the left join would otherwise persist a NULL)."""
+    # doc 1: "ll" * 40 encodes to 40 'll' tokens -> packs 0..4 at L=8;
+    # packs 1..3 sit strictly inside doc 1
+    long_doc = [(1, "ll" * 40), (2, "hello")]
+    df = spark.createDataFrame(long_doc, "doc_id long, text string")
+    path = str(tmp_path / "shards_long")
+    sh.write_token_shards(df, MERGES, path, context_len=8)
+    rows = {r.pack_id: r for r in spark.read.parquet(path).collect()}
+    interior = [p for p in rows if rows[p].doc_starts is not None and len(rows[p].doc_starts) == 0]
+    assert interior, "expected at least one interior pack with an empty doc_starts"
+    for r in rows.values():
+        assert r.doc_starts is not None  # the format is non-nullable

@@ -327,3 +327,61 @@ def test_shard_ingest_stream_equals_batch_packing(spark, tmp_path):
         r.pack_id: list(r.token_ids) for r in spark.read.parquet(shards).collect()
     }
     assert got2 == want2
+
+
+def test_shard_ingest_stream_replays_are_noops(spark, tmp_path):
+    """Exactly-once across replays: the state row records the last
+    committed batch_id, so re-delivering already-committed batches (here:
+    a wiped checkpoint restarts batch numbering at 0 over the same
+    source) leaves the shard table and state byte-identical instead of
+    re-appending the same packs on top of post-batch state."""
+    import os
+    import shutil
+    import time
+
+    from laradb_spark.streaming.ingest import shard_ingest_stream
+
+    MERGES = [("h", "e"), ("l", "l"), ("he", "ll")]
+    L = 7
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "hello hell"), (2, "llhe he")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(3, "shell hello")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    shards, state, ck = (str(tmp_path / d) for d in ("shards", "state", "ck"))
+    q = shard_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        MERGES, shards, state, ck, context_len=L,
+    )
+    q.awaitTermination(120)
+
+    before_packs = sorted(
+        (r.pack_id, list(r.token_ids))
+        for r in spark.read.parquet(shards).collect()
+    )
+    [before_state] = spark.read.parquet(state).collect()
+    assert before_state.batch_id == 1  # two batches committed
+
+    # wipe ONLY the checkpoint: the replayed run re-delivers the same two
+    # batches with the same ids (0, 1), both <= state.batch_id -> no-ops
+    shutil.rmtree(ck)
+    q2 = shard_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        MERGES, shards, state, ck, context_len=L,
+    )
+    q2.awaitTermination(120)
+
+    after_packs = sorted(
+        (r.pack_id, list(r.token_ids))
+        for r in spark.read.parquet(shards).collect()
+    )
+    [after_state] = spark.read.parquet(state).collect()
+    assert after_packs == before_packs
+    assert after_state.total == before_state.total
+    assert list(after_state.partial) == list(before_state.partial)

@@ -294,3 +294,47 @@ def test_fuzzy_ingest_loop_drops_near_dups_across_batches(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3, 11]
     # the index holds exactly the survivors' signatures
     assert sorted(r.id for r in spark.read.parquet(f"{idx}/sigs").collect()) == [1, 3, 11]
+
+
+def test_fuzzy_ingest_within_batch_chain_resolves_transitively(spark, tmp_path):
+    """A within-batch near-dup CHAIN keeps exactly one doc per connected
+    component (the min id), matching the batch family's
+    drop_near_duplicates — not the greedy pairwise rule, which would keep
+    a second doc whenever the chain's middle node holds the largest id.
+
+    Fixture (deterministic under the fixed permutation table; agreements
+    probed at NUM_PERM=32): texts A/B/C are a 60-word base with single-
+    word edits such that sig-agreement(A,B)=30, (B,C)=30, (A,C)=28 and
+    the τ=0.9 bar is 29 — so A~B~C but A≁C. The MIDDLE text B gets
+    doc_id 3 and the ends get 1 (C) and 2 (A): greedy drop-the-larger
+    over pairs {(2,3),(1,3)} keeps {1,2}; one-per-component keeps {1}."""
+    import os
+    import time
+
+    from laradb_spark.streaming.dedup import fuzzy_ingest_stream
+
+    base_words = [f"w{i:02d}" for i in range(60)]
+
+    def mk(subs):
+        ws = list(base_words)
+        for pos, rep in subs.items():
+            ws[pos] = rep
+        return " ".join(ws)
+
+    text_a = mk({})
+    text_b = mk({55: "zebra"})
+    text_c = mk({55: "zebra", 5: "quark"})
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(2, text_a), (3, text_b), (1, text_c)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+    q = fuzzy_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), idx, out, ck, threshold=0.9
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1]
+    assert sorted(r.id for r in spark.read.parquet(f"{idx}/sigs").collect()) == [1]
