@@ -954,17 +954,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sub_ctes(s: int, sd: int, k_sub: int, iters: int) -> list[str]:
-    """Per-subspace Lloyd chain over the slice vec[s·sd+1 : (s+1)·sd],
-    ending in e{s}(vec_id, cent) = each vector's assigned centroid."""
+def _pq_sub_ctes(
+    s: int, sd: int, k_sub: int, iters: int, src: str = "v", metric: str = "cos"
+) -> list[str]:
+    """Per-subspace Lloyd chain over the slice vec[s·sd+1 : (s+1)·sd] of
+    ``src`` (``v`` = raw embeddings; ``rv`` = coarse residuals for the
+    IVFADC oracle), ending in e{s}(vec_id, cent) = each vector's
+    assigned centroid. ``metric='l2'`` assigns by Euclidean nearest via
+    the surrogate argmax(dot(v,c) − ‖c‖²/2) — dot-for-dot what the
+    engine's ``_pq_assign_fn(metric='l2')`` evaluates."""
     lo, hi = s * sd + 1, (s + 1) * sd
+    score = (
+        "(list_dot_product(v.svec, c.cent) - list_dot_product(c.cent, c.cent)/2)"
+        if metric == "l2"
+        else "list_cosine_similarity(v.svec, c.cent)"
+    )
 
     def assign(src: str, cents: str) -> str:
         return f"""
   SELECT vec_id, svec, cid FROM (
     SELECT v.vec_id, v.svec, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_cosine_similarity(v.svec, c.cent) DESC, c.cid ASC) AS rn
+                              ORDER BY {score} DESC, c.cid ASC) AS rn
     FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1
 """
 
@@ -978,7 +989,7 @@ def _pq_sub_ctes(s: int, sd: int, k_sub: int, iters: int) -> list[str]:
 """
 
     ctes = [
-        f"v{s} AS (SELECT vec_id, vec[{lo}:{hi}] AS svec FROM v)",
+        f"v{s} AS (SELECT vec_id, vec[{lo}:{hi}] AS svec FROM {src})",
         f"c{s}_0 AS (SELECT vec_id AS cid, svec AS cent FROM v{s} ORDER BY vec_id LIMIT {k_sub})",
     ]
     for i in range(iters):
@@ -1110,6 +1121,120 @@ SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFADC (Jégou et al. 2011 §III): PQ codebooks trained on and
+    encoding RESIDUALS against the assigned coarse centroid, scored as
+    cos(q, c + r̂) = (q·c + Σₛ q_s·r̂ₛ) / (‖q‖·‖c + r̂‖). The oracle
+    chains coarse Lloyd → per-component residuals → per-subspace
+    residual Lloyd and scores with the same q·c + Σₛ decomposition, so
+    train → residual → encode → score → rank hash-checks end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivfpq_res_topk(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM,
+        n_centroids=16, n_probe=4, m=PQ_M, k_sub=PQ_KSUB, k=TOP_K,
+    )
+
+
+def _ann_ivfpq_res_sql(
+    n_centroids: int = 16, n_probe: int = 4, m: int = PQ_M,
+    k_sub: int = PQ_KSUB, iters: int = 2,
+) -> str:
+    sd = EMB_DIM // m
+    ctes = _lloyd_ctes(n_centroids, iters)  # v, c0..c{iters}, af (coarse)
+    ctes.append(f"""rv AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] - c.cent[i]) AS vec
+  FROM af a JOIN c{iters} c USING (cid)
+)""")
+    for s in range(m):
+        ctes += _pq_sub_ctes(s, sd, k_sub, iters, src="rv", metric="l2")
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, "
+        f"sqrt(list_dot_product(vec, vec)) AS nq FROM v WHERE vec_id < {N_QUERIES})"
+    )
+    ctes.append(f"""probes AS (
+  SELECT query_id, qvec, nq, cid FROM (
+    SELECT q.query_id, q.qvec, q.nq, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe}
+)""")
+    # numerator decomposed EXACTLY as the engine evaluates it:
+    # q·c (per probe) + per-subspace q_s·r̂_s LUT terms
+    num = "list_dot_product(p.qvec, cc.cent)" + "".join(
+        f" + list_dot_product(p.qvec[{s * sd + 1}:{(s + 1) * sd}], e{s}.cent)"
+        for s in range(m)
+    )
+    # ‖c + r̂‖² = Σ_s ‖c_s + r̂_s‖², reconstructed per subspace
+    recon = [
+        f"list_transform(range(1, {sd} + 1), i -> cc.cent[{s * sd} + i] + e{s}.cent[i])"
+        for s in range(m)
+    ]
+    nsq = " + ".join(f"list_dot_product({r}, {r})" for r in recon)
+    joins = "".join(f" JOIN e{s} ON e{s}.vec_id = a.vec_id" for s in range(m))
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CASE WHEN p.nq * sqrt({nsq}) > 0
+              THEN ({num}) / (p.nq * sqrt({nsq})) ELSE 0.0 END AS c
+  FROM af a
+  JOIN probes p ON a.cid = p.cid
+  JOIN c{iters} cc ON cc.cid = a.cid{joins}
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of residual IVF-PQ against exact brute force — the eval
+    that justifies the residual layer: at equal m/k_sub the residual
+    field has less variance than the raw corpus, so reconstruction error
+    drops and recall rises (pinned ≥ the non-residual twin by
+    test_ann)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.ivfpq_res_topk(
+        emb, q, dim=EMB_DIM, n_centroids=16, n_probe=4,
+        m=PQ_M, k_sub=PQ_KSUB, k=TOP_K,
+    )
+    bf = sim.brute_force_topk(emb, q, k=TOP_K)
+    hits = (
+        res.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_h"))
+    )
+    return (
+        res.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("int").alias("hits"),
+            (F.coalesce(F.col("_h"), F.lit(0)) / F.lit(TOP_K)).alias("recall"),
+        )
+    )
+
+
+def _ann_ivfpq_res_recall_sql() -> str:
+    return f"""
+WITH res AS ({_ann_ivfpq_res_sql()}),
+bf AS ({ANN_BRUTE_SQL}),
+hits AS (
+  SELECT res.query_id, COUNT(*) AS h
+  FROM res JOIN bf ON res.query_id = bf.query_id AND res.neighbor_id = bf.neighbor_id
+  GROUP BY res.query_id
+)
+SELECT q.query_id, CAST(COALESCE(h, 0) AS INT) AS hits,
+       CAST(COALESCE(h, 0) AS DOUBLE) / {TOP_K} AS recall
+FROM (SELECT DISTINCT query_id FROM res) q LEFT JOIN hits USING (query_id)
 """
 
 
@@ -3855,6 +3980,8 @@ QUERIES = {
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_pq_recall": (ann_pq_recall, _ann_pq_recall_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ann_ivfpq_sql()),
+    "ann_ivfpq_res_topk": (ann_ivfpq_res_topk, _ann_ivfpq_res_sql()),
+    "ann_ivfpq_res_recall": (ann_ivfpq_res_recall, _ann_ivfpq_res_recall_sql()),
     "ann_hamming_topk": (ann_hamming_topk, _ann_hamming_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),

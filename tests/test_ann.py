@@ -733,3 +733,49 @@ def test_hamming_topk_matches_numpy_replay_and_recall(spark, clustered):
     exact = _pairs(sim.brute_force_topk(clustered, q, k=5))
     ham = {(a, b) for a, b, _ in got}
     assert len(ham & exact) >= 3  # 8 sign bits: far above the ~0.6 chance overlap
+
+
+def test_ivfpq_res_topk_shape_and_determinism(spark, clustered):
+    """Residual IVFADC returns exactly k ranked rows per query (ranks
+    1..k) and is deterministic run-to-run (fixed init, fixed Lloyd
+    rounds, fixed tie-breaks)."""
+    q = _queries(clustered)
+    a = sim.ivfpq_res_topk(
+        clustered, q, dim=8, n_centroids=8, n_probe=4, m=2, k_sub=8, k=3
+    ).collect()
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
+    b = sim.ivfpq_res_topk(
+        clustered, q, dim=8, n_centroids=8, n_probe=4, m=2, k_sub=8, k=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_res_recall_beats_nonresidual_on_clustered(spark, clustered):
+    """The point of the residual layer (Jégou et al. 2011 §III): on
+    clustered data the coarse quantizer explains the between-cluster
+    variance, so PQ codes spent on RESIDUALS resolve within-cluster
+    detail that raw-vector codes waste on between-cluster structure. At
+    equal (m, k_sub), every vector as its own query: residual recall
+    must be strictly higher (measured on this fixture: 231 vs 82 hits
+    of 600 — ~2.8×). Both flows are deterministic, so this is a stable
+    pin, not a statistical assertion."""
+    q = clustered.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = _pairs(sim.brute_force_topk(clustered, q, k=3))
+
+    def hits(fn):
+        got = fn(
+            clustered, q, dim=8, n_centroids=8, n_probe=2, m=2, k_sub=8, k=3
+        )
+        return sum(
+            1 for r in got.collect() if (r.query_id, r.neighbor_id) in exact
+        )
+
+    h_res = hits(sim.ivfpq_res_topk)
+    h_raw = hits(sim.ivfpq_topk)
+    assert h_res > h_raw, (h_res, h_raw)
+    assert h_res >= 2 * h_raw  # the improvement is structural, not noise
