@@ -511,15 +511,25 @@ def bytes_to_unicode() -> dict[int, str]:
 #: ``substring``; both are character-addressed).
 BYTE_ALPHABET = "".join(bytes_to_unicode()[b] for b in range(256))
 
-#: GPT-2-STYLE pre-tokenizer, restricted to the regex subset Java
-#: (Spark), RE2 (DuckDB), and the hand-rolled Python scanner all agree
-#: on. Deliberate divergences from the original GPT-2 pattern, both
+#: GPT-2-STYLE pre-tokenizer base regex, restricted to the regex subset
+#: Java (Spark), RE2 (DuckDB), and the hand-rolled Python scanner all
+#: agree on. Two deliberate deltas vs the original GPT-2 pattern, both
 #: forced by RE2's no-lookaround dialect: (1) no ``\s+(?!\S)`` trailing-
-#: space alternative, so an inter-word space run stands alone instead of
-#: donating its last space to the next word when the run length exceeds
-#: one; (2) whitespace is the EXPLICIT class ``[ \t\n\r\f]`` (Java \s
+#: space alternative — the post-split DONATION fixup below restores its
+#: exact semantics, so the full ``pretokens()``/``pretokenize_str()``
+#: output EQUALS the original GPT-2 split (property-tested against a
+#: Python ``re`` run of the original pattern, lookahead included);
+#: (2) whitespace is the EXPLICIT class ``[ \t\n\r\f]`` (Java \s
 #: includes \x0B where RE2 does not — pinning the class removes the
 #: disagreement). Leftmost-first alternation in all three engines.
+#:
+#: The donation rule (derived from leftmost-first backtracking of the
+#: original alternation ``… |\s+(?!\S)|\s+``): every MAXIMAL whitespace
+#: run W followed by a non-whitespace char splits as W[:-1] + W[-1],
+#: where a trailing ' ' attaches to the next pretoken (the `` ?`` prefix
+#: of the L/N/other alternatives) and any other trailing whitespace
+#: char stands alone; a run at end-of-text stays whole. Runs of length
+#: 1 are unchanged (covered by `` ?``/``\s+`` in both dialects).
 PRETOKENIZE_RE = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
     r"| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"
@@ -530,10 +540,13 @@ _PRETOK_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
 
 def pretokenize_str(text: str) -> list[str]:
-    """Pure-Python twin of ``regexp_extract_all(text, PRETOKENIZE_RE)``
-    — a hand-rolled leftmost-first scanner (Python ``re`` lacks ``\\p``
-    classes; ``unicodedata`` categories are the same L*/N* definitions
-    Java and RE2 use). Property-tested equal to the Spark split."""
+    """Pure-Python twin of ``pretokens()`` — a hand-rolled leftmost-first
+    scanner (Python ``re`` lacks ``\\p`` classes; ``unicodedata``
+    categories are the same L*/N* definitions Java and RE2 use) with the
+    trailing-space donation rule applied natively in the whitespace
+    branch, so the output equals the ORIGINAL GPT-2 regex split.
+    Property-tested equal to the Spark split and to a Python ``re`` run
+    of the original pattern on ASCII inputs."""
     import unicodedata
 
     def cat(c: str) -> str:
@@ -583,6 +596,13 @@ def pretokenize_str(text: str) -> list[str]:
             k = i + 1
             while k < n and text[k] in _PRETOK_WS:
                 k += 1
+            if k < n and k - i >= 2:
+                # donation (original ``\s+(?!\S)``): the run's last char
+                # re-enters the scan — a ' ' joins the next pretoken via
+                # the `` ?`` prefixes, any other whitespace stands alone
+                out.append(text[i : k - 1])
+                i = k - 1
+                continue
             out.append(text[i:k])
             i = k
             continue
@@ -628,10 +648,57 @@ def _mapped_symbols(mapped: Column, merges: list[tuple[str, str]]) -> Column:
     return sym
 
 
+def _donate_trailing_space(arr: Column) -> Column:
+    """The donation fixup as a whole-stage-codegen array transform: every
+    pure-whitespace element of length ≥ 2 that is not the LAST element
+    splits off its final char — a ' ' is prepended to the following
+    element, any other whitespace char becomes its own pretoken. One
+    indexed ``transform`` + ``flatten``; adjacent elements can never both
+    be whitespace (the base regex emits maximal runs), so the donation
+    and the prepend never collide.
+
+    The whitespace-run test is ``translate(t, " \\t\\n\\r\\f", "") = ""``
+    rather than an anchored rlike: Java's ``$`` matches BEFORE a final
+    line terminator (\\u2028, \\u2029, \\x85 …), so ``^[ \\t\\n\\r\\f]+$``
+    wrongly classifies a token like ``" \\u2028"`` as a whitespace run;
+    the translate form is exact in every engine (and regex-free)."""
+    n = F.size(arr)
+
+    def is_ws_run(t: Column) -> Column:
+        return F.translate(t, _PRETOK_WS, "") == ""
+
+    def fix(t: Column, i: Column) -> Column:
+        ln = F.length(t)
+        last = t.substr(ln, F.lit(1))
+        head = t.substr(F.lit(1), ln - 1)
+        donates = is_ws_run(t) & (ln >= 2) & (i < n - 1)
+        prev = F.element_at(arr, i)  # 1-based: element i == predecessor
+        prev_donated = (
+            (i > 0)
+            & is_ws_run(prev)
+            & (F.length(prev) >= 2)
+            & (prev.substr(F.length(prev), F.lit(1)) == " ")
+        )
+        return (
+            F.when(
+                donates,
+                F.when(last == " ", F.array(head)).otherwise(F.array(head, last)),
+            )
+            .when(prev_donated, F.array(F.concat(F.lit(" "), t)))
+            .otherwise(F.array(t))
+        )
+
+    return F.flatten(F.transform(arr, fix))
+
+
 def pretokens(text_col: Column) -> Column:
-    """NULL-safe array of ``PRETOKENIZE_RE`` pretokens."""
-    return F.regexp_extract_all(
-        F.coalesce(text_col, F.lit("")), F.lit(PRETOKENIZE_RE), F.lit(0)
+    """NULL-safe array of GPT-2 pretokens: the ``PRETOKENIZE_RE`` base
+    split plus the trailing-space donation fixup — together exactly the
+    original GPT-2 pattern's output (see PRETOKENIZE_RE)."""
+    return _donate_trailing_space(
+        F.regexp_extract_all(
+            F.coalesce(text_col, F.lit("")), F.lit(PRETOKENIZE_RE), F.lit(0)
+        )
     )
 
 

@@ -3434,12 +3434,16 @@ FROM (
 # apostrophes, digits: every limb of the pretokenizer + byte map fires.
 # ---------------------------------------------------------------------------
 
+# entries 0/2/4 carry multi-whitespace runs (double space, newline+tab,
+# trailing space before the ' #' suffix) so the trailing-space DONATION
+# limb of the pretokenizer fires inside the driver-oracled rows, not
+# only in unit fixtures
 _FAB_PUNCT_DECOR = [
-    " café!",
+    " café!  twice",
     " naïve (beta).",
-    " 'quote' — dash…",
+    " 'quote' — dash…\n\tmix",
     " emoji 😀 ok?",
-    " 100% *done*;",
+    " 100% *done*; ",
 ]
 
 
@@ -3480,6 +3484,35 @@ WITH fabp AS (
 """
 
 
+_WS_RUN_SQL = r"^[ \t\n\r\f]+$"
+
+
+def _pretok_fixed_ctes(key: str) -> str:
+    """The pretokenize CTE pair shared by every byte-BPE oracle: base
+    ``PRETOKENIZE_RE`` split, then the trailing-space donation fixup as
+    an indexed list_transform + flatten (DuckDB lambdas are 1-based) —
+    replaying ``tokenizer._donate_trailing_space`` clause for clause, so
+    the oracle's pretoken stream equals the original GPT-2 split exactly
+    like the engine's."""
+    pat = _sql_str(tk.PRETOKENIZE_RE)
+    ws = _WS_RUN_SQL
+    return f"""p0 AS (
+  SELECT {key}, regexp_extract_all(text, '{pat}', 0) AS toks FROM fabp
+),
+p AS (
+  SELECT {key}, unnest(flatten(list_transform(toks, (t, i) -> CASE
+    WHEN regexp_matches(t, '{ws}') AND length(t) >= 2 AND i < len(toks)
+      THEN CASE WHEN substring(t, length(t), 1) = ' '
+                THEN [substring(t, 1, length(t) - 1)]
+                ELSE [substring(t, 1, length(t) - 1), substring(t, length(t), 1)] END
+    WHEN i > 1 AND regexp_matches(toks[i - 1], '{ws}') AND length(toks[i - 1]) >= 2
+         AND substring(toks[i - 1], length(toks[i - 1]), 1) = ' '
+      THEN [' ' || t]
+    ELSE [t] END))) AS tok
+  FROM p0
+)"""
+
+
 def _bpe_byte_sym_expr(merges: list[tuple[str, str]]) -> str:
     """DuckDB merge chain over a byte-MAPPED `word` column: wrap every
     mapped char (no strip, no DOTALL — the mapped alphabet has no 0x1f
@@ -3503,14 +3536,10 @@ def _bpe_byte_count_sql(merges: list[tuple[str, str]]) -> str:
     — then the merge chain and the shared symbol count."""
     sep = tk.BPE_SEP
     alpha = _sql_str(tk.BYTE_ALPHABET)
-    pat = _sql_str(tk.PRETOKENIZE_RE)
     hexd = "0123456789ABCDEF"
     return f"""
 {_FAB_PUNCT_CTE},
-p AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
-  FROM fabp
-),
+{_pretok_fixed_ctes('doc_id')},
 m AS (
   SELECT doc_id,
          array_to_string(list_transform(
@@ -3575,15 +3604,11 @@ def token_shard_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_shard_stats_sql(merges: list[tuple[str, str]]) -> str:
     sep = tk.BPE_SEP
     alpha = _sql_str(tk.BYTE_ALPHABET)
-    pat = _sql_str(tk.PRETOKENIZE_RE)
     hexd = "0123456789ABCDEF"
     L = _SHARD_LEN
     return f"""
 {_FAB_PUNCT_CTE},
-p AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
-  FROM fabp
-),
+{_pretok_fixed_ctes('doc_id')},
 m AS (
   SELECT doc_id,
          array_to_string(list_transform(
@@ -3633,14 +3658,10 @@ def _bpe_fertility_sql(merges: list[tuple[str, str]]) -> str:
     (DuckDB ``strlen`` is BYTE length, matching Spark octet_length)."""
     sep = tk.BPE_SEP
     alpha = _sql_str(tk.BYTE_ALPHABET)
-    pat = _sql_str(tk.PRETOKENIZE_RE)
     hexd = "0123456789ABCDEF"
     return f"""
 {_FAB_PUNCT_CTE},
-p AS (
-  SELECT source, unnest(regexp_extract_all(text, '{pat}', 0)) AS tok
-  FROM fabp
-),
+{_pretok_fixed_ctes('source')},
 m AS (
   SELECT source,
          array_to_string(list_transform(

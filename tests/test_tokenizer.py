@@ -401,24 +401,60 @@ def test_byte_alphabet_is_gpt2_shaped():
 
 
 def test_pretokenize_scanner_matches_spark(spark):
-    """The hand-rolled Python scanner IS regexp_extract_all(PRETOKENIZE_RE)
-    — parity on the adversarial corpus (astral, contractions, unicode
-    digits, mixed whitespace runs, leading/trailing edge cases)."""
-    from laradb_spark.pipelines.tokenizer import PRETOKENIZE_RE, pretokenize_str
+    """The hand-rolled Python scanner IS pretokens() (base regex + the
+    trailing-space donation fixup) — parity on the adversarial corpus
+    (astral, contractions, unicode digits, mixed whitespace runs,
+    leading/trailing edge cases)."""
+    from laradb_spark.pipelines.tokenizer import pretokenize_str, pretokens
 
     df = spark.createDataFrame(
         list(enumerate(NASTY_TEXTS)), "doc_id long, text string"
     )
     got = {
         r.doc_id: r.p
-        for r in df.select(
-            "doc_id",
-            F.regexp_extract_all("text", F.lit(PRETOKENIZE_RE), F.lit(0)).alias("p"),
-        ).collect()
+        for r in df.select("doc_id", pretokens(F.col("text")).alias("p")).collect()
     }
     for did, txt in enumerate(NASTY_TEXTS):
         assert got[did] == pretokenize_str(txt), (did, txt)
         assert "".join(pretokenize_str(txt)) == txt  # lossless cover
+
+
+def test_pretokenize_matches_original_gpt2_regex_on_ascii():
+    """GPT-2 parity oracle: on ASCII inputs the original GPT-2 pattern
+    (lookahead included) runs verbatim under Python ``re`` with
+    \\p{L}/\\p{N} narrowed to their ASCII subsets — an INDEPENDENT
+    backtracking engine. The scanner (and by the parity test above, the
+    Spark expression) must equal it exactly, including multi-space runs,
+    tab/newline mixes, trailing whitespace, and contractions."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from laradb_spark.pipelines.tokenizer import pretokenize_str
+
+    original = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    )
+
+    goldens = [
+        "a   b", "a \t b", "a \tb", "ab  \n  cd", "x\n\n\ny",
+        "  leading", "trailing   ", "one two", "tabs\t\t\tgo",
+        "a  'quote'", "don't   stop", "num  42  end", "  ", " ", "",
+        "mix \t\n f", "\n    indented line\n    again",
+    ]
+    alphabet = "ab9'.! \t\n\r\f"
+    rand = st.text(alphabet=alphabet, max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(rand)
+    def check(txt):
+        assert pretokenize_str(txt) == original.findall(txt), repr(txt)
+
+    for g in goldens:
+        assert pretokenize_str(g) == original.findall(g), repr(g)
+    check()
 
 
 def test_byte_map_expression_matches_python(spark):
