@@ -3643,6 +3643,30 @@ FROM per GROUP BY pack_id
 TOKEN_SHARD_STATS_SQL = _token_shard_stats_sql(tk.DEMO_BYTE_BPE_MERGES)
 
 
+def shard_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end losslessness certificate for the shard artifact: the
+    decorated corpus is encoded → packed into 128-token contexts →
+    reassembled across pack boundaries purely from the stored
+    (token_ids, doc_starts) metadata → byte-BPE-decoded, and each doc's
+    md5 is emitted. The oracle states md5(text) straight off the source
+    corpus — a hash match certifies encode→pack→reassemble→decode is
+    the identity for every document (incl. multi-pack spans and the
+    donation-limb whitespace in the decorations)."""
+    fab = _fab_punct_df(load(spark, sf_dir, "documents"))
+    packs = shd.build_token_packs(fab, tk.DEMO_BYTE_BPE_MERGES, _SHARD_LEN)
+    dec = shd.reassemble_docs_from_packs(
+        packs, tk.DEMO_BYTE_BPE_MERGES, _SHARD_LEN
+    )
+    return dec.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+    )
+
+
+SHARD_DECODE_ROUNDTRIP_SQL = f"""{_FAB_PUNCT_CTE}
+SELECT doc_id, md5(text) AS text_md5 FROM fabp
+"""
+
+
 def bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility (UTF-8 bytes per byte-BPE token)
     over the punctuation/unicode-decorated corpus — the compression
@@ -3939,6 +3963,7 @@ QUERIES = {
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
     "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
+    "shard_decode_roundtrip": (shard_decode_roundtrip_q, SHARD_DECODE_ROUNDTRIP_SQL),
     "mixture_materialize": (mixture_materialize_q, MIXTURE_MATERIALIZE_SQL),
     "bpe_byte_token_count_fast": (
         bpe_byte_token_count_fast_q,

@@ -104,3 +104,29 @@ def test_doc_starts_stored_as_empty_array_not_null(spark, tmp_path):
     assert interior, "expected at least one interior pack with an empty doc_starts"
     for r in rows.values():
         assert r.doc_starts is not None  # the format is non-nullable
+
+
+def test_reassemble_docs_from_packs_roundtrips_through_parquet(spark, tmp_path):
+    """The full artifact loop: encode -> pack -> parquet -> read -> segment
+    reassembly across pack boundaries -> byte-BPE decode == the source
+    text, byte for byte — including a doc spanning several whole packs
+    (head-segment ownership must forward-fill across pack rows) and
+    multi-whitespace text (the donation limb)."""
+    texts = [
+        (1, "hello hell"),
+        (2, "ll" * 30),            # spans > 2 packs at L=8
+        (3, "he  said\n\thello"),  # donation: double space + \n\t run
+        (4, ""),                   # zero tokens: absent from packs
+        (5, "shell llhe"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    path = str(tmp_path / "rt_shards")
+    sh.write_token_shards(df, MERGES, path, context_len=8)
+    back = {
+        r.doc_id: r.text
+        for r in sh.reassemble_docs_from_packs(
+            spark.read.parquet(path), MERGES, context_len=8
+        ).collect()
+    }
+    want = {d: t for d, t in texts if t}
+    assert back == want
