@@ -63,67 +63,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r9 window head (the driver oracles the FIRST 50) -------------------
-    # (a) NEW in r9 (no driver row yet): byte-level BPE family + auto route,
-    # URL/domain web curation, PQ / IVF-PQ ANN + recall eval, MinHash fuzzy
-    # decontamination, BPE fertility.
-    "bpe_token_count_auto",
+    # --- r10 window head (the driver oracles the FIRST 50) ------------------
+    # (a) NEW in r10 (no driver row yet): residual IVFADC + its recall eval,
+    # the shard-losslessness roundtrip certificate.
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_res_recall",
+    "shard_decode_roundtrip",
+    # (b) CHANGED in r10: heavy_hitters persists its bounded sketch (plan
+    # change); the GPT-2 trailing-space donation fixup + richer fab
+    # decorations altered both the Spark plan and the oracle of the whole
+    # byte-BPE family.
+    "heavy_hitters",
     "bpe_byte_token_count",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
-    "url_canonicalize",
-    "url_dedup",
-    "domain_caps",
-    "ann_pq_topk",
-    "ann_pq_recall",
-    "ann_ivfpq_topk",
-    "decon_fuzzy",
     "token_shard_stats",
-    "mixture_materialize",
-    "html_extract",
-    "fuzzy_cross_batch",
-    "ann_hamming_topk",
-    # (b) CHANGED in r9: the badword line-boundary fix altered both the
-    # Spark plan and the oracle of these two (whitespace-class split +
-    # genuinely-firing drop path).
-    "c4_line_clean",
-    "curation_funnel",
-    # (c) the 26 r5-era stale rows VERDICT r8 #5 queued (code unchanged
-    # since r5; after r9 no driver row predates r6).
-    "order_status_pivot",
-    "orders_within_30_days",
-    "q10_returned_items",
-    "q11_nation_balance_share",
-    "q12_priority_buckets",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q21_sole_fault_suppliers",
-    "q22_idle_rich_customers",
-    "q2_cheapest_part_per_type",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "raco_front_door_q",
-    "repeat_customers_96_97",
-    "small_quantity_revenue",
-    "status_except_all",
-    "suppliers_without_recent_sales",
-    "text_replace_map",
-    "unpivot_order_measures",
-    # (d) fill: the 6 alphabetically-first r6-era rows.
-    "ann_brute_force_fast",
-    "ann_sq8_fast",
-    "bm25_topk",
-    "cap_docs_per_source",
-    "chunk_documents_q",
-    "corpus_clean",
-    # --- front of the r10 window: the remaining 41 r6-era rows ------------
+    # (c) the 41 r6-era stale rows VERDICT r9 #1 queued (code unchanged
+    # since r6; after r10 no driver row predates r7).
     "corpus_frequent_ngrams",
     "cross_source_dup_matrix",
     "customer_merge_upsert",
@@ -165,6 +121,55 @@ _PRIORITY = [
     "sliding_event_stats",
     "sql_front_door_q",
     "tfidf_top_terms",
+    # (d) fill: the alphabetically-first r7-era row.
+    "ann_brute_force",
+    # --- front of the r11 window: the remaining 46 r7-era rows --------------
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "bigram_lm",
+    "contamination_report",
+    "decontaminate_docs",
+    "dedup_embedding",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dsir_importance",
+    "dup_span_census",
+    "event_transitions",
+    "event_trigram_paths",
+    "gopher_funnel",
+    "gopher_quality",
+    "grouping_sets_revenue",
+    "hard_negatives",
+    "label_centroid_outliers",
+    "mad_outliers_by_type",
+    "median_value_by_type",
+    "mix_sources_counts",
+    "moments_by_type",
+    "monthly_revenue_mom",
+    "orders_segment_at_day",
+    "pack_sequences_q",
+    "semantic_decon",
+    "semantic_decon_fast",
+    "semantic_dedup",
+    "semantic_dedup_fast",
+    "span_source_matrix",
+    "split_leakage",
+    "strip_dup_spans",
+    "supplier_copart_triangles",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "token_apportionment",
+    "topk_parts_per_brand",
+    "tumbling_event_stats",
+    "user_retention_cohorts",
 ]
 
 

@@ -23,57 +23,56 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # NEW in r9 (no driver row yet): byte-level BPE + auto route,
-        # URL/domain web curation, PQ / IVF-PQ ANN + recall eval,
-        # MinHash fuzzy decontamination, per-source BPE fertility
-        "bpe_token_count_auto", "bpe_byte_token_count",
-        "bpe_byte_token_count_fast", "bpe_fertility",
-        "url_canonicalize", "url_dedup", "domain_caps",
-        "ann_pq_topk", "ann_pq_recall", "ann_ivfpq_topk",
-        "decon_fuzzy", "token_shard_stats", "mixture_materialize",
-        "html_extract", "fuzzy_cross_batch", "ann_hamming_topk",
-        # CHANGED in r9: the badword line-boundary fix (whitespace-class
-        # split, ADVICE r8) altered both the Spark plan and the oracle
-        "c4_line_clean", "curation_funnel",
-        # the 26 r5-era stale-evidence rotations VERDICT r8 #5 queued
-        "order_status_pivot", "orders_within_30_days",
-        "q10_returned_items", "q11_nation_balance_share",
-        "q12_priority_buckets", "q13_order_count_distribution",
-        "q14_promo_share", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q18_large_volume_customers",
-        "q19_disjunctive_revenue", "q20_promo_suppliers",
-        "q21_sole_fault_suppliers", "q22_idle_rich_customers",
-        "q2_cheapest_part_per_type", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share",
-        "q9_profit_by_nation_year", "raco_front_door_q",
-        "repeat_customers_96_97", "small_quantity_revenue",
-        "status_except_all", "suppliers_without_recent_sales",
-        "text_replace_map", "unpivot_order_measures",
-        # fill: the 6 alphabetically-first r6-era rows
-        "ann_brute_force_fast", "ann_sq8_fast", "bm25_topk",
-        "cap_docs_per_source", "chunk_documents_q", "corpus_clean",
-    }
-    # r10 window front: the remaining 41 r6-era rows (code unchanged
-    # since r6; after r10 no driver row should predate r7).
-    next_window = {
+        # NEW in r10 (no driver row yet): residual IVFADC + recall eval,
+        # shard-losslessness roundtrip
+        "ann_ivfpq_res_topk", "ann_ivfpq_res_recall",
+        "shard_decode_roundtrip",
+        # CHANGED in r10: heavy_hitters sketch persist (plan change); the
+        # GPT-2 donation fixup + fab-decoration enrichment changed the
+        # byte-BPE family's plans AND oracles
+        "heavy_hitters", "bpe_byte_token_count",
+        "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
+        # the 41 r6-era stale-evidence rotations VERDICT r9 #1 queued
         "corpus_frequent_ngrams", "cross_source_dup_matrix",
         "customer_merge_upsert", "customer_order_gaps",
-        "customers_without_orders", "dedup_components", "dedup_exact", "dedup_keep_representatives",
-        "dedup_lsh_jaccard", "dedup_ngram_jaccard",
-        "dedup_prefix_jaccard", "dedup_rate_by_source",
-        "doc_boilerplate_ppm", "embedding_gram", "event_funnel",
-        "events_daily_pivot", "events_daily_users",
+        "customers_without_orders", "dedup_components", "dedup_exact",
+        "dedup_keep_representatives", "dedup_lsh_jaccard",
+        "dedup_ngram_jaccard", "dedup_prefix_jaccard",
+        "dedup_rate_by_source", "doc_boilerplate_ppm", "embedding_gram",
+        "event_funnel", "events_daily_pivot", "events_daily_users",
         "events_dow_hour_heatmap", "events_json_stats",
         "forward_fill_hourly", "fuzzy_part_pairs",
-        "lara_matmul_event_gram", "lara_union_max",
-        "lara_union_revenue", "lara_wordcount", "lara_wordcount_py",
-        "orders_quality_report", "q1_pricing_summary",
-        "q3_shipping_priority", "q4_order_priority",
+        "lara_matmul_event_gram", "lara_union_max", "lara_union_revenue",
+        "lara_wordcount", "lara_wordcount_py", "orders_quality_report",
+        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q5_local_supplier_volume", "revenue_share_by_nation",
         "rollup_returns", "running_customer_totals",
         "scd2_customer_segments", "sensor_covariance_events",
-        "session_window_stats", "sessionize_events",
-        "sliding_event_stats", "sql_front_door_q", "tfidf_top_terms",
+        "session_window_stats", "sessionize_events", "sliding_event_stats",
+        "sql_front_door_q", "tfidf_top_terms",
+        # fill: the alphabetically-first r7-era row
+        "ann_brute_force",
+    }
+    # r11 window front: the remaining 46 r7-era rows (code unchanged
+    # since r7; after r11 no driver row should predate r8).
+    next_window = {
+        "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
+        "ann_sq8_topk", "bigram_lm", "contamination_report",
+        "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
+        "dsir_importance", "dup_span_census", "event_transitions",
+        "event_trigram_paths", "gopher_funnel", "gopher_quality",
+        "grouping_sets_revenue", "hard_negatives",
+        "label_centroid_outliers", "mad_outliers_by_type",
+        "median_value_by_type", "mix_sources_counts", "moments_by_type",
+        "monthly_revenue_mom", "orders_segment_at_day",
+        "pack_sequences_q", "semantic_decon", "semantic_decon_fast",
+        "semantic_dedup", "semantic_dedup_fast", "span_source_matrix",
+        "split_leakage", "strip_dup_spans", "supplier_copart_triangles",
+        "text_fingerprint", "text_langid", "text_normalize",
+        "text_quality", "text_repetition", "text_token_counts",
+        "token_apportionment", "topk_parts_per_brand",
+        "tumbling_event_stats", "user_retention_cohorts",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -83,7 +82,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "r6-era stale rows must lead the r10 window: "
+        "r7-era stale rows must lead the r11 window: "
         f"{next_window ^ next_slots}"
     )
 

@@ -132,16 +132,75 @@ def probe_url(spark, n):
     return times, len(glob.glob(f"{idx}/*.parquet"))
 
 
+def probe_shard(spark, n):
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming.ingest import shard_ingest_stream
+
+    root = f"{SCRATCH}/shard"
+    shutil.rmtree(root, ignore_errors=True)
+    src, shards, st, ck = (f"{root}/{d}" for d in ("in", "shards", "state", "ck"))
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("e", "r"), ("t", "h")]
+    times = []
+    for k, b in enumerate(_batches(spark, n)):
+        b.select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+        stream = spark.readStream.schema(schema).parquet(src)
+        t0 = time.time()
+        q = shard_ingest_stream(stream, merges, shards, st, ck, context_len=512)
+        q.awaitTermination(600)
+        times.append(round(time.time() - t0, 2))
+    return times, len(glob.glob(f"{shards}/batch=*/*.parquet"))
+
+
+def probe_fuzzy(spark, n):
+    from pyspark.sql import types as T
+
+    from laradb_spark.streaming.dedup import fuzzy_ingest_stream
+
+    root = f"{SCRATCH}/fuzzy"
+    shutil.rmtree(root, ignore_errors=True)
+    src, idx, out, ck = (f"{root}/{d}" for d in ("in", "idx", "out", "ck"))
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    times = []
+    for k, b in enumerate(_batches(spark, n)):
+        b.select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+        stream = spark.readStream.schema(schema).parquet(src)
+        t0 = time.time()
+        q = fuzzy_ingest_stream(stream, idx, out, ck)
+        q.awaitTermination(600)
+        times.append(round(time.time() - t0, 2))
+    return times, len(glob.glob(f"{idx}/sigs/*.parquet"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=8)
-    ap.add_argument("--loop", default="all", choices=["line", "curate", "url", "all"])
+    ap.add_argument(
+        "--loop",
+        default="all",
+        choices=["line", "curate", "url", "shard", "fuzzy", "all"],
+    )
     args = ap.parse_args()
 
     from laradb_spark.session import get_spark
 
     spark = get_spark("stream-probe")
-    probes = {"line": probe_line, "curate": probe_curate, "url": probe_url}
+    probes = {
+        "line": probe_line,
+        "curate": probe_curate,
+        "url": probe_url,
+        "shard": probe_shard,
+        "fuzzy": probe_fuzzy,
+    }
     for name, fn in probes.items():
         if args.loop not in ("all", name):
             continue
