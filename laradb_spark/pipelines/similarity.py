@@ -1972,6 +1972,119 @@ def ivfpq_res_topk(
     return _topk_per_query(scored, query_id_col, "cos", k)
 
 
+def ivfpq_res_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_sub: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC layout: ``{path}/codes`` = (neighbor_id,
+    codes) of RESIDUAL encodings written ``partitionBy("cid")``, plus
+    the two tiny tables ``{path}/coarse`` and ``{path}/codebooks``
+    (residual codebooks, L2-trained). The reconstructed-norm table is
+    NOT stored — search derives it driver-side from the two literal
+    tables in O(n_centroids·m·k_sub) floats. Same build/serve split as
+    ``ivfpq_build_index``."""
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    coarse = _train_centroids(c, n_centroids, lloyd_iters)
+    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id", "cvec")
+    resid = _residual_frame(assigned, coarse)
+    cb_df = pq_train_codebooks(
+        resid, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col="neighbor_id", vec_col="rvec", metric="l2",
+    )
+    coded = assigned.select("cid", "neighbor_id").join(
+        pq_encode(
+            resid, cb_df, dim, id_col="neighbor_id", vec_col="rvec", metric="l2"
+        ),
+        on="neighbor_id",
+    )
+    coded.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_res_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append to a stored IVFADC index WITHOUT retraining: frozen coarse
+    centroids assign, residuals against them encode under the frozen
+    residual codebooks, codes append to the ``cid=`` partitions — the
+    ``ivfpq_append_index`` trade, residual flavor."""
+    spark = new_vectors.sparkSession
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cb_df = spark.read.parquet(f"{path}/codebooks")
+    c = fan_out(new_vectors, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id", "cvec")
+    resid = _residual_frame(assigned, coarse)
+    coded = assigned.select("cid", "neighbor_id").join(
+        pq_encode(
+            resid, cb_df, dim, id_col="neighbor_id", vec_col="rvec", metric="l2"
+        ),
+        on="neighbor_id",
+    )
+    coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
+
+
+def ivfpq_res_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    n_probe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a stored IVFADC index: partition-pruned ``cid IN (...)``
+    scan of the residual code lists, scored by the residual-ADC cosine
+    (q·c per probe + residual LUT + the driver-derived reconstructed-
+    norm lookup). Mirrors ``ivfpq_search_index``'s serving-loop
+    mechanics (probe rows collected and rebuilt as a literal frame)."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    probes_plan = _ivfpq_probes(q, coarse, n_probe, query_id_col)
+    probe_rows = probes_plan.collect()
+    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probe_cids = sorted({r.cid for r in probe_rows})
+    probes_qc = probes.join(F.broadcast(coarse), on="cid").select(
+        query_id_col, "cid", dot(F.col("qvec"), F.col("cent")).alias("_qc")
+    )
+    qlut = _pq_qlut(
+        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
+        cb, dim, query_id_col,
+    )
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
+    idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
+    scored = (
+        idx.join(F.broadcast(probes_qc), on="cid")
+        .join(F.broadcast(qlut), on=query_id_col)
+        .join(F.broadcast(densq), on="cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", _res_adc_cos(subs).alias("cos"))
+    )
+    return _topk_per_query(scored, query_id_col, "cos", k)
+
+
 # ---------------------------------------------------------------------------
 # binary sign-hash embeddings: Hamming-distance ANN
 # ---------------------------------------------------------------------------

@@ -779,3 +779,44 @@ def test_ivfpq_res_recall_beats_nonresidual_on_clustered(spark, clustered):
     h_raw = hits(sim.ivfpq_topk)
     assert h_res > h_raw, (h_res, h_raw)
     assert h_res >= 2 * h_raw  # the improvement is structural, not noise
+
+
+def test_ivfpq_res_stored_index_matches_inline_and_prunes(spark, clustered, tmp_path):
+    """IVFADC stored-index search ≡ the inline residual flow (same frozen
+    recipes), the probe scan partition-prunes to the probed cid lists,
+    and append-without-retrain makes a near-clone retrievable."""
+    q = _queries(clustered)
+    inline = sorted(
+        map(
+            tuple,
+            sim.ivfpq_res_topk(
+                clustered, q, dim=8, n_centroids=8, n_probe=4, m=2, k_sub=8, k=3
+            ).collect(),
+        )
+    )
+    path = str(tmp_path / "ivfpq_res")
+    sim.ivfpq_res_build_index(clustered, path, dim=8, n_centroids=8, m=2, k_sub=8)
+    stored_df = sim.ivfpq_res_search_index(spark, path, q, dim=8, n_probe=4, k=3)
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert inline == stored
+
+    one = sim.ivfpq_res_search_index(spark, path, q.limit(1), dim=8, n_probe=1, k=3)
+    one.collect()
+    scan = find_file_scan(one, "codes").toString()
+    part = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cid" in part and ("IN" in part or "=" in part)
+    total_files = len(spark.read.parquet(f"{path}/codes").inputFiles())
+    read_files = scan_num_files(one, "codes")
+    assert 0 < read_files < total_files
+
+    # append-without-retrain: a near-clone of query 0 becomes retrievable
+    [qrow] = q.limit(1).collect()
+    clone = spark.createDataFrame(
+        [(9_000, [x + 0.001 for x in qrow.embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    sim.ivfpq_res_append_index(clone, path, dim=8)
+    after = sim.ivfpq_res_search_index(
+        spark, path, q.limit(1), dim=8, n_probe=4, k=3
+    )
+    assert 9_000 in {r.neighbor_id for r in after.collect()}

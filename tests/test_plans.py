@@ -349,6 +349,11 @@ SINGLE_PARTITION_ALLOWED = {
                                # map-only (curation.materialize_mixture)
     "heavy_hitters",           # 1-row E/N totals aggregate; the candidate merge
                                # itself is a distributed groupBy("tok") (text.py)
+    "shard_decode_roundtrip",  # head-segment ownership fill: ignorenulls
+                               # last_value over PACK order — rows ∝ packs
+                               # (tokens/context_len), never tokens; a 100 TB
+                               # audit would range-partition it like the
+                               # packing cumsum (shards.reassemble docstring)
     "curation_funnel",         # deliberate 1-row global per-stage survivor
                                # aggregates, 4-row report (pipelines_q.py)
     "event_funnel",            # three scalar counts
