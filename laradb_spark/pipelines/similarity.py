@@ -1266,7 +1266,9 @@ def _pq_books(per_sub: "list[list[tuple[int, list | None]]]", sd: int):
     return books
 
 
-def _pq_assign_fn(books, dim: int, emit: str, with_vec: bool, metric: str = "cos"):
+def _pq_assign_fn(
+    books, dim: int, emit: str, with_vec: bool, metric: str = "cos", coarse=None
+):
     """mapInPandas kernel assigning ALL subspaces in one corpus pass —
     per sub, the exact ``_assign_vectorized`` math on the slice
     (dim-sequential dot/norm folds, zero-norm guard, per-SLICE
@@ -1280,7 +1282,21 @@ def _pq_assign_fn(books, dim: int, emit: str, with_vec: bool, metric: str = "cos
     row) — the right objective for RESIDUAL quantization (IVFADC:
     residuals are not unit-norm, so minimizing angle ignores the
     magnitude error that drives reconstruction quality). The surrogate
-    is what the SQL oracle replays verbatim, dot-for-dot."""
+    is what the SQL oracle replays verbatim, dot-for-dot.
+
+    ``coarse`` (a ``_coarse_book``) fuses the IVFADC front half into the
+    SAME pass: each batch is coarse-assigned (the exact
+    ``_assign_vectorized`` cosine math), the assigned centroid is
+    subtracted, and the per-sub loop quantizes the RESIDUAL — so
+    residual training/encoding costs ONE corpus scan per pass, no
+    assignment pass, no residual join, no corpus×corpus code zip.
+    With ``coarse``: ``with_vec`` emits the RESIDUAL as ``cvec`` (the
+    mean update must average residuals) and a ``cid`` column is always
+    emitted. Degenerate rows replicate the unfused chain exactly: a
+    NULL vector's residual is the ZERO vector (unfused: zip_with(NULL,·)
+    → NULL → zero-filled here), while NaN/±Inf components propagate
+    through the subtraction into the per-slice non-finite → zero
+    substitution (unfused: zip_with propagates them component-wise)."""
     import numpy as np
     import pandas as pd
 
@@ -1304,6 +1320,14 @@ def _pq_assign_fn(books, dim: int, emit: str, with_vec: bool, metric: str = "cos
                 raise ValueError(
                     f"pq assignment: embedding dim {V.shape[1]} != {dim}"
                 )
+            coarse_cids = None
+            if coarse is not None:
+                null_rows = np.asarray([v is None for v in vals], dtype=bool)
+                best = _coarse_argmax(V, coarse)
+                coarse_cids = coarse[0][best]
+                V = V - coarse[1][best]
+                if null_rows.any():
+                    V[null_rows] = 0.0
             out = np.empty((len(V), m), dtype=np.int64)
             for si in range(m):
                 cids, C, nc = books[si]
@@ -1327,12 +1351,76 @@ def _pq_assign_fn(books, dim: int, emit: str, with_vec: bool, metric: str = "cos
                 best = np.argmax(cc, axis=1)
                 out[:, si] = best if emit == "code" else cids[best]
             data = {"neighbor_id": pdf["neighbor_id"]}
+            if coarse_cids is not None:
+                data["cid"] = coarse_cids
             if with_vec:
-                data["cvec"] = pdf["cvec"]
+                data["cvec"] = V.tolist() if coarse is not None else pdf["cvec"]
             data["codes" if emit == "code" else "cids"] = out.tolist()
             yield pd.DataFrame(data)
 
     return assign
+
+
+def _pq_assign_fn_sig(emit: str, with_vec: bool, coarse) -> str:
+    """Output schema matching ``_pq_assign_fn``'s emitted columns."""
+    cols = ["neighbor_id long"]
+    if coarse is not None:
+        cols.append("cid long")
+    if with_vec:
+        cols.append("cvec array<double>")
+    cols.append("codes array<int>" if emit == "code" else "cids array<long>")
+    return ", ".join(cols)
+
+
+def _coarse_book(coarse_rows: list, dim: int):
+    """Driver-side NumPy form of the coarse centroid table for the fused
+    IVFADC kernel: (cid array sorted ASC, centroid matrix with
+    NULL/non-finite rows zero-filled, sequential-fold norms) — the exact
+    substitutions of ``_assign_vectorized``."""
+    import numpy as np
+
+    rows = sorted(
+        ((int(cid), None if cent is None else list(cent)) for cid, cent in coarse_rows),
+        key=lambda t: t[0],
+    )
+    cids = np.asarray([t[0] for t in rows], dtype=np.int64)
+    C = np.asarray(
+        [([0.0] * dim if v is None else v) for _, v in rows], dtype=np.float64
+    )
+    bad = ~np.isfinite(C).all(axis=1)
+    if bad.any():
+        C[bad] = 0.0
+    nc = np.zeros(len(C))
+    for j in range(dim):
+        nc = nc + C[:, j] * C[:, j]
+    return cids, C, np.sqrt(nc)
+
+
+def _coarse_argmax(V, coarse):
+    """The ``_assign_vectorized`` cosine argmax over a full-dim batch:
+    dim-sequential folds, zero-norm guard, first-argmax → smallest cid.
+    ``V`` must already be NULL-row zero-filled; non-finite rows are
+    zero-substituted on a scoring COPY only (the caller subtracts from
+    the original so NaN/Inf propagate into the residual)."""
+    import numpy as np
+
+    _, C, nc = coarse
+    S = V
+    bad = ~np.isfinite(S).all(axis=1)
+    if bad.any():
+        S = V.copy()
+        S[bad] = 0.0
+    nv = np.zeros(len(S))
+    dot_m = np.zeros((len(S), len(C)))
+    for j in range(S.shape[1]):
+        col = S[:, j]
+        nv = nv + col * col
+        dot_m = dot_m + col[:, None] * C[None, :, j]
+    nv = np.sqrt(nv)
+    denom = nv[:, None] * nc[None, :]
+    pos = denom > 0
+    cc = np.where(pos, dot_m / np.where(pos, denom, 1.0), 0.0)
+    return np.argmax(cc, axis=1)
 
 
 def pq_train_codebooks(
@@ -1344,6 +1432,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cos",
+    coarse: "list | None" = None,
 ) -> DataFrame:
     """Train per-subspace PQ codebooks (Jégou et al. 2011 shape): split
     each ``dim``-vector into ``m`` contiguous subvectors of ``dim/m``
@@ -1378,23 +1467,42 @@ def pq_train_codebooks(
     schema = "sub int, code int, cid long, cent array<double>"
     if not init:
         return spark.createDataFrame([], schema)
+    cbook = _coarse_book(coarse, dim) if coarse is not None else None
+    init_vecs = [
+        None if r["cvec"] is None else [float(x) for x in r["cvec"]] for r in init
+    ]
+    if cbook is not None:
+        # init = slices of the lowest-id RESIDUALS — replicate the fused
+        # kernel's math driver-side on the k_sub init rows
+        import numpy as np
+
+        filled = np.asarray(
+            [([0.0] * dim if v is None else v) for v in init_vecs], dtype=np.float64
+        )
+        best = _coarse_argmax(filled, cbook)
+        R = filled - cbook[1][best]
+        for i, v in enumerate(init_vecs):
+            if v is None:
+                R[i] = 0.0
+        init_vecs = [list(map(float, row)) for row in R]
     # per-sub state: [(cid, cent-or-None)] — init = slices of the lowest ids
     state: list[list] = [
         [
             (
                 int(r["neighbor_id"]),
-                None if r["cvec"] is None else [float(x) for x in r["cvec"]][s * sd : (s + 1) * sd],
+                None if v is None else v[s * sd : (s + 1) * sd],
             )
-            for r in init
+            for r, v in zip(init, init_vecs)
         ]
         for s in range(m)
     ]
     for _ in range(lloyd_iters):
         assigned = c.mapInPandas(
             _pq_assign_fn(
-                _pq_books(state, sd), dim, emit="cid", with_vec=True, metric=metric
+                _pq_books(state, sd), dim, emit="cid", with_vec=True,
+                metric=metric, coarse=cbook,
             ),
-            "neighbor_id long, cvec array<double>, cids array<long>",
+            _pq_assign_fn_sig("cid", True, cbook),
         )
         # mean update for ALL subspaces in one aggregate: explode the
         # vector once, route each component to (its sub, that sub's
@@ -1658,6 +1766,50 @@ def pq_search_index(
     return _pq_adc_topk(codes, q, cb, dim, k, query_id_col)
 
 
+def pq_encode_res(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    coarse_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused IVFADC encode: ONE map-only Arrow pass per vector doing
+    coarse assignment + residual + all-subspace L2 code assignment —
+    output ``(cid, neighbor_id, codes)``, the stored inverted-list row.
+    Replaces the unfused assign-pass + residual-join + corpus×corpus
+    code zip (which the plan showed as a SortMergeJoin): the 100 TB
+    encode is a single scan again, exactly like raw-vector
+    ``pq_encode``."""
+    cb = _pq_codebook_rows(codebooks)
+    if not cb:
+        return corpus.sparkSession.createDataFrame(
+            [], "cid long, neighbor_id long, codes array<int>"
+        )
+    subs = sorted({r["sub"] for r in cb})
+    sd = dim // len(subs)
+    per_sub = [
+        [
+            (int(r["cid"]), None if r["cent"] is None else list(r["cent"]))
+            for r in cb
+            if r["sub"] == s
+        ]
+        for s in subs
+    ]
+    cbook = _coarse_book(coarse_rows, dim)
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    fn = _pq_assign_fn(
+        _pq_books(per_sub, sd), dim, emit="code", with_vec=False,
+        metric="l2", coarse=cbook,
+    )
+    return c.mapInPandas(fn, _pq_assign_fn_sig("code", False, cbook)).select(
+        "cid", "neighbor_id", "codes"
+    )
+
+
 def _ivfpq_probes(
     q: DataFrame, coarse: DataFrame, n_probe: int, query_id_col: str
 ) -> DataFrame:
@@ -1832,19 +1984,6 @@ def ivfpq_search_index(
     return _topk_per_query(scored, query_id_col, "cos", k)
 
 
-def _residual_frame(assigned: DataFrame, coarse: DataFrame) -> DataFrame:
-    """(cid, neighbor_id, rvec) with rvec = vector − its coarse centroid —
-    the IVFADC encoding input (Jégou et al. 2011 §III). Per-component
-    subtraction, exact in IEEE double on any engine; the coarse frame is
-    literal (n_centroids rows), so the join broadcasts and the residual
-    stream is a map-side projection of the corpus scan."""
-    return assigned.join(F.broadcast(coarse), on="cid").select(
-        "cid",
-        "neighbor_id",
-        F.zip_with("cvec", "cent", lambda a, b: a - b).alias("rvec"),
-    )
-
-
 def _res_densq_frame(
     spark, coarse_rows: list, cb: list, dim: int
 ) -> tuple[DataFrame, list]:
@@ -1933,18 +2072,14 @@ def ivfpq_res_topk(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     coarse = _train_centroids(c, n_centroids, lloyd_iters)
-    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id", "cvec")
-    resid = _residual_frame(assigned, coarse)
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
     cb_df = pq_train_codebooks(
-        resid, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
-        id_col="neighbor_id", vec_col="rvec", metric="l2",
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
     )
     cb = _pq_codebook_rows(cb_df)
-    coded = assigned.select("cid", "neighbor_id").join(
-        pq_encode(
-            resid, cb_df, dim, id_col="neighbor_id", vec_col="rvec", metric="l2"
-        ),
-        on="neighbor_id",
+    coded = pq_encode_res(
+        corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
     spark = corpus.sparkSession
     q = queries.select(
@@ -1960,7 +2095,6 @@ def ivfpq_res_topk(
         probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
         cb, dim, query_id_col,
     )
-    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
     densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
     scored = (
         coded.join(F.broadcast(probes_qc), on="cid")
@@ -1995,17 +2129,13 @@ def ivfpq_res_build_index(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     coarse = _train_centroids(c, n_centroids, lloyd_iters)
-    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id", "cvec")
-    resid = _residual_frame(assigned, coarse)
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
     cb_df = pq_train_codebooks(
-        resid, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
-        id_col="neighbor_id", vec_col="rvec", metric="l2",
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
     )
-    coded = assigned.select("cid", "neighbor_id").join(
-        pq_encode(
-            resid, cb_df, dim, id_col="neighbor_id", vec_col="rvec", metric="l2"
-        ),
-        on="neighbor_id",
+    coded = pq_encode_res(
+        corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
     coded.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
@@ -2026,17 +2156,9 @@ def ivfpq_res_append_index(
     spark = new_vectors.sparkSession
     coarse = spark.read.parquet(f"{path}/coarse")
     cb_df = spark.read.parquet(f"{path}/codebooks")
-    c = fan_out(new_vectors, CPU_HEAVY).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
-    assigned = _assign_auto(c, coarse).select("cid", "neighbor_id", "cvec")
-    resid = _residual_frame(assigned, coarse)
-    coded = assigned.select("cid", "neighbor_id").join(
-        pq_encode(
-            resid, cb_df, dim, id_col="neighbor_id", vec_col="rvec", metric="l2"
-        ),
-        on="neighbor_id",
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    coded = pq_encode_res(
+        new_vectors, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
