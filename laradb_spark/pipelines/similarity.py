@@ -2106,6 +2106,109 @@ def ivfpq_res_topk(
     return _topk_per_query(scored, query_id_col, "cos", k)
 
 
+def ivfpq_res_probe_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    probe_levels: tuple = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The serving-parameter tuning curve: recall@k of the residual
+    IVFADC index against exact brute force at EVERY probe level in one
+    pass — ``(n_probe, query_id, hits, recall)``. n_probe is THE
+    quality-vs-cost dial of IVF serving (scan cost ∝ probed lists); this
+    emits the curve an operator reads before pinning it.
+
+    One training + one encode + ONE scoring pass serve all levels: every
+    candidate within max(probe_levels) lists is ADC-scored once, tagged
+    with its list's probe rank, then each level ranks the prefix
+    ``probe_rank ≤ level`` (candidates×levels rows — the per-(level,
+    query) window is an EVAL over a query sample, hash-partitioned by
+    (level, query)). Deterministic end to end, so the SQL oracle replays
+    the whole curve and the recall fractions hash-certify."""
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    max_probe = max(probe_levels)
+    coarse = _train_centroids(c, n_centroids, lloyd_iters)
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    cb_df = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
+    )
+    cb = _pq_codebook_rows(cb_df)
+    coded = pq_encode_res(
+        corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    # probe RANK per (query, list), kept through scoring so every level's
+    # candidate set is a prefix filter — one ranking of the centroids,
+    # not one per level
+    qc = q.crossJoin(F.broadcast(coarse)).select(
+        query_id_col, "qvec", "cid",
+        cosine(F.col("qvec"), F.col("cent")).alias("_cc"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= max_probe)
+        .select(query_id_col, "qvec", "cid", "_pr")
+    )
+    probes_qc = probes.join(F.broadcast(coarse), on="cid").select(
+        query_id_col, "cid", "_pr", dot(F.col("qvec"), F.col("cent")).alias("_qc")
+    )
+    qlut = _pq_qlut(
+        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
+        cb, dim, query_id_col,
+    )
+    densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
+    scored = (
+        coded.join(F.broadcast(probes_qc), on="cid")
+        .join(F.broadcast(qlut), on=query_id_col)
+        .join(F.broadcast(densq), on="cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_pr", _res_adc_cos(subs).alias("cos"))
+    )
+    levels = spark.createDataFrame(
+        [(int(p),) for p in sorted(probe_levels)], "n_probe int"
+    )
+    wlq = Window.partitionBy("n_probe", query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.crossJoin(F.broadcast(levels))
+        .filter(F.col("_pr") <= F.col("n_probe"))
+        .withColumn("_r", F.row_number().over(wlq))
+        .filter(F.col("_r") <= k)
+        .select("n_probe", query_id_col, "neighbor_id")
+    )
+    bf = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                          query_id_col=query_id_col)
+    hits = (
+        topk.join(bf.select(query_id_col, "neighbor_id"), [query_id_col, "neighbor_id"])
+        .groupBy("n_probe", query_id_col)
+        .agg(F.count("*").alias("_h"))
+    )
+    grid = levels.crossJoin(q.select(query_id_col).distinct())
+    return grid.join(hits, ["n_probe", query_id_col], "left").select(
+        "n_probe",
+        query_id_col,
+        F.coalesce(F.col("_h"), F.lit(0)).cast("int").alias("hits"),
+        (F.coalesce(F.col("_h"), F.lit(0)) / F.lit(k)).alias("recall"),
+    )
+
+
 def ivfpq_res_build_index(
     corpus: DataFrame,
     path: str,

@@ -121,9 +121,11 @@ _PRIORITY = [
     "sliding_event_stats",
     "sql_front_door_q",
     "tfidf_top_terms",
-    # (d) fill: the alphabetically-first r7-era row.
+    # (d) late-r10 addition (no driver row yet): the probe-level recall
+    # curve of the residual IVFADC index.
+    "ann_probe_sweep",
+    # --- front of the r11 window: the 47 r7-era rows -------------------------
     "ann_brute_force",
-    # --- front of the r11 window: the remaining 46 r7-era rows --------------
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
     "ann_lsh_topk",

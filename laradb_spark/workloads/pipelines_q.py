@@ -1238,6 +1238,94 @@ FROM (SELECT DISTINCT query_id FROM res) q LEFT JOIN hits USING (query_id)
 """
 
 
+_PROBE_LEVELS = (1, 2, 4, 8)
+
+
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-level recall curve of the residual IVFADC index — n_probe
+    is IVF serving's quality-vs-cost dial (scan cost ∝ probed lists);
+    this emits recall@k at 1/2/4/8 probes from ONE training + ONE
+    scoring pass (each level ranks a prefix of the probe-ranked
+    candidate set). The oracle replays the whole curve: coarse Lloyd →
+    residual L2 Lloyd → score every candidate within 8 lists → per-level
+    prefix rank → hits against exact brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivfpq_res_probe_curve(
+        emb, _queries_df(spark, sf_dir), dim=EMB_DIM,
+        probe_levels=_PROBE_LEVELS, n_centroids=16,
+        m=PQ_M, k_sub=PQ_KSUB, k=TOP_K,
+    )
+
+
+def _ann_probe_sweep_sql(
+    n_centroids: int = 16, m: int = PQ_M, k_sub: int = PQ_KSUB, iters: int = 2,
+) -> str:
+    sd = EMB_DIM // m
+    max_probe = max(_PROBE_LEVELS)
+    levels = ", ".join(f"({p})" for p in sorted(_PROBE_LEVELS))
+    ctes = _lloyd_ctes(n_centroids, iters)
+    ctes.append(f"""rv AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] - c.cent[i]) AS vec
+  FROM af a JOIN c{iters} c USING (cid)
+)""")
+    for s in range(m):
+        ctes += _pq_sub_ctes(s, sd, k_sub, iters, src="rv", metric="l2")
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, "
+        f"sqrt(list_dot_product(vec, vec)) AS nq FROM v WHERE vec_id < {N_QUERIES})"
+    )
+    ctes.append(f"""probes AS (
+  SELECT query_id, qvec, nq, cid, rn AS pr FROM (
+    SELECT q.query_id, q.qvec, q.nq, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn <= {max_probe}
+)""")
+    num = "list_dot_product(p.qvec, cc.cent)" + "".join(
+        f" + list_dot_product(p.qvec[{s * sd + 1}:{(s + 1) * sd}], e{s}.cent)"
+        for s in range(m)
+    )
+    recon = [
+        f"list_transform(range(1, {sd} + 1), i -> cc.cent[{s * sd} + i] + e{s}.cent[i])"
+        for s in range(m)
+    ]
+    nsq = " + ".join(f"list_dot_product({r}, {r})" for r in recon)
+    joins = "".join(f" JOIN e{s} ON e{s}.vec_id = a.vec_id" for s in range(m))
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.pr,
+         CASE WHEN p.nq * sqrt({nsq}) > 0
+              THEN ({num}) / (p.nq * sqrt({nsq})) ELSE 0.0 END AS c
+  FROM af a
+  JOIN probes p ON a.cid = p.cid
+  JOIN c{iters} cc ON cc.cid = a.cid{joins}
+  WHERE a.vec_id <> p.query_id
+),
+levels(n_probe) AS (VALUES {levels}),
+topk AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT l.n_probe, s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY l.n_probe, s.query_id
+                              ORDER BY s.c DESC, s.neighbor_id ASC) AS r
+    FROM scored s JOIN levels l ON s.pr <= l.n_probe)
+  WHERE r <= {TOP_K}
+),
+bf AS ({ANN_BRUTE_SQL}),
+hits AS (
+  SELECT t.n_probe, t.query_id, CAST(COUNT(*) AS BIGINT) AS h
+  FROM topk t JOIN bf ON t.query_id = bf.query_id AND t.neighbor_id = bf.neighbor_id
+  GROUP BY t.n_probe, t.query_id
+)
+SELECT l.n_probe, q.query_id,
+       CAST(COALESCE(h, 0) AS INT) AS hits,
+       CAST(COALESCE(h, 0) AS DOUBLE) / {TOP_K} AS recall
+FROM levels l CROSS JOIN (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN hits ON hits.n_probe = l.n_probe AND hits.query_id = q.query_id
+"""
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PQ index against exact brute force — the standard
     ANN quality report, computed in-engine: per query, how many of the
@@ -4028,6 +4116,7 @@ QUERIES = {
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ann_ivfpq_sql()),
     "ann_ivfpq_res_topk": (ann_ivfpq_res_topk, _ann_ivfpq_res_sql()),
     "ann_ivfpq_res_recall": (ann_ivfpq_res_recall, _ann_ivfpq_res_recall_sql()),
+    "ann_probe_sweep": (ann_probe_sweep, _ann_probe_sweep_sql()),
     "ann_hamming_topk": (ann_hamming_topk, _ann_hamming_sql()),
     "semantic_dedup": (semantic_dedup_q, _semantic_dedup_sql()),
     "semantic_dedup_fast": (semantic_dedup_fast_q, _semantic_dedup_sql()),

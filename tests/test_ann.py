@@ -820,3 +820,35 @@ def test_ivfpq_res_stored_index_matches_inline_and_prunes(spark, clustered, tmp_
         spark, path, q.limit(1), dim=8, n_probe=4, k=3
     )
     assert 9_000 in {r.neighbor_id for r in after.collect()}
+
+
+def test_probe_curve_matches_per_level_topk(spark, clustered):
+    """The one-pass probe-recall curve is EXACTLY the per-level
+    ivfpq_res_topk runs folded together: for every level p, the curve's
+    hits equal an independent search at n_probe=p scored against brute
+    force — the prefix filter over probe ranks is semantics-preserving,
+    not an approximation. (On this fixture the curve is flat: the top-1
+    list already holds each query's true neighbors, so quantization —
+    not probing — limits recall; that flatness is itself the signal the
+    curve exists to surface.)"""
+    q = _queries(clustered)
+    exact = _pairs(sim.brute_force_topk(clustered, q, k=3))
+    curve = {
+        (r.n_probe, r.query_id): r.hits
+        for r in sim.ivfpq_res_probe_curve(
+            clustered, q, dim=8, probe_levels=(1, 2, 4), n_centroids=8,
+            m=2, k_sub=8, k=3,
+        ).collect()
+    }
+    assert len(curve) == 3 * 5
+    for p in (1, 2, 4):
+        ref = sim.ivfpq_res_topk(
+            clustered, q, dim=8, n_centroids=8, n_probe=p, m=2, k_sub=8, k=3
+        )
+        hits: dict = {}
+        for r in ref.collect():
+            hits[r.query_id] = hits.get(r.query_id, 0) + (
+                (r.query_id, r.neighbor_id) in exact
+            )
+        for qid in hits:
+            assert curve[(p, qid)] == hits[qid], (p, qid)

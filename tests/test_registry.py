@@ -50,13 +50,13 @@ def test_changed_queries_inside_oracle_window():
         "scd2_customer_segments", "sensor_covariance_events",
         "session_window_stats", "sessionize_events", "sliding_event_stats",
         "sql_front_door_q", "tfidf_top_terms",
-        # fill: the alphabetically-first r7-era row
-        "ann_brute_force",
+        # late-r10 addition (no driver row yet)
+        "ann_probe_sweep",
     }
-    # r11 window front: the remaining 46 r7-era rows (code unchanged
-    # since r7; after r11 no driver row should predate r8).
+    # r11 window front: the 47 r7-era rows (code unchanged since r7;
+    # after r11 no driver row should predate r8).
     next_window = {
-        "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
+        "ann_brute_force", "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
         "ann_sq8_topk", "bigram_lm", "contamination_report",
         "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
         "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
