@@ -909,7 +909,15 @@ def bpe_byte_encode_ids(
     (vocab-sized — demo/oracle tables; a production ~50k vocab would
     broadcast-join a vocab table instead). Docs with NULL/empty text
     yield an empty array (kept — the shard writer's packing treats them
-    as zero-length)."""
+    as zero-length).
+
+    ``fan_out(CPU_HEAVY)``: the per-pretoken merge chain is the hottest
+    interpreted-HOF stage in the repo, and map-side parallelism follows
+    the SCAN's split count — a one-file corpus would otherwise encode
+    1-wide no matter how many cores exist (measured at sf0.1: 10.0 s →
+    1.1 s from the fan-out alone; the 10× scale probe was FASTER than
+    sf0.1 before this fix purely because more input files meant more
+    tasks)."""
     merges = bpe_validate_merges(merges)
     vocab = bpe_byte_vocab(merges)
     id_map = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
@@ -925,7 +933,9 @@ def bpe_byte_encode_ids(
             ),
         )
     )
-    return df.select(
+    from ..util import CPU_HEAVY
+
+    return fan_out(df, CPU_HEAVY).select(
         "doc_id", F.transform(toks, lambda t: id_map[t].cast("int")).alias(out_col)
     )
 
