@@ -106,6 +106,10 @@ HEADLINE = [
     "ann_pq_serve",
     "ann_ivfpq_serve",
     "ann_ivfpq_res_topk",
+    # the kNN label audit's IVF-pruned scale path (the brute-force twin
+    # above is the exact oracle harness; this is the route that survives
+    # 10x — probe-verified linear-ish where brute force went 32x)
+    "knn_label_noise_ivf",
 ]
 
 

@@ -696,6 +696,16 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
 # slower at 0.8 MB / 2k vectors, 6-10x faster at 24 MB / 60k vectors.
 VEC_ASSIGN_MIN_BYTES = 2 << 20
 
+#: ivf_topk pair-scorer gate: estimated (query_bytes x corpus_bytes x
+#: probe_fraction) above which the cogrouped Arrow block scorer beats the
+#: interpreted per-pair HOF cosine. Derivation: parquet plan stats run
+#: ~500 bytes/row for 64-dim doubles, so 1e11 bytes-squared corresponds to
+#: roughly 350k scored pairs - comfortably below the 6M-pair point where
+#: the expression path measured 42 s vs ~2 s (sf0.1 corpus-wide audit),
+#: and comfortably above oracle-scale inputs (sf0.01 estimates ~1.6e9, so
+#: the checker keeps exercising the expression path).
+PAIR_VEC_MIN_BYTES2 = 1e11
+
 
 def _assign_auto(c: DataFrame, cents: DataFrame) -> DataFrame:
     """Pick the assignment twin by input size (plan stats, no job):
@@ -768,6 +778,65 @@ def auto_centroids(c: DataFrame, target_cluster_size: int = SEM_TARGET_CLUSTER) 
     return max(16, -(-n // max(1, target_cluster_size)))
 
 
+def _ivf_pair_scores_cogrouped(
+    assigned: DataFrame, probes: DataFrame, query_id_col: str
+) -> DataFrame:
+    """Arrow pair scorer for list-pruned ANN: cogroup the assigned
+    corpus with the probing queries BY LIST (cid) and score each list's
+    (queries × members) block with dim-sequential NumPy folds —
+    BIT-IDENTICAL to the expression ``cosine()`` per pair (the
+    ``_assign_vectorized`` exactness recipe: sequential dim
+    accumulation, ``denom > 0`` guard with NaN comparisons falling to
+    the same 0.0 the expression's ``nanvl`` yields, NULL vectors zero
+    via their zero norm). Per-group size = list members × probing
+    queries — bounded by list size, which real IVF keeps ~√N by scaling
+    n_centroids with the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    def score(cdf, qdf):
+        if not len(cdf) or not len(qdf):
+            return pd.DataFrame(
+                {query_id_col: [], "neighbor_id": [], "cos": []}
+            ).astype({query_id_col: "int64", "neighbor_id": "int64", "cos": "float64"})
+        dims = {len(v) for v in list(cdf["cvec"]) + list(qdf["qvec"]) if v is not None}
+        if len(dims) > 1:
+            raise ValueError(f"ivf pair scorer: mixed dims {sorted(dims)}")
+        dim = dims.pop() if dims else 1
+        zero = [0.0] * dim
+        C = np.asarray([zero if v is None else list(v) for v in cdf["cvec"]], dtype=np.float64)
+        Q = np.asarray([zero if v is None else list(v) for v in qdf["qvec"]], dtype=np.float64)
+        nc = np.zeros(len(C))
+        nq = np.zeros(len(Q))
+        dot_m = np.zeros((len(Q), len(C)))
+        for j in range(dim):
+            cc_j = C[:, j]
+            qq_j = Q[:, j]
+            nc = nc + cc_j * cc_j
+            nq = nq + qq_j * qq_j
+            dot_m = dot_m + qq_j[:, None] * cc_j[None, :]
+        denom = np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :]
+        pos = denom > 0  # NaN/Inf denom → False → 0.0, = the nanvl'd expr
+        cos = np.where(pos, dot_m / np.where(pos, denom, 1.0), 0.0)
+        bad = np.isnan(cos)
+        if bad.any():
+            cos[bad] = 0.0
+        qi = np.repeat(qdf[query_id_col].to_numpy(), len(C))
+        ni = np.tile(cdf["neighbor_id"].to_numpy(), len(Q))
+        flat = cos.ravel()
+        keep = qi != ni
+        return pd.DataFrame(
+            {query_id_col: qi[keep], "neighbor_id": ni[keep], "cos": flat[keep]}
+        )
+
+    return (
+        assigned.select("cid", "neighbor_id", "cvec")
+        .groupby("cid")
+        .cogroup(probes.select("cid", query_id_col, "qvec").groupby("cid"))
+        .applyInPandas(score, f"{query_id_col} long, neighbor_id long, cos double")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -778,6 +847,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    vectorized: "bool | None" = None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means-lite centroids (see ``_train_centroids``),
     corpus partitioned by nearest centroid, queries probe the ``n_probe``
@@ -787,7 +857,15 @@ def ivf_topk(
     aggregate per round); assignment is a broadcast-join map stage; at
     100 TB the assigned corpus is written partitioned by ``cid`` so
     probes prune partitions — that stored layout is ``ivf_build_index``
-    / ``ivf_search_index`` below."""
+    / ``ivf_search_index`` below.
+
+    Pair scoring is size-gated like ``_assign_auto``: a handful of
+    queries scores with the expression ``cosine()`` (no extra stage);
+    a LARGE query side (corpus-wide audits — every vector a query)
+    routes to the cogrouped Arrow scorer, which is bit-identical per
+    pair (same fold association and degenerate-value semantics) but
+    ~50× cheaper per pair than the interpreted HOF. Pure cost
+    selection, never semantics — pinned by test_ann."""
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
@@ -806,11 +884,30 @@ def ivf_topk(
     # final ranking below goes through grouped_rank instead.
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_cc"), F.asc("cid"))
     probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
-    scored = (
-        assigned.join(F.broadcast(probes.select(query_id_col, "qvec", "cid")), on="cid")
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
-    )
+    if vectorized is None:
+        # the cost driver is PAIRS (|Q|·|C|·probe fraction), not either
+        # side's bytes: estimate it from the two plan sizes — at ~350k+
+        # estimated pairs the interpreted HOF fold loses to the Arrow
+        # block scorer (measured 42 s vs ~2 s at 6M pairs, sf0.1 audit)
+        qsize = plan_size_bytes(q)
+        csize = plan_size_bytes(c)
+        if qsize is not None and csize is not None:
+            vectorized = (
+                qsize * csize * (n_probe / max(n_centroids, 1))
+                >= PAIR_VEC_MIN_BYTES2
+            )
+        else:
+            vectorized = qsize is not None and qsize >= VEC_ASSIGN_MIN_BYTES
+    if vectorized:
+        scored = _ivf_pair_scores_cogrouped(
+            assigned, probes.select(query_id_col, "qvec", "cid"), query_id_col
+        )
+    else:
+        scored = (
+            assigned.join(F.broadcast(probes.select(query_id_col, "qvec", "cid")), on="cid")
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+            .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        )
     return _topk_per_query(scored, query_id_col, "cos", k)
 
 

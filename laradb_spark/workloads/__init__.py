@@ -124,7 +124,10 @@ _PRIORITY = [
     # (d) late-r10 addition (no driver row yet): the probe-level recall
     # curve of the residual IVFADC index.
     "ann_probe_sweep",
-    # --- front of the r11 window: the 47 r7-era rows -------------------------
+    # --- front of the r11 window: the late-r10 IVF audit twin (window was
+    # full at 50 when it landed; checker-certified --only this round),
+    # then the 47 r7-era rows ------------------------------------------------
+    "knn_label_noise_ivf",
     "ann_brute_force",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",

@@ -2815,6 +2815,68 @@ FROM v JOIN maj ON v.vec_id = maj.qid
 """
 
 
+def knn_label_noise_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of the kNN label audit, certified end to end: the
+    neighbor frame comes from IVF candidate pruning (every vector is a
+    query probing its 4 nearest of 16 lists) instead of the exact N×N
+    scorer — the composition knn_label_audit's docstring prescribes for
+    100 TB. The 10× scale probe measured the brute-force-sourced twin
+    superlinear (32× at 10× data — inherent to its exact N² oracle
+    harness role); this row pins the pruned route the design actually
+    ships. The oracle chains coarse Lloyd → per-query probe ranks →
+    within-list cosine top-k → majority vote."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    neighbors = sim.ivf_topk(
+        emb, queries, n_centroids=16, n_probe=4, k=KNN_AUDIT_K
+    )
+    return lb.knn_label_audit(neighbors, emb.select("vec_id", "label"))
+
+
+def _knn_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
+    ctes = _lloyd_ctes(n_centroids, iters)
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, vec AS qvec FROM v)"  # EVERY vector
+    )
+    ctes.append(f"""probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe}
+)""")
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT p.query_id AS qid, a.vec_id AS nid,
+         list_cosine_similarity(p.qvec, a.vec) AS cos
+  FROM af a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+knn AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+    FROM scored) WHERE rnk <= {KNN_AUDIT_K}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT k.qid, l.label AS nlabel, COUNT(*) AS votes
+  FROM knn k JOIN lab l ON k.nid = l.vec_id
+  GROUP BY 1, 2
+),
+maj AS (
+  SELECT qid, nlabel AS knn_label, votes FROM (
+    SELECT qid, nlabel, votes,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel ASC) AS r
+    FROM votes) WHERE r = 1
+)
+SELECT l.vec_id, l.label, maj.knn_label, CAST(maj.votes AS BIGINT) AS votes,
+       CAST(l.label <> maj.knn_label AS INT) AS mismatch
+FROM lab l JOIN maj ON l.vec_id = maj.qid
+"""
+
+
 def semantic_decon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination: corpus = labels 0-8, benchmark =
     label 9; flag corpus vectors cosine-close to any benchmark vector."""
@@ -4129,6 +4191,7 @@ QUERIES = {
     "doc_boilerplate_ppm": (doc_boilerplate_ppm, BOILERPLATE_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "knn_label_noise": (knn_label_noise_q, KNN_AUDIT_SQL),
+    "knn_label_noise_ivf": (knn_label_noise_ivf_q, _knn_ivf_sql()),
     "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
     "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),

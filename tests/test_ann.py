@@ -852,3 +852,24 @@ def test_probe_curve_matches_per_level_topk(spark, clustered):
             )
         for qid in hits:
             assert curve[(p, qid)] == hits[qid], (p, qid)
+
+
+def test_ivf_pair_scorer_twins_bit_identical(spark, clustered):
+    """The cogrouped Arrow pair scorer IS the expression cosine, pair for
+    pair — including a zero vector and a NaN-component vector (both
+    score 0.0 against everything on both paths). The auto gate is
+    therefore pure cost selection, never a semantics switch."""
+    degen = spark.createDataFrame(
+        [(500, [0.0] * 8), (501, [float("nan")] + [1.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    emb = clustered.unionByName(degen)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    expr = sorted(map(tuple, sim.ivf_topk(
+        emb, q, n_centroids=8, n_probe=3, k=4, vectorized=False
+    ).collect()))
+    arrow = sorted(map(tuple, sim.ivf_topk(
+        emb, q, n_centroids=8, n_probe=3, k=4, vectorized=True
+    ).collect()))
+    assert expr == arrow
+    assert len(expr) > 0

@@ -53,9 +53,11 @@ def test_changed_queries_inside_oracle_window():
         # late-r10 addition (no driver row yet)
         "ann_probe_sweep",
     }
-    # r11 window front: the 47 r7-era rows (code unchanged since r7;
-    # after r11 no driver row should predate r8).
+    # r11 window front: the late-r10 IVF audit twin (r10 window was full;
+    # checker-certified --only at sf0.01 in-round) then the 47 r7-era rows
+    # (code unchanged since r7; after r11 no driver row should predate r8).
     next_window = {
+        "knn_label_noise_ivf",
         "ann_brute_force", "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
         "ann_sq8_topk", "bigram_lm", "contamination_report",
         "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
