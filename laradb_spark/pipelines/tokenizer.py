@@ -657,34 +657,72 @@ def _donate_trailing_space(arr: Column) -> Column:
     be whitespace (the base regex emits maximal runs), so the donation
     and the prepend never collide.
 
+    Contraction re-split: when the donation's recipient is a bare
+    contraction token (``'s 't 're 've 'm 'll 'd`` — the base regex
+    emits one exactly when the preceding char was consumed by a
+    whitespace run), the original pattern would instead have matched
+    ``" '"`` (via `` ?[^\\s\\p{L}\\p{N}]+``) and then re-scanned the
+    letters: ``"he  's up"`` → ``he · ' ' · " '" · s · ' up'``, NOT
+    ``" 's"``. So the recipient emits ``" '"`` plus the contraction's
+    letters — and when the NEXT element is an unprefixed letter run
+    (``"he  'ship"`` → base ``'s · hip``), the letters instead fuse
+    into that following element (``" '" · ship``), exactly the
+    original's ``\\p{L}+`` match. Both halves of the hand-off test the
+    SAME next-starts-with-letter predicate, so they can never double-
+    or zero-emit the letters.
+
     The whitespace-run test is ``translate(t, " \\t\\n\\r\\f", "") = ""``
     rather than an anchored rlike: Java's ``$`` matches BEFORE a final
     line terminator (\\u2028, \\u2029, \\x85 …), so ``^[ \\t\\n\\r\\f]+$``
     wrongly classifies a token like ``" \\u2028"`` as a whitespace run;
     the translate form is exact in every engine (and regex-free)."""
     n = F.size(arr)
+    contractions = F.array(*[F.lit(c) for c in _PRETOK_CONTRACTIONS])
 
     def is_ws_run(t: Column) -> Column:
         return F.translate(t, _PRETOK_WS, "") == ""
+
+    def is_donor(t: Column) -> Column:
+        return (
+            is_ws_run(t)
+            & (F.length(t) >= 2)
+            & (t.substr(F.length(t), F.lit(1)) == " ")
+        )
 
     def fix(t: Column, i: Column) -> Column:
         ln = F.length(t)
         last = t.substr(ln, F.lit(1))
         head = t.substr(F.lit(1), ln - 1)
         donates = is_ws_run(t) & (ln >= 2) & (i < n - 1)
-        prev = F.element_at(arr, i)  # 1-based: element i == predecessor
-        prev_donated = (
-            (i > 0)
-            & is_ws_run(prev)
-            & (F.length(prev) >= 2)
-            & (prev.substr(F.length(prev), F.lit(1)) == " ")
+        prev = F.get(arr, i - 1)  # NULL-safe at the edges (F.get is 0-based)
+        prevprev = F.get(arr, i - 2)
+        nxt = F.get(arr, i + 1)
+        prev_donated = (i > 0) & is_donor(prev)
+        is_contr = F.array_contains(contractions, t)
+        # NULL rlike NULL → NULL → falsy inside when(): edge-safe.
+        next_is_letters = nxt.rlike(r"^\p{L}")
+        letters_fuse_right = (
+            (i >= 2)
+            & F.array_contains(contractions, prev)
+            & is_donor(prevprev)
+            & t.rlike(r"^\p{L}")
         )
         return (
             F.when(
                 donates,
                 F.when(last == " ", F.array(head)).otherwise(F.array(head, last)),
             )
+            .when(
+                prev_donated & is_contr,
+                F.when(next_is_letters, F.array(F.lit(" '"))).otherwise(
+                    F.array(F.lit(" '"), t.substr(F.lit(2), ln - 1))
+                ),
+            )
             .when(prev_donated, F.array(F.concat(F.lit(" "), t)))
+            .when(
+                letters_fuse_right,
+                F.array(F.concat(prev.substr(F.lit(2), F.length(prev) - 1), t)),
+            )
             .otherwise(F.array(t))
         )
 

@@ -3637,29 +3637,51 @@ WITH fabp AS (
 _WS_RUN_SQL = r"^[ \t\n\r\f]+$"
 
 
+_SQL_CONTRACTIONS = ", ".join(f"'{_sql_str(c)}'" for c in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"))
+
+
 def _pretok_fixed_ctes(key: str) -> str:
     """The pretokenize CTE pair shared by every byte-BPE oracle: base
     ``PRETOKENIZE_RE`` split, then the trailing-space donation fixup as
     an indexed list_transform + flatten (DuckDB lambdas are 1-based) —
-    replaying ``tokenizer._donate_trailing_space`` clause for clause, so
-    the oracle's pretoken stream equals the original GPT-2 split exactly
-    like the engine's."""
+    replaying ``tokenizer._donate_trailing_space`` clause for clause
+    (including the contraction re-split: a donated ' ' before a bare
+    contraction yields " '" + letters, with the letters fusing into a
+    following unprefixed letter run), so the oracle's pretoken stream
+    equals the original GPT-2 split exactly like the engine's.
+    Out-of-range list indexes are NULL in DuckDB, matching Spark
+    ``F.get``; NULL predicates fall through CASE as false."""
     pat = _sql_str(tk.PRETOKENIZE_RE)
     ws = _WS_RUN_SQL
+    donor = (
+        f"regexp_matches(PREV, '{ws}') AND length(PREV) >= 2"
+        " AND substring(PREV, length(PREV), 1) = ' '"
+    )
     return f"""p0 AS (
   SELECT {key}, regexp_extract_all(text, '{pat}', 0) AS toks FROM fabp
 ),
-p AS (
-  SELECT {key}, unnest(flatten(list_transform(toks, (t, i) -> CASE
+pl AS (
+  SELECT {key}, flatten(list_transform(toks, (t, i) -> CASE
     WHEN regexp_matches(t, '{ws}') AND length(t) >= 2 AND i < len(toks)
       THEN CASE WHEN substring(t, length(t), 1) = ' '
                 THEN [substring(t, 1, length(t) - 1)]
                 ELSE [substring(t, 1, length(t) - 1), substring(t, length(t), 1)] END
-    WHEN i > 1 AND regexp_matches(toks[i - 1], '{ws}') AND length(toks[i - 1]) >= 2
-         AND substring(toks[i - 1], length(toks[i - 1]), 1) = ' '
-      THEN [' ' || t]
-    ELSE [t] END))) AS tok
+    WHEN i > 1 AND {donor.replace("PREV", "toks[i - 1]")}
+      THEN CASE
+        WHEN t IN ({_SQL_CONTRACTIONS})
+          THEN CASE WHEN regexp_matches(toks[i + 1], '^\\p{{L}}')
+                    THEN [' ''']
+                    ELSE [' ''', substring(t, 2)] END
+        ELSE [' ' || t] END
+    WHEN i > 2 AND toks[i - 1] IN ({_SQL_CONTRACTIONS})
+         AND {donor.replace("PREV", "toks[i - 2]")}
+         AND regexp_matches(t, '^\\p{{L}}')
+      THEN [substring(toks[i - 1], 2) || t]
+    ELSE [t] END)) AS toklist
   FROM p0
+),
+p AS (
+  SELECT {key}, unnest(toklist) AS tok FROM pl
 )"""
 
 

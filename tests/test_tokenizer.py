@@ -333,6 +333,16 @@ NASTY_TEXTS = [
     "数字123と漢字テスト abc123def",
     "emoji run 🎉🎉🎉 then 🎉x, done.",
     "", "   ", "....", "1a2b3c",
+    # multi-space runs donating INTO a contraction (ADVICE r10 high): the
+    # original GPT-2 pattern yields " '" + re-scanned letters, never " 's"
+    "he  's up",        # donated ' ' + bare contraction, letters stand alone
+    "he  'ship out",    # contraction letters fuse into the following run
+    "she   'll've gone",  # 3-run donation, 'll then 've chained
+    "a\t\t't b",        # non-' ' donation: contraction survives intact
+    "x  's",            # contraction at end of text
+    "q  's's r",        # contraction followed by another contraction
+    "n  's3 m",         # digits after the contraction letters don't fuse
+    "p  'S t",          # uppercase: NOT a contraction, plain prepend
 ]
 
 
@@ -400,6 +410,32 @@ def test_byte_alphabet_is_gpt2_shaped():
     assert not any(c.isspace() for c in BYTE_ALPHABET)
 
 
+def test_pretokenize_duckdb_cte_matches_scanner():
+    """The DuckDB oracle fixup (``_pretok_fixed_ctes``) IS the scanner:
+    per-doc token streams equal ``pretokenize_str`` ORDER-EXACTLY on the
+    adversarial corpus — the third engine of the three-way parity that
+    the r10 donation-into-contraction bug slipped through (the oracle
+    replayed the Spark bug, so driver hashes couldn't catch it)."""
+    import duckdb
+
+    from laradb_spark.pipelines.tokenizer import pretokenize_str
+    from laradb_spark.workloads.pipelines_q import _pretok_fixed_ctes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", list(enumerate(NASTY_TEXTS))
+    )
+    sql = f"""WITH fabp AS (SELECT doc_id, text FROM docs),
+{_pretok_fixed_ctes('doc_id')}
+SELECT doc_id, toklist FROM pl ORDER BY doc_id"""
+    got = {doc_id: toks for doc_id, toks in con.sql(sql).fetchall()}
+    for did, txt in enumerate(NASTY_TEXTS):
+        assert got[did] == pretokenize_str(txt), (did, txt)
+
+
 def test_pretokenize_scanner_matches_spark(spark):
     """The hand-rolled Python scanner IS pretokens() (base regex + the
     trailing-space donation fixup) — parity on the adversarial corpus
@@ -443,8 +479,14 @@ def test_pretokenize_matches_original_gpt2_regex_on_ascii():
         "  leading", "trailing   ", "one two", "tabs\t\t\tgo",
         "a  'quote'", "don't   stop", "num  42  end", "  ", " ", "",
         "mix \t\n f", "\n    indented line\n    again",
+        # donation-into-contraction goldens (ADVICE r10 high)
+        "he  's up", "he  'ship out", "she   'll've gone", "a\t\t't b",
+        "x  's", "q  's's r", "n  's3 m", "it   'd've",
     ]
-    alphabet = "ab9'.! \t\n\r\f"
+    # s/t/l/d/r/e/v/m spell every GPT-2 contraction — without them the
+    # fuzzer can never produce a ws-run-before-contraction input, which
+    # is exactly the class the r10 donation bug lived in
+    alphabet = "abstldrevm9'.! \t\n\r\f"
     rand = st.text(alphabet=alphabet, max_size=40)
 
     @settings(max_examples=300, deadline=None)
