@@ -69,10 +69,11 @@ HEADLINE = [
     "span_source_matrix",
     "ngram_diversity",
     "split_leakage",
-    # round-7 label/embedding QA audits (kNN noise benched via the
-    # vectorized brute-force neighbor source, decon via its NumPy-matmul
-    # twin — the ANN-family precedent)
-    "knn_label_noise",
+    # round-7 label/embedding QA audits (decon benched via its NumPy-matmul
+    # twin — the ANN-family precedent). knn_label_noise (exact-N² by its
+    # oracle-harness role; the r10 probe sweep measured it 32× superlinear
+    # at 10×) is DEMOTED to the correctness registry per VERDICT r10 #3 —
+    # its certified scale path, knn_label_noise_ivf, is the headline entry.
     "semantic_decon_fast",
     "label_centroid_outliers",
     # round-8 operators
@@ -106,6 +107,10 @@ HEADLINE = [
     "ann_pq_serve",
     "ann_ivfpq_serve",
     "ann_ivfpq_res_topk",
+    # round-11: the residual-IVFADC SERVING twin (VERDICT r10 #4) — the
+    # best-recall index's steady-state search cost, regression-guarded
+    # like the pq/ivfpq serve entries above.
+    "ann_ivfpq_res_serve",
     # the kNN label audit's IVF-pruned scale path (the brute-force twin
     # above is the exact oracle harness; this is the route that survives
     # 10x — probe-verified linear-ish where brute force went 32x)
@@ -136,12 +141,17 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
         tag = sf_dir.replace("/", "_")
         pq_path = f"{root}/pq{tag}"
         ivf_path = f"{root}/ivfpq{tag}"
+        res_path = f"{root}/ivfpqres{tag}"
         sim.pq_build_index(emb, pq_path, dim=EMB_DIM, m=PQ_M, k_sub=PQ_KSUB)
         sim.ivfpq_build_index(
             emb, ivf_path, dim=EMB_DIM, n_centroids=16, m=PQ_M, k_sub=PQ_KSUB
         )
+        sim.ivfpq_res_build_index(
+            emb, res_path, dim=EMB_DIM, n_centroids=16, m=PQ_M, k_sub=PQ_KSUB
+        )
         paths[("pq", sf_dir)] = pq_path
         paths[("ivfpq", sf_dir)] = ivf_path
+        paths[("ivfpqres", sf_dir)] = res_path
 
     def pq_serve(spark, sf_dir):
         return sim.pq_search_index(
@@ -155,7 +165,17 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
             dim=EMB_DIM, n_probe=4, k=TOP_K,
         )
 
-    return {"ann_pq_serve": pq_serve, "ann_ivfpq_serve": ivfpq_serve}
+    def ivfpq_res_serve(spark, sf_dir):
+        return sim.ivfpq_res_search_index(
+            spark, paths[("ivfpqres", sf_dir)], _queries_df(spark, sf_dir),
+            dim=EMB_DIM, n_probe=4, k=TOP_K,
+        )
+
+    return {
+        "ann_pq_serve": pq_serve,
+        "ann_ivfpq_serve": ivfpq_serve,
+        "ann_ivfpq_res_serve": ivfpq_res_serve,
+    }
 
 
 def main() -> None:

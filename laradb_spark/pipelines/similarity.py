@@ -719,10 +719,14 @@ def _assign_auto(c: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _train_centroids(
-    c: DataFrame, n_centroids: int, lloyd_iters: int, vectorized: "bool | None" = None
+    c: DataFrame,
+    n_centroids: "int | None",
+    lloyd_iters: int,
+    vectorized: "bool | None" = None,
 ) -> DataFrame:
     """k-means-lite centroid training (deterministic init = the
-    ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds) over a
+    ``n_centroids`` lowest ids, ``lloyd_iters`` Lloyd rounds;
+    ``n_centroids=None`` → :func:`ivf_auto_centroids`' √N sizing) over a
     ``(neighbor_id, cvec)`` frame. Returns a lineage-free literal
     ``(cid, cent)`` frame — bounded by n_centroids·dim values — so the
     several downstream consumers (full assignment, query probing, index
@@ -736,6 +740,8 @@ def _train_centroids(
     ``vectorized=False`` keeps the pure-expression Lloyd chain
     (lazily chained, cut every ``LLOYD_CUT_EVERY`` rounds)."""
     spark = c.sparkSession
+    if n_centroids is None:
+        n_centroids = ivf_auto_centroids(c)
     if vectorized is None:  # size-gated default — see _assign_auto
         size = plan_size_bytes(c)
         vectorized = size is None or size >= VEC_ASSIGN_MIN_BYTES
@@ -778,6 +784,21 @@ def auto_centroids(c: DataFrame, target_cluster_size: int = SEM_TARGET_CLUSTER) 
     return max(16, -(-n // max(1, target_cluster_size)))
 
 
+def ivf_auto_centroids(c: DataFrame) -> int:
+    """k ∝ √N for the IVF family: ``max(16, ceil(√N))`` via one bounded
+    count. The classical sizing — with √N lists of ~√N members, a probe
+    scans O(n_probe·√N) rows instead of O(N/k_fixed), and a
+    corpus-as-queries audit's pair volume grows ~N^1.5 instead of the
+    N²/k_fixed a FIXED centroid count degenerates to (the DEVNOTES #35
+    caveat; VERDICT r10 next-round #5). Every IVF entry point defaults to
+    this when ``n_centroids`` is None; oracled queries pass an explicit
+    count so the SQL replay never depends on a corpus-size job."""
+    import math
+
+    n = c.count()
+    return max(16, math.isqrt(max(n - 1, 0)) + 1 if n > 1 else 16)
+
+
 def _ivf_pair_scores_cogrouped(
     assigned: DataFrame, probes: DataFrame, query_id_col: str
 ) -> DataFrame:
@@ -790,15 +811,22 @@ def _ivf_pair_scores_cogrouped(
     the same 0.0 the expression's ``nanvl`` yields, NULL vectors zero
     via their zero norm). Per-group size = list members × probing
     queries — bounded by list size, which real IVF keeps ~√N by scaling
-    n_centroids with the corpus."""
+    n_centroids with the corpus.
+
+    The query-id output type is DERIVED from the probes schema (like
+    ``_pq_adc_topk``'s short-circuit) — ``ivf_topk``'s expression path
+    accepts any id type, and the size-based auto gate must not change
+    the result schema when it flips routes."""
     import numpy as np
     import pandas as pd
+
+    qt = probes.schema[query_id_col].dataType.simpleString()
 
     def score(cdf, qdf):
         if not len(cdf) or not len(qdf):
             return pd.DataFrame(
-                {query_id_col: [], "neighbor_id": [], "cos": []}
-            ).astype({query_id_col: "int64", "neighbor_id": "int64", "cos": "float64"})
+                {query_id_col: pd.Series([], dtype=object), "neighbor_id": [], "cos": []}
+            ).astype({"neighbor_id": "int64", "cos": "float64"})
         dims = {len(v) for v in list(cdf["cvec"]) + list(qdf["qvec"]) if v is not None}
         if len(dims) > 1:
             raise ValueError(f"ivf pair scorer: mixed dims {sorted(dims)}")
@@ -833,14 +861,14 @@ def _ivf_pair_scores_cogrouped(
         assigned.select("cid", "neighbor_id", "cvec")
         .groupby("cid")
         .cogroup(probes.select("cid", query_id_col, "qvec").groupby("cid"))
-        .applyInPandas(score, f"{query_id_col} long, neighbor_id long, cos double")
+        .applyInPandas(score, f"{query_id_col} {qt}, neighbor_id long, cos double")
     )
 
 
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     k: int = 5,
     lloyd_iters: int = 2,
@@ -869,6 +897,8 @@ def ivf_topk(
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
+    if n_centroids is None:  # √N default (the gate below needs the number)
+        n_centroids = ivf_auto_centroids(c)
     cents = _train_centroids(c, n_centroids, lloyd_iters)
     assigned = _assign_auto(c, cents)
     q = queries.select(
@@ -914,7 +944,7 @@ def ivf_topk(
 def ivf_build_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1342,8 +1372,12 @@ def hard_negatives(
 def _pq_books(per_sub: "list[list[tuple[int, list | None]]]", sd: int):
     """Driver-side NumPy form of per-subspace codebooks: for each sub,
     (cid array sorted ASC, centroid matrix with None/non-finite rows
-    zero-filled, dim-sequential norms) — the same substitutions and fold
-    association as ``_assign_vectorized`` (see its exactness argument)."""
+    zero-filled, dim-sequential norms, RAW squared-norm folds) — the same
+    substitutions and fold association as ``_assign_vectorized`` (see its
+    exactness argument). The squared fold is carried separately because
+    ``sqrt(x)**2 != x`` in doubles, while the l2-surrogate oracle states
+    ``list_dot_product(cent, cent)/2`` exactly — re-squaring the sqrt'd
+    norm can flip a near-tie argmax and desync residual codes."""
     import numpy as np
 
     books = []
@@ -1359,7 +1393,7 @@ def _pq_books(per_sub: "list[list[tuple[int, list | None]]]", sd: int):
         nc = np.zeros(len(C))
         for j in range(sd):
             nc = nc + C[:, j] * C[:, j]
-        books.append((cids, C, np.sqrt(nc)))
+        books.append((cids, C, np.sqrt(nc), nc))
     return books
 
 
@@ -1427,7 +1461,7 @@ def _pq_assign_fn(
                     V[null_rows] = 0.0
             out = np.empty((len(V), m), dtype=np.int64)
             for si in range(m):
-                cids, C, nc = books[si]
+                cids, C, nc, ncsq = books[si]
                 Vs = V[:, si * sd : (si + 1) * sd].copy()
                 bad = ~np.isfinite(Vs).all(axis=1)
                 if bad.any():
@@ -1439,7 +1473,7 @@ def _pq_assign_fn(
                     nv = nv + col * col
                     dot_m = dot_m + col[:, None] * C[None, :, j]
                 if metric == "l2":
-                    cc = dot_m - 0.5 * (nc * nc)[None, :]
+                    cc = dot_m - 0.5 * ncsq[None, :]
                 else:
                     nv = np.sqrt(nv)
                     denom = nv[:, None] * nc[None, :]
@@ -1927,7 +1961,7 @@ def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     m: int = 4,
     k_sub: int = 16,
@@ -1984,7 +2018,7 @@ def ivfpq_build_index(
     corpus: DataFrame,
     path: str,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     m: int = 4,
     k_sub: int = 16,
     lloyd_iters: int = 2,
@@ -2136,7 +2170,7 @@ def ivfpq_res_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     m: int = 4,
     k_sub: int = 16,
@@ -2175,10 +2209,18 @@ def ivfpq_res_topk(
         id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
     )
     cb = _pq_codebook_rows(cb_df)
+    spark = corpus.sparkSession
+    if not cb or not coarse_rows:
+        # empty training corpus → empty coarse/codebook tables; mirror
+        # _pq_adc_topk's typed short-circuit instead of dividing by a
+        # zero subspace count in _res_densq_frame
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
+        )
     coded = pq_encode_res(
         corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
-    spark = corpus.sparkSession
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -2208,7 +2250,7 @@ def ivfpq_res_probe_curve(
     queries: DataFrame,
     dim: int,
     probe_levels: tuple = (1, 2, 4, 8),
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     m: int = 4,
     k_sub: int = 16,
     k: int = 5,
@@ -2242,10 +2284,15 @@ def ivfpq_res_probe_curve(
         id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
     )
     cb = _pq_codebook_rows(cb_df)
+    spark = corpus.sparkSession
+    if not cb or not coarse_rows:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"n_probe int, {query_id_col} {qt}, hits int, recall double"
+        )
     coded = pq_encode_res(
         corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
-    spark = corpus.sparkSession
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -2310,7 +2357,7 @@ def ivfpq_res_build_index(
     corpus: DataFrame,
     path: str,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     m: int = 4,
     k_sub: int = 16,
     lloyd_iters: int = 2,
@@ -2380,6 +2427,14 @@ def ivfpq_res_search_index(
     mechanics (probe rows collected and rebuilt as a literal frame)."""
     coarse = spark.read.parquet(f"{path}/coarse")
     cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    if not cb or not coarse_rows:
+        # an index built from an empty corpus stores empty tables;
+        # serve the same typed empty frame the inline path returns
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
+        )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -2394,7 +2449,6 @@ def ivfpq_res_search_index(
         probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
         cb, dim, query_id_col,
     )
-    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
     densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
     idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
     scored = (

@@ -63,71 +63,25 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r10 window head (the driver oracles the FIRST 50) ------------------
-    # (a) NEW in r10 (no driver row yet): residual IVFADC + its recall eval,
-    # the shard-losslessness roundtrip certificate.
-    "ann_ivfpq_res_topk",
-    "ann_ivfpq_res_recall",
-    "shard_decode_roundtrip",
-    # (b) CHANGED in r10: heavy_hitters persists its bounded sketch (plan
-    # change); the GPT-2 trailing-space donation fixup + richer fab
-    # decorations altered both the Spark plan and the oracle of the whole
-    # byte-BPE family.
-    "heavy_hitters",
-    "bpe_byte_token_count",
-    "bpe_byte_token_count_fast",
-    "bpe_fertility",
-    "token_shard_stats",
-    # (c) the 41 r6-era stale rows VERDICT r9 #1 queued (code unchanged
-    # since r6; after r10 no driver row predates r7).
-    "corpus_frequent_ngrams",
-    "cross_source_dup_matrix",
-    "customer_merge_upsert",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_keep_representatives",
-    "dedup_lsh_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_rate_by_source",
-    "doc_boilerplate_ppm",
-    "embedding_gram",
-    "event_funnel",
-    "events_daily_pivot",
-    "events_daily_users",
-    "events_dow_hour_heatmap",
-    "events_json_stats",
-    "forward_fill_hourly",
-    "fuzzy_part_pairs",
-    "lara_matmul_event_gram",
-    "lara_union_max",
-    "lara_union_revenue",
-    "lara_wordcount",
-    "lara_wordcount_py",
-    "orders_quality_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "revenue_share_by_nation",
-    "rollup_returns",
-    "running_customer_totals",
-    "scd2_customer_segments",
-    "sensor_covariance_events",
-    "session_window_stats",
-    "sessionize_events",
-    "sliding_event_stats",
-    "sql_front_door_q",
-    "tfidf_top_terms",
-    # (d) late-r10 addition (no driver row yet): the probe-level recall
-    # curve of the residual IVFADC index.
-    "ann_probe_sweep",
-    # --- front of the r11 window: the late-r10 IVF audit twin (window was
-    # full at 50 when it landed; checker-certified --only this round),
-    # then the 47 r7-era rows ------------------------------------------------
+    # --- r11 window head (the driver oracles the FIRST 50) ------------------
+    # (a) NEW in r11: the contraction-decorated byte-BPE corpus — every doc
+    # puts a multi-char whitespace run directly before a GPT-2 contraction,
+    # so the r11 donation-into-contraction fix (ADVICE r10 high) is
+    # hash-certified engine-vs-oracle at the driver gate, not only locally.
+    "bpe_contraction_parity",
+    # (b) the one registry query with no driver row ever (landed after the
+    # r10 window filled; checker-certified --only in r10 and re-verified by
+    # the r10 judge) — VERDICT r10 next-round #1.
     "knn_label_noise_ivf",
+    # (c) CHANGED in r11: the donation fixup rewrote the expression-path
+    # pretokenizer branches (compiled plan change). Results on the punct
+    # corpus are identical (its decorations never put a ws run before a
+    # contraction), so this is belt-and-braces re-certification; the
+    # behavior-identical rest of the family (fast twin, fertility, shard
+    # stats, roundtrip) keeps its r10 rows and leads the r12 window below.
+    "bpe_byte_token_count",
+    # (d) the 47 r7-era stale rows VERDICT r10 #1 queued — after r11 every
+    # registry query has a driver row and none predates r8.
     "ann_brute_force",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
@@ -175,6 +129,59 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
+    # --- front of the r12 window: the byte-BPE family members whose SQL/plan
+    # text changed in r11 with behavior identical on their corpus (r10 rows
+    # remain value-valid; checker-certified at sf0.001+sf0.01 in-round) -----
+    "bpe_byte_token_count_fast",
+    "bpe_fertility",
+    "token_shard_stats",
+    "shard_decode_roundtrip",
+    # --- tail: long-green rows in their r10 order ---------------------------
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_res_recall",
+    "heavy_hitters",
+    "corpus_frequent_ngrams",
+    "cross_source_dup_matrix",
+    "customer_merge_upsert",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_representatives",
+    "dedup_lsh_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_rate_by_source",
+    "doc_boilerplate_ppm",
+    "embedding_gram",
+    "event_funnel",
+    "events_daily_pivot",
+    "events_daily_users",
+    "events_dow_hour_heatmap",
+    "events_json_stats",
+    "forward_fill_hourly",
+    "fuzzy_part_pairs",
+    "lara_matmul_event_gram",
+    "lara_union_max",
+    "lara_union_revenue",
+    "lara_wordcount",
+    "lara_wordcount_py",
+    "orders_quality_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "revenue_share_by_nation",
+    "rollup_returns",
+    "running_customer_totals",
+    "scd2_customer_segments",
+    "sensor_covariance_events",
+    "session_window_stats",
+    "sessionize_events",
+    "sliding_event_stats",
+    "sql_front_door_q",
+    "tfidf_top_terms",
+    "ann_probe_sweep",
 ]
 
 

@@ -3634,6 +3634,53 @@ WITH fabp AS (
 """
 
 
+# decorations whose EVERY entry puts a multi-char whitespace run directly
+# before a contraction — the donation-into-contraction limb the original
+# GPT-2 pattern resolves as " '" + re-scanned letters (ADVICE r10 high:
+# the r10 fixup emitted " 's" here and the oracle replayed the bug, so no
+# driver row could catch it; this corpus makes the fixed limb part of the
+# hash-certified surface every round it is windowed)
+_FAB_CONTR_DECOR = [
+    " he  's up",        # donated ' ' + bare contraction, letters stand alone
+    " she  'ship out",   # contraction letters fuse into the following run
+    " it   'll've gone", # 3-run donation, chained contractions
+    " n  's3 end",       # digits after the contraction letters don't fuse
+    " q\t\t't -  'd ",   # non-' ' donor keeps 't; then a second ' ' donor
+]
+
+
+def _fab_contr_df(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(
+                F.array(*[F.lit(d) for d in _FAB_CONTR_DECOR]),
+                (F.col("doc_id") % 5).cast("int") + 1,
+            ),
+            F.lit(" #"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+
+
+_FAB_CONTR_CTE = f"""
+WITH fabp AS (
+  SELECT doc_id, source,
+         COALESCE(text, '')
+           || (CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '{_sql_str(_FAB_CONTR_DECOR[0])}'
+                 WHEN 1 THEN '{_sql_str(_FAB_CONTR_DECOR[1])}'
+                 WHEN 2 THEN '{_sql_str(_FAB_CONTR_DECOR[2])}'
+                 WHEN 3 THEN '{_sql_str(_FAB_CONTR_DECOR[3])}'
+                 ELSE '{_sql_str(_FAB_CONTR_DECOR[4])}' END)
+           || ' #' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents
+)
+"""
+
+
 _WS_RUN_SQL = r"^[ \t\n\r\f]+$"
 
 
@@ -3701,16 +3748,18 @@ def _bpe_byte_sym_expr(merges: list[tuple[str, str]]) -> str:
     return expr
 
 
-def _bpe_byte_count_sql(merges: list[tuple[str, str]]) -> str:
+def _bpe_byte_count_sql(merges: list[tuple[str, str]], fab_cte: str | None = None) -> str:
     """Oracle: the exact hex-pair byte-map construction the Spark
     expression path uses — hex(encode(tok)) chunked into pairs, each
     indexed into the 256-char BYTE_ALPHABET via strpos digit arithmetic
-    — then the merge chain and the shared symbol count."""
+    — then the merge chain and the shared symbol count. ``fab_cte``
+    selects the decorated corpus (punct default; the contraction corpus
+    drives ``bpe_contraction_parity``)."""
     sep = tk.BPE_SEP
     alpha = _sql_str(tk.BYTE_ALPHABET)
     hexd = "0123456789ABCDEF"
     return f"""
-{_FAB_PUNCT_CTE},
+{fab_cte if fab_cte is not None else _FAB_PUNCT_CTE},
 {_pretok_fixed_ctes('doc_id')},
 m AS (
   SELECT doc_id,
@@ -3755,6 +3804,23 @@ def bpe_token_count_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_BYTE_TOKEN_COUNT_SQL = _bpe_byte_count_sql(tk.DEMO_BYTE_BPE_MERGES)
+
+
+def bpe_contraction_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-BPE counts over the CONTRACTION-decorated corpus: every doc
+    carries a multi-space (or tab) run directly before a GPT-2
+    contraction, so the donation-into-contraction limb of the
+    pretokenizer — the exact clause the r10 ADVICE found divergent from
+    the original GPT-2 pattern — sits inside the driver's hash-certified
+    surface, engine vs oracle, 500 docs a round."""
+    return tk.bpe_byte_token_count(
+        _fab_contr_df(load(spark, sf_dir, "documents")), tk.DEMO_BYTE_BPE_MERGES
+    )
+
+
+BPE_CONTRACTION_PARITY_SQL = _bpe_byte_count_sql(
+    tk.DEMO_BYTE_BPE_MERGES, fab_cte=_FAB_CONTR_CTE
+)
 
 
 _SHARD_LEN = 128
@@ -4133,6 +4199,7 @@ QUERIES = {
     "bpe_token_count": (bpe_token_count_q, BPE_TOKEN_COUNT_SQL),
     "bpe_token_count_auto": (bpe_token_count_auto_q, BPE_TOKEN_COUNT_SQL),
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
+    "bpe_contraction_parity": (bpe_contraction_parity_q, BPE_CONTRACTION_PARITY_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
     "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
     "shard_decode_roundtrip": (shard_decode_roundtrip_q, SHARD_DECODE_ROUNDTRIP_SQL),

@@ -873,3 +873,78 @@ def test_ivf_pair_scorer_twins_bit_identical(spark, clustered):
     ).collect()))
     assert expr == arrow
     assert len(expr) > 0
+
+
+def test_ivf_pair_scorer_nonlong_query_ids(spark, clustered):
+    """ADVICE r10: the cogrouped scorer derives the query-id output type
+    from the probes schema instead of hardcoding long, so the size-based
+    auto gate can never crash a non-long-keyed audit at runtime. INT ids
+    must agree pair for pair across both routes; STRING ids (which the
+    expression path's self-pair filter cannot compare against a BIGINT
+    neighbor under ANSI) must at least serve the Arrow route end-to-end
+    with the string type preserved."""
+    qi = _queries(clustered).select(
+        F.col("query_id").cast("int").alias("query_id"), "embedding"
+    )
+    expr = sorted(map(tuple, sim.ivf_topk(
+        clustered, qi, n_centroids=8, n_probe=3, k=4, vectorized=False
+    ).collect()))
+    arrow = sorted(map(tuple, sim.ivf_topk(
+        clustered, qi, n_centroids=8, n_probe=3, k=4, vectorized=True
+    ).collect()))
+    assert expr == arrow and len(expr) > 0
+
+    probes = spark.createDataFrame(
+        [("q-1", [1.0] * 8, 0)], "query_id string, qvec array<double>, cid long"
+    )
+    assigned = clustered.select(
+        F.lit(0).cast("long").alias("cid"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = sim._ivf_pair_scores_cogrouped(assigned, probes, "query_id").collect()
+    assert len(out) > 0 and all(isinstance(r.query_id, str) for r in out)
+
+
+def test_pq_l2_surrogate_uses_raw_squared_norm():
+    """ADVICE r10: the l2 surrogate must subtract the RAW sequential-fold
+    ‖c‖²/2 (what the oracle's list_dot_product(cent,cent)/2 states), not
+    the re-squared sqrt'd norm — sqrt(2)**2 = 2.0000000000000004 flips
+    this exact-tie argmax away from the smaller cid."""
+    import pandas as pd
+
+    from laradb_spark.pipelines.similarity import _pq_assign_fn, _pq_books
+
+    # centroid 0 = [1,1] (fold ‖c‖² = 2 exactly; sqrt(2)**2 > 2),
+    # centroid 1 = [2,0] (fold 4; sqrt round-trips exactly).
+    # v = [1,0]: dot−‖c‖²/2 = 0 for BOTH → first-argmax must pick code 0.
+    books = _pq_books([[(0, [1.0, 1.0]), (1, [2.0, 0.0])]], sd=2)
+    assert books[0][3].tolist() == [2.0, 4.0]  # raw folds carried
+    fn = _pq_assign_fn(books, dim=2, emit="code", with_vec=False, metric="l2")
+    out = pd.concat(fn(iter([pd.DataFrame(
+        {"neighbor_id": [7], "cvec": [[1.0, 0.0]]}
+    )])))
+    assert out["codes"].tolist() == [[0]]
+
+
+def test_ivf_auto_centroids_sqrt_sizing(spark, clustered):
+    """VERDICT r10 #5: n_centroids=None defaults every IVF entry point to
+    √N sizing (max(16, ceil(√N))) so a corpus-as-queries audit's pair
+    volume grows ~N^1.5 instead of N²/k_fixed; explicit counts (the
+    oracle queries) are untouched."""
+    assert sim.ivf_auto_centroids(clustered) == 16          # ceil(√200)=15 → floor 16
+    big = spark.range(1, 10001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    assert sim.ivf_auto_centroids(big) == 100               # ceil(√10000)
+    assert sim.ivf_auto_centroids(big.limit(9802)) == 100   # 99² < 9802 ≤ 100²
+    assert sim.ivf_auto_centroids(big.limit(9801)) == 99    # = 99² exactly
+    assert sim.ivf_auto_centroids(spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )) == 16
+    # end-to-end: the default routes through training unchanged
+    q = _queries(clustered)
+    auto = _pairs(sim.ivf_topk(clustered, q, n_probe=3, k=5))
+    explicit = _pairs(sim.ivf_topk(clustered, q, n_centroids=16, n_probe=3, k=5))
+    assert auto == explicit                                  # √200 → the same 16

@@ -145,3 +145,34 @@ def test_pq_ops_empty(spark, empty_emb):
     assert [f.name for f in res.schema.fields] == [
         "query_id", "neighbor_id", "cos", "rank",
     ]
+
+
+def test_ivfpq_res_ops_empty(spark, empty_emb, tmp_path):
+    """ADVICE r10: the residual (IVFADC) entry points must mirror
+    ``_pq_adc_topk``'s typed short-circuit on an empty training corpus
+    instead of letting ``_res_densq_frame`` divide by a zero subspace
+    count — inline search, the probe curve, and a stored empty index."""
+    from laradb_spark.pipelines import similarity as sim
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "query_id long, embedding array<double>"
+    )
+    res = sim.ivfpq_res_topk(empty_emb, q, dim=8, m=2, k_sub=4, k=3)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]
+    curve = sim.ivfpq_res_probe_curve(
+        empty_emb, q, dim=8, probe_levels=(1, 2), m=2, k_sub=4, k=3
+    )
+    assert curve.count() == 0
+    assert [f.name for f in curve.schema.fields] == [
+        "n_probe", "query_id", "hits", "recall",
+    ]
+    path = str(tmp_path / "res_idx")
+    sim.ivfpq_res_build_index(empty_emb, path, dim=8, m=2, k_sub=4)
+    served = sim.ivfpq_res_search_index(spark, path, q, dim=8, k=3)
+    assert served.count() == 0
+    assert [f.name for f in served.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]

@@ -23,41 +23,17 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # NEW in r10 (no driver row yet): residual IVFADC + recall eval,
-        # shard-losslessness roundtrip
-        "ann_ivfpq_res_topk", "ann_ivfpq_res_recall",
-        "shard_decode_roundtrip",
-        # CHANGED in r10: heavy_hitters sketch persist (plan change); the
-        # GPT-2 donation fixup + fab-decoration enrichment changed the
-        # byte-BPE family's plans AND oracles
-        "heavy_hitters", "bpe_byte_token_count",
-        "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
-        # the 41 r6-era stale-evidence rotations VERDICT r9 #1 queued
-        "corpus_frequent_ngrams", "cross_source_dup_matrix",
-        "customer_merge_upsert", "customer_order_gaps",
-        "customers_without_orders", "dedup_components", "dedup_exact",
-        "dedup_keep_representatives", "dedup_lsh_jaccard",
-        "dedup_ngram_jaccard", "dedup_prefix_jaccard",
-        "dedup_rate_by_source", "doc_boilerplate_ppm", "embedding_gram",
-        "event_funnel", "events_daily_pivot", "events_daily_users",
-        "events_dow_hour_heatmap", "events_json_stats",
-        "forward_fill_hourly", "fuzzy_part_pairs",
-        "lara_matmul_event_gram", "lara_union_max", "lara_union_revenue",
-        "lara_wordcount", "lara_wordcount_py", "orders_quality_report",
-        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "revenue_share_by_nation",
-        "rollup_returns", "running_customer_totals",
-        "scd2_customer_segments", "sensor_covariance_events",
-        "session_window_stats", "sessionize_events", "sliding_event_stats",
-        "sql_front_door_q", "tfidf_top_terms",
-        # late-r10 addition (no driver row yet)
-        "ann_probe_sweep",
-    }
-    # r11 window front: the late-r10 IVF audit twin (r10 window was full;
-    # checker-certified --only at sf0.01 in-round) then the 47 r7-era rows
-    # (code unchanged since r7; after r11 no driver row should predate r8).
-    next_window = {
+        # NEW in r11: the contraction-decorated corpus hash-certifying the
+        # donation-into-contraction fix (ADVICE r10 high) at the driver gate
+        "bpe_contraction_parity",
+        # the one query with no driver row ever (VERDICT r10 next-round #1)
         "knn_label_noise_ivf",
+        # CHANGED in r11: expression-path pretokenizer branches (compiled
+        # plan change; punct-corpus results identical — the fix's limb
+        # never fires there)
+        "bpe_byte_token_count",
+        # the 47 r7-era stale-evidence rotations VERDICT r10 #1 queued —
+        # after r11 no driver row predates r8
         "ann_brute_force", "ann_ivf_topk", "ann_lsh_multiprobe", "ann_lsh_topk",
         "ann_sq8_topk", "bigram_lm", "contamination_report",
         "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
@@ -76,6 +52,13 @@ def test_changed_queries_inside_oracle_window():
         "token_apportionment", "topk_parts_per_brand",
         "tumbling_event_stats", "user_retention_cohorts",
     }
+    # r12 window front: the byte-BPE family members whose SQL/plan text
+    # changed in r11 with results identical on their corpus (r10 driver
+    # rows remain value-valid; checker-certified in-round at two SFs).
+    next_window = {
+        "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
+        "shard_decode_roundtrip",
+    }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
     missing = changed_in_window - head
@@ -84,7 +67,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "r7-era stale rows must lead the r11 window: "
+        "SQL-text-changed byte-BPE rows must lead the r12 window: "
         f"{next_window ^ next_slots}"
     )
 
