@@ -30,7 +30,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out, md5_mod, persist_once
+from ..util import bind_once, fan_out, md5_mod, persist_once
 from .text import TOKEN_SEP, bigram_arrays, tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
@@ -97,11 +97,15 @@ def word_ngrams(text: Column, n: int) -> Column:
     A document shorter than ``n`` tokens contributes its whole text as
     one gram (floor of 1 — Spark ``sequence(1, 0)`` would count DOWN,
     not empty; the oracle mirrors with ``GREATEST(..., 1)``)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        )
+
+    # bound once — an inline tokens() in the window lambda re-splits the
+    # document per gram (util.bind_once; O(tokens²) otherwise)
+    return bind_once(tokens(text), build)
 
 
 def decontaminate(
@@ -499,10 +503,14 @@ def _hashed_feature_stream(df: DataFrame, text: str, n_buckets: int) -> DataFram
     """(doc_id, b): one row per unigram and bigram OCCURRENCE, hashed to a
     feature bucket with the cross-engine md5 pattern (32-bit hex prefix →
     mod n_buckets). Map-only; empty docs emit nothing."""
-    toks = tokens(F.col(text))
-    heads, tails = bigram_arrays(toks)
-    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
-    feats = F.concat(toks, bigrams)
+    def feats_of(toks: Column) -> Column:
+        # bound once (util.bind_once): toks feeds heads, tails AND the
+        # concat — an inline tokens() splits three times per row
+        heads, tails = bigram_arrays(toks)
+        bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
+        return F.concat(toks, bigrams)
+
+    feats = bind_once(tokens(F.col(text)), feats_of)
     # hash AFTER the explode: a projection compiles under whole-stage
     # codegen while a transform lambda runs interpreted (same stage, the
     # feature string never reaches a shuffle — see _span_window_hashes)
@@ -1098,9 +1106,16 @@ def train_multiclass_weights(
     4096·200 rows and against the observed sliver. NULL labels fold to
     'unknown' (a class like any other)."""
     lab = F.coalesce(F.col(label_col), F.lit("unknown"))
-    toks = tokens(F.col(text))
-    heads, tails = bigram_arrays(toks)
-    feats = F.concat(toks, F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b)))
+
+    def feats_of(toks: Column) -> Column:
+        # bound once (util.bind_once) — same 3×-tokenize reason as
+        # _hashed_feature_stream
+        heads, tails = bigram_arrays(toks)
+        return F.concat(
+            toks, F.zip_with(heads, tails, lambda a, b: F.concat_ws(TOKEN_SEP, a, b))
+        )
+
+    feats = bind_once(tokens(F.col(text)), feats_of)
     # label rides the explode (no doc_id join — the stream never re-keys)
     ch = (
         fan_out(df)

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import CPU_HEAVY, fan_out, persist_once
+from ..util import CPU_HEAVY, bind_once, fan_out, persist_once
 from .text import TOKEN_SEP, tokens
 
 # MinHash parameters — frozen literals (the oracle embeds the same values).
@@ -50,14 +50,31 @@ _B = [
 SHINGLE_BITS_MOD = 2147483647  # 2^31 - 1
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = tokens(text)
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Distinct shingle windows over an ALREADY-STAGED token array — the
+    shared builder behind ``word_shingles`` (which binds the split) and
+    the staged-projection form the Python-UDF consumers need (see
+    ``minhash_band_buckets_vectorized``)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(TOKEN_SEP, F.slice(toks, i, n)))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document. Token array bound
+    once (util.bind_once) — an inline ``tokens()`` in the window lambda
+    re-splits the document per shingle, O(tokens²).
+
+    Do NOT pass this bound form as a Python-UDF argument: Spark 4.1's
+    UDF extraction intermittently leaves the UDF un-extracted when its
+    argument contains ``get(transform(array(...)))`` and the session has
+    already compiled the same query against a different source
+    (internal-error crash at execution; reproduced). UDF consumers stage
+    the token array as a real column and call ``_shingles_of`` on the
+    attribute instead."""
+    return bind_once(tokens(text), lambda tk: _shingles_of(tk, n))
 
 
 def shingle_hash(sh: Column) -> Column:
@@ -476,9 +493,19 @@ def minhash_band_buckets_vectorized(
     output; the fast path for wide corpora)."""
     rows = num_perm // bands
     df = fan_out(df, CPU_HEAVY)  # heavy map stage — see minhash_band_buckets
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), n), shingle_hash).alias("hs"),
+    # The token array is staged as a REAL column (not word_shingles'
+    # bind_once wrap): the shingle stream feeds a pandas_udf, and a UDF
+    # argument containing get(transform(array(...))) trips a Spark 4.1
+    # extraction bug on the session's second differing-source compile
+    # (UDF left inside ProjectExec → INTERNAL_ERROR; see word_shingles).
+    # Multi-reference of the non-cheap _toks alias keeps CollapseProject
+    # from inlining it, so per-shingle references stay O(1).
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    hashed = toked.select(
+        "id",
+        F.transform(_shingles_of(F.col("_toks"), n), shingle_hash).alias("hs"),
     )
     with_sig = hashed.select("id", minhash_signature_vectorized(num_perm)(F.col("hs")).alias("sig"))
     band_cols = [
@@ -831,26 +858,30 @@ def _span_window_hashes(
     comparable across docs to count as a repeat). ``extra`` names
     passthrough columns (e.g. source) carried into every window row so
     consumers never join the corpus-token-sized stream back on doc_id."""
-    toks = tokens(F.col(text))
-    n = F.size(toks)
-    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
     # The transform builds only (pos, window-string); the md5→int hash
     # runs AFTER the explode as a plain projection — higher-order
     # functions execute interpreted (no whole-stage codegen), so hashing
     # inside the lambda pays interpreter overhead per window. Post-
     # explode it compiles; measured ~25% off the count stage at sf0.1.
     # Same stage either way — the window string never reaches a shuffle.
-    from ..util import md5_mod
+    # Token array bound once (util.bind_once): the window lambda slices
+    # it per window; an inline tokens() there re-splits per window.
+    from ..util import bind_once, md5_mod
 
-    wins = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.cast("int").alias("pos"),
-            F.concat_ws(TOKEN_SEP, F.slice(toks, i, window)).alias("win"),
-        ),
-    )
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(TOKEN_SEP, F.slice(toks, i, window)).alias("win"),
+            ),
+        )
+
+    wins = bind_once(tokens(F.col(text)), build)
     return (
         fan_out(df, CPU_HEAVY)
         .select("doc_id", *extra, F.explode(wins).alias("w"))
@@ -980,16 +1011,27 @@ def _strip_by_cover(df: DataFrame, covered: DataFrame, text: str) -> DataFrame:
     mostly-duplicated doc can't go quadratic in one task."""
     toks = tokens(F.coalesce(F.col(text), F.lit("")))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    n = F.size(toks)
-    kept_scan = F.filter(toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int")))
-    # sequence(1, 0) counts DOWN (gotcha) — guard the empty doc
-    all_pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    kept_hash = F.transform(
-        F.array_except(all_pos, cov), lambda p: F.element_at(toks, p)
-    )
-    kept = F.when(F.size(cov) <= STRIP_SCAN_MAX_COVER, kept_scan).otherwise(kept_hash)
+
+    def kept_of(tk: Column) -> Column:
+        # token array bound once (util.bind_once): kept_hash's lambda
+        # does element_at(tk, p) per kept position — an inline tokens()
+        # there re-splits the document per kept token
+        n = F.size(tk)
+        kept_scan = F.filter(
+            tk, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int"))
+        )
+        # sequence(1, 0) counts DOWN (gotcha) — guard the empty doc
+        all_pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        kept_hash = F.transform(
+            F.array_except(all_pos, cov), lambda p: F.element_at(tk, p)
+        )
+        return F.when(F.size(cov) <= STRIP_SCAN_MAX_COVER, kept_scan).otherwise(
+            kept_hash
+        )
+
+    kept = bind_once(toks, kept_of)
     return (
         df.join(covered, on="doc_id", how="left")
         .select(

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.ranking import grouped_rank
-from ..util import CPU_HEAVY, CPU_LIGHT, fan_out, persist_once, plan_size_bytes
+from ..util import (
+    CPU_HEAVY,
+    CPU_LIGHT,
+    bind_once,
+    fan_out,
+    persist_once,
+    plan_size_bytes,
+)
 
 
 def _batch_topk_prune(
@@ -177,9 +184,18 @@ def cosine(a: Column, b: Column) -> Column:
       the pruned and unpruned rankings would disagree. ``nanvl`` folds
       any NaN score to 0.0 — same "garbage matches nothing" semantics as
       the zero-vector case, and identical between the pruned and
-      unpruned paths by construction."""
-    d = norm(a) * norm(b)
-    return F.nanvl(F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0)), F.lit(0.0))
+      unpruned paths by construction.
+
+    The denominator is bound once (util.bind_once): it appears in both
+    the guard and the division, and interpreted HOF folds get no
+    subexpression elimination — an inline reference pays the two norm
+    folds twice (5 array folds per pair instead of 3)."""
+    return bind_once(
+        norm(a) * norm(b),
+        lambda d: F.nanvl(
+            F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0)), F.lit(0.0)
+        ),
+    )
 
 
 def brute_force_topk(
@@ -239,8 +255,17 @@ def quantize_sq8(
         | (raw_scale == 0.0)
     )
     scale = F.when(degenerate, F.lit(0.0)).otherwise(raw_scale)
-    q = F.when(degenerate, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
-        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / scale).cast("long"))
+    # scale bound once (util.bind_once): the quantize lambda divides by it
+    # per component, and an inline reference re-runs the array_max scan
+    # per component — O(dim²) per vector (degenerate ⟺ bound scale == 0.0,
+    # so the branch test needs only the bound value)
+    q = bind_once(
+        scale,
+        lambda sc: F.when(
+            sc == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))
+        ).otherwise(
+            F.transform(v, lambda x: F.floor(x * F.lit(127.0) / sc).cast("long"))
+        ),
     )
     return df.select(
         F.col(id_col).alias(out_id or id_col), q.alias("qvec"), scale.alias("qscale")

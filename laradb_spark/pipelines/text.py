@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out, persist_once
+from ..util import bind_once, fan_out, persist_once
 
 # Single-space tokenization — chosen (over \s+) because it is exactly
 # reproducible in every engine (DuckDB STRING_SPLIT) for oracle parity.
@@ -163,24 +163,26 @@ def fingerprint(df: DataFrame, text: str = "text", ngram: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style rolling fingerprint; md5 is the cross-engine-stable
     hash). Docs shorter than one shingle fingerprint the whole text."""
-    toks = tokens(F.col(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))
-    )
     return df.select(
         "doc_id",
-        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+        F.array_min(
+            F.transform(_all_ngrams(F.col(text), ngram), lambda s: F.md5(s))
+        ).alias("fingerprint"),
     )
 
 
 def _all_ngrams(text_col: Column, n: int) -> Column:
     """Every word n-gram occurrence (NOT distinct; short docs floor to one
-    whole-text gram, mirroring word_ngrams/oracle GREATEST semantics)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    whole-text gram, mirroring word_ngrams/oracle GREATEST semantics).
+    Token array bound once (util.bind_once): the window lambda references
+    it per gram, and an inline ``tokens()`` there re-splits the whole
+    document per gram — O(tokens²)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    return bind_once(tokens(text_col), build)
 
 
 def frequent_ngrams(df: DataFrame, n: int = 2, k: int = 20, text: str = "text") -> DataFrame:
@@ -512,13 +514,17 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     plausible at 100 TB. The quotient is ≤ 10⁶ so the ``div`` result
     (BIGINT — Spark's IntegralDivide is LongType even on decimals) and
     the per-DOC mean ``Σ n·ppm ≤ 10⁶·doc_len`` stay int64-safe."""
-    toks = tokens(F.col(text))
-    heads, tails = bigram_arrays(toks)
+    def bg_of(toks: Column) -> Column:
+        # token array bound once (util.bind_once) — heads and tails each
+        # evaluate their input, so an inline tokens() splits twice per row
+        heads, tails = bigram_arrays(toks)
+        return F.zip_with(
+            heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+
     bg = fan_out(df).select(
         "doc_id",
-        F.explode(
-            F.zip_with(heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-        ).alias("_bg"),
+        F.explode(bind_once(tokens(F.col(text)), bg_of)).alias("_bg"),
     ).select("doc_id", "_bg.w1", "_bg.w2")
     doc_bg = persist_once(
         bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
@@ -585,10 +591,7 @@ def repetition_stats(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame
     payload is the n-grams of one document per group, never full text.
     Ratios are integer parts-per-million (integral div — a rounded
     double would flake on power-of-two denominators, gotcha #4b)."""
-    toks = tokens(F.col(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    g = df.select("doc_id", F.explode(grams).alias("_g"))
+    g = df.select("doc_id", F.explode(_all_ngrams(F.col(text), n)).alias("_g"))
     per = g.groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy("doc_id").agg(
         F.expr("(1000000 * max(c)) div sum(c)").alias("top_ngram_ppm"),

@@ -53,7 +53,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out
+from ..util import bind_once, fan_out
 from .text import tokens
 
 BPE_SEP = "\x1f"
@@ -743,7 +743,7 @@ def pretokens(text_col: Column) -> Column:
     base = F.regexp_extract_all(
         F.coalesce(text_col, F.lit("")), F.lit(PRETOKENIZE_RE), F.lit(0)
     )
-    return F.element_at(F.transform(F.array(base), _donate_trailing_space), 1)
+    return bind_once(base, _donate_trailing_space)
 
 
 def bpe_byte_token_count(

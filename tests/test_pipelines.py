@@ -47,6 +47,27 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_vectorized_survives_second_source_compile(spark, docs):
+    """Regression (r11): compiling the vectorized minhash against a SECOND
+    source in one session must keep the signature pandas_udf extracted
+    into ArrowEvalPython. A UDF argument containing the bind_once wrap
+    (get(transform(array(...)))) trips a Spark 4.1 extraction skip on the
+    second differing-source compile — the UDF is left inside ProjectExec
+    and execution dies with INTERNAL_ERROR 'Cannot generate code'. The
+    staged _toks projection in minhash_band_buckets_vectorized is the
+    guard; this pins it."""
+    other = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    first = dd.minhash_lsh_pairs_vectorized(docs)
+    first.collect()
+    second = dd.minhash_lsh_pairs_vectorized(other)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "sig UDF was not extracted on 2nd compile"
+    second.collect()  # and it must actually execute
+
+
 def test_simhash_similarity(spark, docs):
     sh = {r.id: r.simhash for r in dd.simhash_table(docs).collect()}
     assert sh[1] == sh[4]  # identical text → identical simhash
