@@ -817,11 +817,15 @@ def ivf_auto_centroids(c: DataFrame) -> int:
     N²/k_fixed a FIXED centroid count degenerates to (the DEVNOTES #35
     caveat; VERDICT r10 next-round #5). Every IVF entry point defaults to
     this when ``n_centroids`` is None; oracled queries pass an explicit
-    count so the SQL replay never depends on a corpus-size job."""
+    count so the SQL replay never depends on a corpus-size job.
+
+    Entry points resolve this on the RAW corpus frame before ``fan_out``:
+    counting the fanned projection would execute its round-robin exchange
+    — a corpus-sized shuffle paid for a scalar."""
     import math
 
     n = c.count()
-    return max(16, math.isqrt(max(n - 1, 0)) + 1 if n > 1 else 16)
+    return max(16, math.isqrt(max(n - 1, 0)) + 1)  # = max(16, ceil(√n))
 
 
 def _ivf_pair_scores_cogrouped(
@@ -919,11 +923,11 @@ def ivf_topk(
     pair (same fold association and degenerate-value semantics) but
     ~50× cheaper per pair than the interpreted HOF. Pure cost
     selection, never semantics — pinned by test_ann."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
-    if n_centroids is None:  # √N default (the gate below needs the number)
-        n_centroids = ivf_auto_centroids(c)
     cents = _train_centroids(c, n_centroids, lloyd_iters)
     assigned = _assign_auto(c, cents)
     q = queries.select(
@@ -984,6 +988,8 @@ def ivf_build_index(
     directories via partition pruning instead of re-scanning and
     re-hashing the corpus per query batch (compare ``ivf_topk``, which
     recomputes the assignment inline)."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
@@ -2008,6 +2014,8 @@ def ivfpq_topk(
     Both trainings run over the same corpus scan; the one corpus-sized
     shuffle is the build-time cid⋈codes zip (amortized across every
     query batch in the stored layout — ``ivfpq_build_index``)."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -2056,6 +2064,8 @@ def ivfpq_build_index(
     ``{path}/codebooks``. Build pays the one corpus-sized cid⋈codes
     shuffle; every search after that is a partition-pruned scan of
     ~m bytes/vector."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -2223,6 +2233,8 @@ def ivfpq_res_topk(
     SQL-replayable: the oracle unrolls coarse Lloyd, per-component
     residuals, per-subspace residual Lloyd, and scores by the identical
     q·c + Σₛ q_s·r̂ₛ decomposition."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -2297,6 +2309,8 @@ def ivfpq_res_probe_curve(
     query) window is an EVAL over a query sample, hash-partitioned by
     (level, query)). Deterministic end to end, so the SQL oracle replays
     the whole curve and the recall fractions hash-certify."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -2396,6 +2410,8 @@ def ivfpq_res_build_index(
     NOT stored — search derives it driver-side from the two literal
     tables in O(n_centroids·m·k_sub) floats. Same build/serve split as
     ``ivfpq_build_index``."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),

@@ -129,19 +129,34 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
-    # --- front of the r12 window: the byte-BPE family members whose SQL/plan
-    # text changed in r11 with behavior identical on their corpus (r10 rows
-    # remain value-valid; checker-certified at sf0.001+sf0.01 in-round) -----
+    # --- front of the r12 window: queries whose SQL or compiled plan text
+    # changed in r11 with results certified identical in-round (full 192/192
+    # DuckDB checker at HEAD). The byte-BPE four changed SQL (donation-fix
+    # CTE); the rest have STABLE canonical-plan-hash diffs vs r10 from the
+    # bind_once sweep (method: optimizedPlan().canonicalized() md5 at both
+    # HEADs, minus the 48 queries whose hashes are session-unstable —
+    # cache/UDF-byte artifacts — for which plan-text tracking is best-effort
+    # and the checker is the value evidence) ---------------------------------
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",
     "shard_decode_roundtrip",
+    "approx_stats",
+    "c4_line_clean",
+    "corpus_frequent_ngrams",
+    "cross_source_dup_matrix",
+    "decon_fuzzy",
+    "dedup_ngram_jaccard",
+    "doc_boilerplate_ppm",
+    "fuzzy_cross_batch",
+    "heavy_hitters",
+    "ngram_diversity",
+    "q19_disjunctive_revenue",
+    "quality_classifier",
+    "quality_classifier_eval",
     # --- tail: long-green rows in their r10 order ---------------------------
     "ann_ivfpq_res_topk",
     "ann_ivfpq_res_recall",
-    "heavy_hitters",
-    "corpus_frequent_ngrams",
-    "cross_source_dup_matrix",
     "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
@@ -149,10 +164,8 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_keep_representatives",
     "dedup_lsh_jaccard",
-    "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
     "dedup_rate_by_source",
-    "doc_boilerplate_ppm",
     "embedding_gram",
     "event_funnel",
     "events_daily_pivot",

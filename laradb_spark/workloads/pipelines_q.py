@@ -3684,7 +3684,9 @@ WITH fabp AS (
 _WS_RUN_SQL = r"^[ \t\n\r\f]+$"
 
 
-_SQL_CONTRACTIONS = ", ".join(f"'{_sql_str(c)}'" for c in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"))
+# derived from the engine's tuple so the oracle's IN-list can never
+# drift from the expression path's contraction set
+_SQL_CONTRACTIONS = ", ".join(f"'{_sql_str(c)}'" for c in tk._PRETOK_CONTRACTIONS)
 
 
 def _pretok_fixed_ctes(key: str) -> str:

@@ -52,12 +52,18 @@ def test_changed_queries_inside_oracle_window():
         "token_apportionment", "topk_parts_per_brand",
         "tumbling_event_stats", "user_retention_cohorts",
     }
-    # r12 window front: the byte-BPE family members whose SQL/plan text
-    # changed in r11 with results identical on their corpus (r10 driver
-    # rows remain value-valid; checker-certified in-round at two SFs).
+    # r12 window front: queries whose SQL or compiled plan text changed in
+    # r11 with results certified identical in-round (full 192/192 checker
+    # at HEAD): the byte-BPE four (SQL change) plus the queries with STABLE
+    # canonical-plan-hash diffs vs r10 from the bind_once sweep.
     next_window = {
         "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
         "shard_decode_roundtrip",
+        "approx_stats", "c4_line_clean", "corpus_frequent_ngrams",
+        "cross_source_dup_matrix", "decon_fuzzy", "dedup_ngram_jaccard",
+        "doc_boilerplate_ppm", "fuzzy_cross_batch", "heavy_hitters",
+        "ngram_diversity", "q19_disjunctive_revenue", "quality_classifier",
+        "quality_classifier_eval",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
