@@ -223,3 +223,105 @@ def reassemble_docs_from_packs(
         )
     )
     return bpe_byte_decode(per_doc, merges)
+
+
+def compact_token_shards(
+    spark,
+    shards_path: str,
+    committed_batch_id: int,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Small-files maintenance for the streaming shard store — the 100 TB
+    operational gap a per-micro-batch writer leaves behind: thousands of
+    ``batch=<id>`` directories each holding a few small parquet files
+    turn every training-loader listing and scan into a metadata storm.
+
+    Merges every IMMUTABLE batch partition (``batch`` ≤
+    ``committed_batch_id`` — the exactly-once contract in
+    ``streaming.ingest.shard_ingest_stream`` guarantees a replay of a
+    committed batch no-ops, so those directories can never be rewritten;
+    batches beyond the committed id may still be overwritten by a
+    crash-retry and are left untouched) into a single compacted segment
+    written as the synthetic partition ``batch=<next negative id>`` —
+    type-compatible with the hive partition column, never collides with
+    a real (positive) batch id, and re-compaction folds previous
+    compacted segments (also negative, also ≤ committed) into the next.
+
+    Safety: the compacted segment is written and VERIFIED (row count +
+    order-insensitive xxhash64 over every column) against the source
+    partitions before any source directory is removed; on mismatch the
+    new segment is deleted and the store is left exactly as found.
+
+    Returns a report dict: ``{batches_compacted, files_before,
+    files_after, rows, segment}``. Local-filesystem directory removal
+    uses ``shutil``; on a real cluster the same sequence maps 1:1 onto
+    the Hadoop FileSystem rename/delete API."""
+    import math
+    import os
+    import shutil
+
+    def batch_dirs() -> list[tuple[int, str]]:
+        out = []
+        for d in os.listdir(shards_path):
+            if d.startswith("batch=") and os.path.isdir(os.path.join(shards_path, d)):
+                try:
+                    out.append((int(d.split("=", 1)[1]), os.path.join(shards_path, d)))
+                except ValueError:
+                    continue
+        return out
+
+    def pq_files(root: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(root)
+            for f in fns
+            if f.endswith(".parquet")
+        ]
+
+    # a committed batch that completed zero packs writes an empty dir —
+    # unreadable as parquet, nothing to merge; leave it alone
+    eligible = [
+        (b, p) for b, p in batch_dirs()
+        if b <= committed_batch_id and pq_files(p)
+    ]
+    if len(eligible) < 2:
+        return {"batches_compacted": 0, "files_before": 0, "files_after": 0,
+                "rows": 0, "segment": None}
+    segment = min(min(b for b, _ in eligible), 0) - 1
+
+    src_files = [f for _b, p in eligible for f in pq_files(p)]
+    src = spark.read.parquet(*[p for _b, p in eligible])
+    total_bytes = sum(os.path.getsize(f) for f in src_files)
+    n_out = max(1, math.ceil(total_bytes / max(1, target_bytes)))
+
+    def fingerprint(df):
+        h = df.select(
+            F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).alias("_h")
+        )
+        row = h.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    want = fingerprint(src)
+    out_dir = os.path.join(shards_path, f"batch={segment}")
+    tmp_dir = os.path.join(shards_path, f"_compacting_{abs(segment)}")
+    src.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+    got = fingerprint(spark.read.parquet(tmp_dir))
+    if got != want:  # pragma: no cover - defense against a writer bug
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction verification failed: source {want} != compacted {got}; "
+            "store left untouched"
+        )
+    os.rename(tmp_dir, out_dir)
+    for _b, p in eligible:
+        shutil.rmtree(p)
+    return {
+        "batches_compacted": len(eligible),
+        "files_before": len(src_files),
+        "files_after": len(pq_files(out_dir)),
+        "rows": int(want[0]),
+        "segment": segment,
+    }

@@ -970,6 +970,49 @@ def ivf_topk(
     return _topk_per_query(scored, query_id_col, "cos", k)
 
 
+def ivf_list_stats(
+    corpus: DataFrame,
+    n_centroids: "int | None" = None,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list occupancy report — the operational metric behind the
+    two IVF maintenance decisions: WHEN to re-center (drifted appends
+    concentrate members in few lists, killing probe pruning) and WHEN to
+    re-size (fixed k under corpus growth makes every list corpus/k-sized;
+    the √N default exists for build time, this report is how serving
+    notices). Returns one row per non-empty list:
+    ``(cid, n_members, share_ppm)`` — BIGINT count and integral
+    parts-per-million share (``div`` — a rounded double would flake on
+    power-of-two denominators, the gotcha-#4b discipline). A healthy
+    index reads ~uniform; max(share_ppm)·k/10⁶ is the probe-cost skew
+    multiplier.
+
+    Scale shape: training is the shared deterministic Lloyd; the report
+    itself is one distributed ``groupBy(cid)`` count (map-side combine,
+    k-sized result) plus a 1-row total broadcast — the corpus never
+    shuffles beyond the count's partial aggregate."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
+    c = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
+    counts = (
+        _assign_auto(c, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    total = counts.agg(F.sum("n_members").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cid",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.expr("(1000000 * n_members) div _t").alias("share_ppm"),
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     path: str,

@@ -137,6 +137,9 @@ _PRIORITY = [
     # HEADs, minus the 48 queries whose hashes are session-unstable —
     # cache/UDF-byte artifacts — for which plan-text tracking is best-effort
     # and the checker is the value evidence) ---------------------------------
+    # (plus the late-r11 addition: the IVF list-occupancy report — new
+    # query, checker-certified --only at all three SFs in-round)
+    "ann_ivf_list_skew",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",

@@ -873,6 +873,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _queries_df(spark, sf_dir), n_centroids=16, n_probe=4, k=TOP_K)
 
 
+def ann_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy report (the IVF maintenance dashboard row:
+    when appends drift or k stops matching √N, the share distribution
+    says so before probe latency does). Same deterministic training
+    recipe as ann_ivf_topk so the oracle reuses the unrolled Lloyd CTEs;
+    counts and integral-ppm shares hash-certify the full index build's
+    ASSIGNMENT — a stronger certificate than top-k alone, which only
+    sees probed lists."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_list_stats(emb, n_centroids=16, lloyd_iters=2)
+
+
+def _ann_ivf_list_skew_sql(n_centroids: int = 16, iters: int = 2) -> str:
+    ctes = _lloyd_ctes(n_centroids, iters)
+    return f"""
+WITH {','.join(ctes)},
+cnt AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid),
+tot AS (SELECT SUM(n) AS t FROM cnt)
+SELECT cid, CAST(n AS BIGINT) AS n_members,
+       CAST((1000000 * n) // t AS BIGINT) AS share_ppm
+FROM cnt, tot
+"""
+
+
 def _lloyd_ctes(n_centroids: int, iters: int) -> list[str]:
     """Unrolled deterministic Lloyd rounds as chained CTEs (shared by the
     IVF and semantic-dedup oracles): v = double-cast embeddings, c0 = the
@@ -4264,6 +4288,7 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
+    "ann_ivf_list_skew": (ann_ivf_list_skew, _ann_ivf_list_skew_sql()),
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_pq_recall": (ann_pq_recall, _ann_pq_recall_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ann_ivfpq_sql()),

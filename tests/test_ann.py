@@ -948,3 +948,23 @@ def test_ivf_auto_centroids_sqrt_sizing(spark, clustered):
     auto = _pairs(sim.ivf_topk(clustered, q, n_probe=3, k=5))
     explicit = _pairs(sim.ivf_topk(clustered, q, n_centroids=16, n_probe=3, k=5))
     assert auto == explicit                                  # √200 → the same 16
+
+
+def test_ivf_list_stats_matches_assignment(spark, clustered):
+    """The occupancy report IS the final assignment's group counts:
+    members sum to N, shares are integral ppm of the total, and each
+    list's count equals a direct groupBy over the same deterministic
+    assignment."""
+    stats = {r.cid: (r.n_members, r.share_ppm)
+             for r in sim.ivf_list_stats(clustered, n_centroids=8, lloyd_iters=2).collect()}
+    n = clustered.count()
+    assert sum(m for m, _ in stats.values()) == n
+    for cid, (m, ppm) in stats.items():
+        assert ppm == (1_000_000 * m) // n
+    c = clustered.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    cents = sim._train_centroids(c, 8, 2)
+    direct = {r.cid: r.n for r in sim._assign_auto(c, cents)
+              .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v for k, (v, _) in stats.items()} == direct

@@ -322,6 +322,8 @@ def test_embedding_gram_shuffles_cells_not_rows(spark, sfq):
 # month/grid series) — the single partition carries rows counted in ones,
 # never data-sized input. A query appearing here must document why.
 SINGLE_PARTITION_ALLOWED = {
+    "ann_ivf_list_skew",       # 1-row member-total broadcast; the count agg
+                               # itself is a distributed groupBy(cid)
     "approx_stats",            # one-row sketch aggregate
     "bm25_topk",               # query-term/stats scalar flows
     "bm25_topk_fast",          # same scalar flows (n_docs/n_toks 1-row agg,

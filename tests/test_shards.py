@@ -130,3 +130,41 @@ def test_reassemble_docs_from_packs_roundtrips_through_parquet(spark, tmp_path):
     }
     want = {d: t for d, t in texts if t}
     assert back == want
+
+
+def test_compact_token_shards(spark, tmp_path):
+    """Small-files maintenance: committed batch partitions merge into ONE
+    negative compacted segment with identical rows; the uncommitted batch
+    and an empty committed dir are untouched; re-compaction folds the
+    previous segment; a fresh store is a no-op."""
+    import os
+
+    root = str(tmp_path / "shards")
+    mk = lambda b, rows: spark.createDataFrame(
+        rows, "pack_id long, token_ids array<int>, doc_starts array<struct<pos:int,doc_id:bigint>>"
+    ).repartition(3).write.mode("overwrite").parquet(f"{root}/batch={b}")
+    mk(1, [(0, [1, 2], [(0, 10)]), (1, [3, 4], [])])
+    mk(2, [(2, [5, 6], [(1, 11)])])
+    mk(3, [(3, [7, 8], [])])                     # NOT committed — must survive
+    os.makedirs(f"{root}/batch=4")               # empty committed dir — ignored
+
+    before = spark.read.parquet(root).collect()
+    rep = sh.compact_token_shards(spark, root, committed_batch_id=2, target_bytes=1 << 30)
+    assert rep["batches_compacted"] == 2 and rep["rows"] == 3
+    assert rep["segment"] == -1 and rep["files_after"] == 1
+    assert rep["files_before"] > rep["files_after"]
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=3", "batch=4"]
+    after = spark.read.parquet(root).collect()
+    assert sorted([(r.pack_id, r.token_ids) for r in after]) == sorted(
+        [(r.pack_id, r.token_ids) for r in before]
+    )
+    # second run: batch=3 is now committed; folds segment -1 + batch 3 → -2
+    rep2 = sh.compact_token_shards(spark, root, committed_batch_id=3, target_bytes=1 << 30)
+    assert rep2["segment"] == -2 and rep2["batches_compacted"] == 2
+    assert sorted(
+        (r.pack_id, r.token_ids) for r in spark.read.parquet(root).collect()
+    ) == sorted((r.pack_id, r.token_ids) for r in before)
+    # nothing left to merge
+    rep3 = sh.compact_token_shards(spark, root, committed_batch_id=3)
+    assert rep3["batches_compacted"] == 0
