@@ -1067,6 +1067,61 @@ def ivf_append_index(
     _assign_auto(c, cents).write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
 
 
+def ivf_recenter_index(
+    spark,
+    path: str,
+    n_centroids: "int | None" = None,
+    lloyd_iters: int = 2,
+) -> dict:
+    """Retrain a stored IVF index's centroids from its OWN corpus and
+    rewrite the layout — the maintenance op :func:`ivf_list_stats` tells
+    an operator to run: appends under frozen centroids
+    (``ivf_append_index``) accumulate drift that concentrates members in
+    few lists, and corpus growth under a fixed k makes every list
+    corpus/k-sized. ``n_centroids=None`` re-SIZES to the √N default of
+    the grown corpus; the deterministic recipe (lowest-id init, fixed
+    Lloyd rounds) makes the result identical to ``ivf_build_index`` over
+    the same rows, regardless of how they arrived — pinned by test_ann.
+
+    Safety: the re-assigned corpus and new centroid table are written to
+    sibling ``._new`` directories and VERIFIED (row count equality)
+    before the swap; the old layout is removed only after both renames.
+    Local-filesystem moves via ``os``/``shutil`` — 1:1 with the Hadoop
+    FileSystem API on a cluster. Returns
+    ``{rows, n_centroids_before, n_centroids_after}``."""
+    import os
+    import shutil
+
+    corpus = spark.read.parquet(f"{path}/corpus").select("neighbor_id", "cvec")
+    k_before = spark.read.parquet(f"{path}/centroids").count()
+    n_rows = corpus.count()
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.isqrt(max(n_rows - 1, 0)) + 1)
+    c = fan_out(corpus, CPU_HEAVY)
+    cents = _train_centroids(c, n_centroids, lloyd_iters)
+    new_corpus, new_cents = f"{path}/corpus._new", f"{path}/centroids._new"
+    _assign_auto(c, cents).write.partitionBy("cid").mode("overwrite").parquet(new_corpus)
+    cents.write.mode("overwrite").parquet(new_cents)
+    got = spark.read.parquet(new_corpus).count()
+    if got != n_rows:  # pragma: no cover - defense against a writer bug
+        shutil.rmtree(new_corpus, ignore_errors=True)
+        shutil.rmtree(new_cents, ignore_errors=True)
+        raise RuntimeError(
+            f"recenter verification failed: {got} rows written != {n_rows} read; "
+            "index left untouched"
+        )
+    for name in ("corpus", "centroids"):
+        shutil.rmtree(f"{path}/{name}")
+        os.rename(f"{path}/{name}._new", f"{path}/{name}")
+    return {
+        "rows": int(n_rows),
+        "n_centroids_before": int(k_before),
+        "n_centroids_after": int(n_centroids),
+    }
+
+
 def ivf_search_index(
     spark,
     path: str,

@@ -968,3 +968,29 @@ def test_ivf_list_stats_matches_assignment(spark, clustered):
     direct = {r.cid: r.n for r in sim._assign_auto(c, cents)
               .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {k: v for k, (v, _) in stats.items()} == direct
+
+
+def test_ivf_recenter_index_equals_fresh_build(spark, clustered, tmp_path):
+    """Recentering a drifted index (build + append under frozen
+    centroids) must be EQUIVALENT to a fresh deterministic build over
+    the union corpus — searches return identical ranked results, and the
+    auto path re-sizes k to the grown corpus's √N."""
+    path = str(tmp_path / "ivf_rc")
+    old = clustered.filter(F.col("vec_id") < 150)
+    drift = clustered.filter(F.col("vec_id") >= 150).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(9.0)).alias("embedding"),
+    )
+    sim.ivf_build_index(old, path, n_centroids=8, lloyd_iters=2)
+    sim.ivf_append_index(drift, path)
+    rep = sim.ivf_recenter_index(spark, path, lloyd_iters=2)
+    full = old.unionByName(drift)
+    n = full.count()
+    assert rep == {"rows": n, "n_centroids_before": 8,
+                   "n_centroids_after": max(16, int((n - 1) ** 0.5) + 1)}
+    q = _queries(clustered)
+    got = _pairs_ranked(sim.ivf_search_index(spark, path, q, n_probe=3, k=5))
+    want = _pairs_ranked(sim.ivf_topk(
+        full, q, n_centroids=rep["n_centroids_after"], n_probe=3, k=5, lloyd_iters=2
+    ))
+    assert got == want and len(got) > 0
