@@ -1286,3 +1286,60 @@ def drop_near_seen(
         spark.read.parquet(f"{index_path}/bands"),
         threshold, n, id_col, text_col, num_perm, bands,
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate-generation QUALITY eval for the MinHash-LSH dedup flow —
+    the tuning harness that answers "are NUM_PERM/LSH_BANDS right for
+    this corpus?" the same way ``ann_probe_sweep`` answers it for IVF
+    serving. Ground truth = EXACT n-gram Jaccard ≥ threshold via the
+    lossless prefix-filter join (``prefix_filter_jaccard_pairs`` — same
+    output as brute force, scale-safe); candidates = the production
+    ``minhash_lsh_pairs`` banding. One row:
+
+      (n_truth, n_candidates, n_hits, recall_ppm, precision_ppm)
+
+    recall = |truth ∩ candidates| / |truth| — the share of REAL near-dup
+    pairs the banding surfaces (LSH's miss rate is the silent data-loss
+    risk of fuzzy dedup: banding with too few rows/band drops true
+    pairs); precision = hit share of candidates — the wasted-verification
+    cost (`lsh_candidate_jaccard` pays one exact Jaccard per candidate).
+    Integral ppm with floor div; NULL when a denominator is 0 (no truth
+    pairs / no candidates — undefined, not perfect).
+
+    Scale shape: both pair generators are the module's production scale
+    paths; the eval adds ONE full-outer join on the pair key plus a
+    1-row aggregate. On a 100 TB corpus you run this on a sampled slice
+    (cap_per_group / hash_split give deterministic samples) — the
+    report's point is choosing banding parameters BEFORE the full-corpus
+    run, not auditing it after."""
+    truth = prefix_filter_jaccard_pairs(df, threshold, n, id_col, text_col).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cand = minhash_lsh_pairs(df, n, id_col, text_col).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    j = truth.join(cand, on=["id_a", "id_b"], how="full_outer")
+    return j.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_c")), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN (1000000 * n_hits) div n_truth END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN (1000000 * n_hits) div n_candidates END"
+        ).alias("precision_ppm"),
+    )

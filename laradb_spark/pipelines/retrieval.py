@@ -304,3 +304,65 @@ def bm25_search_index(
     return ranked.filter(F.col("_r") <= k).select(
         "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
     )
+
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009 use k=60)
+
+
+def rrf_fuse(
+    ranked: "Sequence[DataFrame]",
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hybrid-retrieval Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse any number of per-query ranked lists —
+    lexical BM25, dense cosine, sparse learned, ... — into one ranking
+    by ``score(d) = Σ_lists 1 / (rrf_k + rank_list(d))``. RRF is the
+    standard way a training-data pipeline combines lexical and embedding
+    retrieval for eval-set mining and hard-negative sampling: it needs
+    no score calibration between systems (ranks only), and a document
+    found by several systems beats one found by a single system.
+
+    Engine-exact scoring: the reciprocal is quantized to ppm with floor
+    division — each list contributes ``1_000_000 div (rrf_k + rank)`` —
+    so fused scores are BIGINTs and the ranking is bit-reproducible
+    across engines (the retrieval-module discipline: no float sums whose
+    last ulp could flip a rank between JVM and libm). With rrf_k = 60
+    ranks 1.. map to 16393, 16129, ... — distinct well past any
+    practical candidate depth, so quantization never collapses adjacent
+    ranks.
+
+    Scale shape: inputs are per-query TOP-K lists, so every frame here
+    is (queries × k)-bounded — union + one hash aggregate, no
+    corpus-sized stage; the final ranking goes through the
+    partition-count-independent two-phase ``grouped_rank`` like every
+    ranking in this module. Ties break by doc id ascending.
+
+    Returns ``(query_id, id_col, rank, rrf_ppm, n_lists)`` — ``n_lists``
+    = how many input lists surfaced the doc (each list holds a doc at
+    most once by the top-k contract), the agreement signal hybrid
+    pipelines threshold on.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    contrib = F.expr(f"1000000 div ({int(rrf_k)} + {rank_col})").alias("_c")
+    parts = [
+        df.select(F.col(query_id_col), F.col(id_col), contrib) for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.sum("_c").alias("rrf_ppm"), F.count(F.lit(1)).alias("n_lists")
+    )
+    out = grouped_rank(fused, [query_id_col], [F.desc("rrf_ppm"), F.asc(id_col)])
+    return out.filter(F.col("_r") <= k).select(
+        query_id_col,
+        id_col,
+        F.col("_r").cast("int").alias("rank"),
+        F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
+        F.col("n_lists").cast("int").alias("n_lists"),
+    )

@@ -17,6 +17,8 @@ cid-partitioned parquet layout so probes become partition-pruned scans.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -930,6 +932,30 @@ def ivf_topk(
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
     assigned = _assign_auto(c, cents)
+    return _ivf_probe_score_rank(
+        assigned, cents, c, queries, n_centroids, n_probe, k,
+        vec_col, query_id_col, vectorized,
+    )
+
+
+def _ivf_probe_score_rank(
+    assigned: DataFrame,
+    cents: DataFrame,
+    c: DataFrame,
+    queries: DataFrame,
+    n_centroids: int,
+    n_probe: int,
+    k: int,
+    vec_col: str,
+    query_id_col: str,
+    vectorized: "bool | None",
+) -> DataFrame:
+    """The shared probe → score → rank tail of the inline IVF searches
+    (``ivf_topk`` and its filtered variant): queries pick their
+    ``n_probe`` nearest centroids, list members score against the
+    probing queries (size-gated expression vs cogrouped-Arrow twins),
+    top-k per query via the two-phase ranking. ``c`` is the corpus frame
+    the pair-volume gate sizes against."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -968,6 +994,53 @@ def ivf_topk(
             .select(query_id_col, "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
         )
     return _topk_per_query(scored, query_id_col, "cos", k)
+
+
+def ivf_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_where: str,
+    n_centroids: "int | None" = None,
+    n_probe: int = 4,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    vectorized: "bool | None" = None,
+) -> DataFrame:
+    """Metadata-FILTERED ANN — ``ivf_topk`` restricted to the corpus rows
+    satisfying ``corpus_where`` (a SQL boolean over ``corpus``'s columns:
+    ``"lang = 'en'"``, ``"label % 2 = 1"``, ...). The production filtered-
+    vector-search shape: the predicate applies BEFORE ranking (pre-
+    filtering — post-filtering a top-k is recall-lossy when the filter is
+    selective, the classic filtered-ANN failure mode).
+
+    Where the filter runs is the scale story: centroids train on the
+    FULL corpus (the index is shared across predicates — same reason a
+    stored IVF index serves every filter), but only the FILTERED rows are
+    assigned and scored. Per-vector assignment is independent given fixed
+    centroids, so filter-then-assign ≡ assign-then-filter member-for-
+    member — and filter-then-assign puts the predicate on the corpus
+    SCAN, where Catalyst pushes it into the parquet reader
+    (PushedFilters) instead of paying a corpus-sized post-assignment
+    join. On a stored index the same predicate goes to
+    ``ivf_search_index(where=...)``, which prunes cid partitions AND
+    pushes the row filter into the list scan."""
+    if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
+        n_centroids = ivf_auto_centroids(corpus)
+    c_full = fan_out(corpus, CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    cents = _train_centroids(c_full, n_centroids, lloyd_iters)
+    c_kept = fan_out(corpus.filter(F.expr(corpus_where)), CPU_HEAVY).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    assigned = _assign_auto(c_kept, cents)
+    return _ivf_probe_score_rank(
+        assigned, cents, c_kept, queries, n_centroids, n_probe, k,
+        vec_col, query_id_col, vectorized,
+    )
 
 
 def ivf_list_stats(
@@ -1020,6 +1093,7 @@ def ivf_build_index(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
     """Train centroids and persist the IVF index as a stored layout:
     ``{path}/corpus`` = the assigned corpus written
@@ -1030,14 +1104,25 @@ def ivf_build_index(
     runs once; every subsequent search touches only the probed ``cid=``
     directories via partition pruning instead of re-scanning and
     re-hashing the corpus per query batch (compare ``ivf_topk``, which
-    recomputes the assignment inline)."""
+    recomputes the assignment inline).
+
+    ``meta_cols`` names metadata columns of ``corpus`` (label, lang,
+    license, ...) to carry INTO the stored list rows, which is what makes
+    ``ivf_search_index(where=...)`` filtered serving possible: the
+    predicate lands in the probed lists' parquet scan as a pushed row
+    filter instead of a post-hoc join. The meta join here is one
+    build-time shuffle on the id — paid once, like the write itself."""
     if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
         n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     cents = _train_centroids(c, n_centroids, lloyd_iters)
-    _assign_auto(c, cents).write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
+    assigned = _assign_auto(c, cents)
+    if meta_cols:
+        meta = corpus.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        assigned = assigned.join(meta, on="neighbor_id")
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -1130,6 +1215,7 @@ def ivf_search_index(
     k: int = 5,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    where: "str | None" = None,
 ) -> DataFrame:
     """Probe a stored IVF index (``ivf_build_index`` layout).
 
@@ -1139,7 +1225,16 @@ def ivf_search_index(
     the partition column, so the parquet scan reads only the probed
     ``cid=`` directories (PartitionFilters — asserted in test_ann). The
     per-query restriction to its own n_probe lists then happens in the
-    broadcast equi-join on ``cid``."""
+    broadcast equi-join on ``cid``.
+
+    ``where`` (a SQL boolean over the stored list rows' columns —
+    requires the index to have been built with matching ``meta_cols``)
+    is FILTERED SERVING: it composes with the partition pruning, landing
+    as a pushed row-group filter inside the probed lists' scan, so a
+    selective predicate costs less I/O, never more. Pre-filtering
+    semantics: the predicate restricts candidates BEFORE ranking —
+    identical member sets to ``ivf_topk_filtered`` under the same
+    centroids."""
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
@@ -1164,6 +1259,8 @@ def ivf_search_index(
     probes = spark.createDataFrame(probe_rows, probes_plan.schema)
     probe_cids = sorted({r.cid for r in probe_rows})
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("cid").isin(probe_cids))
+    if where is not None:
+        idx = idx.filter(F.expr(where))
     scored = (
         idx.join(F.broadcast(probes), on="cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))

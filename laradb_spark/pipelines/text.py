@@ -542,6 +542,120 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+KN_D_MILLI = 750  # the standard absolute-discount D = 0.75, in milli units
+
+# Interpolated Kneser-Ney bigram probability in ppm over the joined stat
+# columns (c12, cw, npost, npre, ntypes) — ONE definition shared by the
+# seen-head, unseen-bigram, and unseen-head limbs; the DuckDB oracle
+# replays the same floor-div chain. DECIMAL(38,0) on the discount
+# numerator: 10⁶·10³·c12 crosses int64 at c12 ≈ 9.2e9 — plausible for a
+# stopword bigram at 100 TB (same overflow discipline as BIGRAM_PPM_EXPR).
+KN_PPM_EXPR = f"""
+CASE WHEN cw > 0 THEN
+  (CASE WHEN 1000 * c12 > {KN_D_MILLI}
+        THEN (CAST(1000000 AS DECIMAL(38,0)) * (1000 * c12 - {KN_D_MILLI}))
+             div (1000 * cw)
+        ELSE 0 END)
+  + (((1000 * {KN_D_MILLI} * npost) div cw)
+     * (CASE WHEN ntypes > 0 THEN (1000000 * npre) div ntypes ELSE 0 END))
+    div 1000000
+ELSE
+  CASE WHEN ntypes > 0 THEN (1000000 * npre) div ntypes ELSE 0 END
+END
+"""
+
+
+def kn_bigram_score(
+    df: DataFrame, train_where: "str | None" = None, text: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the honest
+    in-engine analogue of CCNet's KenLM perplexity filter (Wenzek et al.
+    2020 train a smoothed LM on TARGET-domain text and score the whole
+    crawl; :func:`bigram_lm_score`'s raw count-ratio can't do that — an
+    unseen bigram scores 0/NULL, so cross-domain scoring collapses for
+    any doc with novel transitions). KN smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1999 §2.7) fixes exactly that with discounted mass
+    re-spent on the CONTINUATION distribution:
+
+      P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                 + D·N₁₊(w₁,·)/c(w₁·) · P_cont(w₂)
+      P_cont(w₂) = N₁₊(·,w₂) / |distinct bigram types|
+
+    with D = 0.75 and full backoff to P_cont for an unseen head — the
+    standard interpolated form. All arithmetic is integral ppm with
+    floor division (``KN_PPM_EXPR``), so scores are BIGINTs that
+    hash-match a SQL oracle; the quantization floor (p < 1 ppm rounds to
+    0) only matters for vocabularies past 10⁶ continuation types, where
+    a real pipeline is at KenLM scale anyway.
+
+    ``train_where`` (a SQL boolean over ``df``'s columns, e.g.
+    ``"source = 'wiki'"``) selects the TRAINING slice; every document is
+    scored. ``None`` trains on the full input (self-scoring, like
+    ``bigram_lm_score``). Returns ``(doc_id, kn_score_ppm, n_bigrams,
+    oov_bigram_ppm)`` — the OOV share (bigrams unseen in training) is
+    the complementary novelty signal CCNet buckets on.
+
+    Scale shape: ONE pass over the bigram stream aggregates per-(doc,
+    bigram) counts with the train flag carried (map-side combine; the
+    only persist); every training statistic — c(w₁w₂), c(w₁·),
+    N₁₊(w₁,·), N₁₊(·,w₂), the 1-row type count — DERIVES from that
+    frame (the bm25_scores one-pass discipline). Scoring joins shuffle
+    on vocabulary-sized keys, never corpus-sized; the type count
+    broadcasts."""
+    def bg_of(toks: Column) -> Column:
+        heads, tails = bigram_arrays(toks)
+        return F.zip_with(
+            heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+
+    flag = F.expr(train_where) if train_where is not None else F.lit(True)
+    bg = fan_out(df).select(
+        "doc_id",
+        flag.alias("_train"),
+        F.explode(bind_once(tokens(F.col(text)), bg_of)).alias("_bg"),
+    ).select("doc_id", "_train", "_bg.w1", "_bg.w2")
+    doc_bg = persist_once(
+        bg.groupBy("doc_id", "_train", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    train_bg = doc_bg.filter("_train")
+    cb = train_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    heads = cb.groupBy("w1").agg(
+        F.sum("c12").alias("cw"), F.count(F.lit(1)).alias("npost")
+    )
+    pre = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("npre"))
+    types = cb.agg(F.count(F.lit(1)).alias("ntypes"))
+    joined = (
+        doc_bg.join(cb, on=["w1", "w2"], how="left")
+        .join(heads, on="w1", how="left")
+        .join(pre, on="w2", how="left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            "n",
+            # coalesce the left-join misses to 0 ONCE, under the names
+            # KN_PPM_EXPR reads — the expression applies verbatim (and
+            # identically in the oracle's CTE)
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("cw", F.lit(0)).alias("cw"),
+            F.coalesce("npost", F.lit(0)).alias("npost"),
+            F.coalesce("npre", F.lit(0)).alias("npre"),
+            "ntypes",
+        )
+    )
+    scored = joined.select(
+        "doc_id", "n", F.col("c12").alias("_c12_raw"), F.expr(KN_PPM_EXPR).alias("_ppm")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr("sum(n * _ppm) div sum(n)").alias("kn_score_ppm"),
+        F.sum("n").alias("n_bigrams"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN _c12_raw = 0 THEN n ELSE 0 END)) div sum(n)"
+        ).alias("oov_bigram_ppm"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

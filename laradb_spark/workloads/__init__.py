@@ -137,9 +137,14 @@ _PRIORITY = [
     # HEADs, minus the 48 queries whose hashes are session-unstable —
     # cache/UDF-byte artifacts — for which plan-text tracking is best-effort
     # and the checker is the value evidence) ---------------------------------
-    # (plus the late-r11 addition: the IVF list-occupancy report — new
-    # query, checker-certified --only at all three SFs in-round)
+    # (plus the late-r11 additions — new queries, checker-certified --only
+    # at all three SFs in-round: the IVF list-occupancy report, hybrid RRF
+    # retrieval, the Kneser-Ney LM, filtered IVF, and the LSH recall eval)
     "ann_ivf_list_skew",
+    "hybrid_rrf_topk",
+    "kn_lm_score",
+    "ann_ivf_filtered",
+    "dedup_lsh_recall",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",

@@ -595,6 +595,29 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs_vectorized(load(spark, sf_dir, "documents"))
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality eval: recall/precision of the production
+    minhash banding against exact-Jaccard ground truth (the lossless
+    prefix-filter join) — the banding-parameter tuning report; one row,
+    integral ppm."""
+    return dd.lsh_recall_report(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({DEDUP_JACCARD_SQL})),
+cand AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM truth JOIN cand USING (id_a, id_b)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand)
+SELECT t.n AS n_truth, c.n AS n_candidates, h.n AS n_hits,
+       CASE WHEN t.n > 0 THEN CAST((1000000 * h.n) // t.n AS BIGINT) END AS recall_ppm,
+       CASE WHEN c.n > 0 THEN CAST((1000000 * h.n) // c.n AS BIGINT) END AS precision_ppm
+FROM t, c, h
+"""
+
+
 def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production dedup flow: LSH candidates → exact Jaccard verification
     on candidates only."""
@@ -933,7 +956,12 @@ def _lloyd_ctes(n_centroids: int, iters: int) -> list[str]:
     return ctes
 
 
-def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
+def _ann_ivf_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    where_sql: "str | None" = None,
+) -> str:
     ctes = _lloyd_ctes(n_centroids, iters)
     ctes.append(f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES})")
     ctes.append(f"""probes AS (
@@ -943,19 +971,47 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str
                               ORDER BY list_cosine_similarity(q.qvec, c.cent) DESC, c.cid ASC) AS rn
     FROM q CROSS JOIN c{iters} c) WHERE rn <= {n_probe}
 )""")
+    # filtered serving: the engine filters BEFORE assignment, the oracle
+    # after — per-vector assignment under fixed centroids is independent,
+    # so the member sets are identical (ivf_topk_filtered docstring)
+    filt = (
+        f" AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE {where_sql})"
+        if where_sql
+        else ""
+    )
     return f"""
 WITH {','.join(ctes)},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          list_cosine_similarity(p.qvec, a.vec) AS cos
   FROM af a JOIN probes p ON a.cid = p.cid
-  WHERE a.vec_id <> p.query_id
+  WHERE a.vec_id <> p.query_id{filt}
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+ANN_IVF_FILTER_WHERE = "label % 2 = 1"
+
+
+def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: the same deterministic IVF recipe as
+    ann_ivf_topk, searching only the corpus rows with an odd label —
+    the filtered-vector-search shape (predicate BEFORE ranking; the
+    engine pushes it into the corpus scan, training stays on the full
+    corpus so the index is filter-agnostic)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_filtered(
+        emb,
+        _queries_df(spark, sf_dir),
+        ANN_IVF_FILTER_WHERE,
+        n_centroids=16,
+        n_probe=4,
+        k=TOP_K,
+    )
 
 
 PQ_M = 4
@@ -2103,6 +2159,89 @@ FROM r WHERE rk <= {k}
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 ⊕ dense cosine via Reciprocal Rank Fusion
+# (pipelines/retrieval.rrf_fuse — r11)
+# ---------------------------------------------------------------------------
+
+HYBRID_K_CAND = 20  # per-system candidate depth
+HYBRID_TOP_K = 10
+
+
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical top-20 and the dense-cosine
+    top-20 (query vectors = the embeddings whose vec_id equals the BM25
+    query id — the fixture's doc_id↔vec_id identity) fused per query by
+    integer-exact RRF; top-10 by fused ppm score, doc-id tie-break.
+    Every stage is (queries × k)-bounded past the two retrievals, so the
+    fusion itself adds no corpus-sized work."""
+    from ..pipelines.retrieval import bm25_topk, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERIES, k=HYBRID_K_CAND).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = sim.brute_force_topk(emb, qv, k=HYBRID_K_CAND).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, dense], k=HYBRID_TOP_K)
+    return fused.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        "rank",
+        "rrf_ppm",
+        "n_lists",
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from ..pipelines.retrieval import RRF_K
+
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    return f"""
+WITH lex AS ({_bm25_sql(k=HYBRID_K_CAND)}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id IN ({qids})),
+dscored AS (
+  SELECT q.query_id, v.vec_id AS doc_id,
+         list_cosine_similarity(q.qvec, v.vec) AS c
+  FROM v, q WHERE v.vec_id <> q.query_id
+),
+dense AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, doc_id ASC) AS INT) AS rk
+  FROM dscored QUALIFY rk <= {HYBRID_K_CAND}
+),
+uni AS (
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + "rank") AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk) AS c FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM uni GROUP BY query_id, doc_id
+),
+rr AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_ppm DESC, doc_id ASC) AS INT) AS frank
+  FROM fused
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, frank AS "rank",
+       rrf_ppm, n_lists
+FROM rr WHERE frank <= {HYBRID_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # r6 additions: Gopher quality rules, bigram count-ratio LM, graded
 # contamination (see pipelines.text / pipelines.curation docstrings)
 # ---------------------------------------------------------------------------
@@ -2177,6 +2316,80 @@ SELECT doc_id,
        CAST(SUM(n) AS BIGINT) AS n_bigrams
 FROM doc_bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
 GROUP BY doc_id
+"""
+
+
+KN_TRAIN_WHERE = "source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def kn_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM, trained on a quarter of the
+    sources and scoring EVERY document — the CCNet cross-domain shape
+    the raw count-ratio LM can't do (unseen bigrams get discounted
+    continuation mass instead of zero). Integral-ppm floor-div chain
+    (text.KN_PPM_EXPR) replayed verbatim by the oracle."""
+    return tx.kn_bigram_score(
+        load(spark, sf_dir, "documents"), train_where=KN_TRAIN_WHERE
+    )
+
+
+KN_LM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, ({KN_TRAIN_WHERE}) AS tr,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id, tr, z[1] AS w1, z[2] AS w2
+  FROM (
+    SELECT doc_id, tr,
+           unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+    FROM t WHERE len(toks) >= 2
+  )
+),
+doc_bg AS (
+  SELECT doc_id, tr, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bgs GROUP BY doc_id, tr, w1, w2
+),
+cb AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+       FROM doc_bg WHERE tr GROUP BY w1, w2),
+heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cw,
+                 CAST(COUNT(*) AS BIGINT) AS npost
+          FROM cb GROUP BY w1),
+pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM cb GROUP BY w2),
+ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cb),
+j AS (
+  SELECT d.doc_id, d.n,
+         COALESCE(cb.c12, 0) AS c12, COALESCE(h.cw, 0) AS cw,
+         COALESCE(h.npost, 0) AS npost, COALESCE(p.npre, 0) AS npre,
+         ty.ntypes
+  FROM doc_bg d
+  LEFT JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+  LEFT JOIN heads h ON h.w1 = d.w1
+  LEFT JOIN pre p ON p.w2 = d.w2
+  CROSS JOIN ty
+),
+s AS (
+  SELECT doc_id, n, c12,
+         CASE WHEN cw > 0 THEN
+           (CASE WHEN 1000 * c12 > {tx.KN_D_MILLI}
+                 THEN (1000000::HUGEINT * (1000 * c12 - {tx.KN_D_MILLI}))
+                      // (1000 * cw)
+                 ELSE 0 END)
+           + (((1000 * {tx.KN_D_MILLI} * npost) // cw)
+              * (CASE WHEN ntypes > 0 THEN (1000000 * npre) // ntypes ELSE 0 END))
+             // 1000000
+         ELSE
+           CASE WHEN ntypes > 0 THEN (1000000 * npre) // ntypes ELSE 0 END
+         END AS ppm
+  FROM j
+)
+SELECT doc_id,
+       CAST(SUM(n * ppm) // SUM(n) AS BIGINT) AS kn_score_ppm,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST((1000000 * SUM(CASE WHEN c12 = 0 THEN n ELSE 0 END)) // SUM(n)
+            AS BIGINT) AS oov_bigram_ppm
+FROM s GROUP BY doc_id
 """
 
 
@@ -4243,6 +4456,7 @@ QUERIES = {
     ),
     "gopher_quality": (gopher_quality_q, GOPHER_QUALITY_SQL),
     "bigram_lm": (bigram_lm_q, BIGRAM_LM_SQL),
+    "kn_lm_score": (kn_lm_score_q, KN_LM_SQL),
     "ccnet_lm_buckets": (ccnet_lm_buckets_q, CCNET_LM_BUCKETS_SQL),
     "source_datacard": (source_datacard_q, SOURCE_DATACARD_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),
@@ -4255,6 +4469,7 @@ QUERIES = {
     "dedup_prefix_jaccard": (dedup_prefix_jaccard, DEDUP_JACCARD_SQL),
     "bm25_topk": (bm25_topk_q, _bm25_sql()),
     "bm25_topk_fast": (bm25_topk_fast_q, _bm25_sql()),
+    "hybrid_rrf_topk": (hybrid_rrf_topk_q, _hybrid_rrf_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_drift_tv": (source_drift_tv, SOURCE_DRIFT_SQL),
@@ -4277,6 +4492,7 @@ QUERIES = {
     "shuffle_shards_q": (shuffle_shards_q, SHUFFLE_SHARDS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_lsh_fast": (dedup_minhash_lsh_fast, _minhash_sql()),
+    "dedup_lsh_recall": (dedup_lsh_recall, _lsh_recall_sql()),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, _lsh_jaccard_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_simhash_fast": (dedup_simhash_fast, _simhash_sql()),
@@ -4288,6 +4504,7 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql()),
+    "ann_ivf_filtered": (ann_ivf_filtered_q, _ann_ivf_sql(where_sql=ANN_IVF_FILTER_WHERE)),
     "ann_ivf_list_skew": (ann_ivf_list_skew, _ann_ivf_list_skew_sql()),
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_pq_recall": (ann_pq_recall, _ann_pq_recall_sql()),

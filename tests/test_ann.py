@@ -994,3 +994,38 @@ def test_ivf_recenter_index_equals_fresh_build(spark, clustered, tmp_path):
         full, q, n_centroids=rep["n_centroids_after"], n_probe=3, k=5, lloyd_iters=2
     ))
     assert got == want and len(got) > 0
+
+
+def test_ivf_filtered_inline_and_stored_parity(spark, clustered, tmp_path):
+    """Filtered ANN: ivf_topk_filtered returns only predicate-passing
+    neighbors with contiguous per-query ranks (PRE-filter semantics —
+    candidates are restricted before ranking, not a lossy post-filter of
+    the unfiltered top-k), and filtered SERVING on a stored index built
+    with meta_cols returns the identical result (both paths train on the
+    full corpus, so centroids match)."""
+    labeled = clustered.withColumn("label", F.col("vec_id") % 3)
+    q = _queries(clustered)
+    inline = sim.ivf_topk_filtered(
+        labeled, q, "label = 1", n_centroids=8, n_probe=3, k=5
+    )
+    rows = inline.collect()
+    assert rows and all(r.neighbor_id % 3 == 1 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():  # contiguous 1..n — re-ranked post-filter
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    path = str(tmp_path / "ivf_meta")
+    sim.ivf_build_index(
+        labeled, path, n_centroids=8, lloyd_iters=2, meta_cols=["label"]
+    )
+    stored = sim.ivf_search_index(
+        spark, path, q, n_probe=3, k=5, where="label = 1"
+    )
+    assert _pairs_ranked(stored) == _pairs_ranked(inline)
+    # unfiltered search on the meta-bearing index is unchanged by the
+    # extra stored column
+    plain = sim.ivf_search_index(spark, path, q, n_probe=3, k=5)
+    want = _pairs_ranked(sim.ivf_topk(clustered, q, n_centroids=8, n_probe=3, k=5))
+    assert _pairs_ranked(plain) == want

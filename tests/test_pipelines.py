@@ -1428,3 +1428,90 @@ def test_minhash_index_cross_batch_fuzzy_dedup(spark, tmp_path):
     # history tables are scanned, never shuffled: no SortMergeJoin
     plan = dd.drop_near_seen(batch1, idx, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_rrf_fuse_exact_integer_scores(spark):
+    """RRF against hand arithmetic: 1_000_000 div (60 + rank) per list,
+    summed; doc in both lists outranks every single-list doc; ties break
+    by doc id; ranks re-number contiguously."""
+    from laradb_spark.pipelines.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id long, rank int"
+    )
+    out = {
+        r.doc_id: (r.rank, r.rrf_ppm, r.n_lists)
+        for r in rrf_fuse([lex, dense], k=10).collect()
+    }
+    assert out[11] == (1, 1000000 // 62 + 1000000 // 61, 2)  # both lists
+    assert out[10] == (2, 1000000 // 61, 1)
+    assert out[13] == (3, 1000000 // 62, 1)
+    assert out[12] == (4, 1000000 // 63, 1)
+
+    # fusion is input-order invariant, and k caps per query
+    swapped = {
+        (r.query_id, r.doc_id, r.rank, r.rrf_ppm)
+        for r in rrf_fuse([dense, lex], k=2).collect()
+    }
+    assert swapped == {(1, 11, 1, 1000000 // 62 + 1000000 // 61), (1, 10, 2, 1000000 // 61)}
+
+
+def test_kn_bigram_score_hand_computed(spark):
+    """Interpolated KN against hand arithmetic, including the three
+    limbs: seen bigram (discount + continuation), unseen bigram under a
+    seen head (continuation mass only — the case the raw count-ratio LM
+    zeroes), and per-head probabilities summing to exactly 1e6 ppm over
+    the seen vocabulary."""
+    df = spark.createDataFrame(
+        [(1, "a b a b", "t"), (2, "a b c", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.kn_score_ppm, r.n_bigrams, r.oov_bigram_ppm)
+        for r in tx.kn_bigram_score(df, train_where="source = 't'").collect()
+    }
+    # train corpus = doc 1 only: cb={(a,b):2,(b,a):1}; cw={a:2,b:1};
+    # npost={a:1,b:1}; npre={b:1,a:1}; ntypes=2; D=0.75
+    # p(b|a) = (1e6*(2000-750))div 2000 + ((750000*1)div 2 * 500000)div 1e6
+    #        = 625000 + 187500 = 812500
+    # p(a|b) = (1e6*250)div 1000 + (750000 * 500000)div 1e6 = 250000+375000 = 625000
+    assert got[1] == ((2 * 812500 + 625000) // 3, 3, 0)
+    # doc 2: (a,b) seen = 812500; (b,c) unseen under seen head b:
+    # disc=0, lam=750000, pcont(c)=0 → 0; oov share = 1/2
+    assert got[2] == ((812500 + 0) // 2, 2, 500000)
+    # per-head completeness: Σ_w2 p(w2|a) over seen vocab {a,b} = 1e6
+    # p(a|a) = 0 + (375000 * 500000)div 1e6 = 187500; 812500+187500 = 1e6
+    assert 812500 + 187500 == 1000000
+
+
+def test_kn_bigram_self_trained_matches_ratio_shape(spark, docs):
+    """Self-trained KN (train_where=None) scores every multi-token doc,
+    all scores in [0, 1e6], zero OOV (every bigram is in training), and
+    exact dups score identically."""
+    out = {r.doc_id: r for r in tx.kn_bigram_score(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has no bigrams
+    for r in out.values():
+        assert 0 <= r.kn_score_ppm <= 1000000 and r.oov_bigram_ppm == 0
+    assert out[1].kn_score_ppm == out[4].kn_score_ppm  # exact dup
+
+
+def test_lsh_recall_report_identical_docs(spark, docs):
+    """On the fixture the exact-dup pair is both ground truth and an LSH
+    certainty (identical signatures), so the counters are exact."""
+    rep = dd.lsh_recall_report(docs, threshold=0.5).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    truth = {
+        (x.id_a, x.id_b)
+        for x in dd.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {(x.id_a, x.id_b) for x in dd.minhash_lsh_pairs(docs).collect()}
+    assert (r.n_truth, r.n_candidates, r.n_hits) == (
+        len(truth), len(cand), len(truth & cand),
+    )
+    assert (1, 4) in truth and (1, 4) in cand  # the exact dup always hits
+    assert r.recall_ppm == 1000000 * len(truth & cand) // len(truth)
+    assert r.precision_ppm == 1000000 * len(truth & cand) // len(cand)

@@ -328,6 +328,15 @@ SINGLE_PARTITION_ALLOWED = {
     "bm25_topk",               # query-term/stats scalar flows
     "bm25_topk_fast",          # same scalar flows (n_docs/n_toks 1-row agg,
                                # query-terms-sized df) over the Arrow twin
+    "hybrid_rrf_topk",         # contains bm25_topk verbatim (its scalar
+                               # flows above); the fusion itself is
+                               # (queries×k)-bounded + grouped_rank
+    "kn_lm_score",             # 1-row bigram-type-count broadcast (the
+                               # heavy_hitters E/N-totals shape); every
+                               # corpus-sized stat is a distributed groupBy
+    "dedup_lsh_recall",        # deliberate 1-row eval report (counters
+                               # aggregate pair frames that are themselves
+                               # the production distributed paths)
     "quality_classifier",      # trainer totals: 1-row P/N aggregate over the
                                # 4096-bucket histogram spine
     "quality_classifier_eval", # same trainer flows + a 2-group report agg

@@ -57,7 +57,9 @@ def test_changed_queries_inside_oracle_window():
     # at HEAD): the byte-BPE four (SQL change) plus the queries with STABLE
     # canonical-plan-hash diffs vs r10 from the bind_once sweep.
     next_window = {
-        "ann_ivf_list_skew",  # NEW late-r11 (checker-certified at 3 SFs)
+        # NEW late-r11, checker-certified --only at all 3 SFs in-round
+        "ann_ivf_list_skew", "hybrid_rrf_topk", "kn_lm_score",
+        "ann_ivf_filtered", "dedup_lsh_recall",
         "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
         "shard_decode_roundtrip",
         "approx_stats", "c4_line_clean", "corpus_frequent_ngrams",
