@@ -145,6 +145,7 @@ _PRIORITY = [
     "kn_lm_score",
     "ann_ivf_filtered",
     "dedup_lsh_recall",
+    "wordpiece_stats",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",

@@ -4419,6 +4419,91 @@ FROM fabh
 """
 
 
+# ---------------------------------------------------------------------------
+# WordPiece (BERT-family greedy longest-match) — pipelines/tokenizer.py r11
+# ---------------------------------------------------------------------------
+
+# All 26 initial singles so every fixture word STARTS matchable; every
+# continuation single EXCEPT ##g, so words with a non-initial g (agg, big,
+# merge, ...) exercise the all-or-nothing [UNK] limb at the driver gate;
+# multi-char pieces exercise greedy longest-match-first over the fixture's
+# core vocabulary (table → ta·##ble beats t·##a·##b..., etc.).
+WORDPIECE_VOCAB = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1) if chr(c) != "g"]
+    + ["ta", "##ble", "wind", "##ow", "sc", "##an", "the", "data",
+       "val", "##ue", "str", "##eam", "qu", "##ery"]
+)
+
+
+def wordpiece_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WordPiece fertility under a fixed vocabulary: the
+    BERT-family greedy longest-match-first segmentation (all-or-nothing
+    [UNK] per word), counted per doc — token, word, and UNK-word totals.
+    The oracle replays the greedy loop exactly: a precomputed best-match
+    table (longest vocab piece per (word, position), continuations via
+    ##) walked by a recursive CTE."""
+    return tk.wordpiece_token_stats(
+        load(spark, sf_dir, "documents"), WORDPIECE_VOCAB
+    )
+
+
+def _wordpiece_sql(vocab=WORDPIECE_VOCAB) -> str:
+    vals = ", ".join(f"('{p}')" for p in vocab)
+    mx = tk.WORDPIECE_MAX_CHARS
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+dw AS (SELECT DISTINCT word FROM w),
+vocab(piece) AS (VALUES {vals}),
+vp AS (
+  SELECT piece,
+         CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw,
+         (piece LIKE '##%') AS cont
+  FROM vocab
+),
+pos AS (SELECT word, CAST(UNNEST(range(0, length(word))) AS INT) AS p FROM dw),
+m AS (
+  SELECT pos.word, pos.p, MAX(length(vp.raw)) AS blen
+  FROM pos JOIN vp
+    ON vp.cont = (pos.p > 0)
+   AND substr(pos.word, pos.p + 1, length(vp.raw)) = vp.raw
+  GROUP BY pos.word, pos.p
+),
+seg AS (
+  SELECT word, 0 AS p, 0 AS n, FALSE AS fail FROM dw
+  UNION ALL
+  SELECT s.word,
+         CAST(s.p + COALESCE(m.blen, length(s.word) - s.p) AS INT),
+         s.n + 1,
+         (m.blen IS NULL)
+  FROM seg s LEFT JOIN m ON m.word = s.word AND m.p = s.p
+  WHERE s.p < length(s.word) AND NOT s.fail
+),
+res AS (
+  SELECT word,
+         MAX(CASE WHEN fail THEN 1 ELSE 0 END) AS is_unk,
+         MAX(CASE WHEN NOT fail AND p = length(word) THEN n END) AS np
+  FROM seg GROUP BY word
+),
+pw AS (
+  SELECT word,
+         CASE WHEN length(word) > {mx} OR is_unk = 1 THEN 1 ELSE np END AS np,
+         CASE WHEN length(word) > {mx} OR is_unk = 1 THEN 1 ELSE 0 END AS is_unk
+  FROM res
+)
+SELECT w.doc_id,
+       CAST(SUM(pw.np) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(pw.is_unk) AS BIGINT) AS n_unk_words
+FROM w JOIN pw USING (word)
+GROUP BY w.doc_id
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "html_extract": (html_extract_q, _html_extract_sql()),
@@ -4440,6 +4525,7 @@ QUERIES = {
     "bpe_byte_token_count": (bpe_byte_token_count_q, BPE_BYTE_TOKEN_COUNT_SQL),
     "bpe_contraction_parity": (bpe_contraction_parity_q, BPE_CONTRACTION_PARITY_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
+    "wordpiece_stats": (wordpiece_stats_q, _wordpiece_sql()),
     "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
     "shard_decode_roundtrip": (shard_decode_roundtrip_q, SHARD_DECODE_ROUNDTRIP_SQL),
     "mixture_materialize": (mixture_materialize_q, MIXTURE_MATERIALIZE_SQL),

@@ -694,3 +694,58 @@ def test_byte_bpe_roundtrip_is_lossless(spark):
     got = {r.doc_id: r.text for r in bpe_byte_decode(enc, merges).collect()}
     for did, t in enumerate(NASTY_TEXTS):
         assert got[did] == t, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_greedy_goldens():
+    """Greedy longest-match-first against hand-walked goldens, including
+    the all-or-nothing [UNK] rule (a word failing at position 3 discards
+    the pieces already matched) and the max-chars cap."""
+    from laradb_spark.pipelines.tokenizer import (
+        WORDPIECE_UNK,
+        wordpiece_pieces_str,
+    )
+
+    v = frozenset(["un", "##aff", "##able", "##ffa", "u", "##n", "##a",
+                   "##f", "##b", "##l", "##e", "hello"])
+    wp = lambda w: wordpiece_pieces_str(w, v)
+    assert wp("hello") == ["hello"]
+    # greedy takes "un" (2) over "u" (1); then longest "##aff" over "##a"
+    assert wp("unaffable") == ["un", "##aff", "##able"]
+    # greedy is NOT optimal: "unffa" → "un" + "##ffa"; but "unffx" fails
+    # at x and the ALREADY-MATCHED un/##ffa are discarded → one [UNK]
+    assert wp("unffa") == ["un", "##ffa"]
+    assert wp("unffx") == [WORDPIECE_UNK]
+    assert wp("xyz") == [WORDPIECE_UNK]        # no initial match
+    assert wp("") == [WORDPIECE_UNK]
+    assert wp("u" * 101) == [WORDPIECE_UNK]    # max_input_chars_per_word
+
+
+def test_wordpiece_encode_and_stats(spark):
+    """The Arrow kernel ≡ the pure-Python twin word-for-word, and the
+    stats view counts tokens/words/UNKs exactly."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    vocab = ["a", "b", "t", "##a", "##b", "ta", "##ble"]
+    df = spark.createDataFrame(
+        [(1, "table ab zz ba"), (2, "a a a"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    enc = {r.doc_id: r for r in tk.wordpiece_encode(df, vocab).collect()}
+    assert set(enc) == {1, 2}  # token-less docs dropped (kernel contract)
+    assert enc[1].pieces == ["ta", "##ble", "a", "##b", "[UNK]", "b", "##a"]
+    assert (enc[1].n_words, enc[1].n_unk_words) == (4, 1)
+    assert enc[2].pieces == ["a", "a", "a"]
+    want_twin = [
+        p
+        for w in "table ab zz ba".split()
+        for p in tk.wordpiece_pieces_str(w, frozenset(vocab))
+    ]
+    assert enc[1].pieces == want_twin
+    stats = {r.doc_id: r for r in tk.wordpiece_token_stats(df, vocab).collect()}
+    assert (stats[1].n_tokens, stats[1].n_words, stats[1].n_unk_words) == (7, 4, 1)
+    assert (stats[2].n_tokens, stats[2].n_words, stats[2].n_unk_words) == (3, 3, 0)
