@@ -2252,13 +2252,20 @@ def ivfpq_build_index(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
     """Persist the IVF-PQ layout: ``{path}/codes`` = (neighbor_id, codes)
     written ``partitionBy("cid")`` — compressed inverted lists, the
     serving artifact — plus the two tiny tables ``{path}/coarse`` and
     ``{path}/codebooks``. Build pays the one corpus-sized cid⋈codes
     shuffle; every search after that is a partition-pruned scan of
-    ~m bytes/vector."""
+    ~m bytes/vector.
+
+    ``meta_cols`` carries metadata columns into the stored code rows for
+    ``ivfpq_search_index(where=...)`` filtered serving — rides the
+    build's existing cid⋈codes shuffle (the encode join below), so it
+    costs bytes, not an extra stage (compare ivf_build_index, which pays
+    one extra join for it)."""
     if n_centroids is None:  # √N default, counted pre-fan_out (no exchange)
         n_centroids = ivf_auto_centroids(corpus)
     c = fan_out(corpus, CPU_HEAVY).select(
@@ -2271,9 +2278,13 @@ def ivfpq_build_index(
         corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col,
     )
-    coded = assigned.join(
-        pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col), on="neighbor_id"
-    )
+    enc = pq_encode(corpus, cb_df, dim, id_col=id_col, vec_col=vec_col)
+    if meta_cols:
+        enc = enc.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
+            on="neighbor_id",
+        )
+    coded = assigned.join(enc, on="neighbor_id")
     coded.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
@@ -2316,12 +2327,17 @@ def ivfpq_search_index(
     k: int = 5,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    where: "str | None" = None,
 ) -> DataFrame:
     """Probe a stored IVF-PQ index: the probed cid set lands as a literal
     ``cid IN (...)`` on the partition column (partition-pruned scan, as
     ivf_search_index), then ADC-score just those lists' codes. The
     probe set is collected and rebuilt as a literal frame — same
-    serving-loop cache rationale as ivf_search_index."""
+    serving-loop cache rationale as ivf_search_index.
+
+    ``where`` = filtered serving over an index built with matching
+    ``meta_cols`` (see ivf_search_index — same pre-filter semantics,
+    same pushed-row-filter composition with the partition pruning)."""
     coarse = spark.read.parquet(f"{path}/coarse")
     cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
     q = queries.select(
@@ -2336,6 +2352,8 @@ def ivfpq_search_index(
         cb, dim, query_id_col,
     )
     idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
+    if where is not None:
+        idx = idx.filter(F.expr(where))
     scored = (
         idx.join(F.broadcast(probes.select(query_id_col, "cid")), on="cid")
         .join(F.broadcast(qlut), on=query_id_col)
@@ -2597,8 +2615,11 @@ def ivfpq_res_build_index(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
-    """Persist the IVFADC layout: ``{path}/codes`` = (neighbor_id,
+    """Persist the IVFADC layout (``meta_cols`` → filtered serving via
+    ``ivfpq_res_search_index(where=...)``, one build-time meta join like
+    ivf_build_index): ``{path}/codes`` = (neighbor_id,
     codes) of RESIDUAL encodings written ``partitionBy("cid")``, plus
     the two tiny tables ``{path}/coarse`` and ``{path}/codebooks``
     (residual codebooks, L2-trained). The reconstructed-norm table is
@@ -2620,6 +2641,11 @@ def ivfpq_res_build_index(
     coded = pq_encode_res(
         corpus, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
+    if meta_cols:
+        coded = coded.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
+            on="neighbor_id",
+        )
     coded.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/codes")
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
@@ -2655,12 +2681,15 @@ def ivfpq_res_search_index(
     k: int = 5,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    where: "str | None" = None,
 ) -> DataFrame:
     """Probe a stored IVFADC index: partition-pruned ``cid IN (...)``
     scan of the residual code lists, scored by the residual-ADC cosine
     (q·c per probe + residual LUT + the driver-derived reconstructed-
     norm lookup). Mirrors ``ivfpq_search_index``'s serving-loop
-    mechanics (probe rows collected and rebuilt as a literal frame)."""
+    mechanics (probe rows collected and rebuilt as a literal frame) and
+    its ``where`` filtered serving (meta_cols-built index; pre-filter
+    semantics, pushed row filter composed with partition pruning)."""
     coarse = spark.read.parquet(f"{path}/coarse")
     cb = _pq_codebook_rows(spark.read.parquet(f"{path}/codebooks"))
     coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
@@ -2687,6 +2716,8 @@ def ivfpq_res_search_index(
     )
     densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
     idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
+    if where is not None:
+        idx = idx.filter(F.expr(where))
     scored = (
         idx.join(F.broadcast(probes_qc), on="cid")
         .join(F.broadcast(qlut), on=query_id_col)

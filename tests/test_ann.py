@@ -1029,3 +1029,41 @@ def test_ivf_filtered_inline_and_stored_parity(spark, clustered, tmp_path):
     plain = sim.ivf_search_index(spark, path, q, n_probe=3, k=5)
     want = _pairs_ranked(sim.ivf_topk(clustered, q, n_centroids=8, n_probe=3, k=5))
     assert _pairs_ranked(plain) == want
+
+
+def test_ivfpq_filtered_serving(spark, clustered, tmp_path):
+    """Filtered serving across the PQ ladder: an index built with
+    meta_cols serves where= as the order-preserving subsequence of the
+    unfiltered ADC ranking restricted to predicate-passing members,
+    re-numbered — exactly pre-filter semantics. Holds for both the
+    plain IVF-PQ and the residual IVFADC layouts."""
+    labeled = clustered.withColumn("label", F.col("vec_id") % 3)
+    q = _queries(clustered)
+
+    for build, search, sub in [
+        (sim.ivfpq_build_index, sim.ivfpq_search_index, "pq"),
+        (sim.ivfpq_res_build_index, sim.ivfpq_res_search_index, "res"),
+    ]:
+        path = str(tmp_path / f"ivfpq_meta_{sub}")
+        build(labeled, path, dim=8, n_centroids=8, m=2, k_sub=8,
+              lloyd_iters=2, meta_cols=["label"])
+        # unfiltered full ranking (k = corpus size) → expected filtered
+        # top-5 = label-1 subsequence re-ranked
+        full = search(spark, path, q, dim=8, n_probe=3, k=10**6)
+        by_q = {}
+        for r in sorted(full.collect(), key=lambda r: (r.query_id, r.rank)):
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        want = set()
+        for qid, order in by_q.items():
+            keep = [n for n in order if n % 3 == 1][:5]
+            want |= {(qid, n, i + 1) for i, n in enumerate(keep)}
+        got = search(spark, path, q, dim=8, n_probe=3, k=5, where="label = 1")
+        assert _pairs_ranked(got) == want and len(want) > 0, sub
+        # meta column is inert for unfiltered serving
+        plain = search(spark, path, q, dim=8, n_probe=3, k=5)
+        want_plain = {
+            (qid, n, i + 1)
+            for qid, order in by_q.items()
+            for i, n in enumerate(order[:5])
+        }
+        assert _pairs_ranked(plain) == want_plain, sub
