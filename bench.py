@@ -115,6 +115,16 @@ HEADLINE = [
     # above is the exact oracle harness; this is the route that survives
     # 10x — probe-verified linear-ish where brute force went 32x)
     "knn_label_noise_ivf",
+    # round-11 late additions: hybrid retrieval fusion (BM25 ⊕ dense via
+    # integer RRF), the Kneser-Ney LM (vocabulary-keyed join chain — a
+    # heavier shape than the benched count-ratio bigram_lm), and the
+    # WordPiece Arrow kernel (the third tokenizer family's encode cost)
+    "hybrid_rrf_topk",
+    "kn_lm_score",
+    "wordpiece_stats",
+    # and the Unigram-LM Viterbi kernel (per-word DP — the costliest of
+    # the three tokenizer families per word; guard it)
+    "unigram_stats",
 ]
 
 

@@ -1157,3 +1157,141 @@ def wordpiece_token_stats(
         "n_words",
         "n_unk_words",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece-family Viterbi segmentation)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_WORD_MARK = "▁"  # ▁ — SentencePiece's word-boundary marker
+UNIGRAM_UNK_COST_MILLI = 100_000  # fixed cost charged per [UNK] word
+
+
+def unigram_pieces_str(
+    word: str, costs: "dict[str, int]"
+) -> "tuple[list[str], int]":
+    """Viterbi segmentation of ONE word under a FIXED scored vocabulary —
+    the Unigram-LM tokenizer family (Kudo 2018; SentencePiece's default):
+    among all ways to cover ``▁word`` with vocab pieces, take the one
+    minimizing total cost (integer milli-units — quantized −log p, so
+    the choice is engine-exact, no float sums). Unlike WordPiece's
+    greedy longest-match, this is GLOBALLY optimal: a long first piece
+    loses to two short pieces whose costs sum lower.
+
+    Deterministic total order: (total cost, piece count, piece list
+    lexicographic) — additive in the first two keys and prefix-monotone
+    in the third, so the suffix DP below has exact optimal substructure
+    for it (each position keeps the best (cost, count, pieces) suffix;
+    prepending a piece is order-preserving). The DuckDB oracle instead
+    ENUMERATES every segmentation and sorts by the same triple — two
+    entirely different algorithms, one answer.
+
+    A word with no covering segmentation is one ``[UNK]`` at the fixed
+    ``UNIGRAM_UNK_COST_MILLI``. Returns ``(pieces, cost_milli)``."""
+    w = UNIGRAM_WORD_MARK + word
+    n = len(w)
+    best: "list[tuple[int, int, tuple[str, ...]] | None]" = [None] * (n + 1)
+    best[n] = (0, 0, ())
+    for i in range(n - 1, -1, -1):
+        cand = None
+        for j in range(i + 1, n + 1):
+            p = w[i:j]
+            c = costs.get(p)
+            if c is None or best[j] is None:
+                continue
+            sc, sk, st = best[j]
+            t = (c + sc, 1 + sk, (p,) + st)
+            if cand is None or t < cand:
+                cand = t
+        best[i] = cand
+    if best[0] is None:
+        return [WORDPIECE_UNK], UNIGRAM_UNK_COST_MILLI
+    c, _, t = best[0]
+    return list(t), c
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: "Sequence[tuple[str, int]]",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document Unigram-LM encoding — the third tokenizer family
+    next to byte-BPE (GPT: learned merges) and WordPiece (BERT: greedy
+    closed vocab): T5/SentencePiece-style globally-optimal Viterbi
+    under per-piece costs. ``vocab`` is a driver-side list of
+    ``(piece, cost_milli)`` — pieces starting with ``▁`` match at word
+    start, the rest word-internal, exactly SentencePiece's convention.
+
+    Returns ``(doc_id, pieces, n_words, n_unk_words, cost_milli)`` —
+    the piece stream plus the counters the stats view aggregates;
+    ``cost_milli`` (Σ per-word Viterbi costs, UNKs at the fixed UNK
+    cost) is the corpus-likelihood signal a tokenizer team tracks when
+    comparing vocabularies. Token-less documents are dropped (kernel
+    contract shared with the BPE/WordPiece kernels).
+
+    Scale shape: identical to ``wordpiece_encode`` — one fan_out'd
+    Arrow pass, closure-broadcast vocab, per-word LRU; per-word DP is
+    O(len² · hit-rate) on words that are ≤ tens of chars."""
+    import pandas as pd
+
+    from .text import tokenize_str
+
+    costs = dict(vocab)
+
+    def seg(batches):
+        pieces_of = lru_cache(maxsize=1 << 20)(
+            lambda w: unigram_pieces_str(w, costs)
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, parr, nw, nu, cm = [], [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf[text]):
+                words = tokenize_str(txt or "")
+                if not words:
+                    continue
+                out: list[str] = []
+                unk = 0
+                cost = 0
+                for w in words:
+                    ps, c = pieces_of(w)
+                    out.extend(ps)
+                    cost += c
+                    if ps == [WORDPIECE_UNK]:
+                        unk += 1
+                ids.append(did)
+                parr.append(out)
+                nw.append(len(words))
+                nu.append(unk)
+                cm.append(cost)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": ids, "pieces": parr, "n_words": nw,
+                 "n_unk_words": nu, "cost_milli": cm}
+            )
+
+    return fan_out(df).select("doc_id", text).mapInPandas(
+        seg,
+        "doc_id long, pieces array<string>, n_words long, "
+        "n_unk_words long, cost_milli long",
+    )
+
+
+def unigram_token_stats(
+    df: DataFrame,
+    vocab: "Sequence[tuple[str, int]]",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document Unigram-LM counters over :func:`unigram_encode`:
+    ``(doc_id, n_tokens, n_words, n_unk_words, cost_milli)`` — fertility
+    plus the Viterbi likelihood cost, the pair a vocabulary A/B test
+    compares."""
+    enc = unigram_encode(df, vocab, text)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_tokens"),
+        "n_words",
+        "n_unk_words",
+        "cost_milli",
+    )

@@ -146,6 +146,7 @@ _PRIORITY = [
     "ann_ivf_filtered",
     "dedup_lsh_recall",
     "wordpiece_stats",
+    "unigram_stats",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",

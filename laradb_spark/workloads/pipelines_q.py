@@ -4504,6 +4504,88 @@ GROUP BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece Viterbi) — pipelines/tokenizer.py r11
+# ---------------------------------------------------------------------------
+
+# Scored vocab: every letter except g as both word-start (▁x) and internal
+# singles at 10000 milli, plus cheaper multi-char pieces so the Viterbi
+# genuinely chooses (▁ta+ble beats singles; ▁ta+b beats ▁tab — the case
+# greedy longest-match gets wrong); no piece contains g, so agg / big /
+# group / merge exercise the [UNK] limb at the driver gate.
+UNIGRAM_VOCAB = tuple(
+    [("▁" + chr(c), 10000) for c in range(ord("a"), ord("z") + 1) if chr(c) != "g"]
+    + [(chr(c), 10000) for c in range(ord("a"), ord("z") + 1) if chr(c) != "g"]
+    + [("▁ta", 8000), ("ble", 9000), ("▁sc", 8000), ("an", 7000),
+       ("▁wind", 15000), ("ow", 7000), ("▁qu", 8000), ("ery", 11000),
+       ("▁val", 12000), ("ue", 7000), ("▁str", 12000), ("eam", 11000),
+       ("▁the", 11000), ("▁data", 14000), ("er", 7000), ("le", 7000),
+       ("▁cust", 15000), ("om", 7000), ("▁tab", 20000)]
+)
+
+
+def unigram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer stats: globally-optimal
+    Viterbi segmentation per word under integer piece costs — token,
+    word, UNK counts plus the summed Viterbi cost (the corpus-likelihood
+    signal of a vocabulary A/B test). The oracle takes the OPPOSITE
+    algorithm: enumerate every segmentation by recursive CTE and sort by
+    the same (cost, count, lexicographic) triple — two algorithms, one
+    hash."""
+    return tk.unigram_token_stats(
+        load(spark, sf_dir, "documents"), UNIGRAM_VOCAB
+    )
+
+
+def _unigram_sql(vocab=UNIGRAM_VOCAB) -> str:
+    vals = ", ".join(f"('{p}', {c})" for p, c in vocab)
+    unk = tk.UNIGRAM_UNK_COST_MILLI
+    mark = tk.UNIGRAM_WORD_MARK
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+dw AS (SELECT DISTINCT word FROM w),
+dwm AS (SELECT word, '{mark}' || word AS pw FROM dw),
+vocab(piece, cost) AS (VALUES {vals}),
+paths AS (
+  SELECT word, pw, 0 AS p, 0 AS cost, 0 AS np,
+         []::VARCHAR[] AS pieces
+  FROM dwm
+  UNION ALL
+  SELECT s.word, s.pw, CAST(s.p + length(v.piece) AS INT),
+         s.cost + v.cost, s.np + 1, list_append(s.pieces, v.piece)
+  FROM paths s JOIN vocab v
+    ON substr(s.pw, s.p + 1, length(v.piece)) = v.piece
+  WHERE s.p < length(s.pw)
+),
+segs AS (SELECT word, cost, np, pieces FROM paths WHERE p = length(pw)),
+best AS (
+  SELECT word, cost, np FROM (
+    SELECT word, cost, np,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY cost, np, pieces) AS rn
+    FROM segs) WHERE rn = 1
+),
+pw2 AS (
+  SELECT d.word,
+         COALESCE(b.np, 1) AS np,
+         COALESCE(b.cost, {unk}) AS cost,
+         CASE WHEN b.word IS NULL THEN 1 ELSE 0 END AS is_unk
+  FROM dw d LEFT JOIN best b USING (word)
+)
+SELECT w.doc_id,
+       CAST(SUM(pw2.np) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(pw2.is_unk) AS BIGINT) AS n_unk_words,
+       CAST(SUM(pw2.cost) AS BIGINT) AS cost_milli
+FROM w JOIN pw2 USING (word)
+GROUP BY w.doc_id
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "html_extract": (html_extract_q, _html_extract_sql()),
@@ -4526,6 +4608,7 @@ QUERIES = {
     "bpe_contraction_parity": (bpe_contraction_parity_q, BPE_CONTRACTION_PARITY_SQL),
     "bpe_fertility": (bpe_fertility_q, BPE_FERTILITY_SQL),
     "wordpiece_stats": (wordpiece_stats_q, _wordpiece_sql()),
+    "unigram_stats": (unigram_stats_q, _unigram_sql()),
     "token_shard_stats": (token_shard_stats_q, TOKEN_SHARD_STATS_SQL),
     "shard_decode_roundtrip": (shard_decode_roundtrip_q, SHARD_DECODE_ROUNDTRIP_SQL),
     "mixture_materialize": (mixture_materialize_q, MIXTURE_MATERIALIZE_SQL),

@@ -60,6 +60,7 @@ def test_changed_queries_inside_oracle_window():
         # NEW late-r11, checker-certified --only at all 3 SFs in-round
         "ann_ivf_list_skew", "hybrid_rrf_topk", "kn_lm_score",
         "ann_ivf_filtered", "dedup_lsh_recall", "wordpiece_stats",
+        "unigram_stats",
         "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
         "shard_decode_roundtrip",
         "approx_stats", "c4_line_clean", "corpus_frequent_ngrams",

@@ -749,3 +749,50 @@ def test_wordpiece_encode_and_stats(spark):
     stats = {r.doc_id: r for r in tk.wordpiece_token_stats(df, vocab).collect()}
     assert (stats[1].n_tokens, stats[1].n_words, stats[1].n_unk_words) == (7, 4, 1)
     assert (stats[2].n_tokens, stats[2].n_words, stats[2].n_unk_words) == (3, 3, 0)
+
+
+def test_unigram_viterbi_goldens():
+    """Viterbi segmentation against hand arithmetic: global optimum
+    beats greedy-longest, tie-breaks (fewer pieces, then lexicographic),
+    UNK with the fixed cost."""
+    from laradb_spark.pipelines.tokenizer import (
+        UNIGRAM_UNK_COST_MILLI,
+        UNIGRAM_WORD_MARK as M,
+        WORDPIECE_UNK,
+        unigram_pieces_str as up,
+    )
+
+    costs = {M + "ta": 8000, "ble": 9000, M + "tab": 20000, "l": 10000,
+             "e": 10000, M + "t": 10000, "a": 10000, "b": 10000}
+    assert up("table", costs) == ([M + "ta", "ble"], 17000)
+    # greedy-longest would take ▁tab (20000); Viterbi finds ▁ta+b (18000)
+    assert up("tab", costs) == ([M + "ta", "b"], 18000)
+    assert up("xyz", costs) == ([WORDPIECE_UNK], UNIGRAM_UNK_COST_MILLI)
+    assert up("ab", {M + "ab": 20000, M + "a": 10000, "b": 10000}) == (
+        [M + "ab"], 20000)  # equal cost → fewer pieces wins
+    ps, _ = up("abc", {M + "a": 10000, "bc": 15000, M + "ab": 15000, "c": 10000})
+    assert ps == [M + "a", "bc"]  # equal cost AND count → lexicographic
+
+
+def test_unigram_encode_and_stats(spark):
+    """Arrow kernel ≡ the DP twin word-for-word; stats counters exact,
+    including the summed Viterbi cost and UNK accounting."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    M = tk.UNIGRAM_WORD_MARK
+    vocab = [(M + "ta", 8000), ("ble", 9000), (M + "t", 10000),
+             ("a", 10000), ("b", 10000), ("le", 7000)]
+    df = spark.createDataFrame(
+        [(1, "table tab zz"), (2, "tat tat")], "doc_id long, text string"
+    )
+    enc = {r.doc_id: r for r in tk.unigram_encode(df, vocab).collect()}
+    # table: ▁ta+ble(17000) vs ▁ta+b+le(25000) vs ▁t+a+ble(29000) → ▁ta+ble
+    # tab: ▁ta+b = 18000; zz: UNK
+    assert enc[1].pieces == [M + "ta", "ble", M + "ta", "b", tk.WORDPIECE_UNK]
+    assert (enc[1].n_words, enc[1].n_unk_words) == (3, 1)
+    assert enc[1].cost_milli == 17000 + 18000 + tk.UNIGRAM_UNK_COST_MILLI
+    # tat: ▁ta+t? 't' bare not in vocab → ▁t+a+t? no bare t → UNK
+    assert enc[2].pieces == [tk.WORDPIECE_UNK] * 2
+    stats = {r.doc_id: r for r in tk.unigram_token_stats(df, vocab).collect()}
+    assert (stats[1].n_tokens, stats[1].n_words, stats[1].n_unk_words) == (5, 3, 1)
+    assert stats[2].cost_milli == 2 * tk.UNIGRAM_UNK_COST_MILLI
