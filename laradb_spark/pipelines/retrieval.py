@@ -366,3 +366,49 @@ def rrf_fuse(
         F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
         F.col("n_lists").cast("int").alias("n_lists"),
     )
+
+
+def hybrid_search_index(
+    spark: SparkSession,
+    bm25_path: str,
+    ivf_path: str,
+    queries: Sequence[tuple[int, str]],
+    query_vectors: DataFrame,
+    k: int = 10,
+    k_cand: int = 20,
+    n_probe: int = 4,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval over STORED indexes — the serving composition:
+    probe a ``bm25_build_index`` layout (posting buckets pruned to the
+    query terms) and an ``ivf_build_index`` layout (cid partitions
+    pruned to the probed lists) for ``k_cand`` candidates each, then
+    fuse with :func:`rrf_fuse`. ``queries`` are (query_id, text) pairs;
+    ``query_vectors`` is the matching (query_id, embedding) frame —
+    ids must align across the two modalities, which is the caller's
+    contract (an embedding service keyed by the same query ids).
+
+    Steady-state cost = two pruned index probes + a (queries × k)-
+    bounded fusion; neither corpus is re-scanned or re-hashed. With
+    ``n_probe`` ≥ the index's centroid count the dense side is
+    exhaustive and the result equals the inline hybrid exactly
+    (test-pinned); at production probe counts it is the standard
+    recall/cost trade the IVF family documents."""
+    from .similarity import ivf_search_index
+
+    lex = bm25_search_index(spark, bm25_path, queries, k=k_cand, id_col=id_col)
+    dense = ivf_search_index(
+        spark, ivf_path, query_vectors, n_probe=n_probe, k=k_cand
+    ).select(
+        "query_id", F.col("neighbor_id").alias(id_col), "rank"
+    )
+    return rrf_fuse(
+        [
+            lex.select(F.col("query_id").cast("long").alias("query_id"), id_col, "rank"),
+            dense.select(F.col("query_id").cast("long").alias("query_id"), id_col, "rank"),
+        ],
+        k=k,
+        rrf_k=rrf_k,
+        id_col=id_col,
+    )

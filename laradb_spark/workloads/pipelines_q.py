@@ -2173,12 +2173,15 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     query id — the fixture's doc_id↔vec_id identity) fused per query by
     integer-exact RRF; top-10 by fused ppm score, doc-id tie-break.
     Every stage is (queries × k)-bounded past the two retrievals, so the
-    fusion itself adds no corpus-sized work."""
-    from ..pipelines.retrieval import bm25_topk, rrf_fuse
+    fusion itself adds no corpus-sized work. The lexical side runs the
+    Arrow sparse-tf twin (bit-identical scores to bm25_topk, same
+    floor-div chain — the dedup_minhash_lsh_fast precedent), so this
+    entry benches the route a real corpus takes."""
+    from ..pipelines.retrieval import bm25_topk_fast, rrf_fuse
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    lex = bm25_topk(docs, BM25_QUERIES, k=HYBRID_K_CAND).select(
+    lex = bm25_topk_fast(docs, BM25_QUERIES, k=HYBRID_K_CAND).select(
         F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
     )
     qids = [qid for qid, _ in BM25_QUERIES]

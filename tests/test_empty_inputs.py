@@ -176,3 +176,42 @@ def test_ivfpq_res_ops_empty(spark, empty_emb, tmp_path):
     assert [f.name for f in served.schema.fields] == [
         "query_id", "neighbor_id", "cos", "rank",
     ]
+
+
+def test_r11_late_ops_empty(spark, empty_docs, empty_emb):
+    """The r11 late additions on empty inputs: RRF with empty ranked
+    lists, KN-LM with an empty corpus AND an empty training slice,
+    WordPiece/Unigram kernels, the LSH recall report (NULL ratios, zero
+    counters — undefined-not-perfect), and filtered IVF."""
+    from laradb_spark.pipelines import dedup as dd
+    from laradb_spark.pipelines import similarity as sim
+    from laradb_spark.pipelines import text as tx
+    from laradb_spark.pipelines import tokenizer as tk
+    from laradb_spark.pipelines.retrieval import rrf_fuse
+
+    empty_ranked = spark.createDataFrame(
+        [], "query_id int, doc_id long, rank int"
+    )
+    assert rrf_fuse([empty_ranked, empty_ranked], k=5).count() == 0
+
+    assert tx.kn_bigram_score(empty_docs).count() == 0
+    # non-empty corpus, EMPTY training slice: every bigram fully backs
+    # off and ntypes=0 → all-zero scores, no division error
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = tx.kn_bigram_score(one, train_where="false").collect()[0]
+    assert (row.kn_score_ppm, row.oov_bigram_ppm) == (0, 1000000)
+
+    assert tk.wordpiece_encode(empty_docs, ["a"]).count() == 0
+    assert tk.unigram_encode(empty_docs, [("a", 1000)]).count() == 0
+    # empty vocab: every word is [UNK], nothing throws
+    r = tk.wordpiece_token_stats(one, []).collect()[0]
+    assert (r.n_tokens, r.n_unk_words) == (3, 3)
+    r = tk.unigram_token_stats(one, []).collect()[0]
+    assert (r.n_tokens, r.n_unk_words) == (3, 3)
+
+    rep = dd.lsh_recall_report(empty_docs).collect()[0]
+    assert (rep.n_truth, rep.n_candidates, rep.n_hits) == (0, 0, 0)
+    assert rep.recall_ppm is None and rep.precision_ppm is None
+
+    q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert sim.ivf_topk_filtered(empty_emb, q, "vec_id > 0", n_centroids=4).count() == 0

@@ -1515,3 +1515,49 @@ def test_lsh_recall_report_identical_docs(spark, docs):
     assert (1, 4) in truth and (1, 4) in cand  # the exact dup always hits
     assert r.recall_ppm == 1000000 * len(truth & cand) // len(truth)
     assert r.precision_ppm == 1000000 * len(truth & cand) // len(cand)
+
+
+def test_hybrid_search_index_equals_inline(spark, tmp_path, sf_dir):
+    """The stored-index hybrid (pruned BM25 posting probe + IVF list
+    probe + RRF) returns EXACTLY the inline hybrid's fusion when the
+    dense probe is exhaustive (n_probe = n_centroids ⇒ IVF scores every
+    vector, ≡ brute force) — the serving composition certifies against
+    the inline plan, not a parallel implementation."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_build_index,
+        bm25_topk,
+        hybrid_search_index,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    )
+    queries = [(1, "hash join"), (2, "stream window")]
+    qv = emb.filter(F.col("vec_id").isin([1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    bm25_path = str(tmp_path / "bm25")
+    ivf_path = str(tmp_path / "ivf")
+    bm25_build_index(docs, bm25_path)
+    sim.ivf_build_index(emb, ivf_path, n_centroids=8, lloyd_iters=2)
+
+    got = {
+        tuple(r)
+        for r in hybrid_search_index(
+            spark, bm25_path, ivf_path, queries, qv, k=5, k_cand=10, n_probe=8
+        ).collect()
+    }
+
+    lex = bm25_topk(docs, queries, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    dense = sim.brute_force_topk(emb, qv, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    want = {tuple(r) for r in rrf_fuse([lex, dense], k=5).collect()}
+    assert got == want and len(got) == 10
