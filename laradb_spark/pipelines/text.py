@@ -831,3 +831,98 @@ def lm_quality_buckets(
         "lm_score_ppm",
         F.expr(f"cast(((_r - 1) * {int(n_buckets)}) div _n + 1 as int)").alias("bucket"),
     )
+
+
+def kn_build_lm(
+    df: DataFrame,
+    path: str,
+    train_where: "str | None" = None,
+    text: str = "text",
+) -> None:
+    """Materialize the Kneser-Ney training statistics as a stored LM
+    artifact — the build/serve split every other scorer here has (BM25
+    postings, decon n-grams, span/line/minhash indexes): train ONCE over
+    the (possibly huge) target-domain corpus, then score any number of
+    incoming batches against the frozen tables. Layout:
+    ``{path}/cb`` = (w1, w2, c12); ``{path}/heads`` = (w1, cw, npost);
+    ``{path}/pre`` = (w2, npre); ``{path}/types`` = one row (ntypes).
+    All four derive from one pass over the training bigram stream
+    (map-side combine), exactly like the inline trainer."""
+    flag = F.expr(train_where) if train_where is not None else F.lit(True)
+
+    def bg_of(toks: Column) -> Column:
+        heads, tails = bigram_arrays(toks)
+        return F.zip_with(
+            heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+
+    bg = fan_out(df.filter(flag)).select(
+        "doc_id", F.explode(bind_once(tokens(F.col(text)), bg_of)).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    cb = persist_once(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/cb")
+    cb.groupBy("w1").agg(
+        F.sum("c12").alias("cw"), F.count(F.lit(1)).alias("npost")
+    ).write.mode("overwrite").parquet(f"{path}/heads")
+    cb.groupBy("w2").agg(F.count(F.lit(1)).alias("npre")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/pre")
+    cb.agg(F.count(F.lit(1)).alias("ntypes")).write.mode("overwrite").parquet(
+        f"{path}/types"
+    )
+    cb.unpersist()
+
+
+def kn_score_indexed(
+    df: DataFrame, lm_path: str, text: str = "text"
+) -> DataFrame:
+    """Score a batch against a stored :func:`kn_build_lm` artifact —
+    identical output to :func:`kn_bigram_score` under the same training
+    slice (same ``KN_PPM_EXPR`` floor-div chain; test-pinned), but the
+    training corpus is never re-scanned: the batch's bigram profile
+    joins the frozen vocabulary-keyed stat tables. The incremental-
+    curation shape: one LM build per target-domain refresh, per-shard
+    scoring forever after."""
+    spark = df.sparkSession
+
+    def bg_of(toks: Column) -> Column:
+        heads, tails = bigram_arrays(toks)
+        return F.zip_with(
+            heads, tails, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+
+    bg = fan_out(df).select(
+        "doc_id", F.explode(bind_once(tokens(F.col(text)), bg_of)).alias("_bg")
+    ).select("doc_id", "_bg.w1", "_bg.w2")
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    cb = spark.read.parquet(f"{lm_path}/cb")
+    heads = spark.read.parquet(f"{lm_path}/heads")
+    pre = spark.read.parquet(f"{lm_path}/pre")
+    types = spark.read.parquet(f"{lm_path}/types")
+    joined = (
+        doc_bg.join(cb, on=["w1", "w2"], how="left")
+        .join(heads, on="w1", how="left")
+        .join(pre, on="w2", how="left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("cw", F.lit(0)).alias("cw"),
+            F.coalesce("npost", F.lit(0)).alias("npost"),
+            F.coalesce("npre", F.lit(0)).alias("npre"),
+            "ntypes",
+        )
+    )
+    scored = joined.select(
+        "doc_id", "n", F.col("c12").alias("_c12_raw"), F.expr(KN_PPM_EXPR).alias("_ppm")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr("sum(n * _ppm) div sum(n)").alias("kn_score_ppm"),
+        F.sum("n").alias("n_bigrams"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN _c12_raw = 0 THEN n ELSE 0 END)) div sum(n)"
+        ).alias("oov_bigram_ppm"),
+    )

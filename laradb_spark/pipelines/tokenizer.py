@@ -318,44 +318,47 @@ def _bpe_train_loop(
             break
         a, b = best[0]["p"]["a"], best[0]["p"]["b"]
         merges.append((a, b))
-        merged = F.lit(a + b)
         old = vocab
-        # left-to-right non-overlapping rewrite as an aggregate fold over
-        # the symbol array: carry (out_array, skip_next) through the fold
         vocab = persist_once(
-            old.select(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("syms"),
-                        F.concat(F.slice(F.col("syms"), 2, F.size("syms")), F.array(F.lit(None).cast("string"))),
-                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
-                    ),
-                    F.struct(
-                        F.expr("CAST(array() AS array<string>)").alias("out"),
-                        F.lit(False).alias("skip"),
-                    ),
-                    lambda acc, s: F.when(acc["skip"], F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")))
-                    .when(
-                        (s["x"] == F.lit(a)) & (s["y"].eqNullSafe(F.lit(b))),
-                        F.struct(
-                            F.concat(acc["out"], F.array(merged)).alias("out"),
-                            F.lit(True).alias("skip"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.concat(acc["out"], F.array(s["x"])).alias("out"),
-                            F.lit(False).alias("skip"),
-                        )
-                    ),
-                    lambda acc: acc["out"],
-                ).alias("syms"),
-                "c",
-            )
+            old.select(_pair_rewrite_fold(a, b, a + b).alias("syms"), "c")
         )
         old.unpersist()
     vocab.unpersist()
     return merges
+
+
+def _pair_rewrite_fold(a: str, b: str, merged: str) -> Column:
+    """Left-to-right non-overlapping (a, b) → merged rewrite of the
+    ``syms`` column as an aggregate fold carrying (out_array, skip_next)
+    — ONE definition shared by the BPE trainer (merged = a + b) and the
+    WordPiece trainer (merged strips b's ``##``)."""
+    merged_lit = F.lit(merged)
+    return F.aggregate(
+        F.zip_with(
+            F.col("syms"),
+            F.concat(F.slice(F.col("syms"), 2, F.size("syms")), F.array(F.lit(None).cast("string"))),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+        F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, s: F.when(acc["skip"], F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")))
+        .when(
+            (s["x"] == F.lit(a)) & (s["y"].eqNullSafe(F.lit(b))),
+            F.struct(
+                F.concat(acc["out"], F.array(merged_lit)).alias("out"),
+                F.lit(True).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(s["x"])).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
 
 
 def bpe_save_merges(
@@ -1295,3 +1298,111 @@ def unigram_token_stats(
         "n_unk_words",
         "cost_milli",
     )
+
+
+def wordpiece_train(
+    df: DataFrame, n_merges: int, text: str = "text"
+) -> list[str]:
+    """Distributed WordPiece TRAINING — the likelihood-scored merge loop
+    of the public BERT/HuggingFace trainer: like BPE it repeatedly
+    merges an adjacent symbol pair, but the pair chosen maximizes
+    ``freq(ab) / (freq(a)·freq(b))`` (the pointwise-mutual-information
+    surrogate), not raw frequency — a rarer pair whose parts occur
+    almost only together beats a frequent pair of independently-common
+    parts. Words start as (first char, ##-prefixed rest); merging keeps
+    the left symbol's prefix (``a + ##b → ab``, ``##b + ##c → ##bc``),
+    so learned symbols ARE WordPiece vocabulary pieces.
+
+    Engine-exact selection: the score is quantized to an integral
+    ``(n · 10¹²) div (cnt_a · cnt_b)`` with a DECIMAL(38,0) intermediate
+    (counts at 100 TB overflow int64 when multiplied), ties broken by
+    (a, b) ascending — deterministic across engines and runs.
+
+    Returns the learned vocabulary: base single-char pieces (sorted) +
+    merged pieces in learning order, ready for
+    :func:`wordpiece_encode` — trained on a corpus, every training-
+    corpus word segments without [UNK] by construction (all base chars
+    are pieces).
+
+    Scale shape: identical to :func:`bpe_train` — the loop runs over the
+    DISTINCT-WORD frame (vocabulary-sized, not corpus-sized), one
+    pair-count + one symbol-count aggregate per round (map-side
+    combine), rewrite via the shared fold; per-round driver traffic is
+    one best-pair row."""
+    from ..util import persist_once
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    w = F.col("word")
+    syms0 = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.when(i == 1, F.substring(w, 1, 1)).otherwise(
+            F.concat(F.lit("##"), w.substr(i, F.lit(1)))
+        ),
+    )
+    vocab = persist_once(
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(syms0.alias("syms"), "c")
+    )
+    base = sorted(
+        r["s"]
+        for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+    )
+    merges: list[str] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("n"))
+        )
+        counts = (
+            vocab.select(F.explode("syms").alias("s"), "c")
+            .groupBy("s")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        scored = (
+            pairs.join(counts.select(F.col("s").alias("_a"), F.col("cnt").alias("ca")),
+                       pairs["p"]["a"] == F.col("_a"))
+            .join(counts.select(F.col("s").alias("_b"), F.col("cnt").alias("cb")),
+                  pairs["p"]["b"] == F.col("_b"))
+            .select(
+                "p",
+                F.expr(
+                    "(CAST(n AS DECIMAL(38,0)) * 1000000000000)"
+                    " div (CAST(ca AS DECIMAL(38,0)) * cb)"
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append(merged)
+        old = vocab
+        vocab = persist_once(
+            old.select(_pair_rewrite_fold(a, b, merged).alias("syms"), "c")
+        )
+        old.unpersist()
+    vocab.unpersist()
+    out: list[str] = []
+    for p in base + merges:  # first occurrence wins on rare collisions
+        if p not in out:
+            out.append(p)
+    return out

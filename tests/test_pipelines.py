@@ -1561,3 +1561,15 @@ def test_hybrid_search_index_equals_inline(spark, tmp_path, sf_dir):
     )
     want = {tuple(r) for r in rrf_fuse([lex, dense], k=5).collect()}
     assert got == want and len(got) == 10
+
+
+def test_kn_stored_lm_matches_inline(spark, docs, tmp_path):
+    """kn_build_lm + kn_score_indexed ≡ kn_bigram_score under the same
+    training slice — the stored LM scores new batches without touching
+    the training corpus, identically."""
+    path = str(tmp_path / "knlm")
+    tx.kn_build_lm(docs, path, train_where="doc_id <= 3")
+    batch = docs  # score everything, incl. docs outside the train slice
+    got = sorted(map(tuple, tx.kn_score_indexed(batch, path).collect()))
+    want = sorted(map(tuple, tx.kn_bigram_score(docs, train_where="doc_id <= 3").collect()))
+    assert got == want and len(got) == 4

@@ -796,3 +796,44 @@ def test_unigram_encode_and_stats(spark):
     stats = {r.doc_id: r for r in tk.unigram_token_stats(df, vocab).collect()}
     assert (stats[1].n_tokens, stats[1].n_words, stats[1].n_unk_words) == (5, 3, 1)
     assert stats[2].cost_milli == 2 * tk.UNIGRAM_UNK_COST_MILLI
+
+
+def test_wordpiece_train_likelihood_scoring(spark):
+    """The WordPiece trainer picks the pair maximizing n/(cnt_a·cnt_b),
+    NOT raw frequency (the property separating it from the BPE loop):
+    (a,##b) appears 10× but its parts are common (score 10/100); (c,##d)
+    appears 2× with exclusive parts (score 2/4) — WordPiece merges cd
+    first. The learned vocab then segments the training corpus with
+    zero UNKs."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    rows = [(i, "ab") for i in range(10)] + [(100 + i, "cd") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = tk.wordpiece_train(df, n_merges=1)
+    assert "cd" in vocab and "ab" not in vocab
+    assert set(vocab) == {"a", "##b", "c", "##d", "cd"}
+
+    vocab2 = tk.wordpiece_train(df, n_merges=2)
+    assert vocab2[-2:] == ["cd", "ab"]  # second round merges the other pair
+    stats = {r.doc_id: r for r in tk.wordpiece_token_stats(df, vocab2).collect()}
+    assert all(r.n_unk_words == 0 for r in stats.values())
+    assert stats[0].n_tokens == 1 and stats[100].n_tokens == 1
+
+
+def test_wordpiece_train_interior_merges(spark):
+    """Interior merges keep the ## prefix (##b + ##c → ##bc) and merged
+    pieces chain (a trained vocab reproduces whole training words)."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    df = spark.createDataFrame(
+        [(i, "xbc xbc ybc") for i in range(5)], "doc_id long, text string"
+    )
+    vocab = tk.wordpiece_train(df, n_merges=3)
+    assert "##bc" in vocab  # interior merge keeps the continuation prefix
+    enc = tk.wordpiece_encode(
+        spark.createDataFrame([(1, "xbc ybc zbc")], "doc_id long, text string"),
+        vocab,
+    ).collect()[0]
+    # x/y words resolve through learned pieces; z was never seen → its
+    # word still segments via z? no 'z' base piece → [UNK]
+    assert enc.n_unk_words == 1 and enc.pieces.count("[UNK]") == 1
