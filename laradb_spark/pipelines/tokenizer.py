@@ -1406,3 +1406,173 @@ def wordpiece_train(
         if p not in out:
             out.append(p)
     return out
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int,
+    seed_min_count: int = 2,
+    seed_max_len: int = 4,
+    em_iters: int = 2,
+    text: str = "text",
+) -> "list[tuple[str, int]]":
+    """Distributed Unigram-LM TRAINING (the SentencePiece algorithm
+    shape, Kudo 2018 §3.2): seed a large candidate vocabulary, run EM
+    over each word's segmentation lattice (E-step: forward-backward
+    expected piece counts under the current unigram probabilities;
+    M-step: renormalize), then prune to ``vocab_size`` keeping the
+    highest-expected-count pieces — single-char pieces are never pruned,
+    so every seen word stays segmentable (zero [UNK] on the training
+    corpus by construction). Honest simplification vs SentencePiece:
+    pruning ranks by expected count rather than by exact
+    likelihood-loss-per-piece, and seeding enumerates substrings ≤
+    ``seed_max_len`` instead of the suffix-automaton top-K — the EM core
+    is the real thing.
+
+    Returns ``[(piece, cost_milli)]`` for :func:`unigram_encode`: cost =
+    −ln p quantized to milli-nats (ties in the final Viterbi resolved by
+    the encode-side deterministic triple).
+
+    Determinism at scale: the E-step runs as an Arrow pass over the
+    DISTINCT-WORD frame (vocabulary-sized — the bpe_train discipline)
+    with the current probabilities broadcast; each word's expected
+    counts are quantized to INTEGER micro-units before the distributed
+    sum, so the aggregate is order-independent (float partial sums are
+    not) and the learned vocab is bit-stable across partitionings.
+
+    Scale shape: seeding is one explode+count over distinct words
+    (substring positions × ≤``seed_max_len`` lengths); each EM round is
+    one Arrow map + one piece-keyed aggregate; only piece tables
+    (vocabulary-sized) ever reach the driver."""
+    import pandas as pd
+
+    from ..util import persist_once
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    w = F.col("word")
+    words = persist_once(
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.concat(F.lit(UNIGRAM_WORD_MARK), w).alias("pw"), "c")
+    )
+    # seed: every substring of length 1..seed_max_len, corpus count ≥ min
+    pw = F.col("pw")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(pw)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(seed_max_len), F.length(pw) - i + 1)
+                ),
+                lambda l: pw.substr(i, l),
+            ),
+        )
+    )
+    seed = (
+        words.select(F.explode(subs).alias("piece"), "c")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("n"))
+        .filter(
+            (F.col("n") >= seed_min_count) | (F.length("piece") == 1)
+        )  # singles always survive seeding — the UNK-free floor
+        .collect()
+    )
+    # initial probabilities ∝ seed counts
+    total0 = float(sum(r["n"] for r in seed))
+    probs: dict[str, float] = {r["piece"]: r["n"] / total0 for r in seed}
+    # the UNK-free floor: single-char pieces must survive EM even when a
+    # longer piece explains all their mass (expected count rounds to 0) —
+    # SentencePiece likewise never drops required characters
+    seed_singles = {r["piece"] for r in seed if len(r["piece"]) == 1}
+    SINGLE_FLOOR = 1e-9
+
+    def e_step_expected(probs_b: "dict[str, float]"):
+        """Arrow E-step: per word, forward-backward over the lattice;
+        emit (piece, expected count × word count) in integer micro-units."""
+
+        maxlen = max(map(len, probs_b), default=1)  # lattice scan bound
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                acc: dict[str, int] = {}
+                for word, cnt in zip(pdf["pw"], pdf["c"]):
+                    n = len(word)
+                    alpha = [0.0] * (n + 1)
+                    alpha[0] = 1.0
+                    for i in range(1, n + 1):
+                        s = 0.0
+                        for j in range(max(0, i - maxlen), i):
+                            p = probs_b.get(word[j:i])
+                            if p:
+                                s += alpha[j] * p
+                        alpha[i] = s
+                    if alpha[n] <= 0.0:
+                        continue  # unsegmentable under current vocab
+                    beta = [0.0] * (n + 1)
+                    beta[n] = 1.0
+                    for i in range(n - 1, -1, -1):
+                        s = 0.0
+                        for j in range(i + 1, min(n, i + maxlen) + 1):
+                            p = probs_b.get(word[i:j])
+                            if p:
+                                s += p * beta[j]
+                        beta[i] = s
+                    z = alpha[n]
+                    for i in range(n):
+                        for j in range(i + 1, min(n, i + maxlen) + 1):
+                            piece = word[i:j]
+                            p = probs_b.get(piece)
+                            if p:
+                                e = alpha[i] * p * beta[j] / z
+                                if e > 0.0:
+                                    q = int(e * 1_000_000 * cnt + 0.5)
+                                    if q:
+                                        acc[piece] = acc.get(piece, 0) + q
+                if acc:
+                    yield pd.DataFrame(
+                        {"piece": list(acc), "e_micro": list(acc.values())}
+                    )
+
+        return run
+
+    for _ in range(em_iters):
+        expected = (
+            words.mapInPandas(e_step_expected(probs), "piece string, e_micro long")
+            .groupBy("piece")
+            .agg(F.sum("e_micro").alias("e"))
+            .collect()
+        )
+        tot = float(sum(r["e"] for r in expected))
+        if tot <= 0:
+            break
+        probs = {r["piece"]: r["e"] / tot for r in expected if r["e"] > 0}
+        for p1 in seed_singles:
+            probs.setdefault(p1, SINGLE_FLOOR)
+
+    # prune: keep all singles, then the highest-expected multis by
+    # (prob desc, piece asc) until vocab_size
+    import math
+
+    singles = {p: v for p, v in probs.items() if len(p) == 1}
+    multis = sorted(
+        ((v, p) for p, v in probs.items() if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    keep = dict(singles)
+    for v, p in multis:
+        if len(keep) >= max(vocab_size, len(singles)):
+            break
+        keep[p] = v
+    tot = sum(keep.values())
+    out = [
+        (p, max(1, int(-math.log(v / tot) * 1000 + 0.5)))
+        for p, v in keep.items()
+    ]
+    out.sort(key=lambda t: (t[1], t[0]))
+    words.unpersist()
+    return out

@@ -837,3 +837,33 @@ def test_wordpiece_train_interior_merges(spark):
     # x/y words resolve through learned pieces; z was never seen → its
     # word still segments via z? no 'z' base piece → [UNK]
     assert enc.n_unk_words == 1 and enc.pieces.count("[UNK]") == 1
+
+
+def test_unigram_train_em_and_roundtrip(spark):
+    """The EM trainer: (1) learns the dominant whole-word pieces of a
+    skewed corpus, (2) its vocab Viterbi-segments the training corpus
+    with zero [UNK] (singles never pruned), (3) frequent pieces get
+    LOWER costs than rare ones, and (4) the result is bit-stable across
+    repartitionings (integer-quantized E-step sums)."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    rows = [(i, "scan scan table") for i in range(20)] + [
+        (100 + i, "zq") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = tk.unigram_train(df, vocab_size=40, em_iters=2)
+    costs = dict(vocab)
+    # dominant words survive as multi-char pieces (seed_max_len=4 bounds
+    # pieces to 4 chars: ▁sca / ▁tab etc. — at least SOME multis kept)
+    assert any(len(p) > 1 for p in costs)
+    # every training word segments without UNK
+    stats = tk.unigram_token_stats(df, vocab).collect()
+    assert all(r.n_unk_words == 0 for r in stats)
+    # frequency → cost ordering: pieces of 'scan'-words cost less than
+    # the rare z/q singles (floored through EM, never pruned)
+    frequent = min(c for p, c in vocab if "s" in p or "c" in p)
+    rare = costs.get("z", costs.get("q"))
+    assert rare is not None and frequent < rare
+    # determinism across partitionings
+    vocab2 = tk.unigram_train(df.repartition(7), vocab_size=40, em_iters=2)
+    assert vocab == vocab2
