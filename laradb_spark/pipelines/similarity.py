@@ -1131,6 +1131,7 @@ def ivf_append_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
     """Append new vectors to a stored IVF index WITHOUT retraining: read
     the frozen ``(cid, cent)`` table, assign the (shard-sized) new batch
@@ -1143,13 +1144,24 @@ def ivf_append_index(
     Centroids are deliberately NOT updated: stable centroids keep every
     historical assignment valid (re-training would require re-assigning
     the full corpus — that is ``ivf_build_index``'s job, run when drift
-    accumulates; the classic IVF maintenance trade)."""
+    accumulates; the classic IVF maintenance trade).
+
+    ``meta_cols`` MUST match the build's when the index carries
+    metadata: appending meta-less rows to a meta-built layout leaves the
+    new vectors with NULL metadata after parquet schema merge — filtered
+    serving would silently never return them."""
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     c = fan_out(new_vectors, CPU_HEAVY).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
-    _assign_auto(c, cents).write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
+    assigned = _assign_auto(c, cents)
+    if meta_cols:
+        assigned = assigned.join(
+            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
+            on="neighbor_id",
+        )
+    assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
 
 
 def ivf_recenter_index(
@@ -2296,13 +2308,17 @@ def ivfpq_append_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
     """Append new vectors to a stored IVF-PQ index WITHOUT retraining:
     frozen coarse centroids assign the (shard-sized) batch to lists,
     frozen codebooks encode it, codes append to the ``cid=`` partition
     directories. Same stable-centroid trade as ``ivf_append_index``
     (historical codes stay valid; retrain via ``ivfpq_build_index`` when
-    drift accumulates). Searches see appended codes on their next plan."""
+    drift accumulates). Searches see appended codes on their next plan.
+    ``meta_cols`` must match the build's on a meta-built layout (see
+    ivf_append_index — NULL metadata hides appends from filtered
+    serving)."""
     spark = new_vectors.sparkSession
     coarse = spark.read.parquet(f"{path}/coarse")
     cb_df = spark.read.parquet(f"{path}/codebooks")
@@ -2311,10 +2327,13 @@ def ivfpq_append_index(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
-    coded = assigned.join(
-        pq_encode(new_vectors, cb_df, dim, id_col=id_col, vec_col=vec_col),
-        on="neighbor_id",
-    )
+    enc = pq_encode(new_vectors, cb_df, dim, id_col=id_col, vec_col=vec_col)
+    if meta_cols:
+        enc = enc.join(
+            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
+            on="neighbor_id",
+        )
+    coded = assigned.join(enc, on="neighbor_id")
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
 
@@ -2657,11 +2676,13 @@ def ivfpq_res_append_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: "Sequence[str] | None" = None,
 ) -> None:
     """Append to a stored IVFADC index WITHOUT retraining: frozen coarse
     centroids assign, residuals against them encode under the frozen
     residual codebooks, codes append to the ``cid=`` partitions — the
-    ``ivfpq_append_index`` trade, residual flavor."""
+    ``ivfpq_append_index`` trade, residual flavor (and its ``meta_cols``
+    contract: must match the build's on a meta-built layout)."""
     spark = new_vectors.sparkSession
     coarse = spark.read.parquet(f"{path}/coarse")
     cb_df = spark.read.parquet(f"{path}/codebooks")
@@ -2669,6 +2690,11 @@ def ivfpq_res_append_index(
     coded = pq_encode_res(
         new_vectors, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
+    if meta_cols:
+        coded = coded.join(
+            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
+            on="neighbor_id",
+        )
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
 

@@ -1067,3 +1067,25 @@ def test_ivfpq_filtered_serving(spark, clustered, tmp_path):
             for i, n in enumerate(order[:5])
         }
         assert _pairs_ranked(plain) == want_plain, sub
+
+
+def test_ivf_append_with_meta_visible_to_filtered_search(spark, clustered, tmp_path):
+    """Appends to a meta-built index must carry the same meta columns —
+    otherwise NULL metadata after schema merge silently hides appended
+    vectors from filtered serving. Pin: an appended predicate-passing
+    near-clone of a query IS returned by the filtered search."""
+    labeled = clustered.withColumn("label", F.col("vec_id") % 3)
+    path = str(tmp_path / "ivf_meta_app")
+    sim.ivf_build_index(labeled, path, n_centroids=8, lloyd_iters=2,
+                        meta_cols=["label"])
+    # append a near-clone of query 0 with label 1 (passes the filter)
+    clone = clustered.filter(F.col("vec_id") == 0).select(
+        F.lit(9001).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-6)).alias("embedding"),
+        F.lit(1).alias("label"),
+    )
+    sim.ivf_append_index(clone, path, meta_cols=["label"])
+    q = _queries(clustered).filter(F.col("query_id") == 0)
+    got = {r.neighbor_id for r in sim.ivf_search_index(
+        spark, path, q, n_probe=3, k=5, where="label = 1").collect()}
+    assert 9001 in got
