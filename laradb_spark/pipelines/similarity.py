@@ -1126,6 +1126,27 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _check_meta_types(stored: DataFrame, appended: DataFrame, meta_cols) -> None:
+    """Loud write-time guard for the append paths: an appended meta
+    column whose type differs from the stored layout's (INT vs BIGINT is
+    the classic) poisons the directory with mixed parquet physical
+    types — readers then fail or succeed depending on which file wins
+    schema resolution (a read-time race). Raise here instead."""
+    st = dict(stored.dtypes)
+    at = dict(appended.dtypes)
+    for c in meta_cols:
+        if c not in st:
+            raise ValueError(
+                f"append meta column {c!r} is not in the stored layout "
+                f"(built without meta_cols?)"
+            )
+        if st[c] != at[c]:
+            raise ValueError(
+                f"append meta column {c!r} type {at[c]} != stored layout's "
+                f"{st[c]} — mixed parquet physical types poison the index"
+            )
+
+
 def ivf_append_index(
     new_vectors: DataFrame,
     path: str,
@@ -1157,10 +1178,9 @@ def ivf_append_index(
     )
     assigned = _assign_auto(c, cents)
     if meta_cols:
-        assigned = assigned.join(
-            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
-            on="neighbor_id",
-        )
+        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        _check_meta_types(spark.read.parquet(f"{path}/corpus"), meta, meta_cols)
+        assigned = assigned.join(meta, on="neighbor_id")
     assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
 
 
@@ -2329,10 +2349,9 @@ def ivfpq_append_index(
     assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
     enc = pq_encode(new_vectors, cb_df, dim, id_col=id_col, vec_col=vec_col)
     if meta_cols:
-        enc = enc.join(
-            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
-            on="neighbor_id",
-        )
+        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        _check_meta_types(spark.read.parquet(f"{path}/codes"), meta, meta_cols)
+        enc = enc.join(meta, on="neighbor_id")
     coded = assigned.join(enc, on="neighbor_id")
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
@@ -2691,10 +2710,9 @@ def ivfpq_res_append_index(
         new_vectors, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
     if meta_cols:
-        coded = coded.join(
-            new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols),
-            on="neighbor_id",
-        )
+        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        _check_meta_types(spark.read.parquet(f"{path}/codes"), meta, meta_cols)
+        coded = coded.join(meta, on="neighbor_id")
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
 

@@ -1078,14 +1078,24 @@ def test_ivf_append_with_meta_visible_to_filtered_search(spark, clustered, tmp_p
     path = str(tmp_path / "ivf_meta_app")
     sim.ivf_build_index(labeled, path, n_centroids=8, lloyd_iters=2,
                         meta_cols=["label"])
-    # append a near-clone of query 0 with label 1 (passes the filter)
+    # append a near-clone of query 0 with label 1 (passes the filter).
+    # meta TYPES must match the build's too — the build wrote label as
+    # BIGINT (vec_id % 3), so an INT literal here would poison the
+    # layout with mixed parquet physical types (read-time
+    # SchemaColumnConvertNotSupportedException on whichever file loses
+    # the schema-resolution race)
     clone = clustered.filter(F.col("vec_id") == 0).select(
         F.lit(9001).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(1e-6)).alias("embedding"),
-        F.lit(1).alias("label"),
+        F.lit(1).cast("long").alias("label"),
     )
     sim.ivf_append_index(clone, path, meta_cols=["label"])
     q = _queries(clustered).filter(F.col("query_id") == 0)
     got = {r.neighbor_id for r in sim.ivf_search_index(
         spark, path, q, n_probe=3, k=5, where="label = 1").collect()}
     assert 9001 in got
+    # and the write-time type guard: an INT label against the BIGINT
+    # layout raises loudly instead of poisoning the directory
+    bad = clone.withColumn("label", F.lit(2))
+    with pytest.raises(ValueError, match="mixed parquet physical types"):
+        sim.ivf_append_index(bad, path, meta_cols=["label"])
