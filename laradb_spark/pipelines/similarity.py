@@ -2838,3 +2838,105 @@ def hamming_topk(
         )
     )
     return _topk_per_query(scored, query_id_col, "agree", k, prebatch_prune=True)
+
+
+def ivf_compact_index(
+    spark,
+    path: str,
+    subdir: str = "corpus",
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Small-files maintenance for an appended stored-index layout — the
+    vector-store sibling of ``shards.compact_token_shards``: every
+    ``*_append_index`` call adds one-or-more small parquet files to each
+    touched ``cid=`` directory, and after thousands of shard appends a
+    probe pays a metadata storm per list it reads. Compacts every list
+    directory holding ≥ ``min_files`` files down to
+    ⌈bytes/target_bytes⌉ files.
+
+    Works on all three layouts: ``subdir="corpus"`` (flat IVF) or
+    ``subdir="codes"`` (IVF-PQ / IVFADC — their list rows are just
+    different columns; the compaction is column-agnostic).
+
+    Safety (the compact_token_shards discipline): compacted lists are
+    written to a scratch root and VERIFIED per cid — row count plus an
+    order-insensitive xxhash64 column checksum — against the source
+    BEFORE any source directory is touched; on any mismatch the scratch
+    is deleted and the layout is left exactly as found. The per-cid dir
+    swap assumes the offline single-writer maintenance window every
+    rewrite op here assumes (``ivf_recenter_index`` likewise). Returns
+    ``{lists_compacted, files_before, files_after, rows}``."""
+    import math
+    import os
+    import shutil
+
+    root = os.path.join(path, subdir)
+
+    def pq_files(d: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(d)
+            for f in fns
+            if f.endswith(".parquet")
+        ]
+
+    eligible = []
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d.startswith("cid=") and os.path.isdir(full):
+            files = pq_files(full)
+            if len(files) >= min_files:
+                eligible.append((int(d.split("=", 1)[1]), full, files))
+    if not eligible:
+        return {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
+
+    def per_cid_fingerprint(df: DataFrame):
+        cols = sorted(c for c in df.columns if c != "cid")
+        return {
+            (r["cid"]): (r["n"], r["s"])
+            for r in df.select(
+                "cid", F.xxhash64(*[F.col(c) for c in cols]).alias("_h")
+            )
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+            )
+            .collect()
+        }
+
+    src = spark.read.option("basePath", root).parquet(*[p for _c, p, _f in eligible])
+    want = per_cid_fingerprint(src)
+    total_bytes = sum(os.path.getsize(f) for _c, _p, fs in eligible for f in fs)
+    n_out = max(1, math.ceil(total_bytes / max(1, target_bytes)))
+    scratch = os.path.join(path, f"_{subdir}_compact_tmp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        src.repartition(n_out * len(eligible), "cid")
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .parquet(scratch)
+    )
+    got = per_cid_fingerprint(spark.read.parquet(scratch))
+    if got != want:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            "ivf_compact_index: compacted lists failed row-identity "
+            "verification; layout left untouched"
+        )
+    files_before = sum(len(fs) for _c, _p, fs in eligible)
+    files_after = 0
+    for cid, old_dir, _fs in eligible:
+        new_dir = os.path.join(scratch, f"cid={cid}")
+        shutil.rmtree(old_dir)
+        shutil.move(new_dir, old_dir)
+        files_after += len(pq_files(old_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    rows = int(sum(n for n, _s in want.values()))
+    return {
+        "lists_compacted": len(eligible),
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

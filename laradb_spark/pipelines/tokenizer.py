@@ -1576,3 +1576,68 @@ def unigram_train(
     out.sort(key=lambda t: (t[1], t[0]))
     words.unpersist()
     return out
+
+
+def wordpiece_save_vocab(spark, vocab: "list[str]", path: str) -> None:
+    """Persist a WordPiece vocabulary as the shareable artifact
+    ``(idx, piece)`` — the tokenizer-artifact parity rule
+    (:func:`bpe_save_merges`): train once, apply everywhere. ``idx``
+    records the list order (base pieces then learned merges) though
+    greedy encoding itself is order-independent."""
+    rows = [(i, p) for i, p in enumerate(vocab)]
+    spark.createDataFrame(rows, "idx int, piece string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def wordpiece_load_vocab(spark, path: str) -> "list[str]":
+    """Load a ``wordpiece_save_vocab`` artifact back in stored order,
+    validated: pieces must be unique and non-empty, and a ``##``
+    continuation must carry a non-empty stem — a corrupted artifact
+    raises here, not as silent [UNK] inflation downstream."""
+    rows = spark.read.parquet(path).orderBy("idx").collect()
+    vocab = [r.piece for r in rows]
+    seen = set()
+    for p in vocab:
+        if not p or (p.startswith("##") and len(p) == 2):
+            raise ValueError(f"wordpiece vocab artifact has invalid piece {p!r}")
+        if p in seen:
+            raise ValueError(f"wordpiece vocab artifact has duplicate piece {p!r}")
+        seen.add(p)
+    return vocab
+
+
+def unigram_save_vocab(
+    spark, vocab: "list[tuple[str, int]]", path: str
+) -> None:
+    """Persist a scored Unigram-LM vocabulary as ``(piece, cost_milli)``
+    parquet — the artifact :func:`unigram_encode` consumes; cost is the
+    authority, row order is not."""
+    spark.createDataFrame(
+        list(vocab), "piece string, cost_milli long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def unigram_load_vocab(spark, path: str) -> "list[tuple[str, int]]":
+    """Load a ``unigram_save_vocab`` artifact, validated (unique
+    non-empty pieces, strictly positive integer costs — a zero or
+    negative cost would make the Viterbi prefer infinite segmentations
+    of its piece) and returned in the deterministic (cost, piece)
+    order :func:`unigram_train` emits."""
+    rows = spark.read.parquet(path).collect()
+    seen = set()
+    out = []
+    for r in rows:
+        p, c = r.piece, int(r.cost_milli)
+        if not p:
+            raise ValueError("unigram vocab artifact has an empty piece")
+        if p in seen:
+            raise ValueError(f"unigram vocab artifact has duplicate piece {p!r}")
+        if c <= 0:
+            raise ValueError(
+                f"unigram vocab artifact has non-positive cost for {p!r}"
+            )
+        seen.add(p)
+        out.append((p, c))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out

@@ -867,3 +867,34 @@ def test_unigram_train_em_and_roundtrip(spark):
     # determinism across partitionings
     vocab2 = tk.unigram_train(df.repartition(7), vocab_size=40, em_iters=2)
     assert vocab == vocab2
+
+
+def test_vocab_artifacts_roundtrip(spark, tmp_path):
+    """WordPiece and Unigram vocab artifacts: save → load preserves
+    content (and the deterministic order), encoding through the loaded
+    artifact is identical, and corrupted artifacts raise instead of
+    silently inflating [UNK]s."""
+    from laradb_spark.pipelines import tokenizer as tk
+
+    df = spark.createDataFrame([(1, "scan scan table")], "doc_id long, text string")
+    wp = tk.wordpiece_train(df, n_merges=2)
+    wpath = str(tmp_path / "wp_vocab")
+    tk.wordpiece_save_vocab(spark, wp, wpath)
+    assert tk.wordpiece_load_vocab(spark, wpath) == wp
+    a = tk.wordpiece_token_stats(df, wp).collect()
+    b = tk.wordpiece_token_stats(df, tk.wordpiece_load_vocab(spark, wpath)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    ug = tk.unigram_train(df, vocab_size=30, em_iters=1)
+    upath = str(tmp_path / "ug_vocab")
+    tk.unigram_save_vocab(spark, ug, upath)
+    assert tk.unigram_load_vocab(spark, upath) == ug
+
+    import pytest as _pt
+
+    tk.wordpiece_save_vocab(spark, ["a", "a"], wpath)
+    with _pt.raises(ValueError, match="duplicate"):
+        tk.wordpiece_load_vocab(spark, wpath)
+    tk.unigram_save_vocab(spark, [("x", 0)], upath)
+    with _pt.raises(ValueError, match="non-positive"):
+        tk.unigram_load_vocab(spark, upath)
