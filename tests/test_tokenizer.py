@@ -898,3 +898,114 @@ def test_vocab_artifacts_roundtrip(spark, tmp_path):
     tk.unigram_save_vocab(spark, [("x", 0)], upath)
     with _pt.raises(ValueError, match="non-positive"):
         tk.unigram_load_vocab(spark, upath)
+
+
+def test_wordpiece_greedy_properties_fuzzed():
+    """Property check with an INDEPENDENT validator (not a twin copy):
+    on random (vocab, word) pairs over a 3-letter alphabet, the output
+    either is [UNK] (and then NO full greedy segmentation exists) or
+    (a) concatenates back to the word with ## stripped, (b) uses only
+    vocab pieces with correct initial/continuation shape, and (c) is
+    GREEDY: at each emitted boundary no LONGER vocab piece matches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from laradb_spark.pipelines.tokenizer import (
+        WORDPIECE_UNK,
+        wordpiece_pieces_str,
+    )
+
+    piece = st.text(alphabet="abc", min_size=1, max_size=3)
+    vocab_s = st.sets(
+        st.one_of(piece, piece.map(lambda p: "##" + p)), min_size=1, max_size=12
+    )
+    word_s = st.text(alphabet="abc", min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(vocab_s, word_s)
+    def run(vocab, word):
+        out = wordpiece_pieces_str(word, frozenset(vocab))
+        if out == [WORDPIECE_UNK]:
+            # validator: greedy failure is genuine — walking greedily
+            # with ANY longest-first choice must get stuck
+            pos = 0
+            stuck = False
+            while pos < len(word):
+                hit = None
+                for end in range(len(word), pos, -1):
+                    sub = word[pos:end]
+                    if pos > 0:
+                        sub = "##" + sub
+                    if sub in vocab:
+                        hit = end
+                        break
+                if hit is None:
+                    stuck = True
+                    break
+                pos = hit
+            assert stuck, (vocab, word, out)
+            return
+        # (a) reconstruction
+        flat = "".join(p[2:] if p.startswith("##") else p for p in out)
+        assert flat == word, (vocab, word, out)
+        # (b) membership + shape
+        pos = 0
+        for i, p in enumerate(out):
+            assert p in vocab
+            assert p.startswith("##") == (i > 0)
+            raw = p[2:] if p.startswith("##") else p
+            # (c) greediness: no longer piece matches at this position
+            for end in range(len(word), pos + len(raw), -1):
+                sub = word[pos:end]
+                if pos > 0:
+                    sub = "##" + sub
+                assert sub not in vocab, (vocab, word, out, pos, sub)
+            pos += len(raw)
+
+    run()
+
+
+def test_unigram_viterbi_optimality_fuzzed():
+    """Property check against exhaustive enumeration: on random scored
+    vocabs and words, the suffix-DP's (cost, count, pieces) equals the
+    minimum over ALL segmentations under the same total order — the
+    exact claim the DuckDB oracle re-verifies at the driver gate, here
+    fuzzed over vocab shapes the fixed oracle vocab can't reach."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from laradb_spark.pipelines.tokenizer import (
+        UNIGRAM_UNK_COST_MILLI,
+        UNIGRAM_WORD_MARK,
+        WORDPIECE_UNK,
+        unigram_pieces_str,
+    )
+
+    piece = st.text(alphabet="ab" + UNIGRAM_WORD_MARK, min_size=1, max_size=3)
+    vocab_s = st.dictionaries(
+        piece, st.integers(min_value=1, max_value=50_000), min_size=1, max_size=10
+    )
+    word_s = st.text(alphabet="ab", min_size=1, max_size=7)
+
+    def all_segs(w, costs):
+        if not w:
+            yield (0, 0, ())
+            return
+        for j in range(1, len(w) + 1):
+            c = costs.get(w[:j])
+            if c is None:
+                continue
+            for sc, sk, st_ in all_segs(w[j:], costs):
+                yield (c + sc, 1 + sk, (w[:j],) + st_)
+
+    @settings(max_examples=300, deadline=None)
+    @given(vocab_s, word_s)
+    def run(costs, word):
+        got = unigram_pieces_str(word, costs)
+        best = min(all_segs(UNIGRAM_WORD_MARK + word, costs), default=None)
+        if best is None:
+            assert got == ([WORDPIECE_UNK], UNIGRAM_UNK_COST_MILLI)
+        else:
+            assert got == (list(best[2]), best[0]), (costs, word, got, best)
+
+    run()
