@@ -1294,6 +1294,10 @@ def lsh_recall_report(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_LSH_BUCKET,
+    oversize: str = "join",
 ) -> DataFrame:
     """Candidate-generation QUALITY eval for the MinHash-LSH dedup flow —
     the tuning harness that answers "are NUM_PERM/LSH_BANDS right for
@@ -1301,7 +1305,10 @@ def lsh_recall_report(
     serving. Ground truth = EXACT n-gram Jaccard ≥ threshold via the
     lossless prefix-filter join (``prefix_filter_jaccard_pairs`` — same
     output as brute force, scale-safe); candidates = the production
-    ``minhash_lsh_pairs`` banding. One row:
+    ``minhash_lsh_pairs`` banding. ``num_perm``/``bands``/``max_bucket``/
+    ``oversize`` pass straight through to that candidate generator, so the
+    report can SWEEP banding configurations (call it once per candidate
+    config) rather than only evaluate the module defaults. One row:
 
       (n_truth, n_candidates, n_hits, recall_ppm, precision_ppm)
 
@@ -1322,9 +1329,9 @@ def lsh_recall_report(
     truth = prefix_filter_jaccard_pairs(df, threshold, n, id_col, text_col).select(
         "id_a", "id_b", F.lit(1).alias("_t")
     )
-    cand = minhash_lsh_pairs(df, n, id_col, text_col).select(
-        "id_a", "id_b", F.lit(1).alias("_c")
-    )
+    cand = minhash_lsh_pairs(
+        df, n, id_col, text_col, num_perm, bands, max_bucket, oversize
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
     j = truth.join(cand, on=["id_a", "id_b"], how="full_outer")
     return j.agg(
         F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),

@@ -1126,15 +1126,49 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
-def _check_meta_types(stored: DataFrame, appended: DataFrame, meta_cols) -> None:
-    """Loud write-time guard for the append paths: an appended meta
-    column whose type differs from the stored layout's (INT vs BIGINT is
-    the classic) poisons the directory with mixed parquet physical
-    types — readers then fail or succeed depending on which file wins
-    schema resolution (a read-time race). Raise here instead."""
+# Base (non-metadata) columns of each stored-index list layout; anything
+# else in a stored schema is build-time ``meta_cols`` the appends must keep
+# supplying (see _check_append_meta).
+_IVF_BASE_COLS = frozenset({"neighbor_id", "cvec", "cid"})
+_PQ_BASE_COLS = frozenset({"neighbor_id", "cid", "codes"})
+
+
+def _check_append_meta(
+    stored: DataFrame,
+    appended: "DataFrame | None",
+    meta_cols,
+    base_cols: frozenset,
+    op: str,
+) -> None:
+    """Loud write-time guard for the append paths, both directions.
+
+    (1) Appending WITHOUT ``meta_cols`` to a layout built WITH them would
+    write rows whose metadata is NULL after parquet schema merge —
+    filtered serving (``where=...``) would then silently never return the
+    appended vectors (silent result loss). The stored schema already
+    tells us the build's metadata columns (everything beyond the layout's
+    base columns), so raise instead of relying on a caller contract.
+
+    (2) An appended meta column absent from the stored layout, or whose
+    type differs from the stored layout's (INT vs BIGINT is the classic),
+    poisons the directory with mixed parquet physical types — readers
+    then fail or succeed depending on which file wins schema resolution
+    (a read-time race). Raise here instead."""
+    supplied = list(meta_cols or [])
+    missing = sorted(set(stored.columns) - base_cols - set(supplied))
+    if missing:
+        raise ValueError(
+            f"{op}: the stored layout carries metadata columns {missing} "
+            "this append does not supply — appended rows would read back "
+            "with NULL metadata after parquet schema merge, so filtered "
+            "serving (where=...) would silently never return them; pass "
+            "meta_cols matching the build's"
+        )
+    if not supplied:
+        return
     st = dict(stored.dtypes)
     at = dict(appended.dtypes)
-    for c in meta_cols:
+    for c in supplied:
         if c not in st:
             raise ValueError(
                 f"append meta column {c!r} is not in the stored layout "
@@ -1177,9 +1211,19 @@ def ivf_append_index(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     assigned = _assign_auto(c, cents)
-    if meta_cols:
-        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
-        _check_meta_types(spark.read.parquet(f"{path}/corpus"), meta, meta_cols)
+    meta = (
+        new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        if meta_cols
+        else None
+    )
+    _check_append_meta(
+        spark.read.parquet(f"{path}/corpus"),
+        meta,
+        meta_cols,
+        _IVF_BASE_COLS,
+        "ivf_append_index",
+    )
+    if meta is not None:
         assigned = assigned.join(meta, on="neighbor_id")
     assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
 
@@ -2348,9 +2392,19 @@ def ivfpq_append_index(
     )
     assigned = _assign_auto(c, coarse).select("cid", "neighbor_id")
     enc = pq_encode(new_vectors, cb_df, dim, id_col=id_col, vec_col=vec_col)
-    if meta_cols:
-        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
-        _check_meta_types(spark.read.parquet(f"{path}/codes"), meta, meta_cols)
+    meta = (
+        new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        if meta_cols
+        else None
+    )
+    _check_append_meta(
+        spark.read.parquet(f"{path}/codes"),
+        meta,
+        meta_cols,
+        _PQ_BASE_COLS,
+        "ivfpq_append_index",
+    )
+    if meta is not None:
         enc = enc.join(meta, on="neighbor_id")
     coded = assigned.join(enc, on="neighbor_id")
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
@@ -2709,9 +2763,19 @@ def ivfpq_res_append_index(
     coded = pq_encode_res(
         new_vectors, cb_df, dim, coarse_rows, id_col=id_col, vec_col=vec_col
     )
-    if meta_cols:
-        meta = new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
-        _check_meta_types(spark.read.parquet(f"{path}/codes"), meta, meta_cols)
+    meta = (
+        new_vectors.select(F.col(id_col).alias("neighbor_id"), *meta_cols)
+        if meta_cols
+        else None
+    )
+    _check_append_meta(
+        spark.read.parquet(f"{path}/codes"),
+        meta,
+        meta_cols,
+        _PQ_BASE_COLS,
+        "ivfpq_res_append_index",
+    )
+    if meta is not None:
         coded = coded.join(meta, on="neighbor_id")
     coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
@@ -2908,13 +2972,43 @@ def ivf_compact_index(
 
     src = spark.read.option("basePath", root).parquet(*[p for _c, p, _f in eligible])
     want = per_cid_fingerprint(src)
-    total_bytes = sum(os.path.getsize(f) for _c, _p, fs in eligible for f in fs)
-    n_out = max(1, math.ceil(total_bytes / max(1, target_bytes)))
+    # Lists whose files hold zero rows have nothing to rewrite (they are
+    # absent from both fingerprints AND from the scratch output — swapping
+    # them would delete the list directory); drop them up front.
+    eligible = [e for e in eligible if e[0] in want]
+    if not eligible:
+        return {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
+    # Per-LIST split counts, not a global repartition("cid"): hashing by cid
+    # alone sends every row of a list to ONE partition, so each cid= dir is
+    # rewritten as exactly one file and a multi-GB hot list becomes a single
+    # giant file. Instead each list gets ⌈list_bytes/target_bytes⌉ salt
+    # buckets (broadcast-joined — the list count is centroid-bounded), and
+    # maxRecordsPerFile backstops the size cap even where salts collide into
+    # one task.
+    bytes_by_cid = {
+        cid: sum(os.path.getsize(f) for f in fs) for cid, _p, fs in eligible
+    }
+    total_bytes = sum(bytes_by_cid.values())
+    total_rows = sum(n for n, _s in want.values())
+    avg_row_bytes = max(1, total_bytes // max(1, total_rows))
+    records_per_file = max(1, target_bytes // avg_row_bytes)
+    splits = spark.createDataFrame(
+        [(cid, max(1, math.ceil(b / max(1, target_bytes)))) for cid, b in bytes_by_cid.items()],
+        "cid long, _nsplit int",
+    )
+    n_out = sum(max(1, math.ceil(b / max(1, target_bytes))) for b in bytes_by_cid.values())
+    data_cols = sorted(c for c in src.columns if c != "cid")
+    salted = (
+        src.join(F.broadcast(splits), on="cid")
+        .withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_nsplit")))
+    )
     scratch = os.path.join(path, f"_{subdir}_compact_tmp")
     shutil.rmtree(scratch, ignore_errors=True)
     (
-        src.repartition(n_out * len(eligible), "cid")
-        .write.partitionBy("cid")
+        salted.repartition(n_out, "cid", "_salt")
+        .drop("_nsplit", "_salt")
+        .write.option("maxRecordsPerFile", records_per_file)
+        .partitionBy("cid")
         .mode("overwrite")
         .parquet(scratch)
     )
@@ -2929,8 +3023,18 @@ def ivf_compact_index(
     files_after = 0
     for cid, old_dir, _fs in eligible:
         new_dir = os.path.join(scratch, f"cid={cid}")
-        shutil.rmtree(old_dir)
+        if not os.path.isdir(new_dir):  # pragma: no cover - defense in depth
+            raise RuntimeError(
+                f"ivf_compact_index: scratch dir for cid={cid} missing after "
+                "verification; aborting swap (source lists untouched so far)"
+            )
+        # Rename the source aside and delete it only AFTER the move lands,
+        # so a failed move never loses the list directory.
+        aside = old_dir + "._old"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(old_dir, aside)
         shutil.move(new_dir, old_dir)
+        shutil.rmtree(aside)
         files_after += len(pq_files(old_dir))
     shutil.rmtree(scratch, ignore_errors=True)
     rows = int(sum(n for n, _s in want.values()))

@@ -1124,3 +1124,69 @@ def test_ivf_compact_index(spark, clustered, tmp_path):
     # idempotent-ish: a second pass finds nothing (or no-ops harmlessly)
     rep2 = sim.ivf_compact_index(spark, path)
     assert rep2["files_before"] == 0 or rep2["files_after"] <= rep2["files_before"]
+
+
+def test_append_without_meta_to_meta_layout_raises(spark, clustered, tmp_path):
+    """Appending WITHOUT meta_cols to a layout built WITH them must raise
+    loudly: silent NULL metadata after parquet schema merge would hide the
+    appended vectors from filtered serving (where=...) forever. All three
+    append paths read the stored schema unconditionally and compare it to
+    what the append supplies (ADVICE r11)."""
+    labeled = clustered.withColumn("label", F.col("vec_id") % 3)
+    new = clustered.filter(F.col("vec_id") >= 190)
+    p1 = str(tmp_path / "flat")
+    sim.ivf_build_index(labeled, p1, n_centroids=8, lloyd_iters=2,
+                        meta_cols=["label"])
+    with pytest.raises(ValueError, match="does not supply"):
+        sim.ivf_append_index(new, p1)
+    p2 = str(tmp_path / "pq")
+    sim.ivfpq_build_index(labeled, p2, dim=8, n_centroids=8, lloyd_iters=2,
+                          meta_cols=["label"])
+    with pytest.raises(ValueError, match="does not supply"):
+        sim.ivfpq_append_index(new, p2, dim=8)
+    p3 = str(tmp_path / "res")
+    sim.ivfpq_res_build_index(labeled, p3, dim=8, n_centroids=8,
+                              lloyd_iters=2, meta_cols=["label"])
+    with pytest.raises(ValueError, match="does not supply"):
+        sim.ivfpq_res_append_index(new, p3, dim=8)
+    # meta-less layouts still take meta-less appends (no false positives)
+    p4 = str(tmp_path / "plain")
+    sim.ivf_build_index(clustered.filter(F.col("vec_id") < 150), p4,
+                        n_centroids=8, lloyd_iters=2)
+    sim.ivf_append_index(new, p4)
+
+
+def test_ivf_compact_index_splits_hot_list(spark, clustered, tmp_path):
+    """A hot list bigger than target_bytes must compact to MULTIPLE files
+    (⌈bytes/target⌉), not one giant file per cid (ADVICE r11: repartition
+    by cid alone made every list a single file). With a tiny target every
+    multi-row list should end up with >1 parquet file, and results are
+    still byte-identical."""
+    import os
+
+    path = str(tmp_path / "ivf_split")
+    sim.ivf_build_index(clustered.filter(F.col("vec_id") < 150), path,
+                        n_centroids=4, lloyd_iters=2)
+    for lo in (150, 175):
+        sim.ivf_append_index(
+            clustered.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 25)),
+            path,
+        )
+    q = _queries(clustered)
+    before = _pairs_ranked(sim.ivf_search_index(spark, path, q, n_probe=4, k=5))
+    rep = sim.ivf_compact_index(spark, path, target_bytes=1)  # force max splitting
+    assert rep["lists_compacted"] > 0
+    root = os.path.join(path, "corpus")
+    per_cid_files = {}
+    for d in os.listdir(root):
+        if d.startswith("cid="):
+            full = os.path.join(root, d)
+            per_cid_files[d] = sum(
+                1 for dp, _dn, fns in os.walk(full)
+                for f in fns if f.endswith(".parquet")
+            )
+    # the corpus is 200 rows over 4 lists — every compacted list holds far
+    # more than 1 byte, so the per-list split must kick in somewhere
+    assert max(per_cid_files.values()) > 1, per_cid_files
+    after = _pairs_ranked(sim.ivf_search_index(spark, path, q, n_probe=4, k=5))
+    assert after == before

@@ -1517,6 +1517,24 @@ def test_lsh_recall_report_identical_docs(spark, docs):
     assert r.precision_ppm == 1000000 * len(truth & cand) // len(cand)
 
 
+
+def test_lsh_recall_report_banding_sweep(spark, docs):
+    """The report's banding parameters pass through to the candidate
+    generator, so one call per configuration sweeps NUM_PERM/LSH_BANDS
+    (ADVICE r11: without passthrough it could only ever evaluate the
+    module defaults). Exact monotonicity pin: with num_perm=8, bands=8
+    is 1 row/band — ANY agreeing minhash makes a candidate — a strict
+    superset of bands=1 (all 8 rows must agree), while ground truth is
+    banding-independent."""
+    loose = dd.lsh_recall_report(docs, threshold=0.5, num_perm=8, bands=8).collect()[0]
+    tight = dd.lsh_recall_report(docs, threshold=0.5, num_perm=8, bands=1).collect()[0]
+    assert loose.n_truth == tight.n_truth
+    assert loose.n_candidates >= tight.n_candidates
+    assert loose.n_hits >= tight.n_hits
+    # recall can only improve with looser banding
+    if tight.recall_ppm is not None:
+        assert loose.recall_ppm >= tight.recall_ppm
+
 def test_hybrid_search_index_equals_inline(spark, tmp_path, sf_dir):
     """The stored-index hybrid (pruned BM25 posting probe + IVF list
     probe + RRF) returns EXACTLY the inline hybrid's fusion when the
