@@ -229,10 +229,33 @@ def bpe_encode(
     return df.select("doc_id", toks.alias(out_col))
 
 
+#: Default merge-batch width for the trainers: each driver round learns up
+#: to this many PROVABLY order-independent merges from one pair-count job.
+#: A 50k-merge production vocab needs one Spark job per merge without
+#: batching — infeasible wall-clock; with batching the round count follows
+#: the corpus' count structure (Zipf-distinct counts → wide batches).
+TRAIN_MERGE_BATCH = 256
+
+#: Distinct-word ceiling for the driver-local trainer route. The merge
+#: loop's state is the DISTINCT-WORD frame — Zipf-bounded regardless of
+#: corpus bytes (a 100 TB crawl has a few-million-word vocabulary), i.e.
+#: the same driver-side size class as the centroid/codebook/vocab
+#: collects everywhere else in this package. Below the ceiling the
+#: trainers collect it and run the exact in-memory incremental loop
+#: (the public HuggingFace-tokenizers / SentencePiece architecture:
+#: distribute the corpus→word-count aggregate, train the merge loop
+#: locally); above it they fall back to the distributed batched loop.
+#: ~2M words × ~100 B ≈ 200 MB driver — comfortably inside the 8 GB
+#: driver this repo configures.
+TRAIN_DRIVER_VOCAB_MAX = 2_000_000
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text: str = "text",
+    batch: int = 0,
+    driver_vocab_max: int = TRAIN_DRIVER_VOCAB_MAX,
 ) -> list[tuple[str, str]]:
     """Distributed BPE TRAINING (the classic Sennrich procedure, no
     end-of-word marker): learn ``n_merges`` merges from the corpus —
@@ -244,11 +267,15 @@ def bpe_train(
     not occurrences; Zipf makes this vocabulary-sized however big the
     corpus is. Each round is then two small jobs over the vocab frame:
     one pair-count aggregate (explode adjacent pairs weighted by word
-    count, map-side combine) and one deterministic argmax collected to
-    the driver (2 values), after which the symbol arrays rewrite via one
-    map-only ``transform`` and the new frame persists (old one
-    unpersists — the Lloyd-loop discipline). n_merges sequential rounds
-    is inherent to BPE (merge k+1's counts depend on merge k's rewrite).
+    count, map-side combine) and one deterministic top-(batch+1)
+    collect, from which :func:`_select_merge_batch` proves up to
+    ``batch`` merges order-independent and applies them in ONE map-only
+    rewrite before the new frame persists (old one unpersists — the
+    Lloyd-loop discipline). Merge k+1's counts depend on merge k's
+    rewrite, so BPE is inherently sequential — the batching extracts
+    exactly the prefix where that dependency provably cannot bite,
+    emitting the IDENTICAL merge table in ~n_merges/batch rounds on
+    Zipf-distinct counts instead of one Spark job per merge.
 
     Rewrite semantics match ``_merge_once`` exactly (left-to-right
     non-overlapping), so the learned table replays bit-for-bit through
@@ -276,23 +303,54 @@ def bpe_train(
             "c",
         )
     )
-    return _bpe_train_loop(vocab, n_merges)
+    return _bpe_train_loop(vocab, n_merges, batch, driver_vocab_max)
 
 
 def _bpe_train_loop(
-    vocab0: DataFrame, n_merges: int
+    vocab0: DataFrame,
+    n_merges: int,
+    batch: int = 0,
+    driver_vocab_max: int = TRAIN_DRIVER_VOCAB_MAX,
 ) -> list[tuple[str, str]]:
     """The shared merge-learning loop over a ``(syms array<string>, c)``
     vocab frame — codepoint-level (:func:`bpe_train`) and byte-level
     (:func:`bpe_train_bytes`) training differ only in how the vocab is
-    built."""
+    built. Three routes, all emitting the IDENTICAL merge table (pinned
+    + property-tested):
+
+    - ``≤ driver_vocab_max`` distinct words (the production default —
+      vocabularies are Zipf-bounded): collect the frame and run the
+      exact in-memory incremental loop (:func:`_bpe_train_inmemory`),
+      the HuggingFace/SentencePiece architecture — the corpus-sized
+      work (tokenize + word count) is the one distributed aggregate;
+      the merge loop itself is vocabulary-local. 50k merges take
+      seconds, not 50k Spark jobs.
+    - larger: the distributed loop, learning up to ``batch`` provably
+      order-independent merges per round (:func:`_select_merge_batch`;
+      0 means :data:`TRAIN_MERGE_BATCH`). Exact but fill-limited:
+      consecutive top pairs share hot symbols on Zipf corpora, so
+      expect a few merges per round — the spill path, not the fast
+      path. Words reduced to a single symbol can never pair again and
+      are dropped from the loop frame as it goes.
+    - ``batch=1``: the legacy one-merge-per-round loop (kept as the
+      equivalence oracle for the other two)."""
     from ..util import persist_once
 
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
-    vocab = persist_once(vocab0)
+    batch = batch or TRAIN_MERGE_BATCH
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    vocab = persist_once(vocab0.filter(F.size("syms") >= 2))
+    if driver_vocab_max and vocab.count() <= driver_vocab_max:
+        rows = vocab.collect()
+        vocab.unpersist()
+        return _bpe_train_inmemory(
+            [(r["syms"], r["c"]) for r in rows], n_merges
+        )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(batch, n_merges - len(merges))
         pairs = (
             vocab.select(
                 F.explode(
@@ -311,17 +369,28 @@ def _bpe_train_loop(
             .groupBy("p")
             .agg(F.sum("c").alias("n"))
         )
-        best = (
-            pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b")).limit(1).collect()
+        rows = (
+            pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(k + 1)
+            .collect()
         )
-        if not best:
+        sel = _select_merge_batch(
+            [(r["p"]["a"], r["p"]["b"], r["n"]) for r in rows], k
+        )
+        if not sel:
             break
-        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-        merges.append((a, b))
+        merges.extend(sel)
+        steps = [(a, b, a + b) for a, b in sel]
         old = vocab
-        vocab = persist_once(
-            old.select(_pair_rewrite_fold(a, b, a + b).alias("syms"), "c")
-        )
+        if len(steps) == 1:
+            # the legacy expression fold; exhausted words ride along until
+            # the next multi-merge round drops them — a chained size filter
+            # here would defeat cache substitution and grow the plan
+            # exponentially (see _batch_rewrite_arrow)
+            rewritten = old.select(_pair_rewrite_fold(*steps[0]).alias("syms"), "c")
+        else:
+            rewritten = _batch_rewrite_arrow(old, steps, drop_exhausted=True)
+        vocab = persist_once(rewritten)
         old.unpersist()
     vocab.unpersist()
     return merges
@@ -361,6 +430,258 @@ def _pair_rewrite_fold(a: str, b: str, merged: str) -> Column:
     )
 
 
+def _bpe_train_inmemory(
+    words: "list[tuple[list[str], int]]", n_merges: int
+) -> list[tuple[str, str]]:
+    """EXACT in-memory incremental BPE merge loop over the collected
+    distinct-word frame — bit-identical to the sequential distributed
+    loop (same (count desc, pair lex asc) argmax, same left-to-right
+    rewrite), property-tested against the naive recount trainer.
+
+    Incremental state: pair counts, a pair→word-ids adjacency index, and
+    a lazy max-heap keyed ``(-count, a, b)``. Every count INCREASE pushes
+    a fresh entry (increases happen on pair creation, and in the corner
+    where a merge's concat collides with an existing symbol), so the
+    heap always holds a current entry for every up-ranked pair; a popped
+    entry is then either current (argmax found — heap order equals the
+    sequential (count desc, lex asc) tie-break) or stale (count shrank;
+    re-push at the current count). Per merge the work is proportional to
+    the words actually containing the pair — the classic trainer loop,
+    O(occurrences touched), not O(vocab·merges)."""
+    import collections
+    import heapq
+
+    words = [(list(syms), int(c)) for syms, c in words]
+    pair_counts: collections.Counter = collections.Counter()
+    where: dict = collections.defaultdict(set)
+    for wi, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            where[p].add(wi)
+    heap = [(-n, p[0], p[1]) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        neg, a, b = heapq.heappop(heap)
+        cur = pair_counts.get((a, b), 0)
+        if cur <= 0:
+            continue
+        if -neg != cur:  # stale: count shrank since push; re-rank
+            heapq.heappush(heap, (-cur, a, b))
+            continue
+        merges.append((a, b))
+        merged = a + b
+        for wi in list(where[(a, b)]):
+            syms, c = words[wi]
+            new = _merge_once_to(syms, a, b, merged)
+            if len(new) == len(syms):  # adjacency gone stale in the index
+                continue
+            delta: collections.Counter = collections.Counter()
+            for i in range(len(syms) - 1):
+                delta[(syms[i], syms[i + 1])] -= c
+            for i in range(len(new) - 1):
+                delta[(new[i], new[i + 1])] += c
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                had = pair_counts.get(p, 0)
+                now = had + d
+                if now > 0:
+                    pair_counts[p] = now
+                    if d > 0:
+                        where[p].add(wi)
+                        heapq.heappush(heap, (-now, p[0], p[1]))
+                    # decreases re-rank lazily at pop time
+                else:
+                    pair_counts.pop(p, None)
+                    where.pop(p, None)
+            # membership upkeep for pairs that persist in other words but
+            # left THIS word entirely
+            old_pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+            new_pairs = {(new[i], new[i + 1]) for i in range(len(new) - 1)}
+            for p in old_pairs - new_pairs:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
+            words[wi] = (new, c)
+    return merges
+
+
+def _select_merge_batch(
+    rows: "list[tuple[str, str, int]]", batch: int
+) -> list[tuple[str, str]]:
+    """EXACT batched-merge selection for frequency-scored BPE: from the
+    globally-ordered candidate pairs (``(count desc, a asc, b asc)`` —
+    the sequential trainer's order), pick a batch the sequential trainer
+    would provably have picked one-by-one, so the batched trainer emits
+    the IDENTICAL merge table.
+
+    ``rows`` must be a RANK-CONTIGUOUS head of the full pair ordering
+    (``limit(batch+1)`` of the sorted aggregate). The walk keeps a
+    prefix such that members are pairwise symbol-disjoint and no member
+    symbol equals an earlier member's concatenation, CUTTING (never
+    skipping) at the first violation:
+
+    - A pair disjoint from every earlier member keeps its exact count
+      through their application (rewrites only touch the merged pair's
+      symbols; bans on concat collisions keep new symbols from matching
+      member symbols), so prefix order + the sequential lex tie-break
+      carry over unchanged.
+    - Pairs OVERLAPPING a member can only lose occurrences, and by
+      prefix contiguity every such pair ranks at/after the cut, so its
+      count stays ≤ the cut count.
+    - NEW pairs created by a member's application (x·a→x·ab etc.) are
+      count-dominated by an overlapping old pair ((x,a) here), hence
+      also ≤ the cut count — but their LEX position is arbitrary, so a
+      tie with a member could steal the sequential argmax ("acz"/"bd":
+      merging (a,c) creates ("ac","z") which lex-precedes ("b","d") at
+      equal count). The final trim therefore keeps only members whose
+      count STRICTLY exceeds the cut count; when ties reach the top the
+      batch degenerates to the always-exact single global argmax.
+    - EXCEPTION to the domination argument: a SELF-pair (u, u). Chains
+      "u u u" leave a residual u adjacent to the merged uu, so its
+      application creates pairs ((uu,u), (u,uu), (uu,uu)) whose only
+      donor is the self-pair ITSELF — counts up to the member's own, not
+      ≤ the cut (hypothesis-found: "aa cbcbcb cbcbcb"). A self-pair
+      therefore always CLOSES the batch."""
+    used: set[str] = set()
+    concats: set[str] = set()
+    kept: list[tuple[str, str, int]] = []
+    cut_n = None
+    for idx, (a, b, n) in enumerate(rows):
+        if (
+            len(kept) == batch
+            or a in used
+            or b in used
+            or a in concats
+            or b in concats
+        ):
+            cut_n = n
+            break
+        kept.append((a, b, n))
+        used.update((a, b))
+        concats.add(a + b)
+        if a == b:
+            cut_n = rows[idx + 1][2] if idx + 1 < len(rows) else 0
+            break
+    if cut_n is None:
+        # the candidate list ran out before the window filled: rows is the
+        # COMPLETE pair set (limit(batch+1) returned fewer), so nothing
+        # outside the batch exists to tie with — new pairs then have no
+        # overlapping donor either (any adjacency is a counted pair).
+        cut_n = 0
+    out = [(a, b) for a, b, n in kept if n > cut_n]
+    if not out and rows:
+        out = [(rows[0][0], rows[0][1])]
+    return out
+
+
+def _select_wordpiece_batch(
+    rows: "list[tuple[str, str, int, int, int, int]]",
+    batch: int,
+    scale: int = 10**12,
+) -> list[tuple[str, str]]:
+    """EXACT batched-merge selection for likelihood-scored WordPiece —
+    the :func:`_select_merge_batch` walk with one extra hazard: merging
+    (a, b) SHRINKS the unit counts of a and b, so an overlapping pair's
+    score ``n·scale/(cnt_a·cnt_b)`` can RISE past a later member's.
+    Each accepted member therefore contributes a conservative ceiling on
+    every score its application can create or inflate, and the walk cuts
+    when a candidate's score no longer strictly exceeds that ceiling:
+
+    - surviving pairs on a member unit u: score' ≤ scale/cnt'(u) (pair
+      count ≤ unit count), with cnt'(u) ≥ cnt(u) − n (one occurrence
+      consumed per merge; 2n when a == b);
+    - pairs on the NEW merged unit: score' ≤ scale/m where m = merged
+      occurrences ≥ ⌈n/2⌉ (adjacent occurrences only overlap when
+      a == b).
+
+    Scores of pairs disjoint from all members are exactly unchanged, so
+    the prefix-contiguity + lex-tie argument of the BPE selector covers
+    them without a trim. ``rows`` = ``(a, b, n, cnt_a, cnt_b, score)``
+    in ``(score desc, a asc, b asc)`` order, rank-contiguous."""
+    used: set[str] = set()
+    concats: set[str] = set()
+    out: list[tuple[str, str]] = []
+    sbound = -1
+    for a, b, n, ca, cb, score in rows:
+        if (
+            len(out) == batch
+            or a in used
+            or b in used
+            or a in concats
+            or b in concats
+            or (out and score <= sbound)
+        ):
+            break
+        out.append((a, b))
+        merged = a + (b[2:] if b.startswith("##") else b)
+        used.update((a, b))
+        concats.add(merged)
+        if a == b:
+            residuals = (ca - 2 * n,)
+            m_lo = (n + 1) // 2
+        else:
+            residuals = (ca - n, cb - n)
+            m_lo = n
+        for r in residuals:
+            sbound = max(sbound, scale // max(1, r))
+        sbound = max(sbound, scale // max(1, m_lo))
+    return out
+
+
+def _batch_rewrite_arrow(
+    vocab: DataFrame,
+    steps: "list[tuple[str, str, str]]",
+    drop_exhausted: bool = False,
+) -> DataFrame:
+    """Apply a whole merge batch to the ``(syms, c)`` vocab frame in ONE
+    Arrow map-only job — the multi-merge twin of chaining
+    :func:`_pair_rewrite_fold` (same left-to-right non-overlapping
+    semantics per step via :func:`_merge_once_to`, applied in batch
+    order; route-parity pinned in tests). A depth-``batch`` expression
+    fold would stress Catalyst/codegen for nothing: the vocab frame is
+    distinct-word-sized (Zipf-bounded), so the per-word Python loop is
+    trainer-side bounded work, not a corpus-path UDF.
+
+    ``drop_exhausted`` drops words reduced to a single symbol (they can
+    never pair again — BPE only; WordPiece needs them for unit counts).
+    It MUST happen inside this job, not as a chained ``filter(size(syms)
+    >= 2)``: a per-round filter node on top of the fold defeats the
+    cached-plan substitution and the per-round plans grow exponentially
+    until the JVM heap dies (measured: 0.6s → 21s → OOM by round 8)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep_syms, keep_idx = [], []
+            for i, syms in enumerate(pdf["syms"]):
+                s = list(syms)
+                for a, b, m in steps:
+                    if len(s) < 2:
+                        break
+                    s = _merge_once_to(s, a, b, m)
+                if drop_exhausted and len(s) < 2:
+                    continue
+                keep_syms.append(s)
+                keep_idx.append(i)
+            # build the output frame explicitly (object Series of python
+            # lists + RangeIndex): assigning list-of-lists into an
+            # iloc-subset frame can land on a numpy path Arrow refuses
+            # ("NumPyConverter doesn't implement list<string>")
+            out = pd.DataFrame(
+                {
+                    "syms": pd.Series(keep_syms, dtype=object),
+                    "c": pdf["c"].to_numpy()[keep_idx],
+                }
+            )
+            yield out
+
+    return vocab.mapInPandas(fn, "syms array<string>, c bigint")
+
+
 def bpe_save_merges(
     spark, merges: list[tuple[str, str]], path: str
 ) -> None:
@@ -389,18 +710,26 @@ def bpe_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     return {pair: rank for rank, pair in enumerate(merges)}
 
 
-def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
-    """All non-overlapping (a, b) occurrences left to right — the list
-    twin of the wrapped-string literal replace."""
+def _merge_once_to(syms: list[str], a: str, b: str, merged: str) -> list[str]:
+    """All non-overlapping (a, b) → ``merged`` occurrences left to right
+    — the list twin of the wrapped-string literal replace, with the
+    emitted symbol parameterized so the WordPiece trainer (which strips
+    ``##`` off b) shares the exact rewrite."""
     out, i = [], 0
     while i < len(syms):
         if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-            out.append(a + b)
+            out.append(merged)
             i += 2
         else:
             out.append(syms[i])
             i += 1
     return out
+
+
+def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
+    """All non-overlapping (a, b) occurrences left to right — the list
+    twin of the wrapped-string literal replace."""
+    return _merge_once_to(syms, a, b, a + b)
 
 
 def bpe_encode_str_sweep(word: str, merges: list[tuple[str, str]]) -> list[str]:
@@ -820,6 +1149,8 @@ def bpe_train_bytes(
     df: DataFrame,
     n_merges: int,
     text: str = "text",
+    batch: int = 0,
+    driver_vocab_max: int = TRAIN_DRIVER_VOCAB_MAX,
 ) -> list[tuple[str, str]]:
     """Distributed BYTE-LEVEL BPE training: pretokenize with
     ``PRETOKENIZE_RE``, byte-map each distinct pretoken, then run the
@@ -843,7 +1174,7 @@ def bpe_train_bytes(
             "c",
         )
     )
-    return _bpe_train_loop(vocab, n_merges)
+    return _bpe_train_loop(vocab, n_merges, batch, driver_vocab_max)
 
 
 #: Expression-path ceiling for the auto routes: each merge is one literal
@@ -1300,8 +1631,117 @@ def unigram_token_stats(
     )
 
 
+def _wordpiece_train_inmemory(
+    words: "list[tuple[list[str], int]]", n_merges: int, scale: int = 10**12
+) -> list[str]:
+    """EXACT in-memory incremental WordPiece merge loop — bit-identical
+    to the sequential distributed loop (same integral PMI score
+    ``(n·scale) // (cnt_a·cnt_b)``, same (score desc, a asc, b asc)
+    argmax, same keep-left-prefix rewrite), property-tested against the
+    recount trainer.
+
+    Unlike BPE, a merge changes the SCORES of every pair sharing a unit
+    with it (unit counts shrink → denominators shrink → scores can
+    RISE), so lazy staleness alone is unsound. Invariant instead: after
+    each merge, re-push a current entry for every pair containing a
+    changed unit (only {a, b, merged} can change — rewrites touch no
+    other symbol), so the heap always holds an up-to-date entry for
+    every re-ranked pair; a popped entry is validated against the live
+    score and re-pushed if stale."""
+    import collections
+    import heapq
+
+    words = [(list(syms), int(c)) for syms, c in words]
+    pair_counts: collections.Counter = collections.Counter()
+    unit_counts: collections.Counter = collections.Counter()
+    where: dict = collections.defaultdict(set)
+    by_unit: dict = collections.defaultdict(set)
+    for wi, (syms, c) in enumerate(words):
+        for s in syms:
+            unit_counts[s] += c
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            where[p].add(wi)
+            by_unit[p[0]].add(p)
+            by_unit[p[1]].add(p)
+
+    def score(p) -> int:
+        n = pair_counts.get(p, 0)
+        if n <= 0:
+            return -1
+        return (n * scale) // (unit_counts[p[0]] * unit_counts[p[1]])
+
+    heap = [(-score(p), p[0], p[1]) for p in pair_counts]
+    heapq.heapify(heap)
+    merges: list[str] = []
+    while len(merges) < n_merges and heap:
+        neg, a, b = heapq.heappop(heap)
+        cur = score((a, b))
+        if cur < 0:
+            continue
+        if -neg != cur:
+            heapq.heappush(heap, (-cur, a, b))
+            continue
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append(merged)
+        for wi in list(where[(a, b)]):
+            syms, c = words[wi]
+            new = _merge_once_to(syms, a, b, merged)
+            if len(new) == len(syms):  # pragma: no cover - stale index
+                continue
+            pdelta: collections.Counter = collections.Counter()
+            udelta: collections.Counter = collections.Counter()
+            for i in range(len(syms) - 1):
+                pdelta[(syms[i], syms[i + 1])] -= c
+            for i in range(len(new) - 1):
+                pdelta[(new[i], new[i + 1])] += c
+            for s in syms:
+                udelta[s] -= c
+            for s in new:
+                udelta[s] += c
+            for u, d in udelta.items():
+                if d:
+                    unit_counts[u] += d
+                    if unit_counts[u] <= 0:
+                        unit_counts.pop(u, None)
+            for p, d in pdelta.items():
+                if d == 0:
+                    continue
+                now = pair_counts.get(p, 0) + d
+                if now > 0:
+                    pair_counts[p] = now
+                    if d > 0:
+                        where[p].add(wi)
+                        by_unit[p[0]].add(p)
+                        by_unit[p[1]].add(p)
+                else:
+                    pair_counts.pop(p, None)
+                    where.pop(p, None)
+                    by_unit[p[0]].discard(p)
+                    by_unit[p[1]].discard(p)
+            old_pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+            new_pairs = {(new[i], new[i + 1]) for i in range(len(new) - 1)}
+            for p in old_pairs - new_pairs:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
+            words[wi] = (new, c)
+        # units a, b, merged changed count: every pair on them re-ranks
+        for u in (a, b, merged):
+            for p in by_unit.get(u, ()):
+                sc = score(p)
+                if sc >= 0:
+                    heapq.heappush(heap, (-sc, p[0], p[1]))
+    return merges
+
+
 def wordpiece_train(
-    df: DataFrame, n_merges: int, text: str = "text"
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+    batch: int = 0,
+    driver_vocab_max: int = TRAIN_DRIVER_VOCAB_MAX,
 ) -> list[str]:
     """Distributed WordPiece TRAINING — the likelihood-scored merge loop
     of the public BERT/HuggingFace trainer: like BPE it repeatedly
@@ -1327,12 +1767,19 @@ def wordpiece_train(
     Scale shape: identical to :func:`bpe_train` — the loop runs over the
     DISTINCT-WORD frame (vocabulary-sized, not corpus-sized), one
     pair-count + one symbol-count aggregate per round (map-side
-    combine), rewrite via the shared fold; per-round driver traffic is
-    one best-pair row."""
+    combine); per-round driver traffic is the top-(batch+1) scored rows,
+    from which :func:`_select_wordpiece_batch` proves up to ``batch``
+    merges order-independent under the SCORE dynamics (overlap can
+    inflate scores, so the selector carries a residual-count ceiling)
+    and applies them in one rewrite — identical vocab to the
+    merge-at-a-time loop, pinned + property-tested."""
     from ..util import persist_once
 
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    batch = batch or TRAIN_MERGE_BATCH
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     w = F.col("word")
     syms0 = F.transform(
         F.sequence(F.lit(1), F.length(w)),
@@ -1351,8 +1798,22 @@ def wordpiece_train(
         r["s"]
         for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
     )
+    if driver_vocab_max and vocab.count() <= driver_vocab_max:
+        # production route (see _bpe_train_loop): one distributed word
+        # count, then the exact in-memory incremental merge loop
+        rows = vocab.collect()
+        vocab.unpersist()
+        merges = _wordpiece_train_inmemory(
+            [(r["syms"], r["c"]) for r in rows], n_merges
+        )
+        out_local: list[str] = []
+        for p in base + merges:
+            if p not in out_local:
+                out_local.append(p)
+        return out_local
     merges: list[str] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(batch, n_merges - len(merges))
         pairs = (
             vocab.select(
                 F.explode(
@@ -1378,27 +1839,38 @@ def wordpiece_train(
             .join(counts.select(F.col("s").alias("_b"), F.col("cnt").alias("cb")),
                   pairs["p"]["b"] == F.col("_b"))
             .select(
-                "p",
+                F.col("p")["a"].alias("a"),
+                F.col("p")["b"].alias("b"),
+                "n",
+                "ca",
+                "cb",
                 F.expr(
                     "(CAST(n AS DECIMAL(38,0)) * 1000000000000)"
                     " div (CAST(ca AS DECIMAL(38,0)) * cb)"
                 ).alias("score"),
             )
         )
-        best = (
-            scored.orderBy(F.desc("score"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(k + 1)
             .collect()
         )
-        if not best:
-            break
-        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-        merged = a + (b[2:] if b.startswith("##") else b)
-        merges.append(merged)
-        old = vocab
-        vocab = persist_once(
-            old.select(_pair_rewrite_fold(a, b, merged).alias("syms"), "c")
+        sel = _select_wordpiece_batch(
+            [(r["a"], r["b"], r["n"], r["ca"], r["cb"], r["score"]) for r in rows],
+            k,
         )
+        if not sel:
+            break
+        steps = [
+            (a, b, a + (b[2:] if b.startswith("##") else b)) for a, b in sel
+        ]
+        merges.extend(m for _a, _b, m in steps)
+        old = vocab
+        if len(steps) == 1:
+            rewritten = old.select(_pair_rewrite_fold(*steps[0]).alias("syms"), "c")
+        else:
+            rewritten = _batch_rewrite_arrow(old, steps)
+        vocab = persist_once(rewritten)
         old.unpersist()
     vocab.unpersist()
     out: list[str] = []

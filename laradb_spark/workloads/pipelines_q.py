@@ -920,7 +920,7 @@ FROM cnt, tot
 """
 
 
-def _lloyd_ctes(n_centroids: int, iters: int) -> list[str]:
+def _lloyd_ctes(n_centroids: "int | str", iters: int) -> list[str]:
     """Unrolled deterministic Lloyd rounds as chained CTEs (shared by the
     IVF and semantic-dedup oracles): v = double-cast embeddings, c0 = the
     ``n_centroids`` lowest-id vectors, then assignment → per-dimension
@@ -3073,7 +3073,35 @@ def knn_label_noise_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lb.knn_label_audit(neighbors, emb.select("vec_id", "label"))
 
 
-def _knn_ivf_sql(n_centroids: int = 16, n_probe: int = 4, iters: int = 2) -> str:
+def knn_label_noise_ivf_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of the IVF-pruned kNN label audit:
+    ``n_centroids=None`` → the √N default (``ivf_auto_centroids``), so
+    pair volume grows ~N^1.5 instead of the O(N²/16) the oracle-pinned
+    k=16 twin degenerates to — this row exists precisely so the
+    recurring 10× scale probe re-measures the route the design ships
+    (VERDICT r10 #5 measured it once in DEVNOTES #36; VERDICT r11 #3
+    demands it recur). The oracle replays the SAME √N sizing with a
+    scalar-subquery LIMIT (``GREATEST(16, FLOOR(SQRT(N-1))+1)``), so the
+    replay stays corpus-size-exact at every SF."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    neighbors = sim.ivf_topk(
+        emb, queries, n_centroids=None, n_probe=4, k=KNN_AUDIT_K
+    )
+    return lb.knn_label_audit(neighbors, emb.select("vec_id", "label"))
+
+
+#: SQL twin of ivf_auto_centroids: max(16, isqrt(N-1)+1) = max(16, ceil(√N)),
+#: as a scalar subquery usable in LIMIT (evaluated against the v CTE).
+AUTO_CENTROIDS_SQL = (
+    "(SELECT GREATEST(16, CAST(FLOOR(SQRT(GREATEST(CAST(COUNT(*) AS DOUBLE)"
+    " - 1, 0))) AS BIGINT) + 1) FROM v)"
+)
+
+
+def _knn_ivf_sql(
+    n_centroids: "int | str" = 16, n_probe: int = 4, iters: int = 2
+) -> str:
     ctes = _lloyd_ctes(n_centroids, iters)
     ctes.append(
         "q AS (SELECT vec_id AS query_id, vec AS qvec FROM v)"  # EVERY vector
@@ -4697,6 +4725,10 @@ QUERIES = {
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "knn_label_noise": (knn_label_noise_q, KNN_AUDIT_SQL),
     "knn_label_noise_ivf": (knn_label_noise_ivf_q, _knn_ivf_sql()),
+    "knn_label_noise_ivf_auto": (
+        knn_label_noise_ivf_auto_q,
+        _knn_ivf_sql(n_centroids=AUTO_CENTROIDS_SQL),
+    ),
     "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
     "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),
