@@ -115,6 +115,12 @@ HEADLINE = [
     # above is the exact oracle harness; this is the route that survives
     # 10x — probe-verified linear-ish where brute force went 32x)
     "knn_label_noise_ivf",
+    # round-12: the PRODUCTION configuration of that audit (n_centroids=
+    # None -> sqrt(N) sizing) — benched + probed every round so the
+    # ~N^1.5 behavior is a recurring artifact, not a one-off DEVNOTES
+    # measurement; the pinned-k twin above stays only because its DuckDB
+    # oracle must replay a fixed k (annotated in the probe JSON)
+    "knn_label_noise_ivf_auto",
     # round-11 late additions: hybrid retrieval fusion (BM25 ⊕ dense via
     # integer RRF), the Kneser-Ney LM (vocabulary-keyed join chain — a
     # heavier shape than the benched count-ratio bigram_lm), and the

@@ -63,25 +63,94 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r11 window head (the driver oracles the FIRST 50) ------------------
-    # (a) NEW in r11: the contraction-decorated byte-BPE corpus — every doc
-    # puts a multi-char whitespace run directly before a GPT-2 contraction,
-    # so the r11 donation-into-contraction fix (ADVICE r10 high) is
-    # hash-certified engine-vs-oracle at the driver gate, not only locally.
+    # --- r12 window head (the driver oracles the FIRST 50) ------------------
+    # (a) queries with NO driver row ever: the seven late-r11 additions
+    # (checker-certified --only at all 3 SFs in-round, re-verified by the
+    # r11 judge) plus the two NEW r12 queries — the sqrt(N) production
+    # route of the kNN audit (VERDICT r11 #3) and the index-maintenance
+    # cycle build -> recenter -> compact -> occupancy (VERDICT r11 #4).
+    "ann_ivf_list_skew",
+    "hybrid_rrf_topk",
+    "kn_lm_score",
+    "ann_ivf_filtered",
+    "dedup_lsh_recall",
+    "wordpiece_stats",
+    "unigram_stats",
+    "knn_label_noise_ivf_auto",
+    "ivf_maintenance_cycle",
+    # (b) queries whose SQL or compiled plan text changed in r11 with
+    # results certified identical in-round (full 192/192 checker at HEAD):
+    # the byte-BPE family (donation-fix SQL/plan) and the bind_once
+    # plan-changed group — driver re-certification per the window policy.
+    "bpe_byte_token_count_fast",
+    "bpe_fertility",
+    "token_shard_stats",
+    "shard_decode_roundtrip",
+    "approx_stats",
+    "c4_line_clean",
+    "corpus_frequent_ngrams",
+    "cross_source_dup_matrix",
+    "decon_fuzzy",
+    "dedup_ngram_jaccard",
+    "doc_boilerplate_ppm",
+    "fuzzy_cross_batch",
+    "heavy_hitters",
+    "ngram_diversity",
+    "q19_disjunctive_revenue",
+    "quality_classifier",
+    "quality_classifier_eval",
+    # (c) the 24 stalest r8-era rows (fills the window to exactly 50);
+    # with the four r8 rows inside (b), 28 of the 47 r8 rows refresh in
+    # r12 — the remaining 19 are pinned to the r13 front in (d).
+    "all_account_balances",
+    "alpha_mixture",
+    "asof_last_order",
+    "bm25_topk_fast",
+    "bpe_token_apportionment",
+    "bpe_token_count",
+    "ccnet_lm_buckets",
+    "corpus_integrity",
+    "corpus_line_dedup",
+    "cube_order_stats",
+    "customer_order_counts_left",
+    "customer_spend_quartiles",
+    "d4m_set_filter",
+    "graph_brand_degree",
+    "graph_brand_gram",
+    "knn_label_noise",
+    "lang_classifier",
+    "lang_confusion",
+    "lara_cross_grid",
+    "lara_union_quarters",
+    "line_profile",
+    "monthly_revenue",
+    "multimodal_features",
+    "nation_presence_trio",
+    # --- front of the r13 window: the 19 r8-era rows the 50-slot budget
+    # could not fit this round (test_registry pins this allocation) -------
+    "nation_region_full_outer",
+    "order_price_histogram",
+    "order_price_percentiles",
+    "pagerank_supplier_part",
+    "purchase_attribution",
+    "redact_pii_stats",
+    "salted_lineitem_stats",
+    "shuffle_shards_q",
+    "source_datacard",
+    "source_drift_tv",
+    "top_prices_with_ties",
+    "train_val_split_stats",
+    "trim_length_outliers",
+    "twap_value_by_user_type",
+    "unimax_allocation",
+    "value_quantiles_by_type",
+    "value_spikes_by_type",
+    "value_variance_by_type",
+    "vocab_coverage",
+    # --- tail: fresher rows in their prior order (fall out harmlessly) ---
     "bpe_contraction_parity",
-    # (b) the one registry query with no driver row ever (landed after the
-    # r10 window filled; checker-certified --only in r10 and re-verified by
-    # the r10 judge) — VERDICT r10 next-round #1.
     "knn_label_noise_ivf",
-    # (c) CHANGED in r11: the donation fixup rewrote the expression-path
-    # pretokenizer branches (compiled plan change). Results on the punct
-    # corpus are identical (its decorations never put a ws run before a
-    # contraction), so this is belt-and-braces re-certification; the
-    # behavior-identical rest of the family (fast twin, fertility, shard
-    # stats, roundtrip) keeps its r10 rows and leads the r12 window below.
     "bpe_byte_token_count",
-    # (d) the 47 r7-era stale rows VERDICT r10 #1 queued — after r11 every
-    # registry query has a driver row and none predates r8.
     "ann_brute_force",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
@@ -129,42 +198,6 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
-    # --- front of the r12 window: queries whose SQL or compiled plan text
-    # changed in r11 with results certified identical in-round (full 192/192
-    # DuckDB checker at HEAD). The byte-BPE four changed SQL (donation-fix
-    # CTE); the rest have STABLE canonical-plan-hash diffs vs r10 from the
-    # bind_once sweep (method: optimizedPlan().canonicalized() md5 at both
-    # HEADs, minus the 48 queries whose hashes are session-unstable —
-    # cache/UDF-byte artifacts — for which plan-text tracking is best-effort
-    # and the checker is the value evidence) ---------------------------------
-    # (plus the late-r11 additions — new queries, checker-certified --only
-    # at all three SFs in-round: the IVF list-occupancy report, hybrid RRF
-    # retrieval, the Kneser-Ney LM, filtered IVF, and the LSH recall eval)
-    "ann_ivf_list_skew",
-    "hybrid_rrf_topk",
-    "kn_lm_score",
-    "ann_ivf_filtered",
-    "dedup_lsh_recall",
-    "wordpiece_stats",
-    "unigram_stats",
-    "bpe_byte_token_count_fast",
-    "bpe_fertility",
-    "token_shard_stats",
-    "shard_decode_roundtrip",
-    "approx_stats",
-    "c4_line_clean",
-    "corpus_frequent_ngrams",
-    "cross_source_dup_matrix",
-    "decon_fuzzy",
-    "dedup_ngram_jaccard",
-    "doc_boilerplate_ppm",
-    "fuzzy_cross_batch",
-    "heavy_hitters",
-    "ngram_diversity",
-    "q19_disjunctive_revenue",
-    "quality_classifier",
-    "quality_classifier_eval",
-    # --- tail: long-green rows in their r10 order ---------------------------
     "ann_ivfpq_res_topk",
     "ann_ivfpq_res_recall",
     "customer_merge_upsert",

@@ -908,6 +908,64 @@ def ann_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_list_stats(emb, n_centroids=16, lloyd_iters=2)
 
 
+def ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index MAINTENANCE path, end to end and hash-certified
+    (VERDICT r11 #4): build a stored IVF layout at a deliberately-stale
+    k=16, ``ivf_recenter_index`` it to the √N production sizing
+    (retrain + reassign + verify + swap), ``ivf_compact_index`` the
+    rewritten lists (row-identity-preserving by contract), then report
+    the post-maintenance occupancy. Because the recenter recipe is
+    pinned ≡ fresh-build-on-the-same-rows, the oracle replays a fresh
+    √N Lloyd chain (scalar-subquery LIMIT re-derives the sizing) — so a
+    drift anywhere in recenter's retrain/reassign/swap, or a row lost
+    or duplicated by compaction, breaks the value hash. The report is
+    centroid-bounded (√N rows), collected off the temp layout so the
+    scratch directory can be removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="laradb_maint_")
+    path = os.path.join(root, "ivf")
+    try:
+        sim.ivf_build_index(emb, path, n_centroids=16, lloyd_iters=2)
+        rep = sim.ivf_recenter_index(spark, path, n_centroids=None, lloyd_iters=2)
+        sim.ivf_compact_index(spark, path, min_files=2)
+        corpus = spark.read.parquet(f"{path}/corpus")
+        counts = corpus.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+        total = counts.agg(F.sum("n_members").alias("_t"))
+        out = counts.crossJoin(F.broadcast(total)).select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.expr("(1000000 * n_members) div _t").alias("share_ppm"),
+            F.lit(int(rep["n_centroids_after"])).cast("long").alias("k_after"),
+        )
+        rows = out.collect()  # √N-bounded; decouples the result from root
+        return spark.createDataFrame(
+            rows, "cid long, n_members long, share_ppm long, k_after long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ivf_maintenance_cycle_sql(iters: int = 2) -> str:
+    """Oracle: fresh √N build ≡ the maintained layout (recenter is
+    pinned to that identity; compaction must be a row-identity no-op)."""
+    ctes = _lloyd_ctes(AUTO_CENTROIDS_SQL, iters)
+    return f"""
+WITH {','.join(ctes)},
+cnt AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid),
+tot AS (SELECT SUM(n) AS t FROM cnt),
+k AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(GREATEST(CAST(COUNT(*) AS DOUBLE)
+      - 1, 0))) AS BIGINT) + 1) AS k_after FROM v)
+SELECT cid, CAST(n AS BIGINT) AS n_members,
+       CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
+       k.k_after AS k_after
+FROM cnt, tot, k
+"""
+
+
 def _ann_ivf_list_skew_sql(n_centroids: int = 16, iters: int = 2) -> str:
     ctes = _lloyd_ctes(n_centroids, iters)
     return f"""
@@ -4729,6 +4787,7 @@ QUERIES = {
         knn_label_noise_ivf_auto_q,
         _knn_ivf_sql(n_centroids=AUTO_CENTROIDS_SQL),
     ),
+    "ivf_maintenance_cycle": (ivf_maintenance_cycle, _ivf_maintenance_cycle_sql()),
     "semantic_decon": (semantic_decon_q, SEMANTIC_DECON_SQL),
     "semantic_decon_fast": (semantic_decon_fast_q, SEMANTIC_DECON_SQL),
     "label_centroid_outliers": (label_centroid_outliers_q, CENTROID_OUTLIER_SQL),

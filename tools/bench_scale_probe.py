@@ -35,6 +35,21 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh_fast",
 ]
 
+# Per-query context the probe JSON carries alongside the timings, so a
+# reader of PROBE_r{N}.json sees WHY a ratio looks the way it does without
+# cross-referencing DEVNOTES (VERDICT r11 #3).
+PROBE_ANNOTATIONS = {
+    "knn_label_noise_ivf": (
+        "oracle-pinned k=16 — O(N²/16) pair volume by construction (the "
+        "DuckDB replay needs a fixed centroid count); the production "
+        "route is knn_label_noise_ivf_auto"
+    ),
+    "knn_label_noise_ivf_auto": (
+        "production √N auto-centroids route (n_centroids=None) — "
+        "~N^1.5 pair volume; the scale configuration the design ships"
+    ),
+}
+
 # (table, id columns to shift) — shift keeps keys disjoint across copies.
 TABLES = {
     "documents": ["doc_id"],
@@ -105,8 +120,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    ann = {k: v for k, v in PROBE_ANNOTATIONS.items() if k in timings}
     print(json.dumps({"metric": "scale_probe", "factor": args.factor,
-                      "base_sf": 0.1, "queries": timings, "unit": "sec"}))
+                      "base_sf": 0.1, "queries": timings, "unit": "sec",
+                      "annotations": ann}))
     spark.stop()
 
 
