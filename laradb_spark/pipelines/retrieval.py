@@ -66,10 +66,13 @@ def _score_terms(scored: DataFrame, id_col: str) -> DataFrame:
 def _query_terms_df(spark: SparkSession, queries) -> DataFrame:
     # tokenize_str IS the tokens() contract — query terms must match the
     # corpus tokenization or probes silently miss postings.
-    qrows = [
-        (int(qid), w) for qid, qtext in queries for w in tokenize_str(str(qtext))
-    ]
-    return spark.createDataFrame(qrows, "query_id int, term string").dropDuplicates()
+    qrows = sorted(
+        {(int(qid), w) for qid, qtext in queries for w in tokenize_str(str(qtext))}
+    )
+    # dedup driver-side: queries are a driver-side list already, so a
+    # dropDuplicates() here would spend a whole shuffle exchange on a
+    # human-sized frame (plan-diet, VERDICT r11 #5)
+    return spark.createDataFrame(qrows, "query_id int, term string")
 
 
 def bm25_scores(
@@ -337,9 +340,15 @@ def rrf_fuse(
 
     Scale shape: inputs are per-query TOP-K lists, so every frame here
     is (queries × k)-bounded — union + one hash aggregate, no
-    corpus-sized stage; the final ranking goes through the
-    partition-count-independent two-phase ``grouped_rank`` like every
-    ranking in this module. Ties break by doc id ascending.
+    corpus-sized stage. BECAUSE the frame is bounded, the final ranking
+    uses a plain per-query window rather than the two-phase
+    ``grouped_rank`` the corpus-sized rankings in this module need:
+    grouped_rank's own guidance reserves the range-partition + offsets
+    machinery for frames whose size dwarfs the group count — on a
+    candidates-bounded frame it costs an extra job (offsets collect), a
+    persist, and two exchanges for parallelism nothing here can use
+    (plan-diet, VERDICT r11 #5). Ranks are bit-identical (row_number
+    under the same total order). Ties break by doc id ascending.
 
     Returns ``(query_id, id_col, rank, rrf_ppm, n_lists)`` — ``n_lists``
     = how many input lists surfaced the doc (each list holds a doc at
@@ -358,13 +367,21 @@ def rrf_fuse(
     fused = u.groupBy(query_id_col, id_col).agg(
         F.sum("_c").alias("rrf_ppm"), F.count(F.lit(1)).alias("n_lists")
     )
-    out = grouped_rank(fused, [query_id_col], [F.desc("rrf_ppm"), F.asc(id_col)])
-    return out.filter(F.col("_r") <= k).select(
-        query_id_col,
-        id_col,
-        F.col("_r").cast("int").alias("rank"),
-        F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
-        F.col("n_lists").cast("int").alias("n_lists"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_ppm"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_r").cast("int").alias("rank"),
+            F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
+            F.col("n_lists").cast("int").alias("n_lists"),
+        )
     )
 
 
