@@ -88,3 +88,42 @@ def ann_serve_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kn_score_stream(
+    doc_stream: DataFrame,
+    lm_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text: str = "text",
+):
+    """Streaming twin of ``pipelines.text.kn_score_indexed``: score a
+    document stream against a STORED Kneser-Ney LM artifact
+    (``kn_build_lm`` layout) per micro-batch — the incremental-curation
+    shape the other stored-artifact scorers already have (classifier,
+    fuzzy dedup, shards; VERDICT r11 #6). The scorer is two chained
+    aggregations (per-doc bigram profile → per-doc score), which
+    structured streaming cannot plan directly, so it runs as a
+    foreachBatch loop like ``ann_serve_stream``; the frozen stat tables
+    re-resolve per batch, so a refreshed LM artifact is picked up at the
+    next micro-batch with no restart.
+
+    At-least-once note (same trade as the other loops): replays rewrite
+    deterministic duplicate rows — consumers key on (batch_id, doc_id)
+    or stage per-batch paths. Appends ``(doc_id, kn_score_ppm,
+    n_bigrams, oov_bigram_ppm, batch_id)`` to ``out_path``."""
+    from ..pipelines.text import kn_score_indexed
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kn_score_indexed(batch_df, lm_path, text=text).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
