@@ -126,6 +126,10 @@ HEADLINE = [
     # heavier shape than the benched count-ratio bigram_lm), and the
     # WordPiece Arrow kernel (the third tokenizer family's encode cost)
     "hybrid_rrf_topk",
+    # round-12: the stored-index hybrid serving twin (two pruned probes +
+    # integer fusion — the steady-state cost the inline twin's training
+    # noise would hide; the pq/ivfpq serve-entry precedent)
+    "hybrid_serve",
     "kn_lm_score",
     "wordpiece_stats",
     # and the Unigram-LM Viterbi kernel (per-word DP — the costliest of
@@ -168,6 +172,18 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
         paths[("pq", sf_dir)] = pq_path
         paths[("ivfpq", sf_dir)] = ivf_path
         paths[("ivfpqres", sf_dir)] = res_path
+        # hybrid serving: the BM25 inverted index + a flat IVF index,
+        # probed together through rrf fusion (steady-state hybrid cost)
+        from laradb_spark.pipelines import retrieval as rt
+        from laradb_spark.workloads.pipelines_q import BM25_QUERIES
+
+        bm_path = f"{root}/bm25{tag}"
+        ivfflat_path = f"{root}/ivfflat{tag}"
+        docs = load(spark, sf_dir, "documents")
+        rt.bm25_build_index(docs, bm_path)
+        sim.ivf_build_index(emb, ivfflat_path, n_centroids=16)
+        paths[("bm25", sf_dir)] = bm_path
+        paths[("ivfflat", sf_dir)] = ivfflat_path
 
     def pq_serve(spark, sf_dir):
         return sim.pq_search_index(
@@ -187,10 +203,31 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
             dim=EMB_DIM, n_probe=4, k=TOP_K,
         )
 
+    def hybrid_serve(spark, sf_dir):
+        from laradb_spark.pipelines import retrieval as rt
+        from laradb_spark.workloads.pipelines_q import (
+            BM25_QUERIES,
+            HYBRID_K_CAND,
+            HYBRID_TOP_K,
+            load,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load(spark, sf_dir, "embeddings")
+        qids = [qid for qid, _ in BM25_QUERIES]
+        qv = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return rt.hybrid_search_index(
+            spark, paths[("bm25", sf_dir)], paths[("ivfflat", sf_dir)],
+            BM25_QUERIES, qv, k=HYBRID_TOP_K, k_cand=HYBRID_K_CAND, n_probe=4,
+        )
+
     return {
         "ann_pq_serve": pq_serve,
         "ann_ivfpq_serve": ivfpq_serve,
         "ann_ivfpq_res_serve": ivfpq_res_serve,
+        "hybrid_serve": hybrid_serve,
     }
 
 

@@ -238,10 +238,11 @@ def bm25_build_index(
     text_col: str = "text",
 ) -> None:
     """Persist the inverted-index layout BM25 search probes:
-    ``{path}/postings``  = (term, id, tf) written partitionBy(bucket) where
-    bucket = crc32(term) % 256 — a probe for a q-term set prunes to its
-    buckets instead of scanning all postings;
-    ``{path}/doclens``   = (id, dl);
+    ``{path}/postings``  = (term, id, tf, dl) written partitionBy(bucket)
+    where bucket = crc32(term) % 256 — a probe for a q-term set prunes to
+    its buckets instead of scanning all postings, and dl rides along so
+    scoring never joins the corpus-sized doclens table;
+    ``{path}/doclens``   = (id, dl) — corpus-level reporting;
     ``{path}/termstats`` = (term, df);
     ``{path}/stats``     = one row (n_docs, n_toks).
 
@@ -254,12 +255,20 @@ def bm25_build_index(
     # One pass over the token stream (same restructure as bm25_scores):
     # tf persists; dl/df/stats derive from it.
     tf = persist_once(toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    tf.withColumn("bucket", F.crc32(F.col("term")) % 256).write.partitionBy(
-        "bucket"
-    ).mode("overwrite").parquet(f"{path}/postings")
-    tf.groupBy("id").agg(F.sum("tf").alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/doclens")
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # dl is DENORMALIZED into the postings rows (one extra long per
+    # posting, one build-time shuffle): without it every probe joins its
+    # small pruned hits against the corpus-sized doclens table — a
+    # per-query-batch corpus shuffle, the opposite of what a stored
+    # index is for. doclens stays on disk for corpus-level reporting.
+    (
+        tf.join(dl, on="id")
+        .withColumn("bucket", F.crc32(F.col("term")) % 256)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
     tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{path}/termstats")
@@ -293,12 +302,15 @@ def bm25_search_index(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
     )
-    dl = spark.read.parquet(f"{path}/doclens")
+    hits = postings
+    if "dl" not in postings.columns:
+        # pre-r12 layout without denormalized dl: fall back to the
+        # doclens join (corpus-sized shuffle — rebuild the index to fix)
+        hits = postings.join(spark.read.parquet(f"{path}/doclens"), on="id")
     dfreq = spark.read.parquet(f"{path}/termstats")
     stats = spark.read.parquet(f"{path}/stats")
     scored = (
-        postings.join(F.broadcast(q), on="term")
-        .join(dl, on="id")
+        hits.join(F.broadcast(q), on="term")
         .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
         .crossJoin(F.broadcast(stats))
     )
