@@ -1190,3 +1190,34 @@ def test_ivf_compact_index_splits_hot_list(spark, clustered, tmp_path):
     assert max(per_cid_files.values()) > 1, per_cid_files
     after = _pairs_ranked(sim.ivf_search_index(spark, path, q, n_probe=4, k=5))
     assert after == before
+
+
+def test_ivf_compact_codes_layout_with_meta(spark, clustered, tmp_path):
+    """The codes layout (IVF-PQ) compacts through the same path — claimed
+    by the compactor's docstring, now pinned: append-driven small files
+    in cid= dirs merge with row identity INCLUDING metadata columns, and
+    filtered serving is unchanged after the swap."""
+    labeled = clustered.withColumn("label", F.col("vec_id") % 3)
+    path = str(tmp_path / "pq_cmp")
+    sim.ivfpq_build_index(
+        labeled.filter(F.col("vec_id") < 150), path, dim=8, n_centroids=8,
+        lloyd_iters=2, meta_cols=["label"],
+    )
+    for lo in (150, 175):
+        sim.ivfpq_append_index(
+            labeled.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 25)),
+            path, dim=8, meta_cols=["label"],
+        )
+    q = _queries(clustered)
+    before = _pairs_ranked(
+        sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=3, k=5,
+                               where="label = 1")
+    )
+    rep = sim.ivf_compact_index(spark, path, subdir="codes")
+    assert rep["lists_compacted"] > 0
+    assert rep["files_after"] < rep["files_before"]
+    after = _pairs_ranked(
+        sim.ivfpq_search_index(spark, path, q, dim=8, n_probe=3, k=5,
+                               where="label = 1")
+    )
+    assert after == before and len(after) > 0

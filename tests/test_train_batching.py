@@ -361,3 +361,52 @@ def test_bpe_train_bytes_4k_vocab_demo(spark):
     assert len(merges) == 4096
     bpe_validate_merges(merges)  # trained-shape invariants hold
     assert wall < 120, f"4k-merge training took {wall:.0f}s"
+
+
+def test_wordpiece_train_2k_vocab_demo(spark):
+    """The second trainer family at production scale: a 2048-merge
+    WordPiece vocabulary through the in-memory likelihood loop (the
+    re-rank-on-unit-change heap) in seconds. Also pins the all-routes
+    contract at depth on a richer corpus: the first 40 merges of the
+    distributed batched loop equal the in-memory table's prefix."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from laradb_spark.pipelines.tokenizer import wordpiece_train
+
+    n_words = 4000
+    words = spark.range(n_words).select(
+        F.col("id"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3) + (F.col("id") % 4).cast("int")),
+                lambda j: F.chr(
+                    F.lit(97) + F.pmod(F.xxhash64(F.col("id") * 17 + j), F.lit(26))
+                ),
+            ),
+        ).alias("w"),
+        F.greatest(
+            F.lit(1), (F.lit(1500) / F.pow(F.col("id") + 1, F.lit(0.8))).cast("int")
+        ).alias("cnt"),
+    )
+    docs = (
+        words.select(
+            (F.col("id") % 32).alias("doc_id"),
+            F.concat_ws(
+                " ", F.flatten(F.array_repeat(F.array("w"), F.col("cnt").cast("int")))
+            ).alias("text"),
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+    )
+    t0 = time.time()
+    vocab = wordpiece_train(docs, 2048)
+    wall = time.time() - t0
+    merged_pieces = [p for p in vocab if len(p.lstrip("#")) > 1]
+    assert len(merged_pieces) >= 2048
+    assert wall < 120, f"2k-merge WordPiece training took {wall:.0f}s"
+    # depth pin: distributed batched loop tracks the in-memory table
+    got = wordpiece_train(docs, 40, batch=8, driver_vocab_max=0)
+    assert got == wordpiece_train(docs, 40)
