@@ -278,6 +278,84 @@ def bm25_build_index(
     tf.unpersist()
 
 
+def bm25_append_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a shard of NEW documents to a stored ``bm25_build_index``
+    layout without re-tokenizing the existing corpus — the incremental-
+    ingest completion of the BM25 serving story (the digest / minhash /
+    decon / vector indexes all have the same build/append/serve triple).
+
+    Per-doc data (postings rows with their denormalized dl; doclens)
+    simply APPENDS — existing rows never change because dl is a per-doc
+    quantity. The corpus-level stats BM25 scores against (per-term df;
+    the one-row n_docs/n_toks) do change with every append, so those two
+    small tables — term-vocabulary-sized and 1-row respectively — are
+    merged and atomically swapped via the rename-aside discipline
+    (``ivf_compact_index`` precedent). Scores after an append are
+    therefore EXACTLY a fresh build over the union corpus (test-pinned):
+    BM25 stats are sums, and sums merge.
+
+    Caller contract (same as the other index appends): the batch's doc
+    ids are NEW — re-appending an already-indexed id double-counts it;
+    exact-dedup gates handle that upstream. Single-writer offline
+    maintenance window assumed, like every rewrite op in this package."""
+    import os
+    import shutil
+
+    spark = docs.sparkSession
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = persist_once(toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    (
+        tf.join(dl, on="id")
+        .withColumn("bucket", F.crc32(F.col("term")) % 256)
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(f"{path}/postings")
+    )
+    dl.write.mode("append").parquet(f"{path}/doclens")
+
+    def swap(name: str, merged: DataFrame) -> None:
+        cur, new, aside = (
+            f"{path}/{name}",
+            f"{path}/{name}._new",
+            f"{path}/{name}._old",
+        )
+        merged.write.mode("overwrite").parquet(new)
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(cur, aside)
+        os.rename(new, cur)
+        shutil.rmtree(aside)
+
+    new_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    merged_ts = (
+        spark.read.parquet(f"{path}/termstats")
+        .unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    swap("termstats", merged_ts)
+    new_stats = tf.agg(
+        F.count_distinct("id").alias("n_docs"), F.sum("tf").alias("n_toks")
+    )
+    merged_stats = (
+        spark.read.parquet(f"{path}/stats")
+        .unionByName(new_stats)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+        )
+    )
+    swap("stats", merged_stats)
+    tf.unpersist()
+
+
 def bm25_search_index(
     spark: SparkSession,
     path: str,

@@ -863,6 +863,32 @@ def test_bm25_index_search_matches_inline(spark, tmp_path, sf_dir):
     assert "bucket" in plan
 
 
+def test_bm25_append_index_equals_fresh_build(spark, tmp_path, sf_dir):
+    """Incremental BM25 ingest: build on a corpus slice, append the rest
+    in two shards -> search results EXACTLY equal a fresh build over the
+    union (BM25 stats are sums, and the append merges them; the swapped
+    termstats/stats tables and the appended postings/doclens all agree).
+    Also pins that per-doc rows never rewrite: dl rides in the postings,
+    so appends only add files."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    a = str(tmp_path / "appended")
+    b = str(tmp_path / "fresh")
+    bm25_build_index(docs.filter(F.col("doc_id") % 3 == 0), a)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 1), a)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), a)
+    bm25_build_index(docs, b)
+    got = sorted(map(tuple, bm25_search_index(spark, a, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_search_index(spark, b, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_time_weighted_avg_random_series_property(spark):
     """TWAP vs a pure-Python reference on random irregular series with
     duplicate timestamps — the integral, the tiebreak, and the <2-obs
