@@ -385,11 +385,17 @@ def bm25_search_index(
         # pre-r12 layout without denormalized dl: fall back to the
         # doclens join (corpus-sized shuffle — rebuild the index to fix)
         hits = postings.join(spark.read.parquet(f"{path}/doclens"), on="id")
-    dfreq = spark.read.parquet(f"{path}/termstats")
+    # prune termstats to the query terms via a driver-side IN list (the
+    # term set is human-sized and already on the driver) — a distinct +
+    # join here would spend a shuffle on a tiny frame
+    qterms = sorted({w for _, t in queries for w in tokenize_str(str(t))})
+    dfreq = spark.read.parquet(f"{path}/termstats").filter(
+        F.col("term").isin(qterms)
+    )
     stats = spark.read.parquet(f"{path}/stats")
     scored = (
         hits.join(F.broadcast(q), on="term")
-        .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), on="term")), on="term")
+        .join(F.broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))
     )
     agg = _score_terms(scored, id_col)
