@@ -109,6 +109,18 @@ def main() -> None:
     spark = get_spark("laradb-scale-probe")
     synthesize(spark, args.factor, args.scratch)
     qs = entry_mod.queries()
+    wanted = set(args.queries.split(","))
+    serve_names = {
+        "ann_pq_serve", "ann_ivfpq_serve", "ann_ivfpq_res_serve", "hybrid_serve",
+    }
+    if serve_names & wanted:
+        # stored-index SERVING twins: indexes build once here (outside any
+        # timing) at both the warmup SF and the synthesized scale, so the
+        # probe measures steady-state search against a 10x corpus — the
+        # claim that partition/bucket pruning keeps serving flat-ish
+        from bench import _serve_entries
+
+        qs.update(_serve_entries(spark, ["/root/testdata/sf0.001", args.scratch]))
 
     timings = {}
     for name in args.queries.split(","):
