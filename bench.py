@@ -93,8 +93,12 @@ HEADLINE = [
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "url_dedup",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
+    # r13: ann_pq_topk / ann_ivfpq_topk DEMOTED to the correctness registry
+    # (VERDICT r12 #3) — the headline carried ~29s of inline Lloyd training
+    # across four entries whose serving twins are benched separately below;
+    # ONE inline trainer stays as the training-path regression guard:
+    # ann_ivfpq_res_topk (the residual trainer subsumes the PQ and IVF-PQ
+    # trainer code paths — it runs coarse Lloyd + residual-space PQ Lloyd).
     "decon_fuzzy",
     "token_shard_stats",
     "fuzzy_cross_batch",
@@ -111,16 +115,15 @@ HEADLINE = [
     # best-recall index's steady-state search cost, regression-guarded
     # like the pq/ivfpq serve entries above.
     "ann_ivfpq_res_serve",
-    # the kNN label audit's IVF-pruned scale path (the brute-force twin
-    # above is the exact oracle harness; this is the route that survives
-    # 10x — probe-verified linear-ish where brute force went 32x)
-    "knn_label_noise_ivf",
-    # round-12: the PRODUCTION configuration of that audit (n_centroids=
-    # None -> sqrt(N) sizing) — benched + probed every round so the
-    # ~N^1.5 behavior is a recurring artifact, not a one-off DEVNOTES
-    # measurement; the pinned-k twin above stays only because its DuckDB
-    # oracle must replay a fixed k (annotated in the probe JSON)
-    "knn_label_noise_ivf_auto",
+    # r13: knn_label_noise_ivf (oracle-pinned k=16 — O(N²/16) pair volume
+    # by construction, 13.4x at the 10x probe) and knn_label_noise_ivf_auto
+    # (the sqrt(N) production route — 14s of inline Lloyd training per run)
+    # DEMOTED to the correctness registry (VERDICT r12 #2/#3), the same
+    # treatment the exact-N² twin got in r10. Both stay oracled; the auto
+    # route stays in the 10x scale probe via tools/bench_scale_probe.py's
+    # --queries list so its ~N^1.5-absorbed-by-parallelism ratio (1.08x at
+    # r12) remains a recurring artifact without paying 19s of headline
+    # training time every bench run.
     # round-11 late additions: hybrid retrieval fusion (BM25 ⊕ dense via
     # integer RRF), the Kneser-Ney LM (vocabulary-keyed join chain — a
     # heavier shape than the benched count-ratio bigram_lm), and the
@@ -175,7 +178,6 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
         # hybrid serving: the BM25 inverted index + a flat IVF index,
         # probed together through rrf fusion (steady-state hybrid cost)
         from laradb_spark.pipelines import retrieval as rt
-        from laradb_spark.workloads.pipelines_q import BM25_QUERIES
 
         bm_path = f"{root}/bm25{tag}"
         ivfflat_path = f"{root}/ivfflat{tag}"

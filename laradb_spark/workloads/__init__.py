@@ -63,12 +63,123 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r12 window head (the driver oracles the FIRST 50) ------------------
-    # (a) queries with NO driver row ever: the seven late-r11 additions
-    # (checker-certified --only at all 3 SFs in-round, re-verified by the
-    # r11 judge) plus the two NEW r12 queries — the sqrt(N) production
-    # route of the kNN audit (VERDICT r11 #3) and the index-maintenance
-    # cycle build -> recenter -> compact -> occupancy (VERDICT r11 #4).
+    # --- r13 window head (the driver oracles the FIRST 50) ------------------
+    # (a) the 19 r8-era rows the r12 budget could not fit (pinned to this
+    # window front by r12's test_registry; VERDICT r12 #1 — after this
+    # window no registry query's latest green driver row predates r9):
+    "nation_region_full_outer",
+    "order_price_histogram",
+    "order_price_percentiles",
+    "pagerank_supplier_part",
+    "purchase_attribution",
+    "redact_pii_stats",
+    "salted_lineitem_stats",
+    "shuffle_shards_q",
+    "source_datacard",
+    "source_drift_tv",
+    "top_prices_with_ties",
+    "train_val_split_stats",
+    "trim_length_outliers",
+    "twap_value_by_user_type",
+    "unimax_allocation",
+    "value_quantiles_by_type",
+    "value_spikes_by_type",
+    "value_variance_by_type",
+    "vocab_coverage",
+    # (b) fill to exactly 50 with the stalest remaining evidence: 31 of
+    # the 42 rows whose freshest green row is r9-era (they rotated out of
+    # _PRIORITY's explicit head in r11/r12 and aged in the tail).
+    # No registry query's SQL or plan changed in r13 — the round's code
+    # changes are serving-path (bm25_search_index IN-list cap, BM25
+    # append staging/compaction) and trainer-path (sampled BPE recipe),
+    # none of which any oracled query consumes — so the whole window goes
+    # to stale-evidence rotation.
+    "ann_brute_force_fast",
+    "ann_hamming_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "ann_sq8_fast",
+    "bm25_topk",
+    "bpe_token_count_auto",
+    "cap_docs_per_source",
+    "chunk_documents_q",
+    "corpus_clean",
+    "curation_funnel",
+    "domain_caps",
+    "html_extract",
+    "mixture_materialize",
+    "order_status_pivot",
+    "orders_within_30_days",
+    "q10_returned_items",
+    "q11_nation_balance_share",
+    "q12_priority_buckets",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q20_promo_suppliers",
+    "q21_sole_fault_suppliers",
+    "q22_idle_rich_customers",
+    "q2_cheapest_part_per_type",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    # --- front of the r14 window: the 11 r9-era rows the 50-slot budget
+    # could not fit (test_registry pins this allocation) ------------------
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "raco_front_door_q",
+    "repeat_customers_96_97",
+    "small_quantity_revenue",
+    "status_except_all",
+    "suppliers_without_recent_sales",
+    "text_replace_map",
+    "unpivot_order_measures",
+    "url_canonicalize",
+    "url_dedup",
+    # --- tail: fresher rows, staleness-ordered (r10 first), fall out
+    # harmlessly ----------------------------------------------------------
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_res_recall",
+    "customer_merge_upsert",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_representatives",
+    "dedup_lsh_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_rate_by_source",
+    "embedding_gram",
+    "event_funnel",
+    "events_daily_pivot",
+    "events_daily_users",
+    "events_dow_hour_heatmap",
+    "events_json_stats",
+    "forward_fill_hourly",
+    "fuzzy_part_pairs",
+    "lara_matmul_event_gram",
+    "lara_union_max",
+    "lara_union_revenue",
+    "lara_wordcount",
+    "lara_wordcount_py",
+    "orders_quality_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "revenue_share_by_nation",
+    "rollup_returns",
+    "running_customer_totals",
+    "scd2_customer_segments",
+    "sensor_covariance_events",
+    "session_window_stats",
+    "sessionize_events",
+    "sliding_event_stats",
+    "sql_front_door_q",
+    "tfidf_top_terms",
+    "ann_probe_sweep",
     "ann_ivf_list_skew",
     "hybrid_rrf_topk",
     "kn_lm_score",
@@ -78,10 +189,6 @@ _PRIORITY = [
     "unigram_stats",
     "knn_label_noise_ivf_auto",
     "ivf_maintenance_cycle",
-    # (b) queries whose SQL or compiled plan text changed in r11 with
-    # results certified identical in-round (full 192/192 checker at HEAD):
-    # the byte-BPE family (donation-fix SQL/plan) and the bind_once
-    # plan-changed group — driver re-certification per the window policy.
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",
@@ -99,9 +206,6 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "quality_classifier",
     "quality_classifier_eval",
-    # (c) the 24 stalest r8-era rows (fills the window to exactly 50);
-    # with the four r8 rows inside (b), 28 of the 47 r8 rows refresh in
-    # r12 — the remaining 19 are pinned to the r13 front in (d).
     "all_account_balances",
     "alpha_mixture",
     "asof_last_order",
@@ -126,28 +230,6 @@ _PRIORITY = [
     "monthly_revenue",
     "multimodal_features",
     "nation_presence_trio",
-    # --- front of the r13 window: the 19 r8-era rows the 50-slot budget
-    # could not fit this round (test_registry pins this allocation) -------
-    "nation_region_full_outer",
-    "order_price_histogram",
-    "order_price_percentiles",
-    "pagerank_supplier_part",
-    "purchase_attribution",
-    "redact_pii_stats",
-    "salted_lineitem_stats",
-    "shuffle_shards_q",
-    "source_datacard",
-    "source_drift_tv",
-    "top_prices_with_ties",
-    "train_val_split_stats",
-    "trim_length_outliers",
-    "twap_value_by_user_type",
-    "unimax_allocation",
-    "value_quantiles_by_type",
-    "value_spikes_by_type",
-    "value_variance_by_type",
-    "vocab_coverage",
-    # --- tail: fresher rows in their prior order (fall out harmlessly) ---
     "bpe_contraction_parity",
     "knn_label_noise_ivf",
     "bpe_byte_token_count",
@@ -198,46 +280,6 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
-    "ann_ivfpq_res_topk",
-    "ann_ivfpq_res_recall",
-    "customer_merge_upsert",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_keep_representatives",
-    "dedup_lsh_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_rate_by_source",
-    "embedding_gram",
-    "event_funnel",
-    "events_daily_pivot",
-    "events_daily_users",
-    "events_dow_hour_heatmap",
-    "events_json_stats",
-    "forward_fill_hourly",
-    "fuzzy_part_pairs",
-    "lara_matmul_event_gram",
-    "lara_union_max",
-    "lara_union_revenue",
-    "lara_wordcount",
-    "lara_wordcount_py",
-    "orders_quality_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "revenue_share_by_nation",
-    "rollup_returns",
-    "running_customer_totals",
-    "scd2_customer_segments",
-    "sensor_covariance_events",
-    "session_window_stats",
-    "sessionize_events",
-    "sliding_event_stats",
-    "sql_front_door_q",
-    "tfidf_top_terms",
-    "ann_probe_sweep",
 ]
 
 

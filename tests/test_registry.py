@@ -23,24 +23,10 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # no driver row EVER: the seven late-r11 additions plus the two
-        # NEW r12 queries (sqrt(N) kNN-audit route, VERDICT r11 #3; the
-        # index-maintenance cycle, VERDICT r11 #4)
-        "ann_ivf_list_skew", "hybrid_rrf_topk", "kn_lm_score",
-        "ann_ivf_filtered", "dedup_lsh_recall", "wordpiece_stats",
-        "unigram_stats", "knn_label_noise_ivf_auto", "ivf_maintenance_cycle",
-        # SQL/plan text changed in r11, certified identical in-round:
-        # the byte-BPE family + the bind_once plan-changed group
-        "bpe_byte_token_count_fast", "bpe_fertility", "token_shard_stats",
-        "shard_decode_roundtrip", "approx_stats", "c4_line_clean",
-        "corpus_frequent_ngrams", "cross_source_dup_matrix", "decon_fuzzy",
-        "dedup_ngram_jaccard", "doc_boilerplate_ppm", "fuzzy_cross_batch",
-        "heavy_hitters", "ngram_diversity", "q19_disjunctive_revenue",
-        "quality_classifier", "quality_classifier_eval",
-    }
-    # r13 window front: the 19 r8-era rows the r12 budget could not fit
-    # (after r12, every other row is r9+; these rotate first next round).
-    next_window = {
+        # r13: NO registry query's SQL or plan changed (the round's code
+        # changes are serving-path and trainer-path only), so the whole
+        # window is stale-evidence rotation: the 19 r8-era rows r12 pinned
+        # to this window's front (VERDICT r12 #1)...
         "nation_region_full_outer", "order_price_histogram",
         "order_price_percentiles", "pagerank_supplier_part",
         "purchase_attribution", "redact_pii_stats", "salted_lineitem_stats",
@@ -49,6 +35,29 @@ def test_changed_queries_inside_oracle_window():
         "trim_length_outliers", "twap_value_by_user_type",
         "unimax_allocation", "value_quantiles_by_type",
         "value_spikes_by_type", "value_variance_by_type", "vocab_coverage",
+        # ...plus 31 of the 42 rows whose freshest green row is r9-era
+        # (alphabetical; the remaining 11 lead the r14 window below)
+        "ann_brute_force_fast", "ann_hamming_topk", "ann_ivfpq_topk",
+        "ann_pq_recall", "ann_pq_topk", "ann_sq8_fast", "bm25_topk",
+        "bpe_token_count_auto", "cap_docs_per_source", "chunk_documents_q",
+        "corpus_clean", "curation_funnel", "domain_caps", "html_extract",
+        "mixture_materialize", "order_status_pivot", "orders_within_30_days",
+        "q10_returned_items", "q11_nation_balance_share",
+        "q12_priority_buckets", "q13_order_count_distribution",
+        "q14_promo_share", "q15_top_supplier", "q16_supplier_count_by_part",
+        "q18_large_volume_customers", "q20_promo_suppliers",
+        "q21_sole_fault_suppliers", "q22_idle_rich_customers",
+        "q2_cheapest_part_per_type", "q6_forecast_revenue",
+        "q7_nation_volume",
+    }
+    # r14 window front: the 11 r9-era rows the r13 budget could not fit
+    # (after r13, every other row is r10+; these rotate first next round).
+    next_window = {
+        "q8_market_share", "q9_profit_by_nation_year", "raco_front_door_q",
+        "repeat_customers_96_97", "small_quantity_revenue",
+        "status_except_all", "suppliers_without_recent_sales",
+        "text_replace_map", "unpivot_order_measures", "url_canonicalize",
+        "url_dedup",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -58,7 +67,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "the leftover r8-era rows must lead the r13 window: "
+        "the leftover r9-era rows must lead the r14 window: "
         f"{next_window ^ next_slots}"
     )
 

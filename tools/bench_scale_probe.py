@@ -46,7 +46,10 @@ PROBE_ANNOTATIONS = {
     ),
     "knn_label_noise_ivf_auto": (
         "production √N auto-centroids route (n_centroids=None) — "
-        "~N^1.5 pair volume; the scale configuration the design ships"
+        "~N^1.5 pair volume; the scale configuration the design ships. "
+        "r13: demoted from the headline bench (VERDICT r12 #3 — inline "
+        "Lloyd training cost) but kept in the per-round probe list so the "
+        "parallelism-absorbed growth ratio stays a recurring artifact"
     ),
 }
 
