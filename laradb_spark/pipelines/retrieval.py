@@ -302,11 +302,52 @@ def bm25_append_index(
     Caller contract (same as the other index appends): the batch's doc
     ids are NEW — re-appending an already-indexed id double-counts it;
     exact-dedup gates handle that upstream. Single-writer offline
-    maintenance window assumed, like every rewrite op in this package."""
+    maintenance window assumed, like every rewrite op in this package.
+
+    Crash safety (ADVICE r12): the whole batch — postings, doclens, and
+    the two MERGED stats tables — is staged under ``{path}/_append_pending``
+    first; none of the four live tables is touched until staging completes
+    and a ``_STAGED_OK`` marker lands. A crash anywhere in the heavy
+    tokenize/count/merge/write phase is therefore a NO-OP on read, and the
+    append can simply be re-run (the discarded pending dir is cleaned up).
+    Publish itself (:func:`bm25_publish_pending_append`) is a short
+    sequence of file moves and is idempotent-resumable: a crash mid-publish
+    is recovered by calling ``bm25_publish_pending_append(path)`` — never
+    by re-running the append, which would double-count the already-
+    published part of the batch (this function refuses, with that
+    instruction, when it finds a completed stage)."""
     import os
     import shutil
 
     spark = docs.sparkSession
+    # Schema guard (ADVICE r12): a pre-r12 layout stores postings WITHOUT
+    # the denormalized dl column. Appending dl-bearing rows to it would mix
+    # parquet schemas inside {path}/postings, making bm25_search_index's
+    # '"dl" not in postings.columns' probe depend on which file wins schema
+    # resolution — and when dl wins, every legacy row reads NULL dl and
+    # scores NULL silently. Refuse up front (the _check_append_meta
+    # discipline of the vector indexes).
+    if "dl" not in spark.read.parquet(f"{path}/postings").columns:
+        raise ValueError(
+            "bm25_append_index: stored postings lack the denormalized 'dl' "
+            "column (pre-dl layout); appending would mix parquet schemas "
+            "and silently NULL-score legacy rows. Rebuild the index with "
+            "bm25_build_index first."
+        )
+
+    pend = f"{path}/_append_pending"
+    if os.path.isdir(pend):
+        if os.path.exists(f"{pend}/_STAGED_OK"):
+            raise RuntimeError(
+                "bm25_append_index: found a fully-staged pending append at "
+                f"{pend} — a previous append crashed DURING publish. Run "
+                "bm25_publish_pending_append(path) to finish it; re-running "
+                "the append would double-count the published part."
+            )
+        # previous append crashed while staging: nothing was published,
+        # the live tables never saw it — discard and restage.
+        shutil.rmtree(pend)
+
     toks = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
@@ -316,44 +357,124 @@ def bm25_append_index(
         tf.join(dl, on="id")
         .withColumn("bucket", F.crc32(F.col("term")) % 256)
         .write.partitionBy("bucket")
-        .mode("append")
-        .parquet(f"{path}/postings")
+        .mode("overwrite")
+        .parquet(f"{pend}/postings")
     )
-    dl.write.mode("append").parquet(f"{path}/doclens")
-
-    def swap(name: str, merged: DataFrame) -> None:
-        cur, new, aside = (
-            f"{path}/{name}",
-            f"{path}/{name}._new",
-            f"{path}/{name}._old",
-        )
-        merged.write.mode("overwrite").parquet(new)
-        shutil.rmtree(aside, ignore_errors=True)
-        os.rename(cur, aside)
-        os.rename(new, cur)
-        shutil.rmtree(aside)
-
+    dl.write.mode("overwrite").parquet(f"{pend}/doclens")
     new_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    merged_ts = (
+    (
         spark.read.parquet(f"{path}/termstats")
         .unionByName(new_df)
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{pend}/termstats")
     )
-    swap("termstats", merged_ts)
     new_stats = tf.agg(
         F.count_distinct("id").alias("n_docs"), F.sum("tf").alias("n_toks")
     )
-    merged_stats = (
+    (
         spark.read.parquet(f"{path}/stats")
         .unionByName(new_stats)
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("n_toks"),
         )
+        .write.mode("overwrite")
+        .parquet(f"{pend}/stats")
     )
-    swap("stats", merged_stats)
     tf.unpersist()
+    open(f"{pend}/_STAGED_OK", "w").close()
+    bm25_publish_pending_append(path)
+
+
+def bm25_publish_pending_append(path: str) -> None:
+    """Publish a fully-staged pending append (see ``bm25_append_index``):
+    move the staged postings/doclens parquet files into the live
+    directories (Spark part-file names carry task UUIDs, so moves never
+    collide), then rename-aside-swap the two merged stats tables, then
+    drop the pending dir. Every step is a move/rename of something whose
+    absence it tolerates, so the function is idempotent — after ANY crash
+    mid-publish, calling it again completes the append exactly once."""
+    import os
+    import shutil
+
+    pend = f"{path}/_append_pending"
+    if not os.path.exists(f"{pend}/_STAGED_OK"):
+        raise RuntimeError(
+            "bm25_publish_pending_append: no completed stage at "
+            f"{pend}; nothing to publish (an un-marked pending dir is an "
+            "aborted stage — re-run bm25_append_index)."
+        )
+    staged_postings = f"{pend}/postings"
+    if os.path.isdir(staged_postings):
+        for d in sorted(os.listdir(staged_postings)):
+            src_dir = os.path.join(staged_postings, d)
+            if not (d.startswith("bucket=") and os.path.isdir(src_dir)):
+                continue
+            live = os.path.join(path, "postings", d)
+            os.makedirs(live, exist_ok=True)
+            for fname in sorted(os.listdir(src_dir)):
+                if fname.endswith(".parquet"):
+                    shutil.move(os.path.join(src_dir, fname), os.path.join(live, fname))
+            shutil.rmtree(src_dir)
+        shutil.rmtree(staged_postings)
+    staged_doclens = f"{pend}/doclens"
+    if os.path.isdir(staged_doclens):
+        for fname in sorted(os.listdir(staged_doclens)):
+            if fname.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(staged_doclens, fname),
+                    os.path.join(path, "doclens", fname),
+                )
+        shutil.rmtree(staged_doclens)
+    for name in ("termstats", "stats"):
+        staged = f"{pend}/{name}"
+        if not os.path.isdir(staged):
+            continue  # already swapped by a previous (crashed) publish
+        cur, aside = f"{path}/{name}", f"{path}/{name}._old"
+        if os.path.isdir(cur):
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(cur, aside)
+        # cur is now absent — either renamed just above, or a previous
+        # publish crashed between its rename and move (the retry lands here
+        # with `staged` still present and completes the swap)
+        shutil.move(staged, cur)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(pend)
+
+
+def bm25_compact_index(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Small-files maintenance for an appended ``bm25_build_index`` layout
+    (VERDICT r12 #7): every append adds one-or-more small parquet files to
+    each touched ``bucket=`` directory of ``{path}/postings``, and after
+    thousands of shard appends a probe pays a per-bucket metadata storm.
+    Delegates to the same row-identity-verified compaction the vector
+    indexes use (``similarity.compact_partitioned_layout`` — scratch
+    write, per-bucket row-count + order-insensitive xxhash64 fingerprint
+    verification BEFORE any source directory is touched, rename-aside
+    swap), just partitioned by ``bucket`` instead of ``cid``. The
+    ``doclens`` table also accretes append files but sits off the serving
+    path (corpus-level reporting only), so it is left alone. Returns the
+    compaction report dict ({lists_compacted, files_before, files_after,
+    rows})."""
+    from .similarity import compact_partitioned_layout
+
+    return compact_partitioned_layout(
+        spark,
+        f"{path}/postings",
+        part_col="bucket",
+        target_bytes=target_bytes,
+        min_files=min_files,
+    )
+
+
+BM25_INLIST_MAX_TERMS = 5000  # IN-list → broadcast-join prune crossover
 
 
 def bm25_search_index(
@@ -362,6 +483,7 @@ def bm25_search_index(
     queries: Sequence[tuple[int, str]],
     k: int = 10,
     id_col: str = "doc_id",
+    inlist_max_terms: int = BM25_INLIST_MAX_TERMS,
 ) -> DataFrame:
     """Search a stored ``bm25_build_index`` layout: identical scores and
     ranking to the inline ``bm25_topk`` (same floor-div chain), but the
@@ -373,7 +495,8 @@ def bm25_search_index(
     q = _query_terms_df(spark, queries)
     # bucket pruning from the SAME tokenization as the stored postings —
     # a probe derived from a different split would prune to the wrong
-    # buckets and return silently-empty matches.
+    # buckets and return silently-empty matches. The bucket set saturates
+    # at 256 values, so THIS isin never bloats whatever the query count.
     buckets = sorted(
         {zlib.crc32(w.encode()) % 256 for _, t in queries for w in tokenize_str(str(t))}
     )
@@ -385,13 +508,21 @@ def bm25_search_index(
         # pre-r12 layout without denormalized dl: fall back to the
         # doclens join (corpus-sized shuffle — rebuild the index to fix)
         hits = postings.join(spark.read.parquet(f"{path}/doclens"), on="id")
-    # prune termstats to the query terms via a driver-side IN list (the
-    # term set is human-sized and already on the driver) — a distinct +
-    # join here would spend a shuffle on a tiny frame
+    # prune termstats to the query terms. Interactive-sized term sets use
+    # a driver-side IN list (no shuffle, and the predicate reaches the
+    # parquet scan); past ``inlist_max_terms`` distinct terms — a 10⁵-query
+    # offline scoring job, say — the IN list would be a megabyte predicate
+    # bloating the driver plan, so the prune switches to a broadcast join
+    # against a driver-built term frame (VERDICT r12 #6). Same rows either
+    # way (both routes keep exactly the stored (term, df) rows whose term
+    # appears in the query set).
     qterms = sorted({w for _, t in queries for w in tokenize_str(str(t))})
-    dfreq = spark.read.parquet(f"{path}/termstats").filter(
-        F.col("term").isin(qterms)
-    )
+    termstats = spark.read.parquet(f"{path}/termstats")
+    if len(qterms) <= inlist_max_terms:
+        dfreq = termstats.filter(F.col("term").isin(qterms))
+    else:
+        qt = spark.createDataFrame([(t,) for t in qterms], "term string")
+        dfreq = termstats.join(F.broadcast(qt), on="term")
     stats = spark.read.parquet(f"{path}/stats")
     scored = (
         hits.join(F.broadcast(q), on="term")

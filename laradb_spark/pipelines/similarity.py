@@ -2931,11 +2931,38 @@ def ivf_compact_index(
     swap assumes the offline single-writer maintenance window every
     rewrite op here assumes (``ivf_recenter_index`` likewise). Returns
     ``{lists_compacted, files_before, files_after, rows}``."""
+    import os
+
+    return compact_partitioned_layout(
+        spark,
+        os.path.join(path, subdir),
+        part_col="cid",
+        target_bytes=target_bytes,
+        min_files=min_files,
+    )
+
+
+def compact_partitioned_layout(
+    spark,
+    root: str,
+    part_col: str = "cid",
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """The partition-column-agnostic compaction body behind
+    ``ivf_compact_index`` (and ``retrieval.bm25_compact_index``, whose
+    postings partition by ``bucket=`` instead of ``cid=``): same
+    scratch-write → per-partition row-count + order-insensitive xxhash64
+    fingerprint verification → per-directory swap discipline; the
+    ``lists_compacted`` key counts partition directories whatever the
+    column is named."""
     import math
     import os
     import shutil
 
-    root = os.path.join(path, subdir)
+    from pyspark.sql import DataFrame
+
+    prefix = f"{part_col}="
 
     def pq_files(d: str) -> list[str]:
         return [
@@ -2948,7 +2975,7 @@ def ivf_compact_index(
     eligible = []
     for d in os.listdir(root):
         full = os.path.join(root, d)
-        if d.startswith("cid=") and os.path.isdir(full):
+        if d.startswith(prefix) and os.path.isdir(full):
             files = pq_files(full)
             if len(files) >= min_files:
                 eligible.append((int(d.split("=", 1)[1]), full, files))
@@ -2956,13 +2983,13 @@ def ivf_compact_index(
         return {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
 
     def per_cid_fingerprint(df: DataFrame):
-        cols = sorted(c for c in df.columns if c != "cid")
+        cols = sorted(c for c in df.columns if c != part_col)
         return {
-            (r["cid"]): (r["n"], r["s"])
+            (r[part_col]): (r["n"], r["s"])
             for r in df.select(
-                "cid", F.xxhash64(*[F.col(c) for c in cols]).alias("_h")
+                part_col, F.xxhash64(*[F.col(c) for c in cols]).alias("_h")
             )
-            .groupBy("cid")
+            .groupBy(part_col)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
@@ -2978,13 +3005,13 @@ def ivf_compact_index(
     eligible = [e for e in eligible if e[0] in want]
     if not eligible:
         return {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
-    # Per-LIST split counts, not a global repartition("cid"): hashing by cid
-    # alone sends every row of a list to ONE partition, so each cid= dir is
-    # rewritten as exactly one file and a multi-GB hot list becomes a single
-    # giant file. Instead each list gets ⌈list_bytes/target_bytes⌉ salt
-    # buckets (broadcast-joined — the list count is centroid-bounded), and
-    # maxRecordsPerFile backstops the size cap even where salts collide into
-    # one task.
+    # Per-LIST split counts, not a global repartition(part_col): hashing by
+    # the partition column alone sends every row of a list to ONE partition,
+    # so each partition dir is rewritten as exactly one file and a multi-GB
+    # hot list becomes a single giant file. Instead each list gets
+    # ⌈list_bytes/target_bytes⌉ salt buckets (broadcast-joined — the list
+    # count is centroid/bucket-bounded), and maxRecordsPerFile backstops the
+    # size cap even where salts collide into one task.
     bytes_by_cid = {
         cid: sum(os.path.getsize(f) for f in fs) for cid, _p, fs in eligible
     }
@@ -2994,21 +3021,21 @@ def ivf_compact_index(
     records_per_file = max(1, target_bytes // avg_row_bytes)
     splits = spark.createDataFrame(
         [(cid, max(1, math.ceil(b / max(1, target_bytes)))) for cid, b in bytes_by_cid.items()],
-        "cid long, _nsplit int",
+        f"{part_col} long, _nsplit int",
     )
     n_out = sum(max(1, math.ceil(b / max(1, target_bytes))) for b in bytes_by_cid.values())
-    data_cols = sorted(c for c in src.columns if c != "cid")
+    data_cols = sorted(c for c in src.columns if c != part_col)
     salted = (
-        src.join(F.broadcast(splits), on="cid")
+        src.join(F.broadcast(splits), on=part_col)
         .withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_nsplit")))
     )
-    scratch = os.path.join(path, f"_{subdir}_compact_tmp")
+    scratch = os.path.join(os.path.dirname(root), f"_{os.path.basename(root)}_compact_tmp")
     shutil.rmtree(scratch, ignore_errors=True)
     (
-        salted.repartition(n_out, "cid", "_salt")
+        salted.repartition(n_out, part_col, "_salt")
         .drop("_nsplit", "_salt")
         .write.option("maxRecordsPerFile", records_per_file)
-        .partitionBy("cid")
+        .partitionBy(part_col)
         .mode("overwrite")
         .parquet(scratch)
     )
@@ -3016,17 +3043,18 @@ def ivf_compact_index(
     if got != want:
         shutil.rmtree(scratch, ignore_errors=True)
         raise RuntimeError(
-            "ivf_compact_index: compacted lists failed row-identity "
+            "compact_partitioned_layout: compacted lists failed row-identity "
             "verification; layout left untouched"
         )
     files_before = sum(len(fs) for _c, _p, fs in eligible)
     files_after = 0
     for cid, old_dir, _fs in eligible:
-        new_dir = os.path.join(scratch, f"cid={cid}")
+        new_dir = os.path.join(scratch, f"{part_col}={cid}")
         if not os.path.isdir(new_dir):  # pragma: no cover - defense in depth
             raise RuntimeError(
-                f"ivf_compact_index: scratch dir for cid={cid} missing after "
-                "verification; aborting swap (source lists untouched so far)"
+                f"compact_partitioned_layout: scratch dir for {part_col}={cid} "
+                "missing after verification; aborting swap (source lists "
+                "untouched so far)"
             )
         # Rename the source aside and delete it only AFTER the move lands,
         # so a failed move never loses the list directory.

@@ -887,6 +887,155 @@ def test_bm25_append_index_equals_fresh_build(spark, tmp_path, sf_dir):
     got = sorted(map(tuple, bm25_search_index(spark, a, queries, k=5).collect()))
     want = sorted(map(tuple, bm25_search_index(spark, b, queries, k=5).collect()))
     assert got == want and len(got) > 0
+    # staged appends clean up after themselves
+    import os
+
+    assert not os.path.exists(f"{a}/_append_pending")
+
+
+def test_bm25_append_refuses_legacy_layout(spark, tmp_path, sf_dir):
+    """ADVICE r12: appending dl-bearing postings into a pre-dl layout would
+    mix parquet schemas and silently NULL-score legacy rows — the append
+    must refuse up front and direct the caller to rebuild."""
+    import shutil
+
+    from laradb_spark.pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "legacy")
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    # simulate the pre-r12 layout: postings without the denormalized dl
+    legacy = (
+        spark.read.option("basePath", f"{idx}/postings")
+        .parquet(f"{idx}/postings")
+        .drop("dl")
+    )
+    tmp_post = str(tmp_path / "legacy_postings")
+    legacy.write.partitionBy("bucket").mode("overwrite").parquet(tmp_post)
+    shutil.rmtree(f"{idx}/postings")
+    shutil.move(tmp_post, f"{idx}/postings")
+    with pytest.raises(ValueError, match="dl"):
+        bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+
+
+def test_bm25_append_stage_crash_noop_and_publish_resumable(spark, tmp_path, sf_dir, monkeypatch):
+    """Crash-safety of the staged append (ADVICE r12):
+    (1) an aborted STAGE (pending dir, no _STAGED_OK marker) is invisible
+        to readers and a re-run append discards it and lands correctly;
+    (2) a crash MID-PUBLISH is recovered by re-running
+        bm25_publish_pending_append — idempotent file moves, no
+        double-count — ending exactly equal to a fresh union build."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    a = str(tmp_path / "staged")
+    b = str(tmp_path / "fresh")
+    rt.bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), a)
+    rt.bm25_build_index(docs, b)
+    base = sorted(map(tuple, rt.bm25_search_index(spark, a, queries, k=5).collect()))
+
+    # (1) aborted stage: garbage pending dir without the marker
+    os.makedirs(f"{a}/_append_pending/postings", exist_ok=True)
+    assert sorted(map(tuple, rt.bm25_search_index(spark, a, queries, k=5).collect())) == base
+
+    # (2) append whose publish crashes partway: let staging complete, then
+    # fail the publish after the first few file moves
+    real_move = shutil.move
+    calls = {"n": 0}
+
+    def flaky_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("injected crash mid-publish")
+        return real_move(src, dst)
+
+    # retrieval's publish imports the global shutil module inside the
+    # function, so patching shutil.move patches what it calls
+    monkeypatch.setattr(shutil, "move", flaky_move)
+    with pytest.raises(OSError, match="injected"):
+        rt.bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), a)
+    monkeypatch.setattr(shutil, "move", real_move)
+
+    # re-running the APPEND must refuse (double-count hazard)...
+    with pytest.raises(RuntimeError, match="bm25_publish_pending_append"):
+        rt.bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), a)
+    # ...and the publish retry completes the append exactly once
+    rt.bm25_publish_pending_append(a)
+    assert not os.path.exists(f"{a}/_append_pending")
+    got = sorted(map(tuple, rt.bm25_search_index(spark, a, queries, k=5).collect()))
+    want = sorted(map(tuple, rt.bm25_search_index(spark, b, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bm25_search_inlist_cap_routes(spark, tmp_path, sf_dir):
+    """VERDICT r12 #6: past ``inlist_max_terms`` distinct query terms the
+    termstats prune switches from a driver-side IN list to a broadcast
+    join — same rows, no megabyte predicate in the plan."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    idx = str(tmp_path / "cap")
+    bm25_build_index(docs, idx)
+    small = bm25_search_index(spark, idx, queries, k=5)
+    big = bm25_search_index(spark, idx, queries, k=5, inlist_max_terms=0)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    # IN-list route: term literals sit in the plan predicate; broadcast
+    # route: one extra BroadcastHashJoin and NO term-literal IN predicate
+    # ('stream' is a query term; physical plans print literals only inside
+    # predicates, never LocalTableScan values)
+    # (AQE repeats join nodes across stage sections, so compare >, not +1)
+    assert plan_big.count("BroadcastHashJoin") > plan_small.count("BroadcastHashJoin")
+    assert "stream" in plan_small and "stream" not in plan_big
+
+
+def test_bm25_compact_index_preserves_results(spark, tmp_path, sf_dir):
+    """VERDICT r12 #7: the append ≡ fresh-build pin extended ACROSS a
+    postings compaction — row-identity-verified small-file merge on the
+    bucket= layout (the ivf_compact_index machinery)."""
+    import os
+
+    from laradb_spark.pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact_index,
+        bm25_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    a = str(tmp_path / "compacted")
+    b = str(tmp_path / "freshc")
+    bm25_build_index(docs.filter(F.col("doc_id") % 3 == 0), a)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 1), a)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), a)
+    bm25_build_index(docs, b)
+
+    def nfiles(root):
+        return sum(
+            1 for dp, _d, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    before = nfiles(f"{a}/postings")
+    report = bm25_compact_index(spark, a)
+    after = nfiles(f"{a}/postings")
+    assert report["lists_compacted"] > 0 and report["files_before"] > report["files_after"]
+    assert after < before
+    got = sorted(map(tuple, bm25_search_index(spark, a, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_search_index(spark, b, queries, k=5).collect()))
+    assert got == want and len(got) > 0
 
 
 def test_time_weighted_avg_random_series_property(spark):
