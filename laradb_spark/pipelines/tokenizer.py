@@ -329,9 +329,13 @@ def _bpe_train_loop(
       order-independent merges per round (:func:`_select_merge_batch`;
       0 means :data:`TRAIN_MERGE_BATCH`). Exact but fill-limited:
       consecutive top pairs share hot symbols on Zipf corpora, so
-      expect a few merges per round — the spill path, not the fast
-      path. Words reduced to a single symbol can never pair again and
-      are dropped from the loop frame as it goes.
+      expect a few merges per round — the no-approximation spill path.
+      For a PRODUCTION >2M-distinct-word run use
+      :func:`bpe_train_sampled` instead: top-K-by-mass vocabulary
+      sampling with a pinned fertility-drift certificate against the
+      full corpus (VERDICT r12 #4). Words reduced to a single symbol
+      can never pair again and are dropped from the loop frame as it
+      goes.
     - ``batch=1``: the legacy one-merge-per-round loop (kept as the
       equivalence oracle for the other two)."""
     from ..util import persist_once
@@ -680,6 +684,126 @@ def _batch_rewrite_arrow(
             yield out
 
     return vocab.mapInPandas(fn, "syms array<string>, c bigint")
+
+
+def bpe_train_sampled(
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+    sample_vocab: int = TRAIN_DRIVER_VOCAB_MAX,
+    max_drift_ppm: "int | None" = None,
+) -> "tuple[list[tuple[str, str]], dict]":
+    """Sample-then-train: the PRODUCTION recipe for corpora whose
+    DISTINCT-WORD count exceeds :data:`TRAIN_DRIVER_VOCAB_MAX` (VERDICT
+    r12 #4). The exact distributed batched loop stays available as the
+    no-approximation spill path, but its fill rate on Zipf corpora is
+    ~1.5 merges/round (DEVNOTES #39 — consecutive top pairs share hot
+    symbols, so the order-independence prefix cuts early), making a
+    genuinely >2M-distinct-word training run thousands of rounds. This is
+    the recipe real tokenizer trainers use instead (SentencePiece's
+    ``input_sentence_size``/``shuffle_input_sentence`` sampling, Kudo &
+    Richardson 2018 §4.2; GPT-2 trained on a WebText sample): train the
+    merge table on a CAPPED vocabulary and certify it against the full
+    corpus.
+
+    Deterministic sampling, not row sampling: the top ``sample_vocab``
+    distinct words by ``(count desc, word asc)`` — under a Zipf
+    distribution that prefix carries nearly all occurrence mass, and a
+    pair unseen in it cannot out-count pairs inside it by more than the
+    tail mass. One distributed sort-limit (Spark executes order-by-limit
+    as per-partition top-K + single merge, never a full sort) feeds the
+    exact in-memory incremental trainer.
+
+    The CERTIFICATE (returned; optionally enforced): occurrence-weighted
+    fertility — tokens emitted per word occurrence, the standard
+    tokenizer-quality statistic — of the learned table measured on the
+    training sample vs on the FULL distinct-word frame, both through the
+    identical rank-priority encoder (:func:`bpe_encode_str`), quantized
+    to ppm with floor division (the package's cross-engine discipline).
+    ``drift_ppm`` = |fert_full − fert_sample| · 10⁶ div fert_sample:
+    small drift certifies the unsampled tail tokenizes like the sample
+    did, i.e. the sample was representative. Keys:
+    ``{n_words_full, n_words_sampled, mass_covered_ppm, fert_sample_ppm,
+    fert_full_ppm, drift_ppm}``. With ``max_drift_ppm`` set, a breach
+    raises ``ValueError`` carrying the certificate — the train job fails
+    loudly instead of shipping an uncertified vocab.
+
+    Exactness pin (tested): with ``sample_vocab`` ≥ the true distinct
+    count the sample IS the vocabulary, the merges equal
+    :func:`bpe_train`'s bit-for-bit, and ``drift_ppm == 0``."""
+    import pandas as pd
+
+    from ..util import persist_once
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    if sample_vocab < 1:
+        raise ValueError("sample_vocab must be >= 1")
+    vocab = persist_once(
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sample = (
+        vocab.orderBy(F.desc("c"), F.asc("_w")).limit(sample_vocab).collect()
+    )
+    if not sample:
+        vocab.unpersist()
+        raise ValueError("bpe_train_sampled: empty corpus")
+    sample_words = [(list(r["_w"].replace(BPE_SEP, "")), int(r["c"])) for r in sample]
+    merges = _bpe_train_inmemory(
+        [(s, c) for s, c in sample_words if len(s) >= 2], n_merges
+    )
+    ranks = bpe_ranks(merges)
+
+    def _fert(word_count_pairs):
+        tot_t = tot_c = 0
+        for w, c in word_count_pairs:
+            tot_t += len(bpe_encode_str(w, ranks)) * c
+            tot_c += c
+        return tot_t, tot_c
+
+    s_toks, s_occ = _fert((r["_w"], int(r["c"])) for r in sample)
+
+    # full-corpus side: one Arrow pass over the distinct-word frame (the
+    # vocab is Zipf-bounded but may exceed the driver ceiling — that is
+    # this function's premise — so the encode runs distributed and only
+    # two longs come back per partition)
+    def fert_partial(batches):
+        for pdf in batches:
+            t = c = 0
+            for w, cnt in zip(pdf["_w"], pdf["c"]):
+                t += len(bpe_encode_str(w, ranks)) * int(cnt)
+                c += int(cnt)
+            yield pd.DataFrame({"t": [t], "c": [c]})
+
+    row = (
+        vocab.mapInPandas(fert_partial, "t long, c long")
+        .agg(F.sum("t").alias("t"), F.sum("c").alias("c"))
+        .collect()[0]
+    )
+    n_words_full = vocab.count()
+    vocab.unpersist()
+    f_toks, f_occ = int(row["t"]), int(row["c"])
+    fert_sample_ppm = (1_000_000 * s_toks) // s_occ
+    fert_full_ppm = (1_000_000 * f_toks) // f_occ
+    cert = {
+        "n_words_full": int(n_words_full),
+        "n_words_sampled": len(sample_words),
+        "mass_covered_ppm": (1_000_000 * s_occ) // f_occ,
+        "fert_sample_ppm": fert_sample_ppm,
+        "fert_full_ppm": fert_full_ppm,
+        "drift_ppm": (1_000_000 * abs(fert_full_ppm - fert_sample_ppm))
+        // fert_sample_ppm,
+    }
+    if max_drift_ppm is not None and cert["drift_ppm"] > max_drift_ppm:
+        raise ValueError(
+            f"bpe_train_sampled: fertility drift {cert['drift_ppm']} ppm "
+            f"exceeds max_drift_ppm={max_drift_ppm}; the sample is not "
+            f"representative — raise sample_vocab. Certificate: {cert}"
+        )
+    return merges, cert
 
 
 def bpe_save_merges(
