@@ -2216,6 +2216,49 @@ FROM r WHERE rk <= {k}
 """
 
 
+def bm25_maintenance_cycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 stored-index LIFECYCLE, end to end and hash-certified
+    (VERDICT r12 #7 + ADVICE r12 — the ivf_maintenance_cycle pattern):
+    ``bm25_build_index`` on a two-thirds corpus slice,
+    ``bm25_append_index`` the remaining third (staged crash-safe append —
+    postings/doclens appended with denormalized dl, termstats/stats
+    merged and swapped), ``bm25_compact_index`` the small-file bucket=
+    postings layout (row-identity-verified merge), then
+    ``bm25_search_index`` over the maintained layout. Because appends
+    are pinned ≡ fresh-union-build (BM25 stats are sums) and compaction
+    is row-identity-preserving by contract, the oracle is simply the
+    inline BM25 SQL over the FULL documents table — a df/dl/stats drift
+    in the append merge, a row lost or duplicated by compaction, or a
+    bucket-pruning miss in serving all break the value hash. The result
+    is (queries × k)-bounded, collected off the temp layout so the
+    scratch directory can be removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact_index,
+        bm25_search_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="laradb_bm25_maint_")
+    path = os.path.join(root, "bm25")
+    try:
+        bm25_build_index(docs.filter(F.col("doc_id") % 3 < 2), path)
+        bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+        bm25_compact_index(spark, path, min_files=2)
+        out = bm25_search_index(spark, path, BM25_QUERIES, k=BM25_K)
+        rows = out.collect()  # (queries × k)-bounded by construction
+        return spark.createDataFrame(
+            rows, "query_id int, doc_id long, rank int, score_ppm long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # hybrid retrieval: BM25 ⊕ dense cosine via Reciprocal Rank Fusion
 # (pipelines/retrieval.rrf_fuse — r11)
@@ -4727,6 +4770,11 @@ QUERIES = {
     "dedup_prefix_jaccard": (dedup_prefix_jaccard, DEDUP_JACCARD_SQL),
     "bm25_topk": (bm25_topk_q, _bm25_sql()),
     "bm25_topk_fast": (bm25_topk_fast_q, _bm25_sql()),
+    # the stored-index lifecycle (build -> staged append -> compact ->
+    # serve) replays the SAME inline oracle: append ≡ fresh-union-build
+    # and compaction ≡ row identity make the maintained index's serving
+    # results equal the inline scores exactly
+    "bm25_maintenance_cycle": (bm25_maintenance_cycle_q, _bm25_sql()),
     "hybrid_rrf_topk": (hybrid_rrf_topk_q, _hybrid_rrf_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
