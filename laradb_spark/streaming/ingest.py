@@ -395,3 +395,72 @@ def shard_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bm25_index_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous BM25 index maintenance: each micro-batch of NEW
+    documents lands in a stored ``bm25_build_index`` layout through the
+    staged crash-safe ``bm25_append_index`` — the streaming completion of
+    the build/append/compact/serve lifecycle (``bm25_maintenance_cycle``
+    is the batch twin; the digest / minhash / vector indexes all have the
+    same ingest-stream counterpart).
+
+    EXACTLY-once per micro-batch, leaning on the r13 staged-append
+    machinery: a marker file ``{index_path}/_stream_applied/batch_<id>``
+    is written only after the append fully publishes, so
+
+    - a replay AFTER a successful append sees its marker and no-ops
+      (foreachBatch's at-least-once redelivery);
+    - a replay after a crash DURING STAGING finds no marker and no
+      ``_STAGED_OK``: the append discards the half-stage and re-runs —
+      nothing was published, so no double-count;
+    - a replay after a crash DURING PUBLISH finds the completed stage and
+      FINISHES it via ``bm25_publish_pending_append`` instead of
+      re-staging — batches are deterministic per batch_id (availableNow
+      file source), so the interrupted stage IS this batch's data and
+      completing it commits the batch exactly once.
+
+    Single-writer contract: don't run manual ``bm25_append_index`` calls
+    against the same layout while the stream is live (every rewrite op in
+    this package assumes the offline/single-writer window; the stream IS
+    that single writer here). Interleave ``bm25_compact_index`` between
+    stream drains, not during one. Token-less docs are absent from the
+    postings by the tokenizer contract, exactly as in a batch build.
+
+    Returns the started StreamingQuery (availableNow trigger — drain the
+    queued batches, then stop; rerun to ingest new arrivals)."""
+    import os
+
+    from ..pipelines.retrieval import (
+        bm25_append_index,
+        bm25_publish_pending_append,
+    )
+
+    applied_dir = os.path.join(index_path, "_stream_applied")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(applied_dir, f"batch_{int(batch_id)}")
+        if os.path.exists(marker):
+            return  # redelivery of a fully-applied batch
+        if os.path.exists(f"{index_path}/_append_pending/_STAGED_OK"):
+            # this batch's previous attempt crashed mid-publish: finish it
+            bm25_publish_pending_append(index_path)
+        else:
+            bm25_append_index(batch_df, index_path, id_col=id_col, text_col=text_col)
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

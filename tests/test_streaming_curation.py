@@ -440,3 +440,119 @@ def test_unigram_encoder_streams(spark, doc_dir):
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     finally:
         q.stop()
+
+
+def test_bm25_index_stream_matches_fresh_build_and_replays_noop(spark, tmp_path):
+    """Streaming BM25 index maintenance (the lifecycle's online half):
+    draining a doc stream into a stored layout via bm25_index_stream
+    yields serving results EXACTLY equal to a fresh batch build over the
+    union corpus, and a wiped-checkpoint replay (same batches, ids
+    restarting at 0) no-ops on the _stream_applied markers instead of
+    double-counting."""
+    import os
+    import shutil
+    import time
+
+    from laradb_spark.pipelines.retrieval import bm25_build_index, bm25_search_index
+    from laradb_spark.streaming.ingest import bm25_index_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm_idx")
+    fresh = str(tmp_path / "bm_fresh")
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    bm25_build_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    q = bm25_index_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        idx, ck,
+    )
+    q.awaitTermination(120)
+
+    bm25_build_index(docs, fresh)
+    want = sorted(map(tuple, bm25_search_index(spark, fresh, queries, k=5).collect()))
+    got = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+    assert os.path.exists(f"{idx}/_stream_applied/batch_0")
+    assert os.path.exists(f"{idx}/_stream_applied/batch_1")
+
+    # wiped checkpoint -> same two batches redeliver as ids 0 and 1 ->
+    # markers make both no-ops; stats not double-counted
+    shutil.rmtree(ck)
+    q2 = bm25_index_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        idx, ck,
+    )
+    q2.awaitTermination(120)
+    again = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    assert again == want
+
+
+def test_bm25_index_stream_resumes_crashed_publish(spark, tmp_path, monkeypatch):
+    """A crash DURING the staged append's publish fails the streaming
+    query; the restart redelivers the batch (checkpoint uncommitted),
+    finds the completed stage, FINISHES the publish instead of re-staging,
+    and the index ends exactly equal to a fresh union build — the
+    exactly-once claim under the worst crash point."""
+    import os
+    import shutil
+    import time
+
+    from laradb_spark.pipelines.retrieval import bm25_build_index, bm25_search_index
+    from laradb_spark.streaming.ingest import bm25_index_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm_idx")
+    fresh = str(tmp_path / "bm_fresh")
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    real_move = shutil.move
+
+    def crash_first_move(src_p, dst_p):
+        raise OSError("injected mid-publish crash")
+
+    monkeypatch.setattr(shutil, "move", crash_first_move)
+    q = bm25_index_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ck,
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected crash fails the query
+    assert not q.isActive
+    monkeypatch.setattr(shutil, "move", real_move)
+    # the stage completed before the crash; nothing published, no marker
+    assert os.path.exists(f"{idx}/_append_pending/_STAGED_OK")
+    assert not os.path.exists(f"{idx}/_stream_applied/batch_0")
+
+    q2 = bm25_index_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ck,
+    )
+    q2.awaitTermination(120)
+    assert os.path.exists(f"{idx}/_stream_applied/batch_0")
+    assert not os.path.exists(f"{idx}/_append_pending")
+
+    bm25_build_index(docs, fresh)
+    want = sorted(map(tuple, bm25_search_index(spark, fresh, queries, k=5).collect()))
+    got = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    assert got == want and len(got) > 0
