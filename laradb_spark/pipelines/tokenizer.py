@@ -731,6 +731,64 @@ def bpe_train_sampled(
     Exactness pin (tested): with ``sample_vocab`` ≥ the true distinct
     count the sample IS the vocabulary, the merges equal
     :func:`bpe_train`'s bit-for-bit, and ``drift_ppm == 0``."""
+    vocab = (
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _bpe_train_sampled_over(
+        vocab, _strip_sep, n_merges, sample_vocab, max_drift_ppm,
+        "bpe_train_sampled",
+    )
+
+
+def bpe_train_bytes_sampled(
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+    sample_vocab: int = TRAIN_DRIVER_VOCAB_MAX,
+    max_drift_ppm: "int | None" = None,
+) -> "tuple[list[tuple[str, str]], dict]":
+    """Byte-level twin of :func:`bpe_train_sampled` — the sample-then-
+    train recipe over the GPT-2-style pretoken vocabulary (the route real
+    50k-merge vocabs take): top-K distinct pretokens by mass, byte-mapped
+    and trained in-memory, certified by occurrence-weighted fertility
+    (tokens per pretoken occurrence) on the sample vs the FULL pretoken
+    frame through the same rank-priority encoder the ``bpe_byte_*`` apply
+    paths use. Same certificate keys / ``max_drift_ppm`` gate / exactness
+    pin as the word-level recipe."""
+    vocab = (
+        fan_out(df)
+        .select(F.explode(pretokens(F.col(text))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _bpe_train_sampled_over(
+        vocab, byte_map_str, n_merges, sample_vocab, max_drift_ppm,
+        "bpe_train_bytes_sampled",
+    )
+
+
+def _strip_sep(w: str) -> str:
+    """Word → symbol string for codepoint-level BPE (reserved separator
+    removed; its chars ARE the symbols). Module-level so the fertility
+    Arrow job can pickle it."""
+    return w.replace(BPE_SEP, "")
+
+
+def _bpe_train_sampled_over(
+    vocab0: DataFrame,
+    prep,
+    n_merges: int,
+    sample_vocab: int,
+    max_drift_ppm: "int | None",
+    name: str,
+) -> "tuple[list[tuple[str, str]], dict]":
+    """Shared sample-then-train body over a distinct ``(_w, c)`` vocab
+    frame: ``prep(word) -> mapped string`` whose characters are the merge
+    symbols (identity-minus-separator for codepoint BPE,
+    :func:`byte_map_str` for byte-level)."""
     import pandas as pd
 
     from ..util import persist_once
@@ -739,19 +797,14 @@ def bpe_train_sampled(
         raise ValueError("n_merges must be >= 0")
     if sample_vocab < 1:
         raise ValueError("sample_vocab must be >= 1")
-    vocab = persist_once(
-        fan_out(df)
-        .select(F.explode(tokens(F.col(text))).alias("_w"))
-        .groupBy("_w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    vocab = persist_once(vocab0)
     sample = (
         vocab.orderBy(F.desc("c"), F.asc("_w")).limit(sample_vocab).collect()
     )
     if not sample:
         vocab.unpersist()
-        raise ValueError("bpe_train_sampled: empty corpus")
-    sample_words = [(list(r["_w"].replace(BPE_SEP, "")), int(r["c"])) for r in sample]
+        raise ValueError(f"{name}: empty corpus")
+    sample_words = [(list(prep(r["_w"])), int(r["c"])) for r in sample]
     merges = _bpe_train_inmemory(
         [(s, c) for s, c in sample_words if len(s) >= 2], n_merges
     )
@@ -760,7 +813,7 @@ def bpe_train_sampled(
     def _fert(word_count_pairs):
         tot_t = tot_c = 0
         for w, c in word_count_pairs:
-            tot_t += len(bpe_encode_str(w, ranks)) * c
+            tot_t += len(bpe_encode_str(prep(w), ranks)) * c
             tot_c += c
         return tot_t, tot_c
 
@@ -774,7 +827,7 @@ def bpe_train_sampled(
         for pdf in batches:
             t = c = 0
             for w, cnt in zip(pdf["_w"], pdf["c"]):
-                t += len(bpe_encode_str(w, ranks)) * int(cnt)
+                t += len(bpe_encode_str(prep(w), ranks)) * int(cnt)
                 c += int(cnt)
             yield pd.DataFrame({"t": [t], "c": [c]})
 
@@ -799,7 +852,7 @@ def bpe_train_sampled(
     }
     if max_drift_ppm is not None and cert["drift_ppm"] > max_drift_ppm:
         raise ValueError(
-            f"bpe_train_sampled: fertility drift {cert['drift_ppm']} ppm "
+            f"{name}: fertility drift {cert['drift_ppm']} ppm "
             f"exceeds max_drift_ppm={max_drift_ppm}; the sample is not "
             f"representative — raise sample_vocab. Certificate: {cert}"
         )

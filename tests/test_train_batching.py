@@ -407,6 +407,30 @@ def test_bpe_train_sampled_drift_certificate(spark):
         bpe_train_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
 
 
+def test_bpe_train_bytes_sampled_matches_word_level_contract(spark):
+    """The byte-level sampled trainer (pretoken vocabulary, byte-mapped
+    symbols) honors the same contract: exactness at cap >= vocab
+    (bit-identical to bpe_train_bytes, zero drift), monotone drift in the
+    cap, and the max_drift_ppm gate."""
+    import pytest as _pytest
+
+    from laradb_spark.pipelines.tokenizer import (
+        bpe_train_bytes,
+        bpe_train_bytes_sampled,
+    )
+
+    docs = _zipf_docs(spark)
+    full = bpe_train_bytes(docs, 300)
+    m_exact, c_exact = bpe_train_bytes_sampled(docs, 300, sample_vocab=10**6)
+    assert m_exact == full
+    assert c_exact["drift_ppm"] == 0 and c_exact["mass_covered_ppm"] == 1_000_000
+    m_cap, c_cap = bpe_train_bytes_sampled(docs, 300, sample_vocab=6000)
+    assert len(m_cap) == 300
+    assert c_cap["drift_ppm"] <= 30_000, c_cap
+    with _pytest.raises(ValueError, match="drift"):
+        bpe_train_bytes_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
+
+
 def test_wordpiece_train_2k_vocab_demo(spark):
     """The second trainer family at production scale: a 2048-merge
     WordPiece vocabulary through the in-memory likelihood loop (the
