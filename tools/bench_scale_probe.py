@@ -51,6 +51,13 @@ PROBE_ANNOTATIONS = {
         "Lloyd training cost) but kept in the per-round probe list so the "
         "parallelism-absorbed growth ratio stays a recurring artifact"
     ),
+    "bm25_maintenance_cycle": (
+        "the BM25 stored-index lifecycle (build 2/3 corpus -> staged "
+        "append -> compact -> pruned serve) run INLINE so the driver "
+        "oracle can replay it — build-time tokenize/count dominates, so "
+        "the probe measures index-build linearity, not serving (the "
+        "serving-only cost is hybrid_serve/bm25 bucket-pruned probes)"
+    ),
 }
 
 # (table, id columns to shift) — shift keeps keys disjoint across copies.
