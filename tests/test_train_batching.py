@@ -431,6 +431,35 @@ def test_bpe_train_bytes_sampled_matches_word_level_contract(spark):
         bpe_train_bytes_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
 
 
+def test_wordpiece_train_sampled_contract(spark):
+    """WordPiece sampled trainer: base pieces from the FULL corpus
+    (alphabet-sized — removes the naive sample's [UNK] cliff, proven by
+    unk_full_ppm == 0 here since no word exceeds WORDPIECE_MAX_CHARS),
+    merges from the top-K sample; exactness at cap >= vocab (bit-identical
+    to wordpiece_train, zero drift); pinned drift bound at a 2/3 cap; the
+    max_drift_ppm gate fails loudly."""
+    import pytest as _pytest
+
+    from laradb_spark.pipelines.tokenizer import (
+        wordpiece_train,
+        wordpiece_train_sampled,
+    )
+
+    docs = _zipf_docs(spark)
+    full = wordpiece_train(docs, 300)
+    v_exact, c_exact = wordpiece_train_sampled(docs, 300, sample_vocab=10**6)
+    assert v_exact == full
+    assert c_exact["drift_ppm"] == 0 and c_exact["mass_covered_ppm"] == 1_000_000
+    v_cap, c_cap = wordpiece_train_sampled(docs, 300, sample_vocab=6000)
+    assert c_cap["drift_ppm"] <= 20_000, c_cap  # measured 13,348
+    assert c_cap["unk_full_ppm"] == 0 == c_cap["unk_sample_ppm"]
+    # full-corpus base pieces survive any cap (the no-[UNK]-cliff design)
+    base_pieces = {p for p in v_exact if len(p) == 1 or (p.startswith("##") and len(p) == 3)}
+    assert base_pieces <= set(v_cap)
+    with _pytest.raises(ValueError, match="drift"):
+        wordpiece_train_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
+
+
 def test_wordpiece_train_2k_vocab_demo(spark):
     """The second trainer family at production scale: a 2048-merge
     WordPiece vocabulary through the in-memory likelihood loop (the
