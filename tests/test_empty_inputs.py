@@ -215,3 +215,40 @@ def test_r11_late_ops_empty(spark, empty_docs, empty_emb):
 
     q = spark.createDataFrame([], "query_id long, embedding array<double>")
     assert sim.ivf_topk_filtered(empty_emb, q, "vec_id > 0", n_centroids=4).count() == 0
+
+
+def test_r13_sampled_trainers_empty_corpus_raise(spark, empty_docs):
+    """The sample-then-train recipes fail loudly on an empty corpus (a
+    silent empty merge table would make every downstream encode a no-op
+    char split) — all three families."""
+    from laradb_spark.pipelines.tokenizer import (
+        bpe_train_bytes_sampled,
+        bpe_train_sampled,
+        wordpiece_train_sampled,
+    )
+
+    for fn in (bpe_train_sampled, bpe_train_bytes_sampled, wordpiece_train_sampled):
+        with pytest.raises(ValueError, match="empty corpus"):
+            fn(empty_docs, 5)
+
+
+def test_bm25_compact_second_pass_noops(spark, tmp_path):
+    """bm25_compact_index after a compaction has nothing to do (each
+    bucket already one file at the default target) — the idempotent
+    second-pass contract the IVF compaction pins."""
+    from pyspark.sql import functions as F
+
+    from laradb_spark.pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "bm")
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    first = bm25_compact_index(spark, idx)
+    assert first["lists_compacted"] > 0
+    second = bm25_compact_index(spark, idx)
+    assert second == {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
