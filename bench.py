@@ -251,9 +251,13 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
-    # Min of two runs per query: measures the plan's steady-state cost, not
-    # one-off scheduler/worker-respawn noise (observed a 6x spike on the
-    # pandas_udf query when Python workers had idled out mid-bench).
+    # Min of three runs per query: measures the plan's steady-state cost,
+    # not one-off scheduler/worker-respawn noise (observed a 6x spike on
+    # the pandas_udf query when Python workers had idled out mid-bench).
+    # Three (was two through r12) so the RECORDED artifact carries the
+    # min-of-3 statistic BASELINE.md's bands use — closes the
+    # single-run-vs-min-of-3 protocol gap VERDICT r11/r12 flagged on the
+    # driver-recorded BENCH_r{N}.json.
     # clearCache() between runs: several queries persist_once() an
     # intermediate (grouped_rank's range-partitioned input, BM25's token
     # stream, LSH's bucket pairs) — without the clear, the second timed run
@@ -263,7 +267,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
