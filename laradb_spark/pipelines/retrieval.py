@@ -536,6 +536,117 @@ def bm25_search_index(
     )
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 2,
+    expansion_weight_milli: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback — the RM3-family two-pass
+    retrieval loop (Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004,
+    the public RM3 formulation): score the query, take the top
+    ``fb_docs`` documents per query as pseudo-relevant, promote their
+    ``fb_terms`` heaviest non-query terms (by summed tf across the
+    feedback docs, ties term-ascending) into the query, and re-score
+    with original terms at weight 1000 milli and expansion terms at
+    ``expansion_weight_milli`` — query expansion is the standard recall
+    lever for eval-set mining when the probe query undersamples the
+    corpus vocabulary.
+
+    Engine-exact like everything in this module: both passes run the
+    shared quantized floor-div chain; the per-term contribution is
+    weighted as ``(contrib · w_milli) div 1000`` (floor AFTER the
+    multiply, so the oracle replays it exactly); every selection stage
+    has a total order (pass-1: score desc / doc asc; expansion: tfsum
+    desc / term asc; final: score desc / doc asc).
+
+    Scale shape: ONE tokenize + tf aggregate feeds both passes (the
+    bm25_scores restructure — tf persists, dl/dfreq/stats derive);
+    pass-1 candidates prune to the broadcast query terms; the feedback
+    frame is (queries × fb_docs)-bounded and broadcasts back onto tf to
+    pick expansion terms; the expanded query table is (queries ×
+    (q_terms + fb_terms))-bounded and broadcasts into pass 2. Rankings
+    use ``grouped_rank`` except none is needed for the bounded frames.
+    Nothing new is corpus-sized beyond the two pruned scoring passes."""
+    spark = docs.sparkSession
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = persist_once(
+        toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.agg(
+        F.count_distinct("id").alias("n_docs"), F.sum("tf").alias("n_toks")
+    )
+    q = _query_terms_df(spark, queries)
+
+    def score_pass(qterms: DataFrame) -> DataFrame:
+        # qterms: (query_id, term, w_milli) — contribution weighted
+        # AFTER the shared floor-div chain, floor again on the weight
+        scored = (
+            tf.join(F.broadcast(qterms), on="term")
+            .join(dl, on="id")
+            .join(
+                F.broadcast(
+                    dfreq.join(
+                        F.broadcast(qterms.select("term").distinct()), on="term"
+                    )
+                ),
+                on="term",
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        contrib = F.expr(
+            f"""
+            ((((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
+              * {K1_MILLI + 1000} * tf)
+            div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
+            * w_milli) div 1000
+            """
+        )
+        return (
+            scored.select(
+                "query_id", F.col("id").alias(id_col), contrib.alias("_c")
+            )
+            .groupBy("query_id", id_col)
+            .agg(F.sum("_c").alias("score_ppm"))
+        )
+
+    s1 = score_pass(q.withColumn("w_milli", F.lit(1000)))
+    fb = (
+        grouped_rank(s1, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+        .filter(F.col("_r") <= fb_docs)
+        .select("query_id", F.col(id_col).alias("id"))
+    )
+    # heaviest non-query terms across each query's feedback docs
+    exp = (
+        tf.join(F.broadcast(fb), on="id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tfsum"))
+        .join(q, on=["query_id", "term"], how="left_anti")
+    )
+    exp_top = (
+        grouped_rank(exp, ["query_id"], [F.desc("tfsum"), F.asc("term")])
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    q2 = q.withColumn("w_milli", F.lit(1000)).unionByName(
+        exp_top.withColumn("w_milli", F.lit(int(expansion_weight_milli)))
+    )
+    s2 = score_pass(q2)
+    ranked = grouped_rank(s2, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+    out = ranked.filter(F.col("_r") <= k).select(
+        "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
+    )
+    return out
+
+
 RRF_K = 60  # the standard fusion constant (Cormack et al. 2009 use k=60)
 
 

@@ -2216,6 +2216,115 @@ FROM r WHERE rk <= {k}
 """
 
 
+PRF_FB_DOCS = 3
+PRF_FB_TERMS = 2
+PRF_EXP_W_MILLI = 500
+
+
+def bm25_prf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: BM25 pass 1 → top-3 feedback
+    docs per query → promote the 2 heaviest non-query terms (summed tf,
+    term-asc ties) at weight 500 milli → re-score → top-k. Both passes
+    run the shared quantized floor-div chain; the weight floors AFTER the
+    per-term contribution so the SQL replay is bit-exact."""
+    from ..pipelines.retrieval import bm25_prf_topk
+
+    return bm25_prf_topk(
+        load(spark, sf_dir, "documents"),
+        BM25_QUERIES,
+        k=BM25_K,
+        fb_docs=PRF_FB_DOCS,
+        fb_terms=PRF_FB_TERMS,
+        expansion_weight_milli=PRF_EXP_W_MILLI,
+    )
+
+
+def _bm25_prf_sql(
+    queries=BM25_QUERIES,
+    k=BM25_K,
+    fb_docs=PRF_FB_DOCS,
+    fb_terms=PRF_FB_TERMS,
+    exp_w=PRF_EXP_W_MILLI,
+) -> str:
+    """Oracle: the full two-pass RM3 chain replayed in DuckDB — same
+    floor-div scoring, same (score desc, doc asc) / (tfsum desc, term
+    asc) selection orders, same post-contribution weight floor."""
+    vals = ", ".join(
+        f"({qid}, '{w}')" for qid, text in queries for w in dict.fromkeys(text.split())
+    )
+    contrib = """
+         (((((1000000 * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1)) * 2200 * tf.tf)
+           // (1000 * tf.tf
+               + (1200 * (250 + (750 * ((1000000 * dl.dl)
+                                        // ((1000 * s.n_toks) // s.n_docs))) // 1000)) // 1000))
+          * {W}) // 1000
+"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY id, term),
+dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY id),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks),
+q(query_id, term) AS (VALUES {vals}),
+s1 AS (
+  SELECT q.query_id, tf.id, CAST(SUM({contrib.format(W=1000)}) AS BIGINT) AS score_ppm
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.id = tf.id
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.id
+),
+fb AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_ppm DESC, id ASC) AS rk
+    FROM s1) WHERE rk <= {fb_docs}
+),
+exp AS (
+  SELECT fb.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS tfsum
+  FROM tf JOIN fb ON tf.id = fb.id
+  LEFT JOIN q ON q.query_id = fb.query_id AND q.term = tf.term
+  WHERE q.term IS NULL
+  GROUP BY fb.query_id, tf.term
+),
+exp_top AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY tfsum DESC, term ASC) AS rk
+    FROM exp) WHERE rk <= {fb_terms}
+),
+q2(query_id, term, w) AS (
+  SELECT query_id, term, 1000 FROM q
+  UNION ALL
+  SELECT query_id, term, {exp_w} FROM exp_top
+),
+s2 AS (
+  SELECT q2.query_id, tf.id AS doc_id,
+         CAST(SUM({contrib.format(W='q2.w')}) AS BIGINT) AS score_ppm
+  FROM tf
+  JOIN q2 ON q2.term = tf.term
+  JOIN dl ON dl.id = tf.id
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, tf.id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_ppm DESC, doc_id ASC) AS rk
+      FROM s2)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       CAST(rk AS INT) AS "rank", score_ppm
+FROM r WHERE rk <= {k}
+"""
+
+
 def bm25_maintenance_cycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 stored-index LIFECYCLE, end to end and hash-certified
     (VERDICT r12 #7 + ADVICE r12 — the ivf_maintenance_cycle pattern):
@@ -4775,6 +4884,11 @@ QUERIES = {
     # and compaction ≡ row identity make the maintained index's serving
     # results equal the inline scores exactly
     "bm25_maintenance_cycle": (bm25_maintenance_cycle_q, _bm25_sql()),
+    # RM3 pseudo-relevance feedback: the full two-pass chain (score ->
+    # feedback docs -> expansion terms -> weighted re-score) replayed in
+    # SQL — a tie-break slip in ANY of the three selection stages or a
+    # weight-floor mismatch breaks the hash
+    "bm25_prf_topk": (bm25_prf_topk_q, _bm25_prf_sql()),
     "hybrid_rrf_topk": (hybrid_rrf_topk_q, _hybrid_rrf_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),

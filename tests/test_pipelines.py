@@ -1766,3 +1766,36 @@ def test_kn_stored_lm_matches_inline(spark, docs, tmp_path):
     got = sorted(map(tuple, tx.kn_score_indexed(batch, path).collect()))
     want = sorted(map(tuple, tx.kn_bigram_score(docs, train_where="doc_id <= 3").collect()))
     assert got == want and len(got) == 4
+
+
+def test_bm25_prf_expands_recall_and_degenerates_to_plain(spark):
+    """RM3 pseudo-relevance feedback: a doc sharing NO original query
+    term but sharing the feedback docs' heavy terms is retrieved by the
+    second pass (the recall win PRF exists for); with fb_terms=0 the
+    two-pass chain degenerates to plain bm25_topk tuple-for-tuple."""
+    from laradb_spark.pipelines.retrieval import bm25_prf_topk, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana date"),
+            (3, "banana banana fig"),
+            (4, "kiwi lemon"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(1, "apple")]
+    plain = bm25_topk(docs, queries, k=4).collect()
+    assert {r.doc_id for r in plain} == {1, 2}  # no expansion: apple docs only
+    prf = bm25_prf_topk(docs, queries, k=4, fb_docs=2, fb_terms=2).collect()
+    got_ids = {r.doc_id for r in prf}
+    assert 3 in got_ids  # banana is a feedback-heavy term -> d3 retrieved
+    assert 4 not in got_ids  # unrelated doc still absent
+    ranks = sorted(r.rank for r in prf)
+    assert ranks == list(range(1, len(prf) + 1))
+    # original-term docs outrank the expansion-only doc (w=1000 vs 500)
+    by_id = {r.doc_id: r.rank for r in prf}
+    assert by_id[1] < by_id[3] and by_id[2] < by_id[3]
+    # degenerate: no expansion terms -> identical to plain BM25
+    prf0 = sorted(map(tuple, bm25_prf_topk(docs, queries, k=4, fb_docs=2, fb_terms=0).collect()))
+    assert prf0 == sorted(map(tuple, bm25_topk(docs, queries, k=4).collect()))
