@@ -631,8 +631,15 @@ def bm25_prf_topk(
         .agg(F.sum("tf").alias("tfsum"))
         .join(q, on=["query_id", "term"], how="left_anti")
     )
+    # exp is (queries × feedback-doc vocabulary)-bounded — fb_docs docs'
+    # distinct terms per query, never corpus-sized — so a plain per-query
+    # window ranks it (the rrf_fuse plan-diet rule: grouped_rank's
+    # range-partition machinery is for frames that dwarf the group count)
+    from pyspark.sql import Window
+
+    w_exp = Window.partitionBy("query_id").orderBy(F.desc("tfsum"), F.asc("term"))
     exp_top = (
-        grouped_rank(exp, ["query_id"], [F.desc("tfsum"), F.asc("term")])
+        exp.withColumn("_r", F.row_number().over(w_exp))
         .filter(F.col("_r") <= fb_terms)
         .select("query_id", "term")
     )

@@ -331,6 +331,12 @@ SINGLE_PARTITION_ALLOWED = {
     "hybrid_rrf_topk",         # contains bm25_topk verbatim (its scalar
                                # flows above); the fusion itself is
                                # (queries×k)-bounded + grouped_rank
+    "bm25_prf_topk",           # TWO bm25 scalar flows by construction
+                               # (both passes aggregate the 1-row
+                               # n_docs/n_toks stats + broadcast the
+                               # query-terms-sized frames); the corpus-
+                               # sized rankings use grouped_rank, the
+                               # bounded expansion selection a window
     "kn_lm_score",             # 1-row bigram-type-count broadcast (the
                                # heavy_hitters E/N-totals shape); every
                                # corpus-sized stat is a distributed groupBy
