@@ -63,70 +63,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r13 window head (the driver oracles the FIRST 50) ------------------
-    # (a) the 19 r8-era rows the r12 budget could not fit (pinned to this
-    # window front by r12's test_registry; VERDICT r12 #1 — after this
-    # window no registry query's latest green driver row predates r9):
-    "nation_region_full_outer",
-    "order_price_histogram",
-    "order_price_percentiles",
-    "pagerank_supplier_part",
-    "purchase_attribution",
-    "redact_pii_stats",
-    "salted_lineitem_stats",
-    "shuffle_shards_q",
-    "source_datacard",
-    "source_drift_tv",
-    "top_prices_with_ties",
-    "train_val_split_stats",
-    "trim_length_outliers",
-    "twap_value_by_user_type",
-    "unimax_allocation",
-    "value_quantiles_by_type",
-    "value_spikes_by_type",
-    "value_variance_by_type",
-    "vocab_coverage",
-    # (b) fill to exactly 50 with the stalest remaining evidence: 31 of
-    # the 42 rows whose freshest green row is r9-era (they rotated out of
-    # _PRIORITY's explicit head in r11/r12 and aged in the tail).
-    # No registry query's SQL or plan changed in r13 — the round's code
-    # changes are serving-path (bm25_search_index IN-list cap, BM25
-    # append staging/compaction) and trainer-path (sampled BPE recipe),
-    # none of which any oracled query consumes — so the whole window goes
-    # to stale-evidence rotation.
-    "ann_brute_force_fast",
-    "ann_hamming_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_recall",
-    "ann_pq_topk",
-    "ann_sq8_fast",
-    "bm25_topk",
-    "bpe_token_count_auto",
-    "cap_docs_per_source",
-    "chunk_documents_q",
-    "corpus_clean",
-    "curation_funnel",
-    "domain_caps",
-    "html_extract",
-    "mixture_materialize",
-    "order_status_pivot",
-    "orders_within_30_days",
-    "q10_returned_items",
-    "q11_nation_balance_share",
-    "q12_priority_buckets",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q20_promo_suppliers",
-    "q21_sole_fault_suppliers",
-    "q22_idle_rich_customers",
-    "q2_cheapest_part_per_type",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    # --- front of the r14 window: the 11 r9-era rows the 50-slot budget
-    # could not fit (test_registry pins this allocation) ------------------
+    # --- r14 window head (the driver oracles the FIRST 50) ------------------
+    # (a) the 11 r9-era rows the r13 budget could not fit (pinned to this
+    # window front by r13's test_registry; after this window no registry
+    # query's latest green driver row predates r10):
     "q8_market_share",
     "q9_profit_by_nation_year",
     "raco_front_door_q",
@@ -138,10 +78,20 @@ _PRIORITY = [
     "unpivot_order_measures",
     "url_canonicalize",
     "url_dedup",
-    # --- tail: fresher rows, staleness-ordered (r10 first), fall out
-    # harmlessly ----------------------------------------------------------
-    "ann_ivfpq_res_topk",
+    # (b) the two r13-new queries with NO driver row yet (ADVICE r13 #2 —
+    # both checker-certified at all 3 SFs on landing in r13):
+    "bm25_maintenance_cycle",
+    "bm25_prf_topk",
+    # (c) fill to exactly 50 with the stalest remaining evidence: 37 of
+    # the 40 rows whose freshest green row is r10-era (alphabetical; the
+    # remaining 3 lead the r15 window below). No pre-existing oracled
+    # query's SQL or plan changed in r14 — the round's changes are
+    # serving-path (PRF stored-index twin), trainer-path (sampled
+    # unigram), and streaming-maintenance hardening — so the rest of the
+    # window goes to stale-evidence rotation.
     "ann_ivfpq_res_recall",
+    "ann_ivfpq_res_topk",
+    "ann_probe_sweep",
     "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
@@ -176,60 +126,13 @@ _PRIORITY = [
     "sensor_covariance_events",
     "session_window_stats",
     "sessionize_events",
+    # --- front of the r15 window: the 3 r10-era rows the 50-slot budget
+    # could not fit (test_registry pins this allocation) ------------------
     "sliding_event_stats",
     "sql_front_door_q",
     "tfidf_top_terms",
-    "ann_probe_sweep",
-    "ann_ivf_list_skew",
-    "hybrid_rrf_topk",
-    "kn_lm_score",
-    "ann_ivf_filtered",
-    "dedup_lsh_recall",
-    "wordpiece_stats",
-    "unigram_stats",
-    "knn_label_noise_ivf_auto",
-    "ivf_maintenance_cycle",
-    "bpe_byte_token_count_fast",
-    "bpe_fertility",
-    "token_shard_stats",
-    "shard_decode_roundtrip",
-    "approx_stats",
-    "c4_line_clean",
-    "corpus_frequent_ngrams",
-    "cross_source_dup_matrix",
-    "decon_fuzzy",
-    "dedup_ngram_jaccard",
-    "doc_boilerplate_ppm",
-    "fuzzy_cross_batch",
-    "heavy_hitters",
-    "ngram_diversity",
-    "q19_disjunctive_revenue",
-    "quality_classifier",
-    "quality_classifier_eval",
-    "all_account_balances",
-    "alpha_mixture",
-    "asof_last_order",
-    "bm25_topk_fast",
-    "bpe_token_apportionment",
-    "bpe_token_count",
-    "ccnet_lm_buckets",
-    "corpus_integrity",
-    "corpus_line_dedup",
-    "cube_order_stats",
-    "customer_order_counts_left",
-    "customer_spend_quartiles",
-    "d4m_set_filter",
-    "graph_brand_degree",
-    "graph_brand_gram",
-    "knn_label_noise",
-    "lang_classifier",
-    "lang_confusion",
-    "lara_cross_grid",
-    "lara_union_quarters",
-    "line_profile",
-    "monthly_revenue",
-    "multimodal_features",
-    "nation_presence_trio",
+    # --- tail: fresher rows, staleness-ordered (r11 first, then r12,
+    # then r13 = the r13 window), fall out harmlessly ---------------------
     "bpe_contraction_parity",
     "knn_label_noise_ivf",
     "bpe_byte_token_count",
@@ -280,6 +183,106 @@ _PRIORITY = [
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
+    "ann_ivf_list_skew",
+    "hybrid_rrf_topk",
+    "kn_lm_score",
+    "ann_ivf_filtered",
+    "dedup_lsh_recall",
+    "wordpiece_stats",
+    "unigram_stats",
+    "knn_label_noise_ivf_auto",
+    "ivf_maintenance_cycle",
+    "bpe_byte_token_count_fast",
+    "bpe_fertility",
+    "token_shard_stats",
+    "shard_decode_roundtrip",
+    "approx_stats",
+    "c4_line_clean",
+    "corpus_frequent_ngrams",
+    "cross_source_dup_matrix",
+    "decon_fuzzy",
+    "dedup_ngram_jaccard",
+    "doc_boilerplate_ppm",
+    "fuzzy_cross_batch",
+    "heavy_hitters",
+    "ngram_diversity",
+    "q19_disjunctive_revenue",
+    "quality_classifier",
+    "quality_classifier_eval",
+    "all_account_balances",
+    "alpha_mixture",
+    "asof_last_order",
+    "bm25_topk_fast",
+    "bpe_token_apportionment",
+    "bpe_token_count",
+    "ccnet_lm_buckets",
+    "corpus_integrity",
+    "corpus_line_dedup",
+    "cube_order_stats",
+    "customer_order_counts_left",
+    "customer_spend_quartiles",
+    "d4m_set_filter",
+    "graph_brand_degree",
+    "graph_brand_gram",
+    "knn_label_noise",
+    "lang_classifier",
+    "lang_confusion",
+    "lara_cross_grid",
+    "lara_union_quarters",
+    "line_profile",
+    "monthly_revenue",
+    "multimodal_features",
+    "nation_presence_trio",
+    "nation_region_full_outer",
+    "order_price_histogram",
+    "order_price_percentiles",
+    "pagerank_supplier_part",
+    "purchase_attribution",
+    "redact_pii_stats",
+    "salted_lineitem_stats",
+    "shuffle_shards_q",
+    "source_datacard",
+    "source_drift_tv",
+    "top_prices_with_ties",
+    "train_val_split_stats",
+    "trim_length_outliers",
+    "twap_value_by_user_type",
+    "unimax_allocation",
+    "value_quantiles_by_type",
+    "value_spikes_by_type",
+    "value_variance_by_type",
+    "vocab_coverage",
+    "ann_brute_force_fast",
+    "ann_hamming_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "ann_sq8_fast",
+    "bm25_topk",
+    "bpe_token_count_auto",
+    "cap_docs_per_source",
+    "chunk_documents_q",
+    "corpus_clean",
+    "curation_funnel",
+    "domain_caps",
+    "html_extract",
+    "mixture_materialize",
+    "order_status_pivot",
+    "orders_within_30_days",
+    "q10_returned_items",
+    "q11_nation_balance_share",
+    "q12_priority_buckets",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q20_promo_suppliers",
+    "q21_sole_fault_suppliers",
+    "q22_idle_rich_customers",
+    "q2_cheapest_part_per_type",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
 ]
 
 

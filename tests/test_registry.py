@@ -23,41 +23,36 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # r13: NO registry query's SQL or plan changed (the round's code
-        # changes are serving-path and trainer-path only), so the whole
-        # window is stale-evidence rotation: the 19 r8-era rows r12 pinned
-        # to this window's front (VERDICT r12 #1)...
-        "nation_region_full_outer", "order_price_histogram",
-        "order_price_percentiles", "pagerank_supplier_part",
-        "purchase_attribution", "redact_pii_stats", "salted_lineitem_stats",
-        "shuffle_shards_q", "source_datacard", "source_drift_tv",
-        "top_prices_with_ties", "train_val_split_stats",
-        "trim_length_outliers", "twap_value_by_user_type",
-        "unimax_allocation", "value_quantiles_by_type",
-        "value_spikes_by_type", "value_variance_by_type", "vocab_coverage",
-        # ...plus 31 of the 42 rows whose freshest green row is r9-era
-        # (alphabetical; the remaining 11 lead the r14 window below)
-        "ann_brute_force_fast", "ann_hamming_topk", "ann_ivfpq_topk",
-        "ann_pq_recall", "ann_pq_topk", "ann_sq8_fast", "bm25_topk",
-        "bpe_token_count_auto", "cap_docs_per_source", "chunk_documents_q",
-        "corpus_clean", "curation_funnel", "domain_caps", "html_extract",
-        "mixture_materialize", "order_status_pivot", "orders_within_30_days",
-        "q10_returned_items", "q11_nation_balance_share",
-        "q12_priority_buckets", "q13_order_count_distribution",
-        "q14_promo_share", "q15_top_supplier", "q16_supplier_count_by_part",
-        "q18_large_volume_customers", "q20_promo_suppliers",
-        "q21_sole_fault_suppliers", "q22_idle_rich_customers",
-        "q2_cheapest_part_per_type", "q6_forecast_revenue",
-        "q7_nation_volume",
-    }
-    # r14 window front: the 11 r9-era rows the r13 budget could not fit
-    # (after r13, every other row is r10+; these rotate first next round).
-    next_window = {
+        # r14: the 11 r9-era rows r13 pinned to this window's front...
         "q8_market_share", "q9_profit_by_nation_year", "raco_front_door_q",
         "repeat_customers_96_97", "small_quantity_revenue",
         "status_except_all", "suppliers_without_recent_sales",
         "text_replace_map", "unpivot_order_measures", "url_canonicalize",
         "url_dedup",
+        # ...the two r13-new queries with no driver row yet (ADVICE r13 #2)...
+        "bm25_maintenance_cycle", "bm25_prf_topk",
+        # ...plus 37 of the 40 rows whose freshest green row is r10-era
+        # (alphabetical; the remaining 3 lead the r15 window below)
+        "ann_ivfpq_res_recall", "ann_ivfpq_res_topk", "ann_probe_sweep",
+        "customer_merge_upsert", "customer_order_gaps",
+        "customers_without_orders", "dedup_components", "dedup_exact",
+        "dedup_keep_representatives", "dedup_lsh_jaccard",
+        "dedup_prefix_jaccard", "dedup_rate_by_source", "embedding_gram",
+        "event_funnel", "events_daily_pivot", "events_daily_users",
+        "events_dow_hour_heatmap", "events_json_stats", "forward_fill_hourly",
+        "fuzzy_part_pairs", "lara_matmul_event_gram", "lara_union_max",
+        "lara_union_revenue", "lara_wordcount", "lara_wordcount_py",
+        "orders_quality_report", "q1_pricing_summary", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume",
+        "revenue_share_by_nation", "rollup_returns",
+        "running_customer_totals", "scd2_customer_segments",
+        "sensor_covariance_events", "session_window_stats",
+        "sessionize_events",
+    }
+    # r15 window front: the 3 r10-era rows the r14 budget could not fit
+    # (after r14, every other row is r11+; these rotate first next round).
+    next_window = {
+        "sliding_event_stats", "sql_front_door_q", "tfidf_top_terms",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -67,7 +62,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "the leftover r9-era rows must lead the r14 window: "
+        "the leftover r10-era rows must lead the r15 window: "
         f"{next_window ^ next_slots}"
     )
 
