@@ -283,6 +283,7 @@ def bm25_append_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stream_marker: str | None = None,
 ) -> None:
     """Append a shard of NEW documents to a stored ``bm25_build_index``
     layout without re-tokenizing the existing corpus — the incremental-
@@ -315,7 +316,18 @@ def bm25_append_index(
     is recovered by calling ``bm25_publish_pending_append(path)`` — never
     by re-running the append, which would double-count the already-
     published part of the batch (this function refuses, with that
-    instruction, when it finds a completed stage)."""
+    instruction, when it finds a completed stage).
+
+    ``stream_marker`` (ADVICE r13): the streaming maintainer's fused
+    commit point. When set (``bm25_index_stream`` passes ``batch_<id>``),
+    the marker file is STAGED under ``{pend}/_markers/`` before
+    ``_STAGED_OK`` lands, and publish moves it into
+    ``{path}/_stream_applied/`` before dropping the pending dir — so the
+    applied-marker and the append publish atomically together: after ANY
+    completed publish the marker is guaranteed present (no crash window
+    between publish and marker write that a redelivery could double-count
+    through), and a stage found on disk carries its owning batch id (a
+    foreign stage is distinguishable from this batch's crashed publish)."""
     import os
     import shutil
 
@@ -384,6 +396,12 @@ def bm25_append_index(
         .parquet(f"{pend}/stats")
     )
     tf.unpersist()
+    if stream_marker is not None:
+        # stage the applied-marker BEFORE _STAGED_OK: a stage is never
+        # "complete" without its ownership marker, so publish-after-crash
+        # always lands the marker too (fused commit point, ADVICE r13)
+        os.makedirs(f"{pend}/_markers", exist_ok=True)
+        open(f"{pend}/_markers/{stream_marker}", "w").close()
     open(f"{pend}/_STAGED_OK", "w").close()
     bm25_publish_pending_append(path)
 
@@ -392,10 +410,13 @@ def bm25_publish_pending_append(path: str) -> None:
     """Publish a fully-staged pending append (see ``bm25_append_index``):
     move the staged postings/doclens parquet files into the live
     directories (Spark part-file names carry task UUIDs, so moves never
-    collide), then rename-aside-swap the two merged stats tables, then
-    drop the pending dir. Every step is a move/rename of something whose
-    absence it tolerates, so the function is idempotent — after ANY crash
-    mid-publish, calling it again completes the append exactly once."""
+    collide), then rename-aside-swap the two merged stats tables (sweeping
+    any ``._old`` leftover a crashed retry left behind), then land any
+    staged streaming applied-markers into ``{path}/_stream_applied``, then
+    drop the pending dir. Every step is a move/rename/create of something
+    whose absence or presence it tolerates, so the function is idempotent —
+    after ANY crash mid-publish, calling it again completes the append
+    exactly once, markers included."""
     import os
     import shutil
 
@@ -430,17 +451,29 @@ def bm25_publish_pending_append(path: str) -> None:
         shutil.rmtree(staged_doclens)
     for name in ("termstats", "stats"):
         staged = f"{pend}/{name}"
-        if not os.path.isdir(staged):
-            continue  # already swapped by a previous (crashed) publish
         cur, aside = f"{path}/{name}", f"{path}/{name}._old"
-        if os.path.isdir(cur):
-            shutil.rmtree(aside, ignore_errors=True)
-            os.rename(cur, aside)
-        # cur is now absent — either renamed just above, or a previous
-        # publish crashed between its rename and move (the retry lands here
-        # with `staged` still present and completes the swap)
-        shutil.move(staged, cur)
+        if os.path.isdir(staged):
+            if os.path.isdir(cur):
+                shutil.rmtree(aside, ignore_errors=True)
+                os.rename(cur, aside)
+            # cur is now absent — either renamed just above, or a previous
+            # publish crashed between its rename and move (the retry lands
+            # here with `staged` still present and completes the swap)
+            shutil.move(staged, cur)
+        # sweep the aside copy UNCONDITIONALLY (ADVICE r13): a crash
+        # between move(staged, cur) and this rmtree leaves {name}._old
+        # behind with `staged` absent — the retry must still delete it, so
+        # a completed publish always leaves a clean layout.
         shutil.rmtree(aside, ignore_errors=True)
+    markers = f"{pend}/_markers"
+    if os.path.isdir(markers):
+        # land the streaming applied-markers BEFORE the pending dir drops:
+        # once the stage is gone, the batch is provably marked applied
+        # (fused commit point — see bm25_append_index stream_marker)
+        applied = f"{path}/_stream_applied"
+        os.makedirs(applied, exist_ok=True)
+        for fname in sorted(os.listdir(markers)):
+            open(os.path.join(applied, fname), "w").close()
     shutil.rmtree(pend)
 
 

@@ -411,20 +411,27 @@ def bm25_index_stream(
     is the batch twin; the digest / minhash / vector indexes all have the
     same ingest-stream counterpart).
 
-    EXACTLY-once per micro-batch, leaning on the r13 staged-append
-    machinery: a marker file ``{index_path}/_stream_applied/batch_<id>``
-    is written only after the append fully publishes, so
+    EXACTLY-once per micro-batch, with a FUSED commit point (ADVICE r13):
+    the marker file ``{index_path}/_stream_applied/batch_<id>`` is staged
+    INSIDE the pending dir during the append (before ``_STAGED_OK``) and
+    landed by ``bm25_publish_pending_append`` itself, just before the
+    pending dir drops — publish and marker commit together, so
 
-    - a replay AFTER a successful append sees its marker and no-ops
-      (foreachBatch's at-least-once redelivery);
+    - a replay AFTER a completed publish ALWAYS sees its marker and no-ops
+      (foreachBatch's at-least-once redelivery) — there is no crash window
+      between publish and marker write through which a redelivery could
+      re-append the batch and double-count;
     - a replay after a crash DURING STAGING finds no marker and no
       ``_STAGED_OK``: the append discards the half-stage and re-runs —
       nothing was published, so no double-count;
-    - a replay after a crash DURING PUBLISH finds the completed stage and
-      FINISHES it via ``bm25_publish_pending_append`` instead of
-      re-staging — batches are deterministic per batch_id (availableNow
-      file source), so the interrupted stage IS this batch's data and
-      completing it commits the batch exactly once.
+    - a replay after a crash DURING PUBLISH finds the completed stage
+      CARRYING ITS OWN batch marker under ``_markers/`` and FINISHES it
+      via ``bm25_publish_pending_append`` instead of re-staging;
+    - a completed stage WITHOUT this batch's marker is a foreign append's
+      crashed publish (e.g. a manual ``bm25_append_index`` that died
+      before the stream started): publishing it and marking this batch
+      applied would silently drop this batch's data, so the stream FAILS
+      LOUDLY and directs the operator to ``bm25_publish_pending_append``.
 
     Single-writer contract: don't run manual ``bm25_append_index`` calls
     against the same layout while the stream is live (every rewrite op in
@@ -447,16 +454,33 @@ def bm25_index_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = os.path.join(applied_dir, f"batch_{int(batch_id)}")
-        if os.path.exists(marker):
+        name = f"batch_{int(batch_id)}"
+        if os.path.exists(os.path.join(applied_dir, name)):
             return  # redelivery of a fully-applied batch
-        if os.path.exists(f"{index_path}/_append_pending/_STAGED_OK"):
+        pend = f"{index_path}/_append_pending"
+        if os.path.exists(f"{pend}/_STAGED_OK"):
+            if not os.path.exists(f"{pend}/_markers/{name}"):
+                raise RuntimeError(
+                    "bm25_index_stream: found a completed pending stage at "
+                    f"{pend} that does NOT belong to this micro-batch "
+                    f"({name}) — a manual bm25_append_index crashed "
+                    "mid-publish before the stream ran. Publishing it here "
+                    "would mark this batch applied without appending its "
+                    "data. Run bm25_publish_pending_append(index_path) "
+                    "first, then restart the stream."
+                )
             # this batch's previous attempt crashed mid-publish: finish it
+            # (the publish lands the staged marker with the data — fused
+            # commit point, so no separate marker write can be lost)
             bm25_publish_pending_append(index_path)
         else:
-            bm25_append_index(batch_df, index_path, id_col=id_col, text_col=text_col)
-        os.makedirs(applied_dir, exist_ok=True)
-        open(marker, "w").close()
+            bm25_append_index(
+                batch_df,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                stream_marker=name,
+            )
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -974,6 +974,102 @@ def test_bm25_append_stage_crash_noop_and_publish_resumable(spark, tmp_path, sf_
     assert got == want and len(got) > 0
 
 
+def test_bm25_append_stream_marker_fused_commit(spark, tmp_path, sf_dir, monkeypatch):
+    """ADVICE r13 (medium): the streaming applied-marker commits WITH the
+    publish, not after it. (1) a normal stream-marked append lands the
+    marker in _stream_applied as part of the publish; (2) a crash
+    mid-publish leaves the marker STAGED inside the pending dir (ownership
+    is on disk), and the publish retry lands data and marker together —
+    there is no state in which the append published but the marker is
+    missing, which is the window a redelivery would double-count through."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    a = str(tmp_path / "marked")
+    b = str(tmp_path / "freshm")
+    rt.bm25_build_index(docs.filter(F.col("doc_id") % 3 == 0), a)
+    rt.bm25_build_index(docs, b)
+
+    # (1) normal path: marker lands atomically with the publish
+    rt.bm25_append_index(
+        docs.filter(F.col("doc_id") % 3 == 1), a, stream_marker="batch_7"
+    )
+    assert os.path.exists(f"{a}/_stream_applied/batch_7")
+    assert not os.path.exists(f"{a}/_append_pending")
+
+    # (2) crash mid-publish: staged marker proves ownership; retry lands
+    # data + marker exactly once
+    real_move = shutil.move
+
+    def crash_move(src, dst):
+        raise OSError("injected crash mid-publish")
+
+    monkeypatch.setattr(shutil, "move", crash_move)
+    with pytest.raises(OSError, match="injected"):
+        rt.bm25_append_index(
+            docs.filter(F.col("doc_id") % 3 == 2), a, stream_marker="batch_8"
+        )
+    monkeypatch.setattr(shutil, "move", real_move)
+    assert os.path.exists(f"{a}/_append_pending/_STAGED_OK")
+    assert os.path.exists(f"{a}/_append_pending/_markers/batch_8")
+    assert not os.path.exists(f"{a}/_stream_applied/batch_8")
+    rt.bm25_publish_pending_append(a)
+    assert os.path.exists(f"{a}/_stream_applied/batch_8")
+    assert not os.path.exists(f"{a}/_append_pending")
+    got = sorted(map(tuple, rt.bm25_search_index(spark, a, queries, k=5).collect()))
+    want = sorted(map(tuple, rt.bm25_search_index(spark, b, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bm25_publish_sweeps_stale_old_dirs(spark, tmp_path, sf_dir, monkeypatch):
+    """ADVICE r13 (low): a crash between move(staged, cur) and the aside
+    rmtree leaves {name}._old behind with the staged copy gone; the publish
+    retry must still sweep it (the old code skipped the table entirely when
+    staged was absent, so a stale full stats copy lingered on disk)."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    a = str(tmp_path / "sweep")
+    b = str(tmp_path / "freshs")
+    rt.bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), a)
+    rt.bm25_build_index(docs, b)
+
+    real_rmtree = shutil.rmtree
+    state = {"old_calls": 0}
+
+    def flaky_rmtree(path, *args, **kwargs):
+        # crash on the POST-move aside sweep (the 2nd ._old-targeted call
+        # for termstats: the 1st is the pre-rename defensive sweep)
+        if str(path).endswith("._old"):
+            state["old_calls"] += 1
+            if state["old_calls"] == 2:
+                raise OSError("injected crash before aside sweep")
+        return real_rmtree(path, *args, **kwargs)
+
+    monkeypatch.setattr(shutil, "rmtree", flaky_rmtree)
+    with pytest.raises(OSError, match="injected"):
+        rt.bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), a)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    # crash point: termstats swapped (staged gone), its ._old left behind
+    assert os.path.isdir(f"{a}/termstats._old")
+    assert not os.path.isdir(f"{a}/_append_pending/termstats")
+    rt.bm25_publish_pending_append(a)
+    assert not os.path.exists(f"{a}/termstats._old")
+    assert not os.path.exists(f"{a}/stats._old")
+    assert not os.path.exists(f"{a}/_append_pending")
+    got = sorted(map(tuple, rt.bm25_search_index(spark, a, queries, k=5).collect()))
+    want = sorted(map(tuple, rt.bm25_search_index(spark, b, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_bm25_search_inlist_cap_routes(spark, tmp_path, sf_dir):
     """VERDICT r12 #6: past ``inlist_max_terms`` distinct query terms the
     termstats prune switches from a driver-side IN list to a broadcast

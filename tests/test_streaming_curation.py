@@ -541,8 +541,11 @@ def test_bm25_index_stream_resumes_crashed_publish(spark, tmp_path, monkeypatch)
         pass  # the injected crash fails the query
     assert not q.isActive
     monkeypatch.setattr(shutil, "move", real_move)
-    # the stage completed before the crash; nothing published, no marker
+    # the stage completed before the crash; nothing published, no applied
+    # marker — but the stage CARRIES its owning batch's marker (fused
+    # commit point, ADVICE r13), so the restart can prove the stage is its
     assert os.path.exists(f"{idx}/_append_pending/_STAGED_OK")
+    assert os.path.exists(f"{idx}/_append_pending/_markers/batch_0")
     assert not os.path.exists(f"{idx}/_stream_applied/batch_0")
 
     q2 = bm25_index_stream(
@@ -555,4 +558,72 @@ def test_bm25_index_stream_resumes_crashed_publish(spark, tmp_path, monkeypatch)
     bm25_build_index(docs, fresh)
     want = sorted(map(tuple, bm25_search_index(spark, fresh, queries, k=5).collect()))
     got = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bm25_index_stream_refuses_foreign_stage(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (low): a completed stage left by a MANUAL
+    bm25_append_index that crashed mid-publish before the stream started is
+    NOT this batch's data — publishing it and marking the batch applied
+    would silently drop the batch. The stream must fail loudly and direct
+    the operator to bm25_publish_pending_append; after the operator
+    publishes, the restarted stream appends its batch and the index ends
+    exactly equal to a fresh union build."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines import retrieval as rt
+    from laradb_spark.streaming.ingest import bm25_index_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm_idx")
+    fresh = str(tmp_path / "bm_fresh")
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    rt.bm25_build_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    # a manual (marker-less) append crashes mid-publish -> completed
+    # stage with _STAGED_OK but NO _markers entry
+    real_move = shutil.move
+
+    def crash_move(src_p, dst_p):
+        raise OSError("injected mid-publish crash")
+
+    monkeypatch.setattr(shutil, "move", crash_move)
+    with pytest.raises(OSError, match="injected"):
+        rt.bm25_append_index(docs.filter(F.col("doc_id") % 3 == 1), idx)
+    monkeypatch.setattr(shutil, "move", real_move)
+    assert os.path.exists(f"{idx}/_append_pending/_STAGED_OK")
+    assert not os.path.isdir(f"{idx}/_append_pending/_markers")
+
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+    q = bm25_index_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ck,
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the ownership refusal fails the query
+    assert not q.isActive
+    assert "bm25_publish_pending_append" in str(q.exception())
+    # the batch was NOT marked applied (that would be the silent data loss)
+    assert not os.path.exists(f"{idx}/_stream_applied/batch_0")
+
+    # operator recovery: finish the manual publish, restart the stream
+    rt.bm25_publish_pending_append(idx)
+    q2 = bm25_index_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ck,
+    )
+    q2.awaitTermination(120)
+    assert os.path.exists(f"{idx}/_stream_applied/batch_0")
+
+    rt.bm25_build_index(docs, fresh)
+    want = sorted(map(tuple, rt.bm25_search_index(spark, fresh, queries, k=5).collect()))
+    got = sorted(map(tuple, rt.bm25_search_index(spark, idx, queries, k=5).collect()))
     assert got == want and len(got) > 0
