@@ -63,6 +63,30 @@ def _score_terms(scored: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _score_terms_weighted(scored: DataFrame, id_col: str) -> DataFrame:
+    """The quantized-BM25 floor-div chain with a per-term milli weight
+    applied AFTER the per-term contribution (floor again on the weight, so
+    the SQL oracle replays it exactly) over a joined term frame with
+    columns (query_id, id, tf, dl, df, n_docs, n_toks, w_milli) →
+    per-(query, doc) summed score_ppm. ONE definition shared by the inline
+    PRF and its stored-index serving twin — the ``_score_terms``
+    discipline: tuning k1/b or fixing the quantization here cannot
+    desynchronize the two routes."""
+    contrib = F.expr(
+        f"""
+        ((((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
+          * {K1_MILLI + 1000} * tf)
+        div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
+        * w_milli) div 1000
+        """
+    )
+    return (
+        scored.select("query_id", F.col("id").alias(id_col), contrib.alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score_ppm"))
+    )
+
+
 def _query_terms_df(spark: SparkSession, queries) -> DataFrame:
     # tokenize_str IS the tokens() contract — query terms must match the
     # corpus tokenization or probes silently miss postings.
@@ -635,21 +659,7 @@ def bm25_prf_topk(
             )
             .crossJoin(F.broadcast(stats))
         )
-        contrib = F.expr(
-            f"""
-            ((((1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1))
-              * {K1_MILLI + 1000} * tf)
-            div (1000 * tf + ({K1_MILLI} * (250 + ({B_MILLI} * ((1000000 * dl) div ((1000 * n_toks) div n_docs))) div 1000)) div 1000)
-            * w_milli) div 1000
-            """
-        )
-        return (
-            scored.select(
-                "query_id", F.col("id").alias(id_col), contrib.alias("_c")
-            )
-            .groupBy("query_id", id_col)
-            .agg(F.sum("_c").alias("score_ppm"))
-        )
+        return _score_terms_weighted(scored, id_col)
 
     s1 = score_pass(q.withColumn("w_milli", F.lit(1000)))
     fb = (
@@ -685,6 +695,112 @@ def bm25_prf_topk(
         "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
     )
     return out
+
+
+def bm25_prf_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 2,
+    expansion_weight_milli: int = 500,
+    id_col: str = "doc_id",
+    inlist_max_terms: int = BM25_INLIST_MAX_TERMS,
+) -> DataFrame:
+    """Stored-index serving twin of :func:`bm25_prf_topk` (VERDICT r13 #2):
+    identical scores and ranking — both passes run the shared
+    ``_score_terms_weighted`` floor-div chain, every selection stage keeps
+    the same total order — but against a ``bm25_build_index`` layout, so a
+    PRF query batch costs two PRUNED probes plus one bounded feedback
+    fetch instead of two corpus tokenizations:
+
+    - pass 1 prunes the postings scan to the query terms' crc32 buckets
+      (partition pruning) and the termstats prune takes the IN-list /
+      broadcast-join route of ``bm25_search_index`` (VERDICT r12 #6 cap);
+    - the feedback stage fetches the FULL term vectors of the (queries ×
+      ``fb_docs``)-bounded pseudo-relevant set with one broadcast
+      semi-join over the postings — the single un-pruned postings pass,
+      columnar-pruned to (id, term, tf) and filtered by a broadcast hash
+      join, never a shuffle (the stored layout is term-bucketed, so a
+      doc-major fetch cannot bucket-prune by construction);
+    - the expansion pick collects the (queries × ``fb_terms``)-bounded
+      winners driver-side — a documented bounded collect, and the reason
+      pass 2 can bucket-prune: the expanded term set must be a driver
+      literal to prune partitions before the scan;
+    - pass 2 re-probes with original terms at weight 1000 milli and
+      expansion terms at ``expansion_weight_milli``, pruned to the
+      expanded term set's buckets.
+
+    Requires the dl-denormalized layout (post-r12 ``bm25_build_index``);
+    refuses the legacy layout like the append does."""
+    import zlib
+
+    postings = spark.read.parquet(f"{path}/postings")
+    if "dl" not in postings.columns:
+        raise ValueError(
+            "bm25_prf_search_index: stored postings lack the denormalized "
+            "'dl' column (pre-dl layout). Rebuild the index with "
+            "bm25_build_index first."
+        )
+    termstats = spark.read.parquet(f"{path}/termstats")
+    stats = spark.read.parquet(f"{path}/stats")
+
+    def score_pass(qterms: DataFrame, terms: list[str]) -> DataFrame:
+        buckets = sorted({zlib.crc32(t.encode()) % 256 for t in terms})
+        hits = postings.filter(F.col("bucket").isin(buckets))
+        if len(terms) <= inlist_max_terms:
+            dfreq = termstats.filter(F.col("term").isin(terms))
+        else:
+            tl = spark.createDataFrame([(t,) for t in terms], "term string")
+            dfreq = termstats.join(F.broadcast(tl), on="term")
+        scored = (
+            hits.join(F.broadcast(qterms), on="term")
+            .join(F.broadcast(dfreq), on="term")
+            .crossJoin(F.broadcast(stats))
+        )
+        return _score_terms_weighted(scored, id_col)
+
+    qrows = sorted(
+        {(int(qid), w) for qid, qtext in queries for w in tokenize_str(str(qtext))}
+    )
+    q1 = spark.createDataFrame(
+        [(qid, t, 1000) for qid, t in qrows],
+        "query_id int, term string, w_milli int",
+    )
+    s1 = score_pass(q1, sorted({t for _, t in qrows}))
+    fb = (
+        grouped_rank(s1, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+        .filter(F.col("_r") <= fb_docs)
+        .select("query_id", F.col(id_col).alias("id"))
+    )
+    exp = (
+        postings.join(F.broadcast(fb), on="id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tfsum"))
+        .join(
+            q1.select("query_id", "term"), on=["query_id", "term"], how="left_anti"
+        )
+    )
+    from pyspark.sql import Window
+
+    w_exp = Window.partitionBy("query_id").orderBy(F.desc("tfsum"), F.asc("term"))
+    exp_rows = (
+        exp.withColumn("_r", F.row_number().over(w_exp))
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+        .collect()  # (queries × fb_terms)-bounded by construction
+    )
+    q2_rows = [(qid, t, 1000) for qid, t in qrows] + sorted(
+        (int(r["query_id"]), str(r["term"]), int(expansion_weight_milli))
+        for r in exp_rows
+    )
+    q2 = spark.createDataFrame(q2_rows, "query_id int, term string, w_milli int")
+    s2 = score_pass(q2, sorted({t for _, t, _ in q2_rows}))
+    ranked = grouped_rank(s2, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
+    return ranked.filter(F.col("_r") <= k).select(
+        "query_id", id_col, F.col("_r").cast("int").alias("rank"), "score_ppm"
+    )
 
 
 RRF_K = 60  # the standard fusion constant (Cormack et al. 2009 use k=60)

@@ -2239,6 +2239,46 @@ def bm25_prf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_prf_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRF STORED-INDEX serving route, hash-certified against the same
+    two-pass RM3 SQL oracle as the inline ``bm25_prf_topk`` (VERDICT r13
+    #2): build a ``bm25_build_index`` layout, then serve pseudo-relevance
+    feedback as two bucket-pruned probes plus one bounded feedback fetch
+    (``bm25_prf_search_index``). Because the twin shares the
+    ``_score_terms_weighted`` chain and every selection stage's total
+    order with the inline route, a drift in the stored df/dl/stats, a
+    bucket-pruning miss in either pass, or a feedback-fetch row lost to
+    the broadcast semi-join all break the value hash. The result is
+    (queries × k)-bounded, collected off the temp layout so the scratch
+    directory can be removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipelines.retrieval import bm25_build_index, bm25_prf_search_index
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="laradb_bm25_prf_")
+    path = os.path.join(root, "bm25")
+    try:
+        bm25_build_index(docs, path)
+        out = bm25_prf_search_index(
+            spark,
+            path,
+            BM25_QUERIES,
+            k=BM25_K,
+            fb_docs=PRF_FB_DOCS,
+            fb_terms=PRF_FB_TERMS,
+            expansion_weight_milli=PRF_EXP_W_MILLI,
+        )
+        rows = out.collect()  # (queries × k)-bounded by construction
+        return spark.createDataFrame(
+            rows, "query_id int, doc_id long, rank int, score_ppm long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bm25_prf_sql(
     queries=BM25_QUERIES,
     k=BM25_K,
@@ -4889,6 +4929,7 @@ QUERIES = {
     # SQL — a tie-break slip in ANY of the three selection stages or a
     # weight-floor mismatch breaks the hash
     "bm25_prf_topk": (bm25_prf_topk_q, _bm25_prf_sql()),
+    "bm25_prf_serve": (bm25_prf_serve_q, _bm25_prf_sql()),
     "hybrid_rrf_topk": (hybrid_rrf_topk_q, _hybrid_rrf_sql()),
     "embedding_gram": (embedding_gram, EMBEDDING_GRAM_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),

@@ -1070,6 +1070,85 @@ def test_bm25_publish_sweeps_stale_old_dirs(spark, tmp_path, sf_dir, monkeypatch
     assert got == want and len(got) > 0
 
 
+def test_bm25_prf_search_index_equals_inline(spark, tmp_path, sf_dir):
+    """VERDICT r13 #2: the PRF stored-index serving twin — two pruned
+    probes + one bounded feedback fetch — returns EXACTLY the inline
+    bm25_prf_topk's two-pass RM3 result (same _score_terms_weighted chain,
+    same total orders at every selection stage), and pass-1's postings
+    scan carries the bucket partition filter."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_build_index,
+        bm25_prf_search_index,
+        bm25_prf_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    idx = str(tmp_path / "prf_idx")
+    bm25_build_index(docs, idx)
+    inline = sorted(
+        map(tuple, bm25_prf_topk(docs, queries, k=5, fb_docs=3, fb_terms=2).collect())
+    )
+    served = bm25_prf_search_index(spark, idx, queries, k=5, fb_docs=3, fb_terms=2)
+    got = sorted(map(tuple, served.collect()))
+    assert got == inline and len(got) > 0
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_bm25_prf_search_index_after_append(spark, tmp_path, sf_dir):
+    """PRF serving stays inline-exact ACROSS the index lifecycle: build on
+    two-thirds, staged-append the rest -> PRF over the maintained layout
+    equals inline PRF over the full corpus (df/dl/stats merges feed both
+    scoring passes and the feedback stage)."""
+    from laradb_spark.pipelines.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_prf_search_index,
+        bm25_prf_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    idx = str(tmp_path / "prf_app")
+    bm25_build_index(docs.filter(F.col("doc_id") % 3 < 2), idx)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), idx)
+    inline = sorted(
+        map(tuple, bm25_prf_topk(docs, queries, k=5).collect())
+    )
+    got = sorted(
+        map(tuple, bm25_prf_search_index(spark, idx, queries, k=5).collect())
+    )
+    assert got == inline and len(got) > 0
+
+
+def test_bm25_prf_search_index_refuses_legacy_layout(spark, tmp_path, sf_dir):
+    """The PRF twin needs the denormalized dl in the postings; on a pre-dl
+    layout it must refuse up front (the append's schema-guard discipline),
+    not NULL-score silently."""
+    import shutil
+
+    from laradb_spark.pipelines.retrieval import (
+        bm25_build_index,
+        bm25_prf_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "prf_legacy")
+    bm25_build_index(docs, idx)
+    legacy = (
+        spark.read.option("basePath", f"{idx}/postings")
+        .parquet(f"{idx}/postings")
+        .drop("dl")
+    )
+    tmp_post = str(tmp_path / "prf_legacy_postings")
+    legacy.write.partitionBy("bucket").mode("overwrite").parquet(tmp_post)
+    shutil.rmtree(f"{idx}/postings")
+    shutil.move(tmp_post, f"{idx}/postings")
+    with pytest.raises(ValueError, match="dl"):
+        bm25_prf_search_index(spark, idx, [(1, "hash join")], k=5)
+
+
 def test_bm25_search_inlist_cap_routes(spark, tmp_path, sf_dir):
     """VERDICT r12 #6: past ``inlist_max_terms`` distinct query terms the
     termstats prune switches from a driver-side IN list to a broadcast
