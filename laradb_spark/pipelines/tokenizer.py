@@ -2199,6 +2199,7 @@ def unigram_train(
     seed_max_len: int = 4,
     em_iters: int = 2,
     text: str = "text",
+    driver_piece_max: int = TRAIN_DRIVER_VOCAB_MAX,
 ) -> "list[tuple[str, int]]":
     """Distributed Unigram-LM TRAINING (the SentencePiece algorithm
     shape, Kudo 2018 §3.2): seed a large candidate vocabulary, run EM
@@ -2227,21 +2228,57 @@ def unigram_train(
     Scale shape: seeding is one explode+count over distinct words
     (substring positions × ≤``seed_max_len`` lengths); each EM round is
     one Arrow map + one piece-keyed aggregate; only piece tables
-    (vocabulary-sized) ever reach the driver."""
-    import pandas as pd
-
-    from ..util import persist_once
-
-    if vocab_size < 1:
-        raise ValueError("vocab_size must be >= 1")
+    (vocabulary-sized) ever reach the driver. Those driver collects —
+    the substring seed table and each EM round's expected-count table,
+    the latter always a subset of the former — are guarded by
+    ``driver_piece_max`` (VERDICT r13 #3, the ``bpe_train`` ceiling
+    discipline): past it the trainer refuses and directs you to
+    :func:`unigram_train_sampled`, the production sample-then-train
+    recipe with a fertility-drift certificate."""
     w = F.col("word")
-    words = persist_once(
+    words = (
         fan_out(df)
         .select(F.explode(tokens(F.col(text))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.concat(F.lit(UNIGRAM_WORD_MARK), w).alias("pw"), "c")
     )
+    return _unigram_train_over(
+        words,
+        vocab_size,
+        seed_min_count,
+        seed_max_len,
+        em_iters,
+        driver_piece_max,
+        "unigram_train",
+    )
+
+
+def _unigram_train_over(
+    words0: DataFrame,
+    vocab_size: int,
+    seed_min_count: int,
+    seed_max_len: int,
+    em_iters: int,
+    driver_piece_max: int,
+    name: str,
+    extra_singles: "set[str] | None" = None,
+) -> "list[tuple[str, int]]":
+    """The shared seed→EM→prune body over a distinct ``(pw, c)``
+    marked-word frame — :func:`unigram_train` (full corpus, guarded) and
+    :func:`unigram_train_sampled` (top-K-by-mass sample) differ only in
+    how the frame is built. ``extra_singles`` injects single-char pieces
+    seen only OUTSIDE the frame (the sampled route passes the FULL
+    corpus's character set, the ``wordpiece_train_sampled`` full-corpus
+    base-piece rule) at the survival floor, so the UNK-free guarantee
+    covers words the sample never saw."""
+    import pandas as pd
+
+    from ..util import persist_once
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    words = persist_once(words0)
     # seed: every substring of length 1..seed_max_len, corpus count ≥ min
     pw = F.col("pw")
     subs = F.flatten(
@@ -2255,15 +2292,28 @@ def unigram_train(
             ),
         )
     )
-    seed = (
+    seed_df = (
         words.select(F.explode(subs).alias("piece"), "c")
         .groupBy("piece")
         .agg(F.sum("c").alias("n"))
         .filter(
             (F.col("n") >= seed_min_count) | (F.length("piece") == 1)
         )  # singles always survive seeding — the UNK-free floor
-        .collect()
     )
+    if driver_piece_max:
+        n_seed = seed_df.count()
+        if n_seed > driver_piece_max:
+            words.unpersist()
+            raise ValueError(
+                f"{name}: the substring seed table has {n_seed} candidate "
+                f"pieces, past driver_piece_max={driver_piece_max} — the "
+                "seed and per-round EM expected-count collects would not "
+                "fit the driver. For a production corpus this size use "
+                "unigram_train_sampled (top-K-by-mass vocabulary sampling "
+                "with a fertility-drift certificate), or raise "
+                "driver_piece_max explicitly."
+            )
+    seed = seed_df.collect()
     # initial probabilities ∝ seed counts
     total0 = float(sum(r["n"] for r in seed))
     probs: dict[str, float] = {r["piece"]: r["n"] / total0 for r in seed}
@@ -2272,6 +2322,10 @@ def unigram_train(
     # SentencePiece likewise never drops required characters
     seed_singles = {r["piece"] for r in seed if len(r["piece"]) == 1}
     SINGLE_FLOOR = 1e-9
+    if extra_singles:
+        seed_singles |= extra_singles
+        for p1 in seed_singles:
+            probs.setdefault(p1, SINGLE_FLOOR)
 
     def e_step_expected(probs_b: "dict[str, float]"):
         """Arrow E-step: per word, forward-backward over the lattice;
@@ -2360,6 +2414,145 @@ def unigram_train(
     out.sort(key=lambda t: (t[1], t[0]))
     words.unpersist()
     return out
+
+
+def unigram_train_sampled(
+    df: DataFrame,
+    vocab_size: int,
+    seed_min_count: int = 2,
+    seed_max_len: int = 4,
+    em_iters: int = 2,
+    text: str = "text",
+    sample_vocab: int = TRAIN_DRIVER_VOCAB_MAX,
+    max_drift_ppm: "int | None" = None,
+) -> "tuple[list[tuple[str, int]], dict]":
+    """Sample-then-train for the Unigram-LM family (VERDICT r13 #3 — the
+    production recipe :func:`bpe_train_sampled` and
+    :func:`wordpiece_train_sampled` already follow, completing the triad):
+    seed+EM on the top ``sample_vocab`` distinct words by ``(count desc,
+    word asc)`` — the deterministic mass-carrying Zipf prefix, one
+    distributed order-by-limit — then certify the learned vocabulary
+    against the FULL corpus. This is SentencePiece's own answer to large
+    corpora (``input_sentence_size`` sampling, Kudo & Richardson 2018
+    §4.2); the unsampled :func:`unigram_train` stays available below its
+    ``driver_piece_max`` ceiling.
+
+    UNK-free floor across the sample boundary: single-char pieces are
+    taken from the FULL corpus's character set (one alphabet-sized
+    distributed aggregate) and injected at the EM survival floor — the
+    ``wordpiece_train_sampled`` full-corpus base-piece rule — so a tail
+    word whose characters the sample never saw still segments (pinned:
+    ``unk_full_ppm == 0``).
+
+    The CERTIFICATE (returned; optionally enforced): occurrence-weighted
+    fertility — pieces emitted per word occurrence through the identical
+    Viterbi encoder (:func:`unigram_pieces_str`) — on the sample vs the
+    FULL distinct-word frame, ppm-quantized with floor division. Keys:
+    ``{n_words_full, n_words_sampled, mass_covered_ppm, fert_sample_ppm,
+    fert_full_ppm, drift_ppm, unk_sample_ppm, unk_full_ppm}``. With
+    ``max_drift_ppm`` set, a breach raises ``ValueError`` carrying the
+    certificate. Exactness pin (tested): ``sample_vocab`` ≥ the true
+    distinct count → the vocabulary equals :func:`unigram_train`'s
+    bit-for-bit and ``drift_ppm == 0``."""
+    import pandas as pd
+
+    from ..util import persist_once
+
+    if sample_vocab < 1:
+        raise ValueError("sample_vocab must be >= 1")
+    spark = df.sparkSession
+    w = F.col("word")
+    words = persist_once(
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.concat(F.lit(UNIGRAM_WORD_MARK), w).alias("pw"), "c")
+    )
+    sample = words.orderBy(F.desc("c"), F.asc("pw")).limit(sample_vocab).collect()
+    if not sample:
+        words.unpersist()
+        raise ValueError("unigram_train_sampled: empty corpus")
+    # full-corpus character set (alphabet-sized) — the UNK-free floor;
+    # extracted with the SAME substr semantics the seeding enumerates, so
+    # an injected single is exactly what a full-corpus seed would have held
+    pw1 = F.col("pw")
+    subs1 = F.transform(
+        F.sequence(F.lit(1), F.length(pw1)), lambda i: pw1.substr(i, F.lit(1))
+    )
+    full_singles = {
+        r["ch"]
+        for r in words.select(F.explode(subs1).alias("ch")).distinct().collect()
+    }
+    sample_df = spark.createDataFrame(
+        [(r["pw"], int(r["c"])) for r in sample], "pw string, c long"
+    )
+    vocab = _unigram_train_over(
+        sample_df,
+        vocab_size,
+        seed_min_count,
+        seed_max_len,
+        em_iters,
+        0,  # the sample is driver-bounded by construction — no ceiling
+        "unigram_train_sampled",
+        extra_singles=full_singles,
+    )
+    costs = dict(vocab)
+    mark_len = len(UNIGRAM_WORD_MARK)
+
+    def _fert(pairs):
+        tot_t = tot_c = tot_u = 0
+        for bare, c in pairs:
+            ps, _cost = unigram_pieces_str(bare, costs)
+            tot_t += len(ps) * c
+            tot_c += c
+            if ps == [WORDPIECE_UNK]:
+                tot_u += c
+        return tot_t, tot_c, tot_u
+
+    s_toks, s_occ, s_unk = _fert(
+        (r["pw"][mark_len:], int(r["c"])) for r in sample
+    )
+
+    def fert_partial(batches):
+        for pdf in batches:
+            t = c = u = 0
+            for pw_, cnt in zip(pdf["pw"], pdf["c"]):
+                ps, _cost = unigram_pieces_str(pw_[mark_len:], costs)
+                t += len(ps) * int(cnt)
+                c += int(cnt)
+                if ps == [WORDPIECE_UNK]:
+                    u += int(cnt)
+            yield pd.DataFrame({"t": [t], "c": [c], "u": [u]})
+
+    row = (
+        words.mapInPandas(fert_partial, "t long, c long, u long")
+        .agg(F.sum("t").alias("t"), F.sum("c").alias("c"), F.sum("u").alias("u"))
+        .collect()[0]
+    )
+    n_words_full = words.count()
+    words.unpersist()
+    f_toks, f_occ, f_unk = int(row["t"]), int(row["c"]), int(row["u"])
+    fert_sample_ppm = (1_000_000 * s_toks) // s_occ
+    fert_full_ppm = (1_000_000 * f_toks) // f_occ
+    cert = {
+        "n_words_full": int(n_words_full),
+        "n_words_sampled": len(sample),
+        "mass_covered_ppm": (1_000_000 * s_occ) // f_occ,
+        "fert_sample_ppm": fert_sample_ppm,
+        "fert_full_ppm": fert_full_ppm,
+        "drift_ppm": (1_000_000 * abs(fert_full_ppm - fert_sample_ppm))
+        // fert_sample_ppm,
+        "unk_sample_ppm": (1_000_000 * s_unk) // s_occ,
+        "unk_full_ppm": (1_000_000 * f_unk) // f_occ,
+    }
+    if max_drift_ppm is not None and cert["drift_ppm"] > max_drift_ppm:
+        raise ValueError(
+            f"unigram_train_sampled: fertility drift {cert['drift_ppm']} "
+            f"ppm exceeds max_drift_ppm={max_drift_ppm}; the sample is not "
+            f"representative — raise sample_vocab. Certificate: {cert}"
+        )
+    return vocab, cert
 
 
 def wordpiece_save_vocab(spark, vocab: "list[str]", path: str) -> None:

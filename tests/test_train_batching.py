@@ -460,6 +460,42 @@ def test_wordpiece_train_sampled_contract(spark):
         wordpiece_train_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
 
 
+def test_unigram_train_sampled_contract(spark):
+    """VERDICT r13 #3 — the Unigram trainer gets the production-scale
+    treatment the other two families have: (1) exactness at cap >= vocab
+    (bit-identical scored vocabulary to unigram_train, zero drift);
+    (2) pinned fertility-drift bound at a 2/3-vocabulary cap on the
+    worst-case Zipf corpus; (3) full-corpus single-char injection keeps
+    the UNK-free floor across the sample boundary (unk_full_ppm == 0 even
+    for tail words the sample never saw); (4) the max_drift_ppm gate
+    fails loudly with the certificate; (5) the unsampled trainer's
+    driver_piece_max ceiling refuses past-budget seed tables and directs
+    to the sampled route."""
+    import pytest as _pytest
+
+    from laradb_spark.pipelines.tokenizer import (
+        unigram_train,
+        unigram_train_sampled,
+    )
+
+    docs = _zipf_docs(spark)
+    full = unigram_train(docs, 300)
+    v_exact, c_exact = unigram_train_sampled(docs, 300, sample_vocab=10**6)
+    assert v_exact == full
+    assert c_exact["drift_ppm"] == 0 and c_exact["mass_covered_ppm"] == 1_000_000
+    assert c_exact["unk_full_ppm"] == 0 == c_exact["unk_sample_ppm"]
+    v_cap, c_cap = unigram_train_sampled(docs, 300, sample_vocab=6000)
+    assert c_cap["n_words_sampled"] == 6000 < c_cap["n_words_full"]
+    assert c_cap["mass_covered_ppm"] > 900_000
+    assert c_cap["drift_ppm"] <= 30_000, c_cap
+    # the UNK-free floor holds across the sample boundary
+    assert c_cap["unk_full_ppm"] == 0 == c_cap["unk_sample_ppm"]
+    with _pytest.raises(ValueError, match="drift"):
+        unigram_train_sampled(docs, 50, sample_vocab=20, max_drift_ppm=0)
+    with _pytest.raises(ValueError, match="unigram_train_sampled"):
+        unigram_train(docs, 300, driver_piece_max=100)
+
+
 def test_wordpiece_train_2k_vocab_demo(spark):
     """The second trainer family at production scale: a 2048-merge
     WordPiece vocabulary through the in-memory likelihood loop (the
