@@ -50,12 +50,15 @@ def dedup_ingest_stream(
     duplicate texts, append survivors to ``out_path`` and their digests
     to the index.
 
-    Exactly-once note: foreachBatch is at-least-once on retry; both sinks
-    are append-mode parquet, so a batch retried after a partial write can
-    duplicate rows — production would stage per-batch output under a
-    batch-id path and commit atomically (or use a transactional table
-    format). The dedup decision itself is idempotent: a retried batch's
-    texts hash to the same digests.
+    EXACTLY-once per micro-batch (r14 — the ``bm25_index_stream`` fused
+    commit point, factored as :mod:`..streaming.txn` and shared by the
+    whole ingest-loop family): survivors and digests stage under
+    ``{index_path}/_append_pending`` and publish atomically with this
+    batch's applied-marker, so a redelivery after any completed publish
+    no-ops, a crash mid-stage discards and re-runs (the dedup decision is
+    deterministic against the unchanged index), a crash mid-publish
+    resumes, and a foreign writer's crashed stage fails loudly instead of
+    being published as this batch.
 
     Returns the started StreamingQuery (availableNow trigger — the
     incremental batch-ingest shape: drain what's there, then stop).
@@ -63,22 +66,36 @@ def dedup_ingest_stream(
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    from .txn import exactly_once_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fresh = batch_df.withColumn("_digest", F.md5(F.col(text_col))).dropDuplicates(
-            ["_digest"]
+
+        def stage(pend: str) -> None:
+            fresh = batch_df.withColumn(
+                "_digest", F.md5(F.col(text_col))
+            ).dropDuplicates(["_digest"])
+            try:
+                seen = spark.read.parquet(index_path).withColumnRenamed(
+                    "digest", "_digest"
+                )
+                fresh_out = fresh.join(seen, on="_digest", how="left_anti")
+            except AnalysisException:
+                fresh_out = fresh  # first batch: no index yet
+            fresh_out.persist()
+            fresh_out.drop("_digest").write.mode("overwrite").parquet(f"{pend}/out")
+            fresh_out.select(F.col("_digest").alias("digest")).write.mode(
+                "overwrite"
+            ).parquet(f"{pend}/index")
+            fresh_out.unpersist()
+
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "dedup_ingest_stream",
+            stage,
+            {"out": out_path, "index": index_path},
         )
-        try:
-            seen = spark.read.parquet(index_path).withColumnRenamed("digest", "_digest")
-            fresh = fresh.join(seen, on="_digest", how="left_anti")
-        except AnalysisException:
-            pass  # first batch: no index yet
-        fresh.persist()
-        fresh.drop("_digest").write.mode("append").parquet(out_path)
-        fresh.select(F.col("_digest").alias("digest")).write.mode("append").parquet(
-            index_path
-        )
-        fresh.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -105,12 +122,14 @@ def line_ingest_stream(
     every document after that point.
 
     Index re-read per batch (fresh static plan — same rationale and
-    file-listing caveat as ``dedup_ingest_stream``); same at-least-once
-    retry note (appends can duplicate on partial-write retry, which for
-    a COUNT index also inflates counts — production would stage
-    per-batch and commit atomically). The index is written ALWAYS, even
-    for batches whose docs were all stripped empty: the counts are the
-    history. Returns the started query (availableNow trigger)."""
+    file-listing caveat as ``dedup_ingest_stream``). EXACTLY-once per
+    micro-batch via the shared :mod:`..streaming.txn` staged commit —
+    the COUNT index is the sharpest beneficiary: an at-least-once retry
+    used to inflate counts, which (unlike duplicate survivor rows) is
+    silent corruption of the strip threshold. The index is written
+    ALWAYS, even for batches whose docs were all stripped empty: the
+    counts are the history. Returns the started query (availableNow
+    trigger)."""
     from pyspark.sql.utils import AnalysisException
 
     from ..pipelines.lines import (
@@ -118,30 +137,40 @@ def line_ingest_stream(
         line_stream,
         strip_indexed_lines,
     )
+    from .txn import exactly_once_apply
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # Build + persist the exploded line stream HERE and pass it down
         # via lines=: strip_indexed_lines' own persist_once cache is for
         # one-shot queries and would leak one cached plan per micro-batch
         # (round-8 ADVICE item) — the loop owns the cache lifecycle, same
         # try/finally discipline as curate_ingest_stream.
-        ls = line_stream(batch_df, text=text_col).persist()
-        try:
+        def stage(pend: str) -> None:
+            ls = line_stream(batch_df, text=text_col).persist()
             try:
-                stripped = strip_indexed_lines(
-                    batch_df, index_path, max_occurrences, text=text_col, lines=ls
-                )
-            except AnalysisException:
-                # first batch: no index yet — intra-batch threshold only
-                from ..pipelines.lines import corpus_line_dedup
+                try:
+                    stripped = strip_indexed_lines(
+                        batch_df, index_path, max_occurrences, text=text_col, lines=ls
+                    )
+                except AnalysisException:
+                    # first batch: no index yet — intra-batch threshold only
+                    from ..pipelines.lines import corpus_line_dedup
 
-                stripped = corpus_line_dedup(
-                    batch_df, max_occurrences, text=text_col, lines=ls
-                )
-            stripped.write.mode("append").parquet(out_path)
-            line_index_update(batch_df, index_path, text=text_col, lines=ls)
-        finally:
-            ls.unpersist()
+                    stripped = corpus_line_dedup(
+                        batch_df, max_occurrences, text=text_col, lines=ls
+                    )
+                stripped.write.mode("overwrite").parquet(f"{pend}/out")
+                line_index_update(batch_df, f"{pend}/index", text=text_col, lines=ls)
+            finally:
+                ls.unpersist()
+
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "line_ingest_stream",
+            stage,
+            {"out": out_path, "index": index_path},
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -169,10 +198,11 @@ def span_ingest_stream(
     window granularity, within or across batches.
 
     Index re-read per batch (fresh static plan — same rationale and
-    file-listing caveat as ``dedup_ingest_stream``); same at-least-once
-    retry note (appends can duplicate on partial-write retry; the strip
-    decision itself is idempotent). Returns the started query
-    (availableNow trigger)."""
+    file-listing caveat as ``dedup_ingest_stream``). EXACTLY-once per
+    micro-batch via the shared :mod:`..streaming.txn` staged commit (the
+    strip decision is deterministic against the unchanged index, so a
+    discarded half-stage re-runs to the identical rewrite). Returns the
+    started query (availableNow trigger)."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -182,10 +212,11 @@ def span_ingest_stream(
         _span_window_hashes,
         _strip_by_cover,
     )
+    from .txn import exactly_once_apply
 
     w = SPAN_WINDOW if window is None else window
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _stage_batch(batch_df: DataFrame, pend: str) -> None:
         spark = batch_df.sparkSession
         batch_df.persist()
         wins = _span_window_hashes(batch_df, w, text_col).persist()
@@ -214,11 +245,22 @@ def span_ingest_stream(
                 _covered_positions(flagged_occ, w),
                 text_col,
             )
-            cleaned.write.mode("append").parquet(out_path)
-            wins.select("h").distinct().write.mode("append").parquet(index_path)
+            cleaned.write.mode("overwrite").parquet(f"{pend}/out")
+            wins.select("h").distinct().write.mode("overwrite").parquet(
+                f"{pend}/index"
+            )
         finally:
             wins.unpersist()
             batch_df.unpersist()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "span_ingest_stream",
+            lambda pend: _stage_batch(batch_df, pend),
+            {"out": out_path, "index": index_path},
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -250,19 +292,20 @@ def fuzzy_ingest_stream(
     near-duplicates the exact-digest loop cannot.
 
     Index re-read per batch (fresh static plan — earlier batches of this
-    run are visible); same at-least-once caveat as dedup_ingest_stream;
-    the screening decision is deterministic under the fixed permutation
-    table, so retries re-derive identical drops."""
+    run are visible). EXACTLY-once per micro-batch via the shared
+    :mod:`..streaming.txn` staged commit — the screening decision is
+    deterministic under the fixed permutation table, so a discarded
+    half-stage re-derives identical drops; survivors and their
+    signatures+bands publish atomically with the batch marker."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
     from ..pipelines import dedup as dd
+    from .txn import exactly_once_apply
 
     tau = dd.MINHASH_AGREE_T if threshold is None else threshold
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _stage_batch(batch_df: DataFrame, pend: str) -> None:
         # within-batch near-dup pass: band-candidate pairs (a < b), both
         # signatures joined back by key, agreement bar, then RESOLVE
         # TRANSITIVELY — keep min id per connected component (the batch
@@ -310,9 +353,26 @@ def fuzzy_ingest_stream(
         except AnalysisException:  # first batch: no index yet
             kept = deduped
         kept.persist()
-        kept.write.mode("append").parquet(out_path)
-        dd.minhash_index_update(kept, index_path, id_col=id_col, text_col=text_col)
+        kept.write.mode("overwrite").parquet(f"{pend}/out")
+        # minhash_index_update's {path}/sigs + {path}/bands layout, staged:
+        # the txn manifest maps each to its live index subdirectory
+        dd.minhash_index_update(kept, pend, id_col=id_col, text_col=text_col)
         kept.unpersist()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "fuzzy_ingest_stream",
+            lambda pend: _stage_batch(batch_df, pend),
+            {
+                "out": out_path,
+                "sigs": f"{index_path}/sigs",
+                "bands": f"{index_path}/bands",
+            },
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

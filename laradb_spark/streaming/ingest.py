@@ -26,11 +26,14 @@ broadcast weights, the ledger aggregate is sources-sized. State lives in
 parquet indexes, not executor memory, so a month-long ingest holds no
 stream state at all.
 
-At-least-once note (same as ``dedup_ingest_stream``): foreachBatch can
-retry a partially-written batch; append-mode parquet can then duplicate
-rows. The dedup/score DECISIONS are idempotent (hash + deterministic
-model); production would stage per-batch output under a batch-id path
-and commit atomically, or use a transactional table format.
+EXACTLY-once (r14): every loop in this module and ``streaming.dedup``
+commits each micro-batch through the shared staged-publish transaction
+(:mod:`.txn` — the ``bm25_index_stream`` fused-commit-point discipline,
+ADVICE r13, factored for the family): outputs stage under the index's
+``_append_pending`` with the batch's ownership marker, publish moves data
+and marker together, crashed publishes resume, foreign stages refuse.
+The dedup/score DECISIONS were already idempotent (hash + deterministic
+model); the txn removes the remaining partial-write duplication window.
 """
 
 from __future__ import annotations
@@ -63,8 +66,9 @@ def curate_ingest_stream(
 
     from ..pipelines.curation import quality_classifier_score
     from ..pipelines.text import token_count
+    from .txn import exactly_once_apply
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _stage_batch(batch_df: DataFrame, batch_id: int, pend: str) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df.withColumn(
             "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
@@ -91,11 +95,7 @@ def curate_ingest_stream(
             )
             gated.persist()
             kept = gated.filter(F.col("_keep")).drop("_digest", "keep", "_keep")
-            kept.write.mode("append").parquet(out_path)
-            # ledger BEFORE the index append: if the task dies between the
-            # two writes, a retry re-ingests the batch against the
-            # un-updated index and overwrites nothing (both sinks append;
-            # see the module's at-least-once note)
+            kept.write.mode("overwrite").parquet(f"{pend}/out")
             gated.groupBy(F.col(source_col).alias("source")).agg(
                 F.count(F.lit(1)).alias("n_new"),
                 F.sum(F.col("_keep").cast("long")).alias("n_kept"),
@@ -105,8 +105,8 @@ def curate_ingest_stream(
                         token_count(F.coalesce(F.col(text_col), F.lit(""))),
                     ).otherwise(F.lit(0)).cast("long")
                 ).alias("n_tokens_kept"),
-            ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                stats_path
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+                f"{pend}/stats"
             )
             # coalesce(1): the digest frame is 16 bytes/row and map-only
             # (32 partitions -> 32 tiny part files per micro-batch, and
@@ -114,12 +114,21 @@ def curate_ingest_stream(
             # measured in tools/bench_stream_probe.py); one write task per
             # batch is the right default at micro-batch sizes
             gated.select(F.col("_digest").alias("digest")).coalesce(1).write.mode(
-                "append"
-            ).parquet(index_path)
+                "overwrite"
+            ).parquet(f"{pend}/index")
         finally:
             if gated is not None:
                 gated.unpersist()
             fresh.unpersist()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "curate_ingest_stream",
+            lambda pend: _stage_batch(batch_df, batch_id, pend),
+            {"out": out_path, "stats": stats_path, "index": index_path},
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -146,14 +155,16 @@ def url_ingest_stream(
     that canonicalizes the same — never re-enters the corpus.
 
     Index re-read per batch (fresh static plan — the
-    ``dedup_ingest_stream`` rationale and file-listing caveat) and the
-    same at-least-once append note. Returns the started query
+    ``dedup_ingest_stream`` rationale and file-listing caveat).
+    EXACTLY-once per micro-batch via the shared :mod:`.txn` staged
+    commit (module docstring). Returns the started query
     (availableNow trigger)."""
     from pyspark.sql.utils import AnalysisException
 
     from ..pipelines.web import canonical_url, domain_blocklist_filter
+    from .txn import exactly_once_apply
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _stage_batch(batch_df: DataFrame, pend: str) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df
         if blocked_domains:
@@ -170,14 +181,23 @@ def url_ingest_stream(
             pass  # first batch: no index yet
         fresh.persist()
         try:
-            fresh.drop("_digest").write.mode("append").parquet(out_path)
+            fresh.drop("_digest").write.mode("overwrite").parquet(f"{pend}/out")
             # coalesce(1): same many-small-files rationale as
             # curate_ingest_stream's index append
             fresh.select(F.col("_digest").alias("digest")).coalesce(1).write.mode(
-                "append"
-            ).parquet(index_path)
+                "overwrite"
+            ).parquet(f"{pend}/index")
         finally:
             fresh.unpersist()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        exactly_once_apply(
+            index_path,
+            batch_id,
+            "url_ingest_stream",
+            lambda pend: _stage_batch(batch_df, pend),
+            {"out": out_path, "index": index_path},
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

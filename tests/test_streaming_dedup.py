@@ -338,3 +338,146 @@ def test_fuzzy_ingest_within_batch_chain_resolves_transitively(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1]
     assert sorted(r.id for r in spark.read.parquet(f"{idx}/sigs").collect()) == [1]
+
+
+def test_line_ingest_replay_does_not_inflate_counts(spark, tmp_path):
+    """The sharpest exactly-once case in the loop family (r14, the
+    bm25_index_stream txn discipline factored as streaming.txn): the LINE
+    loop's index stores COUNTS, so an at-least-once replay used to
+    silently inflate them — corrupting the strip threshold for every
+    future batch. A wiped-checkpoint replay of the same batches must
+    no-op on the applied markers: counts unchanged, output unchanged."""
+    import os
+    import shutil
+    import time
+
+    from laradb_spark.streaming.dedup import line_ingest_stream
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "nav bar\nunique one"), (2, "nav bar\nunique two")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, "nav bar\nunique three")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+
+    def run(ckpt):
+        q = line_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            idx, out, ckpt, max_occurrences=2,
+        )
+        q.awaitTermination(120)
+
+    run(ck)
+    want_out = sorted(
+        (r.doc_id, r.clean_text) for r in spark.read.parquet(out).collect()
+    )
+    # batch 2's 'nav bar' crossed the threshold (count 3 > 2) -> stripped
+    assert (3, "unique three") in want_out and len(want_out) == 3
+    counts = {
+        r.h: r.n
+        for r in spark.read.parquet(idx)
+        .groupBy("h").agg(F.sum("n").alias("n")).collect()
+    }
+    assert os.path.exists(f"{idx}/_stream_applied/batch_0")
+    assert os.path.exists(f"{idx}/_stream_applied/batch_1")
+
+    # wiped checkpoint -> same two batches redeliver as ids 0 and 1
+    shutil.rmtree(ck)
+    run(ck)
+    again_out = sorted(
+        (r.doc_id, r.clean_text) for r in spark.read.parquet(out).collect()
+    )
+    again_counts = {
+        r.h: r.n
+        for r in spark.read.parquet(idx)
+        .groupBy("h").agg(F.sum("n").alias("n")).collect()
+    }
+    assert again_out == want_out
+    assert again_counts == counts
+
+
+def test_dedup_ingest_resumes_crashed_publish(spark, tmp_path, monkeypatch):
+    """Crash mid-publish in the shared txn: the restart redelivers the
+    batch (checkpoint uncommitted), finds the completed stage CARRYING its
+    own marker, and FINISHES the publish — survivors and digests end
+    exactly as an uncrashed run, nothing double-appended."""
+    import os
+    import shutil
+
+    from laradb_spark.streaming.dedup import dedup_ingest_stream
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    idx, out, ck = (str(tmp_path / d) for d in ("idx", "out", "ck"))
+
+    real_move = shutil.move
+
+    def crash_move(src_p, dst_p):
+        raise OSError("injected mid-publish crash")
+
+    monkeypatch.setattr(shutil, "move", crash_move)
+    q = dedup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), idx, out, ck
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert not q.isActive
+    monkeypatch.setattr(shutil, "move", real_move)
+    # staged, marked with its owner, nothing published, no applied marker
+    assert os.path.exists(f"{idx}/_append_pending/_STAGED_OK")
+    assert os.path.exists(f"{idx}/_append_pending/_markers/batch_0")
+    assert not os.path.exists(f"{idx}/_stream_applied/batch_0")
+
+    q2 = dedup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), idx, out, ck
+    )
+    q2.awaitTermination(120)
+    assert os.path.exists(f"{idx}/_stream_applied/batch_0")
+    assert not os.path.exists(f"{idx}/_append_pending")
+    assert sorted(r.text for r in spark.read.parquet(out).collect()) == [
+        "alpha", "beta",
+    ]
+    assert spark.read.parquet(idx).distinct().count() == 2
+
+
+def test_txn_refusals(tmp_path):
+    """Unit-level txn guards: a completed FOREIGN stage (no ownership
+    marker for this batch) refuses instead of publishing someone else's
+    data as this batch; publish with no completed stage refuses with the
+    re-run instruction."""
+    import os
+
+    import pytest as _pytest
+
+    from laradb_spark.streaming.txn import (
+        exactly_once_apply,
+        publish_pending_batch,
+    )
+
+    root = str(tmp_path / "rootdir")
+    pend = os.path.join(root, "_append_pending")
+    os.makedirs(os.path.join(pend, "_markers"))
+    open(os.path.join(pend, "_markers", "batch_9"), "w").close()
+    open(os.path.join(pend, "_STAGED_OK"), "w").close()
+    with _pytest.raises(RuntimeError, match="does NOT belong"):
+        exactly_once_apply(
+            root, 0, "unit", lambda p: (_ for _ in ()).throw(AssertionError), {}
+        )
+    # and an un-marked pending dir is not publishable
+    os.remove(os.path.join(pend, "_STAGED_OK"))
+    with _pytest.raises(RuntimeError, match="no completed stage"):
+        publish_pending_batch(root)
