@@ -58,6 +58,13 @@ PROBE_ANNOTATIONS = {
         "the probe measures index-build linearity, not serving (the "
         "serving-only cost is hybrid_serve/bm25 bucket-pruned probes)"
     ),
+    "bm25_prf_serve": (
+        "RM3 pseudo-relevance feedback off a stored index, built INLINE "
+        "so the driver oracle can replay it (r14) — index build dominates "
+        "like bm25_maintenance_cycle; the PRF-specific scale term is the "
+        "bounded feedback fetch (one broadcast semi-join over postings) "
+        "between the two bucket-pruned scoring probes"
+    ),
 }
 
 # (table, id columns to shift) — shift keeps keys disjoint across copies.
