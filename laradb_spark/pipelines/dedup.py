@@ -1260,12 +1260,41 @@ def minhash_index_build(
 def minhash_index_update(
     df: DataFrame, path: str, n: int = 3, id_col: str = "doc_id",
     text_col: str = "text", num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+    staged: bool = True,
 ) -> None:
-    """Append a (screened) shard's signatures + bands to the index."""
+    """Append a (screened) shard's signatures + bands to the index.
+
+    ``staged`` (default, r14): the TWO tables stage under
+    ``{path}/_append_pending`` and publish atomically
+    (:func:`..streaming.txn.staged_batch_publish` — the BM25 append
+    discipline): a crash between the sigs and bands appends can no longer
+    leave signatures without their band rows, which would silently
+    exclude those docs from every future ``drop_near_seen`` candidate
+    screen (band join finds nothing → near-dups sail through). A crashed
+    publish refuses re-append and is finished with
+    ``streaming.txn.publish_pending_batch(path)``. ``staged=False``
+    writes the live tables directly — the fuzzy ingest stream passes
+    this because it stages the whole micro-batch itself."""
     sigs = minhash_signatures(df, n, id_col, text_col, num_perm)
-    sigs.write.mode("append").parquet(f"{path}/sigs")
-    bands_of_signatures(sigs, num_perm, bands).write.mode("append").parquet(
-        f"{path}/bands"
+    if not staged:
+        sigs.write.mode("append").parquet(f"{path}/sigs")
+        bands_of_signatures(sigs, num_perm, bands).write.mode("append").parquet(
+            f"{path}/bands"
+        )
+        return
+    from ..streaming.txn import staged_batch_publish
+
+    def stage(pend: str) -> None:
+        sigs.write.mode("overwrite").parquet(f"{pend}/sigs")
+        bands_of_signatures(sigs, num_perm, bands).write.mode(
+            "overwrite"
+        ).parquet(f"{pend}/bands")
+
+    staged_batch_publish(
+        path,
+        {"sigs": f"{path}/sigs", "bands": f"{path}/bands"},
+        stage,
+        "minhash_index_update",
     )
 
 

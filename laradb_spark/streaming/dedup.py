@@ -354,9 +354,14 @@ def fuzzy_ingest_stream(
             kept = deduped
         kept.persist()
         kept.write.mode("overwrite").parquet(f"{pend}/out")
-        # minhash_index_update's {path}/sigs + {path}/bands layout, staged:
-        # the txn manifest maps each to its live index subdirectory
-        dd.minhash_index_update(kept, pend, id_col=id_col, text_col=text_col)
+        # minhash_index_update's {path}/sigs + {path}/bands layout written
+        # DIRECTLY into the pend dir (staged=False: the txn manifest maps
+        # each to its live index subdirectory — this loop stages the whole
+        # micro-batch itself, nesting the update's own staging would stage
+        # inside a stage)
+        dd.minhash_index_update(
+            kept, pend, id_col=id_col, text_col=text_col, staged=False
+        )
         kept.unpersist()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -87,6 +87,41 @@ def publish_pending_batch(root: str) -> None:
     shutil.rmtree(pend)
 
 
+def staged_batch_publish(
+    root: str,
+    targets: "dict[str, str]",
+    stage: "Callable[[str], None]",
+    name_hint: str,
+) -> None:
+    """Batch-side staged commit — the marker-less sibling of
+    :func:`exactly_once_apply` for OFFLINE multi-table appends (e.g. the
+    minhash index's sigs+bands pair): a crash between two live-table
+    appends must not leave the pair inconsistent, so both stage under
+    ``{root}/_append_pending`` and publish together. A completed stage
+    found on disk is a previous caller's crashed publish: this function
+    refuses (re-staging would double-append the published part) and
+    directs to :func:`publish_pending_batch`; an un-marked half-stage is
+    discarded and restaged."""
+    pend = os.path.join(root, PENDING)
+    if os.path.exists(os.path.join(pend, STAGED_OK)):
+        raise RuntimeError(
+            f"{name_hint}: found a fully-staged pending append at {pend} — "
+            "a previous append crashed DURING publish. Run "
+            "laradb_spark.streaming.txn.publish_pending_batch(root) to "
+            "finish it; re-running the append would double-count the "
+            "published part."
+        )
+    if os.path.isdir(pend):
+        shutil.rmtree(pend)  # aborted half-stage: nothing was published
+    stage(pend)
+    os.makedirs(pend, exist_ok=True)
+    with open(os.path.join(pend, TARGETS), "w") as f:
+        for sub, tgt in sorted(targets.items()):
+            f.write(f"{sub}\t{os.path.abspath(tgt)}\n")
+    open(os.path.join(pend, STAGED_OK), "w").close()
+    publish_pending_batch(root)
+
+
 def exactly_once_apply(
     root: str,
     batch_id: int,

@@ -1780,6 +1780,55 @@ def test_minhash_index_cross_batch_fuzzy_dedup(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_minhash_index_update_staged_atomic(spark, tmp_path, monkeypatch):
+    """r14: the TWO-table minhash index append (sigs + bands) commits
+    atomically through the batch-side txn — a crash cannot leave
+    signatures without their band rows (which would silently exclude
+    those docs from every future drop_near_seen candidate screen).
+    Crash mid-publish: live tables stay the consistent pre-append pair;
+    re-append refuses with the publish instruction; publish_pending_batch
+    completes the append exactly once and screening behaves as an
+    uncrashed append."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines import dedup as dd
+    from laradb_spark.streaming.txn import publish_pending_batch
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    hist = spark.createDataFrame([(1, base, "s")], ["doc_id", "text", "source"])
+    idx = str(tmp_path / "mh_staged")
+    dd.minhash_index_build(hist, idx)
+    novel = "completely novel words never indexed anywhere at all"
+    batch = spark.createDataFrame([(11, novel, "s")], ["doc_id", "text", "source"])
+
+    real_move = shutil.move
+
+    def crash_move(src_p, dst_p):
+        raise OSError("injected mid-publish crash")
+
+    monkeypatch.setattr(shutil, "move", crash_move)
+    with pytest.raises(OSError, match="injected"):
+        dd.minhash_index_update(batch, idx)
+    monkeypatch.setattr(shutil, "move", real_move)
+    # live pair untouched and CONSISTENT: doc 11's near-dup still passes
+    assert os.path.exists(f"{idx}/_append_pending/_STAGED_OK")
+    near11 = spark.createDataFrame(
+        [(20, novel.replace("all", "most"), "s")], ["doc_id", "text", "source"]
+    )
+    assert dd.drop_near_seen(near11, idx, threshold=0.5).count() == 1
+    # re-running the append must refuse (double-count hazard)...
+    with pytest.raises(RuntimeError, match="publish_pending_batch"):
+        dd.minhash_index_update(batch, idx)
+    # ...and the publish retry completes it: the near-dup now drops
+    publish_pending_batch(idx)
+    assert not os.path.exists(f"{idx}/_append_pending")
+    assert dd.drop_near_seen(near11, idx, threshold=0.5).count() == 0
+    n_sigs = spark.read.parquet(f"{idx}/sigs").count()
+    n_band_ids = spark.read.parquet(f"{idx}/bands").select("id").distinct().count()
+    assert n_sigs == n_band_ids == 2  # one append, no double-count
+
+
 def test_rrf_fuse_exact_integer_scores(spark):
     """RRF against hand arithmetic: 1_000_000 div (60 + rank) per list,
     summed; doc in both lists outranks every single-list doc; ties break
