@@ -1246,10 +1246,16 @@ def ivf_recenter_index(
 
     Safety: the re-assigned corpus and new centroid table are written to
     sibling ``._new`` directories and VERIFIED (row count equality)
-    before the swap; the old layout is removed only after both renames.
-    Local-filesystem moves via ``os``/``shutil`` — 1:1 with the Hadoop
-    FileSystem API on a cluster. Returns
-    ``{rows, n_centroids_before, n_centroids_after}``."""
+    before the swap; the swap itself is the rename-aside discipline
+    (r14 — the old ``rmtree(cur); rename(new, cur)`` had a crash window
+    that LOST the live table, and a crash between the corpus and
+    centroid swaps left a new corpus paired with old centroids:
+    inconsistent assignments). Both ``._new`` tables are verified before
+    the first rename, so after ANY crash mid-swap
+    :func:`ivf_finish_recenter` completes it — swap in whatever ``._new``
+    remains, sweep the asides — idempotently. Local-filesystem moves via
+    ``os``/``shutil`` — 1:1 with the Hadoop FileSystem API on a cluster.
+    Returns ``{rows, n_centroids_before, n_centroids_after}``."""
     import os
     import shutil
 
@@ -1273,14 +1279,39 @@ def ivf_recenter_index(
             f"recenter verification failed: {got} rows written != {n_rows} read; "
             "index left untouched"
         )
-    for name in ("corpus", "centroids"):
-        shutil.rmtree(f"{path}/{name}")
-        os.rename(f"{path}/{name}._new", f"{path}/{name}")
+    ivf_finish_recenter(path)
     return {
         "rows": int(n_rows),
         "n_centroids_before": int(k_before),
         "n_centroids_after": int(n_centroids),
     }
+
+
+def ivf_finish_recenter(path: str) -> None:
+    """Complete an :func:`ivf_recenter_index` swap after ANY crash — and
+    the swap :func:`ivf_recenter_index` itself runs (one definition).
+    Both ``._new`` tables were verified BEFORE the first rename, so
+    recovery is unconditional: for each of corpus/centroids, if a
+    ``._new`` sibling exists, rename the live table aside, swap the new
+    one in, and sweep the aside; a table whose ``._new`` is already gone
+    was swapped before the crash and only needs its aside swept.
+    Idempotent — re-running after a crash inside THIS function also
+    lands the same end state."""
+    import os
+    import shutil
+
+    for name in ("corpus", "centroids"):
+        cur = f"{path}/{name}"
+        new = f"{cur}._new"
+        aside = f"{cur}._old"
+        if os.path.isdir(new):
+            if os.path.isdir(cur):
+                shutil.rmtree(aside, ignore_errors=True)
+                os.rename(cur, aside)
+            # cur absent here = a previous attempt crashed between its
+            # rename-aside and this swap; the new table still lands
+            os.rename(new, cur)
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def ivf_search_index(

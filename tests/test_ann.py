@@ -996,6 +996,50 @@ def test_ivf_recenter_index_equals_fresh_build(spark, clustered, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_recenter_crash_mid_swap_is_resumable(spark, clustered, tmp_path, monkeypatch):
+    """r14: the recenter swap is rename-aside and RESUMABLE — the old
+    rmtree-then-rename had a window that lost the live corpus outright,
+    and a crash between the corpus and centroid swaps left a new corpus
+    paired with OLD centroids (inconsistent assignments). Inject a crash
+    exactly there: the index is recoverable by ivf_finish_recenter, and
+    the finished index searches identically to an uncrashed recenter."""
+    import os
+
+    a, b = str(tmp_path / "rc_a"), str(tmp_path / "rc_b")
+    for path in (a, b):
+        sim.ivf_build_index(
+            clustered.filter(F.col("vec_id") < 150), path,
+            n_centroids=8, lloyd_iters=2,
+        )
+        sim.ivf_append_index(clustered.filter(F.col("vec_id") >= 150), path)
+    sim.ivf_recenter_index(spark, b, lloyd_iters=2)  # the uncrashed twin
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def crash_third_rename(src, dst):
+        # renames: corpus cur->aside, corpus new->cur, centroids cur->aside
+        state["n"] += 1
+        if state["n"] == 3:
+            raise OSError("injected crash between corpus and centroid swaps")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_third_rename)
+    with pytest.raises(OSError, match="injected"):
+        sim.ivf_recenter_index(spark, a, lloyd_iters=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # crash state: new corpus live, OLD centroids live, centroids._new waiting
+    assert os.path.isdir(f"{a}/centroids._new")
+    sim.ivf_finish_recenter(a)
+    assert not os.path.exists(f"{a}/centroids._new")
+    assert not os.path.exists(f"{a}/corpus._old")
+    assert not os.path.exists(f"{a}/centroids._old")
+    q = _queries(clustered)
+    got = _pairs_ranked(sim.ivf_search_index(spark, a, q, n_probe=3, k=5))
+    want = _pairs_ranked(sim.ivf_search_index(spark, b, q, n_probe=3, k=5))
+    assert got == want and len(got) > 0
+
+
 def test_ivf_filtered_inline_and_stored_parity(spark, clustered, tmp_path):
     """Filtered ANN: ivf_topk_filtered returns only predicate-passing
     neighbors with contiguous per-query ranks (PRE-filter semantics —
