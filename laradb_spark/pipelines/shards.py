@@ -249,8 +249,18 @@ def compact_token_shards(
 
     Safety: the compacted segment is written and VERIFIED (row count +
     order-insensitive xxhash64 over every column) against the source
-    partitions before any source directory is removed; on mismatch the
-    new segment is deleted and the store is left exactly as found.
+    partitions before any source directory is touched; on mismatch the
+    new segment is deleted and the store is left exactly as found. The
+    publish itself (r14) is crash-safe AND duplicate-safe: a
+    ``_COMPACT_OK`` marker + ``_sources`` manifest land inside the
+    verified segment, sources HIDE (rename to underscore-prefixed
+    ``_retired_batch_<b>`` dirs, invisible to readers) BEFORE the segment
+    goes live, and hidden copies are swept only after — so no crash point
+    leaves a reader seeing a row twice (the old publish renamed the
+    segment live FIRST, so a crash during source removal duplicated every
+    not-yet-removed batch's packs permanently). Any crash is finished by
+    :func:`finish_compact_token_shards`, which this function also runs
+    first to settle a previous crash before computing eligibility.
 
     Returns a report dict: ``{batches_compacted, files_before,
     files_after, rows, segment}``. Local-filesystem directory removal
@@ -259,6 +269,11 @@ def compact_token_shards(
     import math
     import os
     import shutil
+
+    # settle any crashed previous publish BEFORE computing eligibility —
+    # otherwise hidden sources would be invisible to batch_dirs() and a
+    # fresh compaction could reuse the pending segment id
+    finish_compact_token_shards(shards_path)
 
     def batch_dirs() -> list[tuple[int, str]]:
         out = []
@@ -315,9 +330,16 @@ def compact_token_shards(
             f"compaction verification failed: source {want} != compacted {got}; "
             "store left untouched"
         )
-    os.rename(tmp_dir, out_dir)
-    for _b, p in eligible:
-        shutil.rmtree(p)
+    # crash-safe publish: manifest + marker ride INSIDE the verified
+    # segment (underscore-prefixed files are invisible to parquet
+    # readers, the _SUCCESS precedent), then the shared finisher hides
+    # sources, renames the segment live, and sweeps — resumable from any
+    # crash point via finish_compact_token_shards(shards_path)
+    with open(os.path.join(tmp_dir, "_sources"), "w") as f:
+        for b, _p in eligible:
+            f.write(f"{b}\n")
+    open(os.path.join(tmp_dir, "_COMPACT_OK"), "w").close()
+    finish_compact_token_shards(shards_path)
     return {
         "batches_compacted": len(eligible),
         "files_before": len(src_files),
@@ -325,3 +347,57 @@ def compact_token_shards(
         "rows": int(want[0]),
         "segment": segment,
     }
+
+
+def finish_compact_token_shards(shards_path: str) -> None:
+    """Complete a crashed :func:`compact_token_shards` publish — and the
+    publish the compactor itself runs (one definition). Idempotent;
+    ``compact_token_shards`` also calls it up front so a crashed store
+    settles before new work. Recovery contract:
+
+    - a ``_compacting_<n>`` dir WITHOUT ``_COMPACT_OK``: an interrupted
+      segment write — discarded (the marker lands before any source is
+      hidden, so nothing else changed);
+    - WITH the marker: hide each source batch listed in its ``_sources``
+      manifest (rename ``batch=<b>`` → ``_retired_batch_<b>``; the
+      underscore prefix hides it from readers), then rename the segment
+      live as ``batch=-<n>``;
+    - sweep ``_retired_batch_*`` dirs LAST — a retired dir exists only
+      under a marked pending segment or an already-published one, so the
+      sweep never removes the sole copy of a row.
+
+    No crash point shows a reader a duplicated row (sources hide before
+    the segment appears) or loses one (hidden copies survive until the
+    segment is live). The transient all-hidden window is covered by the
+    package-wide offline single-writer maintenance contract."""
+    import os
+    import shutil
+
+    if not os.path.isdir(shards_path):
+        return
+    for d in sorted(os.listdir(shards_path)):
+        full = os.path.join(shards_path, d)
+        if not (d.startswith("_compacting_") and os.path.isdir(full)):
+            continue
+        if not os.path.exists(os.path.join(full, "_COMPACT_OK")):
+            shutil.rmtree(full)  # aborted write: nothing was hidden yet
+            continue
+        with open(os.path.join(full, "_sources")) as f:
+            src_batches = [line.strip() for line in f if line.strip()]
+        for b in src_batches:
+            live = os.path.join(shards_path, f"batch={b}")
+            if os.path.isdir(live):
+                retired = os.path.join(shards_path, f"_retired_batch_{b}")
+                shutil.rmtree(retired, ignore_errors=True)
+                os.rename(live, retired)
+        out_dir = os.path.join(shards_path, f"batch=-{d[len('_compacting_'):]}")
+        if os.path.isdir(out_dir):  # pragma: no cover - defense in depth
+            raise RuntimeError(
+                f"finish_compact_token_shards: live segment {out_dir} already "
+                f"exists while pending {full} holds the marker — refusing to "
+                "clobber; inspect the store"
+            )
+        os.rename(full, out_dir)
+    for d in sorted(os.listdir(shards_path)):
+        if d.startswith("_retired_batch_"):
+            shutil.rmtree(os.path.join(shards_path, d), ignore_errors=True)

@@ -168,3 +168,72 @@ def test_compact_token_shards(spark, tmp_path):
     # nothing left to merge
     rep3 = sh.compact_token_shards(spark, root, committed_batch_id=3)
     assert rep3["batches_compacted"] == 0
+
+
+def test_compact_token_shards_crash_never_duplicates(spark, tmp_path, monkeypatch):
+    """r14: the compaction publish hides sources BEFORE the segment goes
+    live (marker-gated, resumable) — the old rename-live-then-delete
+    order permanently DUPLICATED every not-yet-deleted batch's packs if
+    the delete loop crashed. Inject a crash mid-hide: the store shows no
+    duplicated pack at any point, finish_compact_token_shards recovers to
+    the exact end state, and a subsequent compact() call self-settles a
+    crashed store before new work."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "shards_crash")
+    mk = lambda b, rows: spark.createDataFrame(
+        rows, "pack_id long, token_ids array<int>, doc_starts array<struct<pos:int,doc_id:bigint>>"
+    ).repartition(2).write.mode("overwrite").parquet(f"{root}/batch={b}")
+    mk(1, [(0, [1, 2], [(0, 10)]), (1, [3, 4], [])])
+    mk(2, [(2, [5, 6], [(1, 11)])])
+    before = sorted(
+        (r.pack_id, tuple(r.token_ids)) for r in spark.read.parquet(root).collect()
+    )
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def crash_second_rename(src, dst):
+        # publish renames: hide batch=1, hide batch=2, segment live
+        state["n"] += 1
+        if state["n"] == 2:
+            raise OSError("injected crash mid-hide")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_second_rename)
+    with pytest.raises(OSError, match="injected"):
+        sh.compact_token_shards(spark, root, committed_batch_id=2, target_bytes=1 << 30)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # crash state: batch=1 hidden, batch=2 visible, segment NOT live —
+    # visible rows are a SUBSET (never a duplicate) of the corpus
+    visible = sorted(
+        (r.pack_id, tuple(r.token_ids)) for r in spark.read.parquet(root).collect()
+    )
+    assert len(visible) == len(set(visible))
+    assert set(visible) < set(before)
+    assert os.path.isdir(f"{root}/_retired_batch_1")
+    assert os.path.exists(f"{root}/_compacting_1/_COMPACT_OK")
+
+    sh.finish_compact_token_shards(root)
+    after = sorted(
+        (r.pack_id, tuple(r.token_ids)) for r in spark.read.parquet(root).collect()
+    )
+    assert after == before  # every row exactly once
+    dirs = sorted(d for d in os.listdir(root) if not d.startswith("_"))
+    assert dirs == ["batch=-1"]
+    assert not any(d.startswith("_retired") or d.startswith("_compacting")
+                   for d in os.listdir(root))
+
+    # aborted-write discard: an unmarked _compacting dir (crash during the
+    # segment write) is settled away by the next compact() call
+    os.makedirs(f"{root}/_compacting_9/junk_dir")
+    mk(5, [(9, [9, 9], [])])
+    rep = sh.compact_token_shards(spark, root, committed_batch_id=5, target_bytes=1 << 30)
+    assert rep["batches_compacted"] == 2  # segment -1 + batch 5 fold
+    assert not os.path.exists(f"{root}/_compacting_9")
+    final = sorted(
+        (r.pack_id, tuple(r.token_ids)) for r in spark.read.parquet(root).collect()
+    )
+    assert final == sorted(before + [(9, (9, 9))])
