@@ -41,10 +41,17 @@ def prefix_pairs(draw):
             rest_pool.filter(lambda n: n not in extra_a), min_size=0, max_size=2, unique=True
         )
     )
+    # fallback names contain a digit, which the `names` alphabet (pure
+    # lowercase) cannot draw — so they can never collide with a drawn
+    # extra_b/extra_a. (The old "ka"/"kb" fallbacks COULD be drawn into
+    # extra_b, because extra_b's not-in-extra_a filter ran before the
+    # fallback assignment: hypothesis eventually found A=[ka], B=[a, ka],
+    # which shares 'ka' not-as-a-prefix and correctly trips the join's
+    # prefix check — a generator bug, not a schema bug.)
     if not shared and not extra_a:
-        extra_a = ["ka"]
+        extra_a = ["ka0"]
     if not shared and not extra_b:
-        extra_b = ["kb"]
+        extra_b = ["kb0"]
     ka = tuple(Attribute(n, "LONG") for n in shared + extra_a)
     kb = tuple(Attribute(n, "LONG") for n in shared + extra_b)
     return LaraSchema(ka, ()), LaraSchema(kb, ()), shared
