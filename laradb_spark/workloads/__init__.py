@@ -63,85 +63,33 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r14 window head (the driver oracles the FIRST 50) ------------------
-    # (a) the 11 r9-era rows the r13 budget could not fit (pinned to this
-    # window front by r13's test_registry; after this window no registry
-    # query's latest green driver row predates r10):
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "raco_front_door_q",
-    "repeat_customers_96_97",
-    "small_quantity_revenue",
-    "status_except_all",
-    "suppliers_without_recent_sales",
-    "text_replace_map",
-    "unpivot_order_measures",
-    "url_canonicalize",
-    "url_dedup",
-    # (b) the two r13-new queries with NO driver row yet (ADVICE r13 #2 —
-    # both checker-certified at all 3 SFs on landing in r13):
-    "bm25_maintenance_cycle",
-    "bm25_prf_topk",
-    # (c) fill to exactly 50 with the stalest remaining evidence: 37 of
-    # the 40 rows whose freshest green row is r10-era (alphabetical; the
-    # remaining 3 lead the r15 window below). No pre-existing oracled
-    # query's SQL or plan changed in r14 — the round's changes are
-    # serving-path (PRF stored-index twin), trainer-path (sampled
-    # unigram), and streaming-maintenance hardening — so the rest of the
-    # window goes to stale-evidence rotation.
-    "ann_ivfpq_res_recall",
-    "ann_ivfpq_res_topk",
-    "ann_probe_sweep",
-    "customer_merge_upsert",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_keep_representatives",
-    "dedup_lsh_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_rate_by_source",
-    "embedding_gram",
-    "event_funnel",
-    "events_daily_pivot",
-    "events_daily_users",
-    "events_dow_hour_heatmap",
-    "events_json_stats",
-    "forward_fill_hourly",
-    "fuzzy_part_pairs",
-    "lara_matmul_event_gram",
-    "lara_union_max",
-    "lara_union_revenue",
-    "lara_wordcount",
-    "lara_wordcount_py",
-    "orders_quality_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "revenue_share_by_nation",
-    "rollup_returns",
-    "running_customer_totals",
-    "scd2_customer_segments",
-    "sensor_covariance_events",
-    "session_window_stats",
-    "sessionize_events",
-    # --- front of the r15 window: the 3 r10-era rows the 50-slot budget
-    # could not fit (test_registry pins this allocation) ------------------
+    # --- r15 window head (the driver oracles the FIRST 50) ------------------
+    # (a) the one registry query with NO driver row yet (new in r14,
+    # checker-certified at all 3 SFs on landing; VERDICT r14 #1):
+    #       bm25_prf_serve
+    # (b) the 3 r10-era rows r14's budget could not fit (pinned to this
+    # window front by r14's test_registry):
+    #       sliding_event_stats  sql_front_door_q  tfidf_top_terms
+    # (c) fill to exactly 50 with the stalest remaining evidence: 46 of
+    # the 50 rows whose freshest green row is r11-era (alphabetical; the
+    # remaining 4 lead the r16 window below). No pre-existing oracled
+    # query's SQL or plan changes in r15 — the round's changes are
+    # maintenance/crash-safety paths (txn markers, recenter gating,
+    # writer locks, doclens compaction flag) — so the rest of the window
+    # goes to stale-evidence rotation. After this window the registry
+    # staleness floor becomes r12 (plus the 4 r11 leftovers below).
+    "bm25_prf_serve",
     "sliding_event_stats",
     "sql_front_door_q",
     "tfidf_top_terms",
-    # --- tail: fresher rows, staleness-ordered (r11 first, then r12,
-    # then r13 = the r13 window), fall out harmlessly ---------------------
-    "bpe_contraction_parity",
-    "knn_label_noise_ivf",
-    "bpe_byte_token_count",
     "ann_brute_force",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
     "ann_lsh_topk",
     "ann_sq8_topk",
     "bigram_lm",
+    "bpe_byte_token_count",
+    "bpe_contraction_parity",
     "contamination_report",
     "decontaminate_docs",
     "dedup_embedding",
@@ -157,6 +105,7 @@ _PRIORITY = [
     "gopher_quality",
     "grouping_sets_revenue",
     "hard_negatives",
+    "knn_label_noise_ivf",
     "label_centroid_outliers",
     "mad_outliers_by_type",
     "median_value_by_type",
@@ -179,10 +128,14 @@ _PRIORITY = [
     "text_quality",
     "text_repetition",
     "text_token_counts",
+    # --- front of the r16 window: the 4 r11-era rows the 50-slot budget
+    # could not fit (test_registry pins this allocation) ------------------
     "token_apportionment",
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
+    # --- tail: fresher rows, staleness-ordered (r12 first, then r13,
+    # then r14 = the r14 window), fall out harmlessly ---------------------
     "ann_ivf_list_skew",
     "hybrid_rrf_topk",
     "kn_lm_score",
@@ -283,6 +236,56 @@ _PRIORITY = [
     "q2_cheapest_part_per_type",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "raco_front_door_q",
+    "repeat_customers_96_97",
+    "small_quantity_revenue",
+    "status_except_all",
+    "suppliers_without_recent_sales",
+    "text_replace_map",
+    "unpivot_order_measures",
+    "url_canonicalize",
+    "url_dedup",
+    "bm25_maintenance_cycle",
+    "bm25_prf_topk",
+    "ann_ivfpq_res_recall",
+    "ann_ivfpq_res_topk",
+    "ann_probe_sweep",
+    "customer_merge_upsert",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_representatives",
+    "dedup_lsh_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_rate_by_source",
+    "embedding_gram",
+    "event_funnel",
+    "events_daily_pivot",
+    "events_daily_users",
+    "events_dow_hour_heatmap",
+    "events_json_stats",
+    "forward_fill_hourly",
+    "fuzzy_part_pairs",
+    "lara_matmul_event_gram",
+    "lara_union_max",
+    "lara_union_revenue",
+    "lara_wordcount",
+    "lara_wordcount_py",
+    "orders_quality_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "revenue_share_by_nation",
+    "rollup_returns",
+    "running_customer_totals",
+    "scd2_customer_segments",
+    "sensor_covariance_events",
+    "session_window_stats",
+    "sessionize_events",
 ]
 
 

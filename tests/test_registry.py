@@ -23,36 +23,35 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # r14: the 11 r9-era rows r13 pinned to this window's front...
-        "q8_market_share", "q9_profit_by_nation_year", "raco_front_door_q",
-        "repeat_customers_96_97", "small_quantity_revenue",
-        "status_except_all", "suppliers_without_recent_sales",
-        "text_replace_map", "unpivot_order_measures", "url_canonicalize",
-        "url_dedup",
-        # ...the two r13-new queries with no driver row yet (ADVICE r13 #2)...
-        "bm25_maintenance_cycle", "bm25_prf_topk",
-        # ...plus 37 of the 40 rows whose freshest green row is r10-era
-        # (alphabetical; the remaining 3 lead the r15 window below)
-        "ann_ivfpq_res_recall", "ann_ivfpq_res_topk", "ann_probe_sweep",
-        "customer_merge_upsert", "customer_order_gaps",
-        "customers_without_orders", "dedup_components", "dedup_exact",
-        "dedup_keep_representatives", "dedup_lsh_jaccard",
-        "dedup_prefix_jaccard", "dedup_rate_by_source", "embedding_gram",
-        "event_funnel", "events_daily_pivot", "events_daily_users",
-        "events_dow_hour_heatmap", "events_json_stats", "forward_fill_hourly",
-        "fuzzy_part_pairs", "lara_matmul_event_gram", "lara_union_max",
-        "lara_union_revenue", "lara_wordcount", "lara_wordcount_py",
-        "orders_quality_report", "q1_pricing_summary", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier_volume",
-        "revenue_share_by_nation", "rollup_returns",
-        "running_customer_totals", "scd2_customer_segments",
-        "sensor_covariance_events", "session_window_stats",
-        "sessionize_events",
-    }
-    # r15 window front: the 3 r10-era rows the r14 budget could not fit
-    # (after r14, every other row is r11+; these rotate first next round).
-    next_window = {
+        # r15: the one registry query with no driver row yet (new in r14;
+        # VERDICT r14 #1)...
+        "bm25_prf_serve",
+        # ...the 3 r10-era rows r14 pinned to this window's front...
         "sliding_event_stats", "sql_front_door_q", "tfidf_top_terms",
+        # ...plus 46 of the 50 rows whose freshest green row is r11-era
+        # (alphabetical; the remaining 4 lead the r16 window below)
+        "ann_brute_force", "ann_ivf_topk", "ann_lsh_multiprobe",
+        "ann_lsh_topk", "ann_sq8_topk", "bigram_lm", "bpe_byte_token_count",
+        "bpe_contraction_parity", "contamination_report",
+        "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
+        "dsir_importance", "dup_span_census", "event_transitions",
+        "event_trigram_paths", "gopher_funnel", "gopher_quality",
+        "grouping_sets_revenue", "hard_negatives", "knn_label_noise_ivf",
+        "label_centroid_outliers", "mad_outliers_by_type",
+        "median_value_by_type", "mix_sources_counts", "moments_by_type",
+        "monthly_revenue_mom", "orders_segment_at_day", "pack_sequences_q",
+        "semantic_decon", "semantic_decon_fast", "semantic_dedup",
+        "semantic_dedup_fast", "span_source_matrix", "split_leakage",
+        "strip_dup_spans", "supplier_copart_triangles", "text_fingerprint",
+        "text_langid", "text_normalize", "text_quality", "text_repetition",
+        "text_token_counts",
+    }
+    # r16 window front: the 4 r11-era rows the r15 budget could not fit
+    # (after r15, every other row is r12+; these rotate first next round).
+    next_window = {
+        "token_apportionment", "topk_parts_per_brand",
+        "tumbling_event_stats", "user_retention_cohorts",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
