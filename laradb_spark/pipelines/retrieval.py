@@ -371,6 +371,17 @@ def bm25_append_index(
             "bm25_build_index first."
         )
 
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "bm25_append_index"):
+        _bm25_append_locked(docs, path, id_col, text_col, stream_marker)
+
+
+def _bm25_append_locked(docs, path, id_col, text_col, stream_marker):
+    import os
+    import shutil
+
+    spark = docs.sparkSession
     pend = f"{path}/_append_pending"
     if os.path.isdir(pend):
         if os.path.exists(f"{pend}/_STAGED_OK"):
@@ -440,7 +451,14 @@ def bm25_publish_pending_append(path: str) -> None:
     drop the pending dir. Every step is a move/rename/create of something
     whose absence or presence it tolerates, so the function is idempotent —
     after ANY crash mid-publish, calling it again completes the append
-    exactly once, markers included."""
+    exactly once, markers included.
+
+    Teardown order (ADVICE r14, same fix as ``txn.publish_pending_batch``):
+    ``_STAGED_OK`` is unlinked — one atomic remove — BEFORE the pending
+    dir is rmtree'd, because rmtree's removal order is unspecified and a
+    crash mid-rmtree could otherwise leave ``_STAGED_OK`` without the
+    staged subdirs it vouches for. After the unlink everything is live,
+    so a retry's "no completed stage" error means the publish COMPLETED."""
     import os
     import shutil
 
@@ -448,8 +466,9 @@ def bm25_publish_pending_append(path: str) -> None:
     if not os.path.exists(f"{pend}/_STAGED_OK"):
         raise RuntimeError(
             "bm25_publish_pending_append: no completed stage at "
-            f"{pend}; nothing to publish (an un-marked pending dir is an "
-            "aborted stage — re-run bm25_append_index)."
+            f"{pend}; nothing to publish (an un-marked pending dir is "
+            "either an aborted stage — re-run bm25_append_index — or the "
+            "husk of a publish that already completed)."
         )
     staged_postings = f"{pend}/postings"
     if os.path.isdir(staged_postings):
@@ -498,6 +517,7 @@ def bm25_publish_pending_append(path: str) -> None:
         os.makedirs(applied, exist_ok=True)
         for fname in sorted(os.listdir(markers)):
             open(os.path.join(applied, fname), "w").close()
+    os.remove(f"{pend}/_STAGED_OK")  # atomic: data + markers are live
     shutil.rmtree(pend)
 
 

@@ -270,6 +270,21 @@ def compact_token_shards(
     import os
     import shutil
 
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(shards_path, "compact_token_shards"):
+        return _compact_token_shards_locked(
+            spark, shards_path, committed_batch_id, target_bytes
+        )
+
+
+def _compact_token_shards_locked(
+    spark, shards_path: str, committed_batch_id: int, target_bytes: int
+) -> dict:
+    import math
+    import os
+    import shutil
+
     # settle any crashed previous publish BEFORE computing eligibility —
     # otherwise hidden sources would be invisible to batch_dirs() and a
     # fresh compaction could reuse the pending segment id

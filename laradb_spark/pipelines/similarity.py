@@ -1225,7 +1225,10 @@ def ivf_append_index(
     )
     if meta is not None:
         assigned = assigned.join(meta, on="neighbor_id")
-    assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "ivf_append_index"):
+        assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
 
 
 def ivf_recenter_index(
@@ -1250,36 +1253,54 @@ def ivf_recenter_index(
     (r14 — the old ``rmtree(cur); rename(new, cur)`` had a crash window
     that LOST the live table, and a crash between the corpus and
     centroid swaps left a new corpus paired with old centroids:
-    inconsistent assignments). Both ``._new`` tables are verified before
-    the first rename, so after ANY crash mid-swap
-    :func:`ivf_finish_recenter` completes it — swap in whatever ``._new``
-    remains, sweep the asides — idempotently. Local-filesystem moves via
-    ``os``/``shutil`` — 1:1 with the Hadoop FileSystem API on a cluster.
+    inconsistent assignments). A ``{path}/_RECENTER_OK`` marker lands
+    only AFTER both ``._new`` tables verify (ADVICE r14): the marker is
+    what licenses the swap, so :func:`ivf_finish_recenter` after a crash
+    DURING the heavy ``._new`` writes — when the staged tables are
+    partial and unverified — discards them instead of installing them
+    over the good live corpus; after a crash mid-swap (marker present)
+    it completes the swap idempotently. The whole op holds the index
+    root's ``_WRITER_LOCK`` (``txn.writer_lock``, VERDICT r14 #5).
+    Local-filesystem moves via ``os``/``shutil`` — 1:1 with the Hadoop
+    FileSystem API on a cluster.
     Returns ``{rows, n_centroids_before, n_centroids_after}``."""
     import os
     import shutil
 
-    corpus = spark.read.parquet(f"{path}/corpus").select("neighbor_id", "cvec")
-    k_before = spark.read.parquet(f"{path}/centroids").count()
-    n_rows = corpus.count()
-    if n_centroids is None:
-        import math
+    from ..streaming.txn import writer_lock
 
-        n_centroids = max(16, math.isqrt(max(n_rows - 1, 0)) + 1)
-    c = fan_out(corpus, CPU_HEAVY)
-    cents = _train_centroids(c, n_centroids, lloyd_iters)
-    new_corpus, new_cents = f"{path}/corpus._new", f"{path}/centroids._new"
-    _assign_auto(c, cents).write.partitionBy("cid").mode("overwrite").parquet(new_corpus)
-    cents.write.mode("overwrite").parquet(new_cents)
-    got = spark.read.parquet(new_corpus).count()
-    if got != n_rows:  # pragma: no cover - defense against a writer bug
-        shutil.rmtree(new_corpus, ignore_errors=True)
-        shutil.rmtree(new_cents, ignore_errors=True)
-        raise RuntimeError(
-            f"recenter verification failed: {got} rows written != {n_rows} read; "
-            "index left untouched"
+    with writer_lock(path, "ivf_recenter_index"):
+        # a crashed previous recenter leaves either unverified ._new husks
+        # (no marker — discard) or a verified half-swap (marker — finish);
+        # settle it before reading the corpus so we read a consistent live
+        # layout
+        ivf_finish_recenter(path)
+        corpus = spark.read.parquet(f"{path}/corpus").select("neighbor_id", "cvec")
+        k_before = spark.read.parquet(f"{path}/centroids").count()
+        n_rows = corpus.count()
+        if n_centroids is None:
+            import math
+
+            n_centroids = max(16, math.isqrt(max(n_rows - 1, 0)) + 1)
+        c = fan_out(corpus, CPU_HEAVY)
+        cents = _train_centroids(c, n_centroids, lloyd_iters)
+        new_corpus, new_cents = f"{path}/corpus._new", f"{path}/centroids._new"
+        _assign_auto(c, cents).write.partitionBy("cid").mode("overwrite").parquet(
+            new_corpus
         )
-    ivf_finish_recenter(path)
+        cents.write.mode("overwrite").parquet(new_cents)
+        got = spark.read.parquet(new_corpus).count()
+        if got != n_rows:  # pragma: no cover - defense against a writer bug
+            shutil.rmtree(new_corpus, ignore_errors=True)
+            shutil.rmtree(new_cents, ignore_errors=True)
+            raise RuntimeError(
+                f"recenter verification failed: {got} rows written != {n_rows} "
+                "read; index left untouched"
+            )
+        # verified → license the swap. From here ivf_finish_recenter
+        # completes it after ANY crash.
+        open(f"{path}/_RECENTER_OK", "w").close()
+        ivf_finish_recenter(path)
     return {
         "rows": int(n_rows),
         "n_centroids_before": int(k_before),
@@ -1287,19 +1308,36 @@ def ivf_recenter_index(
     }
 
 
-def ivf_finish_recenter(path: str) -> None:
-    """Complete an :func:`ivf_recenter_index` swap after ANY crash — and
-    the swap :func:`ivf_recenter_index` itself runs (one definition).
-    Both ``._new`` tables were verified BEFORE the first rename, so
-    recovery is unconditional: for each of corpus/centroids, if a
-    ``._new`` sibling exists, rename the live table aside, swap the new
-    one in, and sweep the aside; a table whose ``._new`` is already gone
-    was swapped before the crash and only needs its aside swept.
-    Idempotent — re-running after a crash inside THIS function also
-    lands the same end state."""
+def ivf_finish_recenter(path: str) -> bool:
+    """Settle a crashed :func:`ivf_recenter_index` — and run the swap
+    recenter itself performs (one definition). Marker-gated (ADVICE
+    r14): ``{path}/_RECENTER_OK`` lands only after BOTH ``._new`` tables
+    verified, so
+
+    - marker present → the staged tables are verified-complete: for each
+      of corpus/centroids, if a ``._new`` sibling exists, rename the
+      live table aside, swap the new one in, and sweep the aside (a
+      table whose ``._new`` is already gone was swapped before the
+      crash and only needs its aside swept); the marker is removed LAST,
+      after the layout is clean. Returns True.
+    - marker absent → the crash happened DURING the ``._new`` writes:
+      the staged tables are partial/unverified (or one of the pair never
+      landed), and installing them would lose the good live corpus or
+      pair a new corpus with old centroids. Discard the ``._new`` husks,
+      leave the live layout untouched, return False — re-run
+      ``ivf_recenter_index`` to retrain.
+
+    Idempotent — re-running after a crash inside THIS function lands the
+    same end state (a crash after the aside sweeps but before the marker
+    unlink re-enters the marker-present path with nothing left to do)."""
     import os
     import shutil
 
+    marker = f"{path}/_RECENTER_OK"
+    if not os.path.exists(marker):
+        for name in ("corpus", "centroids"):
+            shutil.rmtree(f"{path}/{name}._new", ignore_errors=True)
+        return False
     for name in ("corpus", "centroids"):
         cur = f"{path}/{name}"
         new = f"{cur}._new"
@@ -1312,6 +1350,8 @@ def ivf_finish_recenter(path: str) -> None:
             # rename-aside and this swap; the new table still lands
             os.rename(new, cur)
         shutil.rmtree(aside, ignore_errors=True)
+    os.remove(marker)
+    return True
 
 
 def ivf_search_index(
@@ -2979,6 +3019,7 @@ def compact_partitioned_layout(
     part_col: str = "cid",
     target_bytes: int = 128 << 20,
     min_files: int = 2,
+    lock_root: "str | None" = None,
 ) -> dict:
     """The partition-column-agnostic compaction body behind
     ``ivf_compact_index`` (and ``retrieval.bm25_compact_index``, whose
@@ -2986,7 +3027,36 @@ def compact_partitioned_layout(
     scratch-write → per-partition row-count + order-insensitive xxhash64
     fingerprint verification → per-directory swap discipline; the
     ``lists_compacted`` key counts partition directories whatever the
-    column is named."""
+    column is named.
+
+    ``lock_root`` is where the single-writer ``_WRITER_LOCK`` is taken
+    (VERDICT r14 #5) — the INDEX root, default ``dirname(root)``, so a
+    compaction of ``{index}/corpus`` or ``{index}/postings`` excludes
+    the appenders/recenterers that lock ``{index}`` itself."""
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import DataFrame
+
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(
+        lock_root or os.path.dirname(os.path.abspath(root)),
+        "compact_partitioned_layout",
+    ):
+        return _compact_partitioned_locked(
+            spark, root, part_col, target_bytes, min_files
+        )
+
+
+def _compact_partitioned_locked(
+    spark,
+    root: str,
+    part_col: str,
+    target_bytes: int,
+    min_files: int,
+) -> dict:
     import math
     import os
     import shutil

@@ -472,6 +472,12 @@ def bm25_index_stream(
     applied_dir = os.path.join(index_path, "_stream_applied")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from .txn import (
+            _is_published_leftover,
+            sweep_applied_markers,
+            writer_lock,
+        )
+
         if batch_df.isEmpty():
             return
         name = f"batch_{int(batch_id)}"
@@ -480,27 +486,39 @@ def bm25_index_stream(
         pend = f"{index_path}/_append_pending"
         if os.path.exists(f"{pend}/_STAGED_OK"):
             if not os.path.exists(f"{pend}/_markers/{name}"):
-                raise RuntimeError(
-                    "bm25_index_stream: found a completed pending stage at "
-                    f"{pend} that does NOT belong to this micro-batch "
-                    f"({name}) — a manual bm25_append_index crashed "
-                    "mid-publish before the stream ran. Publishing it here "
-                    "would mark this batch applied without appending its "
-                    "data. Run bm25_publish_pending_append(index_path) "
-                    "first, then restart the stream."
-                )
-            # this batch's previous attempt crashed mid-publish: finish it
-            # (the publish lands the staged marker with the data — fused
-            # commit point, so no separate marker write can be lost)
-            bm25_publish_pending_append(index_path)
-        else:
-            bm25_append_index(
-                batch_df,
-                index_path,
-                id_col=id_col,
-                text_col=text_col,
-                stream_marker=name,
-            )
+                if _is_published_leftover(index_path, pend):
+                    # an earlier batch's data AND markers are already live;
+                    # only the pending-dir teardown crashed (ADVICE r14) —
+                    # finish it and continue with THIS batch's append
+                    with writer_lock(index_path, "bm25_index_stream"):
+                        bm25_publish_pending_append(index_path)
+                else:
+                    raise RuntimeError(
+                        "bm25_index_stream: found a completed pending stage "
+                        f"at {pend} that does NOT belong to this micro-batch "
+                        f"({name}) — a manual bm25_append_index crashed "
+                        "mid-publish before the stream ran. Publishing it "
+                        "here would mark this batch applied without "
+                        "appending its data. Run "
+                        "bm25_publish_pending_append(index_path) first, "
+                        "then restart the stream."
+                    )
+            else:
+                # this batch's previous attempt crashed mid-publish: finish
+                # it (the publish lands the staged marker with the data —
+                # fused commit point, so no separate marker write is lost)
+                with writer_lock(index_path, "bm25_index_stream"):
+                    bm25_publish_pending_append(index_path)
+                sweep_applied_markers(index_path, batch_id)
+                return
+        bm25_append_index(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            stream_marker=name,
+        )
+        sweep_applied_markers(index_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_apply)
