@@ -526,6 +526,7 @@ def bm25_compact_index(
     path: str,
     target_bytes: int = 128 << 20,
     min_files: int = 2,
+    include_doclens: bool = False,
 ) -> dict:
     """Small-files maintenance for an appended ``bm25_build_index`` layout
     (VERDICT r12 #7): every append adds one-or-more small parquet files to
@@ -536,19 +537,33 @@ def bm25_compact_index(
     write, per-bucket row-count + order-insensitive xxhash64 fingerprint
     verification BEFORE any source directory is touched, rename-aside
     swap), just partitioned by ``bucket`` instead of ``cid``. The
-    ``doclens`` table also accretes append files but sits off the serving
-    path (corpus-level reporting only), so it is left alone. Returns the
-    compaction report dict ({lists_compacted, files_before, files_after,
-    rows})."""
-    from .similarity import compact_partitioned_layout
+    ``doclens`` table also accretes append files; it sits off the serving
+    path (corpus-level reporting only), so compacting it is opt-in via
+    ``include_doclens=True`` (VERDICT r13 #6 / r14 #3 — the default stays
+    False so the postings-only report shape is byte-stable for existing
+    callers): the flat-directory variant of the same verified discipline
+    (``similarity.compact_flat_layout``), reported under a ``doclens``
+    key. Returns the compaction report dict ({lists_compacted,
+    files_before, files_after, rows[, doclens]})."""
+    from .similarity import compact_flat_layout, compact_partitioned_layout
 
-    return compact_partitioned_layout(
+    report = compact_partitioned_layout(
         spark,
         f"{path}/postings",
         part_col="bucket",
         target_bytes=target_bytes,
         min_files=min_files,
+        lock_root=path,
     )
+    if include_doclens:
+        report["doclens"] = compact_flat_layout(
+            spark,
+            f"{path}/doclens",
+            target_bytes=target_bytes,
+            min_files=min_files,
+            lock_root=path,
+        )
+    return report
 
 
 BM25_INLIST_MAX_TERMS = 5000  # IN-list → broadcast-join prune crossover

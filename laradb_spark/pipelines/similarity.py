@@ -3173,3 +3173,89 @@ def _compact_partitioned_locked(
         "files_after": files_after,
         "rows": rows,
     }
+
+
+def compact_flat_layout(
+    spark,
+    root: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+    lock_root: "str | None" = None,
+) -> dict:
+    """The UNPARTITIONED sibling of :func:`compact_partitioned_layout`
+    (VERDICT r13 #6 / r14 #3): merge a flat parquet directory's
+    append-accreted small files down to ⌈bytes/target_bytes⌉ — the
+    ``bm25_build_index`` ``doclens`` table is the motivating case
+    (thousands of streamed appends each add a file; it sits off the
+    serving path but corpus reporting pays the listing storm). Same
+    safety discipline: the compacted copy is written to a scratch dir
+    and VERIFIED (row count + order-insensitive xxhash64 over every
+    column) against the source BEFORE the source is touched; the swap is
+    rename-aside (source survives any failed move); the writer lock is
+    taken at ``lock_root`` (default ``dirname(root)`` — the index root)
+    so it excludes the appenders. Returns ``{files_before, files_after,
+    rows}`` (``files_after == files_before`` means nothing to do)."""
+    import os
+
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(
+        lock_root or os.path.dirname(os.path.abspath(root)), "compact_flat_layout"
+    ):
+        return _compact_flat_locked(spark, root, target_bytes, min_files)
+
+
+def _compact_flat_locked(spark, root: str, target_bytes: int, min_files: int) -> dict:
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(root)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    if len(files) < min_files:
+        return {"files_before": len(files), "files_after": len(files), "rows": 0}
+    src = spark.read.parquet(root)
+    cols = sorted(src.columns)
+
+    def fingerprint(df):
+        r = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    want = fingerprint(src)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / max(1, target_bytes)))
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(root)),
+        f"_{os.path.basename(root)}_compact_tmp",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    # full-shuffle repartition, not coalesce: even-sized output files at
+    # any scale (coalesce concatenates input partitions and inherits
+    # their skew), and the table being compacted is the job's whole input
+    src.repartition(n_out).write.mode("overwrite").parquet(scratch)
+    if fingerprint(spark.read.parquet(scratch)) != want:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            "compact_flat_layout: compacted copy failed row-identity "
+            "verification; layout left untouched"
+        )
+    aside = root + "._old"
+    shutil.rmtree(aside, ignore_errors=True)
+    os.rename(root, aside)
+    os.rename(scratch, root)
+    shutil.rmtree(aside)
+    files_after = sum(
+        1 for _dp, _dn, fns in os.walk(root) for f in fns if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "rows": int(want[0]),
+    }

@@ -1204,13 +1204,31 @@ def test_bm25_compact_index_preserves_results(spark, tmp_path, sf_dir):
         )
 
     before = nfiles(f"{a}/postings")
-    report = bm25_compact_index(spark, a)
+    dl_before_files = nfiles(f"{a}/doclens")
+    dl_before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{a}/doclens").collect())
+    )
+    report = bm25_compact_index(spark, a, include_doclens=True)
     after = nfiles(f"{a}/postings")
     assert report["lists_compacted"] > 0 and report["files_before"] > report["files_after"]
     assert after < before
+    # r15 (VERDICT r14 #3): doclens folds in behind the flag — file count
+    # drops, corpus reporting (the rows themselves) is unchanged
+    assert dl_before_files >= 3  # one per build/append — the storm source
+    assert report["doclens"]["files_before"] == dl_before_files
+    assert report["doclens"]["files_after"] < dl_before_files
+    assert nfiles(f"{a}/doclens") == report["doclens"]["files_after"]
+    dl_after_rows = sorted(
+        map(tuple, spark.read.parquet(f"{a}/doclens").collect())
+    )
+    assert dl_after_rows == dl_before_rows
+    assert report["doclens"]["rows"] == len(dl_before_rows)
     got = sorted(map(tuple, bm25_search_index(spark, a, queries, k=5).collect()))
     want = sorted(map(tuple, bm25_search_index(spark, b, queries, k=5).collect()))
     assert got == want and len(got) > 0
+    # default call shape is byte-stable: no doclens key, doclens untouched
+    report2 = bm25_compact_index(spark, a)
+    assert "doclens" not in report2
 
 
 def test_time_weighted_avg_random_series_property(spark):
