@@ -1122,6 +1122,53 @@ def test_bm25_prf_search_index_after_append(spark, tmp_path, sf_dir):
     assert got == inline and len(got) > 0
 
 
+def test_bm25_doc_tf_mirror_and_prf_fallback(spark, tmp_path, sf_dir):
+    """r15 (VERDICT r14 #4): the doc-major ``doc_tf`` mirror. (a) The
+    mirror's rows are exactly the postings' (id, term, tf) across
+    build + append — the feedback fetch reads the same term vectors it
+    used to scan the full postings for. (b) The driver-side dbucket twin
+    matches Spark's partition values for every id (the pruning
+    contract). (c) A layout stripped of the mirror takes the documented
+    full-scan fallback and returns IDENTICAL PRF results."""
+    import os
+    import shutil
+
+    from laradb_spark.pipelines.retrieval import (
+        _dbucket_of,
+        bm25_append_index,
+        bm25_build_index,
+        bm25_prf_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "hash join"), (2, "stream window agg")]
+    idx = str(tmp_path / "mirror_idx")
+    bm25_build_index(docs.filter(F.col("doc_id") % 3 < 2), idx)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), idx)
+
+    mirror = spark.read.parquet(f"{idx}/doc_tf")
+    post = spark.read.parquet(f"{idx}/postings")
+    got = sorted(map(tuple, mirror.select("id", "term", "tf").collect()))
+    want = sorted(map(tuple, post.select("id", "term", "tf").collect()))
+    assert got == want and len(got) > 0
+    for r in mirror.select("id", "dbucket").distinct().collect():
+        assert _dbucket_of(r["id"]) == r["dbucket"]
+
+    with_mirror = sorted(
+        map(tuple, bm25_prf_search_index(spark, idx, queries, k=5).collect())
+    )
+    shutil.rmtree(f"{idx}/doc_tf")
+    assert not os.path.isdir(f"{idx}/doc_tf")
+    fallback = sorted(
+        map(tuple, bm25_prf_search_index(spark, idx, queries, k=5).collect())
+    )
+    assert fallback == with_mirror and len(fallback) > 0
+    # and an append onto the mirror-less layout stays mirror-less
+    # (all-or-nothing per layout — no half-mirror truncation)
+    bm25_append_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    assert not os.path.isdir(f"{idx}/doc_tf")
+
+
 def test_bm25_prf_search_index_refuses_legacy_layout(spark, tmp_path, sf_dir):
     """The PRF twin needs the denormalized dl in the postings; on a pre-dl
     layout it must refuse up front (the append's schema-guard discipline),
