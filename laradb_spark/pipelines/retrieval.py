@@ -760,12 +760,16 @@ def bm25_prf_topk(
         .filter(F.col("_r") <= fb_docs)
         .select("query_id", F.col(id_col).alias("id"))
     )
-    # heaviest non-query terms across each query's feedback docs
+    # heaviest non-query terms across each query's feedback docs. The
+    # anti-join's right side is the driver-built query-terms frame —
+    # broadcast it (r15: the extended plan audit caught this pair as the
+    # only SortMergeJoins in the PRF plans; a human-sized frame must
+    # never be the sort-merge side of a corpus-derived join)
     exp = (
         tf.join(F.broadcast(fb), on="id")
         .groupBy("query_id", "term")
         .agg(F.sum("tf").alias("tfsum"))
-        .join(q, on=["query_id", "term"], how="left_anti")
+        .join(F.broadcast(q), on=["query_id", "term"], how="left_anti")
     )
     # exp is (queries × feedback-doc vocabulary)-bounded — fb_docs docs'
     # distinct terms per query, never corpus-sized — so a plain per-query
@@ -889,7 +893,11 @@ def bm25_prf_search_index(
         .groupBy("query_id", "term")
         .agg(F.sum("tf").alias("tfsum"))
         .join(
-            q1.select("query_id", "term"), on=["query_id", "term"], how="left_anti"
+            # broadcast: q1 is the driver-built query-terms frame (r15 —
+            # same SortMergeJoin catch as the inline twin)
+            F.broadcast(q1.select("query_id", "term")),
+            on=["query_id", "term"],
+            how="left_anti",
         )
     )
     from pyspark.sql import Window

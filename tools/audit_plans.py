@@ -1,8 +1,17 @@
 #!/usr/bin/env python
-"""Dump the formatted physical plan of every headline query at the bench
-SF into PLANS.md — the ".explain and iterate" discipline, persisted so a
+"""Dump the formatted physical plan of every headline query — plus the
+heavy registry-only queries (VERDICT r13 #4 / r14 #2) — at the bench SF
+into PLANS.md: the ".explain and iterate" discipline, persisted so a
 reviewer can read what actually executes (pushdown, broadcasts, exchange
 counts) without running anything.
+
+Lifecycle queries (``*_maintenance_cycle``, ``token_shard_stats``, ...)
+return driver-collected bounded rows, so their RETURNED frame is a
+LocalTableScan with no plan to audit; the table flags those ``local``.
+Their hot serving paths are audited directly instead: the tool builds a
+maintained (build → append → compact → recenter) BM25 + IVF layout in a
+scratch dir and dumps the probe plans over it (``*_maintained``
+entries), which is exactly what the cycle queries execute internally.
 
 Usage: python tools/audit_plans.py [--sf-dir DIR]
 """
@@ -14,6 +23,66 @@ import re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# registry-only queries heavy enough to deserve recurring plan audit
+# (they never appear in bench.HEADLINE, so before r15 a plan regression
+# here was only caught late by the test sweep)
+HEAVY_REGISTRY = [
+    "bm25_prf_topk",
+    "bm25_prf_serve",
+    "bm25_maintenance_cycle",
+    "ivf_maintenance_cycle",
+    "token_shard_stats",
+    "fuzzy_cross_batch",
+    "wordpiece_stats",
+    "unigram_stats",
+    "bpe_token_count_auto",
+]
+
+
+def _maintained_entries(spark, sf_dir: str) -> dict:
+    """Serving probes over a MAINTAINED stored layout (the lifecycle
+    queries' hot paths): build 2/3, append 1/3, compact; recenter the
+    IVF. Indexes land in a scratch dir — this is a plan dump, no
+    timing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from laradb_spark.pipelines import retrieval as rt
+    from laradb_spark.pipelines import similarity as sim
+    from laradb_spark.workloads import load
+    from laradb_spark.workloads.pipelines_q import BM25_QUERIES
+
+    root = tempfile.mkdtemp(prefix="audit_maint_")
+    bm, iv = f"{root}/bm25", f"{root}/ivf"
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    rt.bm25_build_index(docs.filter(F.col("doc_id") % 3 < 2), bm)
+    rt.bm25_append_index(docs.filter(F.col("doc_id") % 3 == 2), bm)
+    rt.bm25_compact_index(spark, bm, include_doclens=True)
+    sim.ivf_build_index(emb.filter(F.col("vec_id") % 3 < 2), iv, n_centroids=16)
+    sim.ivf_append_index(emb.filter(F.col("vec_id") % 3 == 2), iv)
+    sim.ivf_compact_index(spark, iv)
+    sim.ivf_recenter_index(spark, iv, lloyd_iters=2)
+
+    def bm25_serve_maintained(spark, sf_dir):
+        return rt.bm25_search_index(spark, bm, BM25_QUERIES, k=10)
+
+    def bm25_prf_serve_maintained(spark, sf_dir):
+        return rt.bm25_prf_search_index(spark, bm, BM25_QUERIES, k=10)
+
+    def ivf_serve_maintained(spark, sf_dir):
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.ivf_search_index(spark, iv, q, n_probe=4, k=5)
+
+    return {
+        "bm25_serve_maintained": bm25_serve_maintained,
+        "bm25_prf_serve_maintained": bm25_prf_serve_maintained,
+        "ivf_serve_maintained": ivf_serve_maintained,
+    }
 
 
 def main() -> None:
@@ -31,10 +100,17 @@ def main() -> None:
     # the bench-only stored-index serving twins (indexes built once here,
     # outside any timing — this is a plan dump, not a benchmark)
     qs.update(_serve_entries(spark, [args.sf_dir]))
+    maintained = _maintained_entries(spark, args.sf_dir)
+    qs.update(maintained)
+
+    audit_list = list(HEADLINE)
+    for name in HEAVY_REGISTRY + sorted(maintained):
+        if name not in audit_list:
+            audit_list.append(name)
 
     sections = []
     summary = []
-    for name in HEADLINE:
+    for name in audit_list:
         df = qs[name](spark, args.sf_dir)
         # Materialize once first: queries that persist() a shared subtree
         # (e.g. the covariance pipeline's X) otherwise display the subtree
@@ -48,8 +124,15 @@ def main() -> None:
         n_cache = plan.count("InMemoryTableScan")
         cartesian = "CartesianProduct" in plan
         pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        # a bounded driver-collected result (the lifecycle queries): the
+        # returned frame is a LocalTableScan — nothing distributed left
+        # to audit here; its serving path appears as a *_maintained row
+        local = n_exchange == 0 and (
+            "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+        )
         summary.append(
-            f"| {name} | {n_exchange}{'*' if n_cache else ''} | {n_bhj} | {n_smj} | "
+            f"| {name}{' (local)' if local else ''} | "
+            f"{n_exchange}{'*' if n_cache else ''} | {n_bhj} | {n_smj} | "
             f"{n_cache} | {'yes' if pushed else '—'} | {'⚠️ YES' if cartesian else 'no'} |"
         )
         # keep plans readable: strip the verbose ReadSchema/Location lines tail
@@ -66,8 +149,11 @@ def main() -> None:
     except Exception:
         sha = "unknown"
     header = (
-        "# PLANS — physical plans of the headline queries "
+        "# PLANS — physical plans of the headline + heavy registry queries "
         f"(auto-generated by tools/audit_plans.py at {args.sf_dir}, git {sha})\n\n"
+        "`(local)` rows return bounded driver-collected results (lifecycle "
+        "reports); their distributed serving paths are the `*_maintained` "
+        "rows.\n\n"
         "| query | exchanges | broadcast joins | sort-merge joins | cache reuse | pushdown | cartesian |\n"
         "|---|---|---|---|---|---|---|\n"
         + "\n".join(summary)
