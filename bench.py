@@ -133,6 +133,13 @@ HEADLINE = [
     # integer fusion — the steady-state cost the inline twin's training
     # noise would hide; the pq/ivfpq serve-entry precedent)
     "hybrid_serve",
+    # round-15: the PRF stored-index steady-state twin (VERDICT r14 #4):
+    # the registry's bm25_prf_serve necessarily builds its index inline
+    # (the oracle replays the build), so ITS time is build-dominated;
+    # this entry probes the same bm25_prf_search_index against the
+    # session-prebuilt layout — two bucket-pruned passes + the
+    # dbucket-pruned doc_tf feedback fetch, no build
+    "bm25_prf_serve_steady",
     "kn_lm_score",
     "wordpiece_stats",
     # and the Unigram-LM Viterbi kernel (per-word DP — the costliest of
@@ -205,6 +212,14 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
             dim=EMB_DIM, n_probe=4, k=TOP_K,
         )
 
+    def bm25_prf_serve_steady(spark, sf_dir):
+        from laradb_spark.pipelines import retrieval as rt
+        from laradb_spark.workloads.pipelines_q import BM25_QUERIES
+
+        return rt.bm25_prf_search_index(
+            spark, paths[("bm25", sf_dir)], BM25_QUERIES, k=TOP_K
+        )
+
     def hybrid_serve(spark, sf_dir):
         from laradb_spark.pipelines import retrieval as rt
         from laradb_spark.workloads.pipelines_q import (
@@ -230,6 +245,7 @@ def _serve_entries(spark, sf_dirs: list) -> dict:
         "ann_ivfpq_serve": ivfpq_serve,
         "ann_ivfpq_res_serve": ivfpq_res_serve,
         "hybrid_serve": hybrid_serve,
+        "bm25_prf_serve_steady": bm25_prf_serve_steady,
     }
 
 

@@ -61,9 +61,14 @@ PROBE_ANNOTATIONS = {
     "bm25_prf_serve": (
         "RM3 pseudo-relevance feedback off a stored index, built INLINE "
         "so the driver oracle can replay it (r14) — index build dominates "
-        "like bm25_maintenance_cycle; the PRF-specific scale term is the "
-        "bounded feedback fetch (one broadcast semi-join over postings) "
-        "between the two bucket-pruned scoring probes"
+        "like bm25_maintenance_cycle; the steady-state serving cost is "
+        "the separate bm25_prf_serve_steady probe entry (r15)"
+    ),
+    "bm25_prf_serve_steady": (
+        "RM3 PRF against the PREBUILT index (r15, VERDICT r14 #4): two "
+        "bucket-pruned scoring probes + the dbucket-pruned doc_tf "
+        "feedback fetch — the true steady-state growth, with the build "
+        "outside the timing"
     ),
 }
 
@@ -129,6 +134,7 @@ def main() -> None:
     wanted = set(args.queries.split(","))
     serve_names = {
         "ann_pq_serve", "ann_ivfpq_serve", "ann_ivfpq_res_serve", "hybrid_serve",
+        "bm25_prf_serve_steady",
     }
     if serve_names & wanted:
         # stored-index SERVING twins: indexes build once here (outside any
