@@ -1277,10 +1277,13 @@ def minhash_index_update(
     this because it stages the whole micro-batch itself."""
     sigs = minhash_signatures(df, n, id_col, text_col, num_perm)
     if not staged:
-        sigs.write.mode("append").parquet(f"{path}/sigs")
-        bands_of_signatures(sigs, num_perm, bands).write.mode("append").parquet(
-            f"{path}/bands"
-        )
+        from ..streaming.txn import writer_lock
+
+        with writer_lock(path, "minhash_index_update"):
+            sigs.write.mode("append").parquet(f"{path}/sigs")
+            bands_of_signatures(sigs, num_perm, bands).write.mode("append").parquet(
+                f"{path}/bands"
+            )
         return
     from ..streaming.txn import staged_batch_publish
 

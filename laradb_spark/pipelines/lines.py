@@ -246,15 +246,19 @@ def line_index_update(
     """Append one shard's per-line-hash counts to a stored line index
     (``mode='append'`` twin of :func:`line_index_build`). ``lines``
     optionally supplies a pre-built (often pre-persisted)
-    :func:`line_stream` to avoid re-exploding ``df``."""
-    (
-        (lines if lines is not None else _line_stream(df, text, id_col))
-        .filter(F.col("line") != "")
-        .groupBy(F.col("_h").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .write.mode("append")
-        .parquet(path)
-    )
+    :func:`line_stream` to avoid re-exploding ``df``. Holds the index's
+    single-writer lock like every index mutator (r15)."""
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "line_index_update"):
+        (
+            (lines if lines is not None else _line_stream(df, text, id_col))
+            .filter(F.col("line") != "")
+            .groupBy(F.col("_h").alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(path)
+        )
 
 
 def strip_indexed_lines(

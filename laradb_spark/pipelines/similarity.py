@@ -2478,7 +2478,10 @@ def ivfpq_append_index(
     if meta is not None:
         enc = enc.join(meta, on="neighbor_id")
     coded = assigned.join(enc, on="neighbor_id")
-    coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "ivfpq_append_index"):
+        coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
 
 def ivfpq_search_index(
@@ -2848,7 +2851,10 @@ def ivfpq_res_append_index(
     )
     if meta is not None:
         coded = coded.join(meta, on="neighbor_id")
-    coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "ivfpq_res_append_index"):
+        coded.write.partitionBy("cid").mode("append").parquet(f"{path}/codes")
 
 
 def ivfpq_res_search_index(

@@ -148,13 +148,17 @@ def url_index_build(df: DataFrame, path: str, url_col: str = "url") -> None:
 
 def url_index_update(df: DataFrame, path: str, url_col: str = "url") -> None:
     """Append one shard's distinct canonical-URL digests to a stored URL
-    index (``mode='append'`` twin of :func:`url_index_build`)."""
-    (
-        df.select(F.md5(canonical_url(F.col(url_col))).alias("digest"))
-        .distinct()
-        .write.mode("append")
-        .parquet(path)
-    )
+    index (``mode='append'`` twin of :func:`url_index_build`). Holds the
+    index's single-writer lock like every index mutator (r15)."""
+    from ..streaming.txn import writer_lock
+
+    with writer_lock(path, "url_index_update"):
+        (
+            df.select(F.md5(canonical_url(F.col(url_col))).alias("digest"))
+            .distinct()
+            .write.mode("append")
+            .parquet(path)
+        )
 
 
 def drop_seen_urls(df: DataFrame, index_path: str, url_col: str = "url") -> DataFrame:
