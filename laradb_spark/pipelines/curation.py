@@ -293,6 +293,74 @@ def decon_filter_indexed(
     return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
 
 
+def decon_filter_hashscreen(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """``decon_filter_indexed`` for benchmark batteries too big to
+    broadcast as STRINGS (r15): identical result — pinned by test and by
+    sharing the exact decontamination oracle — via a two-stage screen
+    that is the Spark-native shape of a Bloom pre-filter
+    (``bloom_filter_agg`` is not public SQL in this Spark, and any
+    sketch with false positives needs the same exact verify stage
+    anyway):
+
+    1. SCREEN — the stored gram set reduced to distinct ``xxhash64``
+       values (8 bytes/gram — roughly an order of magnitude smaller
+       than the gram strings a 5-gram averages) broadcasts into a
+       semi-join on the corpus gram stream. Survivors = true hits +
+       64-bit-collision noise (~|bench|·|corpus grams|/2⁶⁴ — vanishing,
+       but not provably zero, hence stage 2).
+    2. VERIFY — survivors (hit-rate-sized, carrying their gram strings)
+       join the stored grams on STRING equality. No broadcast needed:
+       the join is survivor-sized, so Catalyst/AQE picks a cheap
+       strategy either way, and the full string set never ships to
+       executors.
+
+    The contaminated-id set then anti-joins back exactly as in
+    ``decontaminate``. When the battery fits comfortably as a string
+    broadcast, plain ``decon_filter_indexed`` has one fewer stage — this
+    variant is the 100 TB path where the broadcast budget, not the scan,
+    is the binding constraint. ``n`` must match the build."""
+    return _hashscreen_anti_join(
+        corpus, spark.read.parquet(path), text, id_col, n
+    )
+
+
+def decontaminate_hashscreen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-to-frame twin of :func:`decon_filter_hashscreen` (the
+    ``decontaminate`` ↔ ``decon_filter_indexed`` relationship): same
+    two-stage hash screen + exact verify, benchmark supplied as a
+    DataFrame. Result is identical to :func:`decontaminate` — the screen
+    only reduces the stream the exact verify sees."""
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(text), n)).alias("_g")
+    ).distinct()
+    return _hashscreen_anti_join(corpus, bench_grams, text, id_col, n)
+
+
+def _hashscreen_anti_join(
+    corpus: DataFrame, bench_grams: DataFrame, text: str, id_col: str, n: int
+) -> DataFrame:
+    bench_h = bench_grams.select(F.xxhash64("_g").alias("_h")).distinct()
+    grams = fan_out(corpus).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text), n)).alias("_g")
+    ).withColumn("_h", F.xxhash64("_g"))
+    survivors = grams.join(F.broadcast(bench_h), on="_h", how="leftsemi")
+    hits = survivors.join(bench_grams, on="_g").select(id_col).distinct()
+    return corpus.join(F.broadcast(hits), on=id_col, how="left_anti")
+
+
 def hash_split(
     df: DataFrame,
     val_frac: float = 0.1,

@@ -1597,6 +1597,20 @@ WHERE doc_id % {_BENCH_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+def decon_hashscreen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the hash-prescreened decontamination twin — xxhash64 screen
+    (8-byte broadcast, the Spark-native Bloom shape) + exact string
+    verify on survivors. IDENTICAL kept set to decontaminate_docs by
+    construction (the screen only thins what the exact verify reads), so
+    it shares the exact decontamination oracle — a screen that dropped a
+    true hit or a verify that passed a hash collision both break the
+    value hash."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return cu.decontaminate_hashscreen(corpus, bench, n=5).select("doc_id")
+
+
 def decon_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate eval decontamination: the same benchmark slice as
     decontaminate_docs, but the drop rule is word-3-gram Jaccard ≥ 0.5
@@ -4943,6 +4957,7 @@ QUERIES = {
     "dedup_keep_representatives": (dedup_keep_representatives, DEDUP_KEEP_SQL),
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "decon_hashscreen": (decon_hashscreen_docs, DECONTAMINATE_SQL),
     "decon_fuzzy": (decon_fuzzy_docs, _decon_fuzzy_sql()),
     "fuzzy_cross_batch": (fuzzy_cross_batch_q, _fuzzy_cross_batch_sql()),
     "train_val_split_stats": (train_val_split_stats, HASH_SPLIT_SQL),

@@ -148,6 +148,27 @@ def test_decon_stored_index_matches_inline(spark, docs, tmp_path):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_decon_hashscreen_matches_exact(spark, docs, tmp_path):
+    """r15: the hash-prescreen (xxhash64 broadcast + exact string verify
+    on survivors) returns EXACTLY the broadcast-exact result in both the
+    frame and stored forms, and the screen stage is a broadcast semi-join
+    (the whole point — the gram strings never broadcast)."""
+    path = str(tmp_path / "decon_hs_idx")
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    want = {r.doc_id for r in cu.decontaminate(corpus, bench, n=5).collect()}
+    assert 0 < len(want) < corpus.count() or len(want) > 0
+
+    framed = cu.decontaminate_hashscreen(corpus, bench, n=5)
+    assert {r.doc_id for r in framed.collect()} == want
+
+    cu.decon_build_index(bench, path, n=5)
+    stored = cu.decon_filter_hashscreen(spark, path, corpus, n=5)
+    assert {r.doc_id for r in stored.collect()} == want
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_pack_sequences_conservation_property(spark):
     """Invariant: packing is a bijection onto [0, total_tokens) — each
     doc's [start, start+n) interval tiles the line with no gaps/overlaps
