@@ -2697,6 +2697,63 @@ FROM base JOIN lt USING (source)
 """
 
 
+def sketch_source_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the mergeable HLL sketch sidecar (pipelines/sketches.py) run
+    through its full lifecycle — two batch appends to a temp store,
+    merged per-source estimates from the sidecar alone — certified by
+    the approx_stats discipline: the output carries the EXACT per-source
+    distinct doc count (one corpus aggregate the oracle replays
+    literally) and an in-plan boolean that the merged sketch estimate
+    landed within 5 % of it (3× the lg_k=12 relative standard error; the
+    estimate itself is HIP-order-dependent and so never hashed). A
+    sketch that lost registers in the union, a batch dropped by the
+    store, or a broken estimate all flip the boolean and break the value
+    hash. Output is source-count-bounded, collected off the temp store
+    so the scratch dir can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from ..pipelines import sketches as sks
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="laradb_hll_census_")
+    path = f"{root}/sketches"
+    try:
+        sks.hll_store_append(
+            docs.filter(F.col("doc_id") % 2 == 0), path, ["source"], "doc_id", 0
+        )
+        sks.hll_store_append(
+            docs.filter(F.col("doc_id") % 2 == 1), path, ["source"], "doc_id", 1
+        )
+        est = sks.hll_store_estimates(spark, path, ["source"])
+        exact = docs.groupBy("source").agg(
+            F.count_distinct("doc_id").alias("exact_distinct")
+        )
+        out = exact.join(est, on="source").select(
+            "source",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct")) * 20
+                <= F.col("exact_distinct")
+            ).alias("est_within_5pct"),
+        )
+        rows = out.collect()  # source-count-bounded by construction
+        return spark.createDataFrame(
+            rows, "source string, exact_distinct long, est_within_5pct boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SKETCH_SOURCE_CENSUS_SQL = """
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+       TRUE AS est_within_5pct
+FROM documents
+GROUP BY source
+"""
+
+
 def ccnet_lm_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: per-language rank-range tertile of the
     corpus bigram-LM score (Wenzek et al. 2020 shape, integer-exact)."""
@@ -4923,6 +4980,7 @@ QUERIES = {
     "kn_lm_score": (kn_lm_score_q, KN_LM_SQL),
     "ccnet_lm_buckets": (ccnet_lm_buckets_q, CCNET_LM_BUCKETS_SQL),
     "source_datacard": (source_datacard_q, SOURCE_DATACARD_SQL),
+    "sketch_source_census": (sketch_source_census_q, SKETCH_SOURCE_CENSUS_SQL),
     "contamination_report": (contamination_score_q, CONTAMINATION_SCORE_SQL),
     "text_token_counts": (text_token_counts, TOKEN_COUNTS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),

@@ -1,0 +1,93 @@
+"""HLL sketch sidecar store (pipelines/sketches.py, r15): merge-across-
+batches correctness, determinism, store append/lock mechanics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from laradb_spark.pipelines import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3 sources, ~4000 distinct values each with cross-source overlap —
+    # big enough that the HLL estimate is non-trivially approximate
+    return spark.createDataFrame(
+        [(f"src{i % 3}", (i * 7) % 4000 + (i % 3) * 2000) for i in range(12000)],
+        "source string, v long",
+    )
+
+
+def test_union_of_batches_matches_single_pass(spark, values, tmp_path):
+    """The sidecar contract: appending per-batch sketches and unioning
+    equals (within the sketch's error regime) one sketch over the whole
+    frame — and both land within the documented bound of exact."""
+    path = str(tmp_path / "hll_store")
+    sk.hll_store_append(values.filter(F.col("v") % 2 == 0), path, ["source"], "v", 0)
+    sk.hll_store_append(values.filter(F.col("v") % 2 == 1), path, ["source"], "v", 1)
+    merged = {
+        r["source"]: r["distinct_est"]
+        for r in sk.hll_store_estimates(spark, path, ["source"]).collect()
+    }
+    single = {
+        r["source"]: r["e"]
+        for r in sk.hll_sketch_batch(values, ["source"], "v")
+        .select("source", F.hll_sketch_estimate("hll").cast("long").alias("e"))
+        .collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in values.groupBy("source")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(single) == set(exact)
+    for s in exact:
+        # 5% bound = 3x the ~1.6% RSE at lg_k=12
+        assert abs(merged[s] - exact[s]) * 20 <= exact[s], (s, merged[s], exact[s])
+        assert abs(single[s] - exact[s]) * 20 <= exact[s], (s, single[s], exact[s])
+        # merge ≈ single-pass (same registers, same promotion path in
+        # practice; allow 2% slack rather than pinning internals)
+        assert abs(merged[s] - single[s]) * 50 <= max(exact[s], 1), (
+            s, merged[s], single[s],
+        )
+
+
+def test_estimates_stable_across_layouts_within_bound(spark, values, tmp_path):
+    """DataSketches HLL is NOT bit-deterministic across partition
+    layouts: single-pass sketches use the order-dependent HIP estimator,
+    so the same multiset aggregated under a different partitioning gives
+    a slightly different estimate (observed ~1% drift). That is why the
+    census queries certify a within-BOUND boolean plus the exact count,
+    never the raw estimate. Pin the contract that actually holds: every
+    layout's estimate is inside the documented bound of exact."""
+    exact = {
+        r["source"]: r["n"]
+        for r in values.groupBy("source").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for frame in (values, values.repartition(13), values.coalesce(1)):
+        est = {
+            r["source"]: r["e"]
+            for r in sk.hll_sketch_batch(frame, ["source"], "v")
+            .select("source", F.hll_sketch_estimate("hll").cast("long").alias("e"))
+            .collect()
+        }
+        for s in exact:
+            assert abs(est[s] - exact[s]) * 20 <= exact[s], (s, est[s], exact[s])
+
+
+def test_store_total_and_writer_lock(spark, values, tmp_path):
+    from laradb_spark.streaming.txn import writer_lock
+
+    path = str(tmp_path / "hll_store")
+    sk.hll_store_append(values, path, ["source"], "v", 0)
+    total = sk.hll_store_total(spark, path)
+    exact_total = values.select("v").distinct().count()
+    assert abs(total - exact_total) * 20 <= exact_total
+    # the store is a locked mutator root like every other sidecar
+    with writer_lock(path, "someone_else"):
+        with pytest.raises(RuntimeError, match="another maintainer"):
+            sk.hll_store_append(values, path, ["source"], "v", 1)
+    # and the sidecar is small: one row per (group, batch)
+    assert spark.read.parquet(path).count() == 3
