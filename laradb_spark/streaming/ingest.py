@@ -138,6 +138,58 @@ def curate_ingest_stream(
     )
 
 
+def sketch_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    group_cols: "list[str] | None" = None,
+    value_col: str = "doc_id",
+    lg_k: int = 12,
+):
+    """Continuous HLL sketch-sidecar maintenance (r15 — the streaming
+    completion of ``pipelines/sketches.py``, so every sidecar family has
+    the batch/append/serve/stream quartet): each micro-batch reduces to
+    one kilobyte-scale DataSketches HLL row per group and lands it in
+    the store EXACTLY once via the shared :mod:`.txn` staged commit —
+    a redelivered batch must not union its values twice (HLL tolerates
+    re-INSERTION of the same values, but a re-appended sketch ROW is a
+    second union input whose HIP-path estimate differs, silently
+    shifting the merged estimate). ``hll_store_estimates`` then answers
+    distinct-count questions from the sidecar alone, corpus never
+    rescanned. Returns the started query (availableNow trigger)."""
+    from ..pipelines.sketches import hll_sketch_batch
+    from .txn import exactly_once_apply
+
+    groups = list(group_cols) if group_cols else ["source"]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+
+        def stage(pend: str) -> None:
+            # one row per (group, batch): coalesce(1) — the
+            # curate_ingest_stream small-files rationale, and sketches
+            # are kilobytes by construction
+            hll_sketch_batch(batch_df, groups, value_col, lg_k).withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            ).coalesce(1).write.mode("overwrite").parquet(f"{pend}/sketches")
+
+        exactly_once_apply(
+            store_path,
+            batch_id,
+            "sketch_ingest_stream",
+            stage,
+            {"sketches": store_path},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def url_ingest_stream(
     stream: DataFrame,
     index_path: str,

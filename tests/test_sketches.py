@@ -77,6 +77,59 @@ def test_estimates_stable_across_layouts_within_bound(spark, values, tmp_path):
             assert abs(est[s] - exact[s]) * 20 <= exact[s], (s, est[s], exact[s])
 
 
+def test_sketch_ingest_stream_exactly_once(spark, tmp_path):
+    """r15 streaming twin: two micro-batches each land ONE sketch row
+    per group in the store via the shared txn staged commit; the merged
+    estimate over the streamed store is within bound of exact, and the
+    applied-markers record both batches."""
+    import os
+    import time
+
+    from laradb_spark.streaming.ingest import sketch_ingest_stream
+
+    schema = "source string, doc_id long"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("s1", i) for i in range(500)] + [("s2", i) for i in range(300)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → two micro-batches
+    spark.createDataFrame(
+        [("s1", i) for i in range(400, 900)], schema  # 100 overlap with b1
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = sketch_ingest_stream(stream, store, ck)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = spark.read.parquet(store).collect()
+    assert sorted((r.source, r.batch_id) for r in rows) == [
+        ("s1", 0), ("s1", 1), ("s2", 0),
+    ]
+    assert os.path.exists(f"{store}/_stream_applied/batch_0")
+    assert os.path.exists(f"{store}/_stream_applied/batch_1")
+    est = {
+        r["source"]: r["distinct_est"]
+        for r in sk.hll_store_estimates(spark, store, ["source"]).collect()
+    }
+    exact = {"s1": 900, "s2": 300}  # union across batches, overlap merged
+    for s, n in exact.items():
+        assert abs(est[s] - n) * 20 <= n, (s, est[s], n)
+
+    # a rerun with no new files delivers nothing and changes nothing
+    q2 = sketch_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store,
+        ck,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(store).count() == 3
+
+
 def test_store_total_and_writer_lock(spark, values, tmp_path):
     from laradb_spark.streaming.txn import writer_lock
 
