@@ -128,12 +128,22 @@ _PRIORITY = [
     "text_quality",
     "text_repetition",
     "text_token_counts",
-    # --- front of the r16 window: the 4 r11-era rows the 50-slot budget
-    # could not fit (test_registry pins this allocation) ------------------
+    # --- front of the r16 window (test_registry pins this allocation):
+    # the 4 r11-era rows the 50-slot budget could not fit, the two
+    # pre-existing queries whose behavior changed in r15 (the doc_tf
+    # mirror entered bm25_maintenance_cycle's lifecycle; bm25_prf_topk's
+    # expansion anti-join went broadcast — both checker-certified at 2-3
+    # SFs on landing), and the two r15-new queries with no driver row
+    # yet (decon_hashscreen, sketch_source_census — both certified at
+    # all 3 SFs on landing) -----------------------------------------------
     "token_apportionment",
     "topk_parts_per_brand",
     "tumbling_event_stats",
     "user_retention_cohorts",
+    "bm25_maintenance_cycle",
+    "bm25_prf_topk",
+    "decon_hashscreen",
+    "sketch_source_census",
     # --- tail: fresher rows, staleness-ordered (r12 first, then r13,
     # then r14 = the r14 window), fall out harmlessly ---------------------
     "ann_ivf_list_skew",
@@ -247,8 +257,6 @@ _PRIORITY = [
     "unpivot_order_measures",
     "url_canonicalize",
     "url_dedup",
-    "bm25_maintenance_cycle",
-    "bm25_prf_topk",
     "ann_ivfpq_res_recall",
     "ann_ivfpq_res_topk",
     "ann_probe_sweep",

@@ -48,10 +48,15 @@ def test_changed_queries_inside_oracle_window():
         "text_token_counts",
     }
     # r16 window front: the 4 r11-era rows the r15 budget could not fit
-    # (after r15, every other row is r12+; these rotate first next round).
+    # (after r15, every other row is r12+), the two pre-existing queries
+    # whose behavior changed in r15 (doc_tf mirror in the bm25 lifecycle;
+    # broadcast PRF expansion anti-join), and the two r15-new queries
+    # with no driver row yet — all checker-certified on landing.
     next_window = {
         "token_apportionment", "topk_parts_per_brand",
         "tumbling_event_stats", "user_retention_cohorts",
+        "bm25_maintenance_cycle", "bm25_prf_topk",
+        "decon_hashscreen", "sketch_source_census",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
