@@ -250,5 +250,8 @@ def test_bm25_compact_second_pass_noops(spark, tmp_path):
     bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
     first = bm25_compact_index(spark, idx)
     assert first["lists_compacted"] > 0
+    assert first["doc_tf"]["lists_compacted"] > 0  # r15: the mirror accretes too
     second = bm25_compact_index(spark, idx)
-    assert second == {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
+    # r15: the postings report plus a doc_tf sub-report, both no-ops
+    noop = {"lists_compacted": 0, "files_before": 0, "files_after": 0, "rows": 0}
+    assert second == {**noop, "doc_tf": noop}
