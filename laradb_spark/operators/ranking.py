@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..util import persist_once
+from ..util import persist_once, plan_size_bytes
 
 
 # Guard for the offset-table collect: n_partitions + n_groups − 1 rows is
@@ -42,6 +42,15 @@ from ..util import persist_once
 # users) would silently stream millions of rows to the driver — fail loudly
 # with the fix (the plain per-group window IS the right plan there).
 MAX_OFFSET_ROWS = 1_000_000
+
+# Target bytes per range partition when the caller does not pin a count:
+# partitions sized for the sort work, not the core count (guide §2.2 —
+# "fewer, larger reduce partitions"). The count is clamped UP to at most
+# defaultParallelism, so at scale (estimate ≫ cores × target) behavior is
+# exactly the old cores-wide shuffle; only provably-small inputs get
+# fewer tasks. Ranks are partition-count-independent by construction
+# (two-phase offsets), so this is pure cost, never semantics.
+RANK_BYTES_PER_PART = 64 * 1024 * 1024
 
 
 def grouped_rank(
@@ -79,9 +88,28 @@ def grouped_rank(
     which is the documented scale path everywhere this is used.
     """
     spark = df.sparkSession
-    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    nparts = num_partitions
+    if nparts is None:
+        dp = spark.sparkContext.defaultParallelism
+        est = plan_size_bytes(df)
+        # floor 2, not 1: a provably-tiny frame still avoids the
+        # Exchange SinglePartition shape the plan guard (and scale
+        # hygiene) forbids, at the cost of one extra near-empty task
+        nparts = (
+            dp if est is None
+            else max(2, min(dp, -(-est // RANK_BYTES_PER_PART)))
+        )
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     sort_exprs = [F.asc(c) for c in group_cols] + order_exprs
+    # Persist the INPUT too (released below): a range exchange executes its
+    # child TWICE — once for the range-bounds sampling job, once for the
+    # real shuffle map — so an unpersisted scored pipeline (Arrow scorers,
+    # join chains) pays its full cost twice per ranking. With the input
+    # pinned, the sampling pass materializes the cache and the shuffle map
+    # reads it (guide §1.2: don't compute things twice). Track whether WE
+    # created the pin so a caller's own persist is never released here.
+    input_was_cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+    df = persist_once(df)
     ranged = persist_once(
         df.repartitionByRange(nparts, *sort_exprs).withColumn(
             "_pid", F.spark_partition_id()
@@ -97,6 +125,12 @@ def grouped_rank(
         .limit(MAX_OFFSET_ROWS + 1)
         .collect()
     )
+    # The offsets collect above fully materialized the ``ranged`` cache
+    # (and its shuffle files), so the input pin has served its purpose —
+    # release it unless the caller owned it. A later eviction of a ranged
+    # block recomputes from the retained shuffle output, not the child.
+    if not input_was_cached:
+        df.unpersist()
     if len(counts) > MAX_OFFSET_ROWS:
         raise ValueError(
             f"grouped_rank: offset table exceeds {MAX_OFFSET_ROWS} rows — the "

@@ -772,6 +772,24 @@ def _train_centroids(
     if vectorized is None:  # size-gated default — see _assign_auto
         size = plan_size_bytes(c)
         vectorized = size is None or size >= VEC_ASSIGN_MIN_BYTES
+    # Pin the training frame on the VECTORIZED path: there every Lloyd
+    # round is its own ACTION (the mean-update collect), so an unpinned
+    # ``c`` re-runs its scan + fan-out exchange once per round —
+    # lloyd_iters full corpus passes where one suffices (guide §1.2/§5:
+    # cache only what is reused). Identical rows either way. The pin is
+    # RELEASED before returning (cents is lineage-free by then): caching
+    # exactly ``c`` would otherwise substitute into every later plan that
+    # contains it as a subtree and swap plan_size_bytes gates
+    # (_assign_auto, the pair-volume gate) from file-size estimates to
+    # in-memory stats mid-session — measured as a twin-parity flip on
+    # NaN corpora. The expression path chains rounds lazily (no
+    # per-round action) and pins its own norm-augmented frame below.
+    own_pin = False
+    if vectorized and lloyd_iters > 0:
+        lvl = c.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            c = c.persist()
+            own_pin = True
     # per-vector norm computed ONCE for all rounds (each round's assignment
     # needs it; recomputing the 128-dim HOF fold per round doubles the loop)
     if not vectorized and lloyd_iters > 0 and "_nv" not in c.columns:
@@ -793,6 +811,8 @@ def _train_centroids(
         )
         if vectorized or i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
             cents = spark.createDataFrame(cents.collect(), cents.schema)
+    if own_pin:
+        c.unpersist()
     return cents
 
 
@@ -1967,9 +1987,22 @@ def pq_train_codebooks(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
+    # Pin across the init collect + lloyd_iters mean-update actions (same
+    # rationale as _train_centroids' pin, and released the same way
+    # before returning — the returned codebook frame is lineage-free, and
+    # leaving exactly-``c`` cached would flip downstream plan-size gates
+    # from file estimates to in-memory stats).
+    own_pin = False
+    if lloyd_iters > 0:
+        lvl = c.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            c = c.persist()
+            own_pin = True
     init = c.orderBy("neighbor_id").limit(k_sub).collect()
     schema = "sub int, code int, cid long, cent array<double>"
     if not init:
+        if own_pin:
+            c.unpersist()
         return spark.createDataFrame([], schema)
     cbook = _coarse_book(coarse, dim) if coarse is not None else None
     init_vecs = [
@@ -2034,6 +2067,8 @@ def pq_train_codebooks(
             ]
             for s in range(m)
         ]
+    if own_pin:
+        c.unpersist()
     rows = []
     for s in range(m):
         for code, (cid, cent) in enumerate(sorted(state[s], key=lambda t: t[0])):
@@ -2131,6 +2166,19 @@ def _pq_adc_topk(
     return _topk_per_query(scored, query_id_col, "cos", k, prebatch_prune=True)
 
 
+def _sql_d(x: float) -> str:
+    """SQL double literal for ``x`` — repr round-trips exactly (shortest
+    decimal), with the three non-finite spellings Spark's parser needs."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def _pq_qlut(
     queries: DataFrame,
     cb: list,
@@ -2139,53 +2187,61 @@ def _pq_qlut(
     extra: tuple = (),
 ) -> DataFrame:
     """Per-query LUT frame: (query_id, _nq, _lut{s}…, *extra) — the m·k_sub
-    dot folds evaluated once per query row."""
+    dot folds evaluated once per query row.
+
+    The m·k_sub ``dot(slice(qvec), literal-centroid)`` folds are built as
+    ONE SQL string per ``_lut{s}`` column and parsed JVM-side (F.expr):
+    the element-wise ``F.lit``/Python-lambda construction was ~10,000
+    py4j round-trips ≈ 10 s of DRIVER time per search — ~90 % of every
+    PQ-family serve query's wall clock (guide §5: the driver should do
+    almost no work; measured with cProfile, r15). The parsed tree is the
+    same Catalyst ``aggregate(zip_with(...))`` sequential fold with the
+    same literals — scores are bit-identical (test_ann pins parity)."""
     subs = sorted({r["sub"] for r in cb})
     sd = dim // len(subs)
     lut_cols = []
     for s in subs:
         ents = [r for r in cb if r["sub"] == s]
-        qs = F.slice(F.col("qvec"), s * sd + 1, sd)
-        lut_cols.append(
-            F.array(
-                *[
-                    dot(qs, F.array(*[F.lit(float(x)) for x in (r["cent"] or [])]))
-                    if r["cent"] is not None
-                    else F.lit(0.0)
-                    for r in ents
-                ]
-            ).alias(f"_lut{s}")
-        )
-    return queries.select(
-        query_id_col, norm(F.col("qvec")).alias("_nq"), *lut_cols, *extra
-    )
+        qs = f"slice(`qvec`, {s * sd + 1}, {sd})"
+        terms = []
+        for r in ents:
+            if r["cent"] is None:
+                terms.append("0.0D")
+            else:
+                arr = ",".join(_sql_d(x) for x in r["cent"])
+                terms.append(
+                    f"aggregate(zip_with({qs}, array({arr}), (x, y) -> x * y),"
+                    " 0.0D, (s, v) -> s + v)"
+                )
+        lut_cols.append(F.expr("array(" + ",".join(terms) + ")").alias(f"_lut{s}"))
+    nq = F.expr("sqrt(aggregate(`qvec`, 0.0D, (s, v) -> s + v * v))")
+    return queries.select(query_id_col, nq.alias("_nq"), *lut_cols, *extra)
 
 
 def _pq_cos(cb: list) -> Column:
     """ADC approximate-cosine over a row holding ``codes`` + the query's
     ``_nq``/``_lut{s}`` columns; fixed sub-ASC addition order on both the
     numerator and the reconstructed-norm sum. Centroid norms² are literal
-    arrays (they depend only on the codebook, not the query)."""
+    arrays (they depend only on the codebook, not the query). Built as
+    ONE JVM-parsed SQL string — the per-literal py4j construction cost
+    rationale of ``_pq_qlut``; same operator tree, bit-identical."""
     subs = sorted({r["sub"] for r in cb})
-    num = None
-    den_sq = None
+    num_terms = []
+    den_terms = []
     for s in subs:
         ents = [r for r in cb if r["sub"] == s]
-        nsq = F.array(
-            *[
-                F.lit(
-                    0.0 if r["cent"] is None else float(sum(x * x for x in r["cent"]))
-                )
-                for r in ents
-            ]
+        nsq = ",".join(
+            "0.0D" if r["cent"] is None else _sql_d(sum(x * x for x in r["cent"]))
+            for r in ents
         )
-        code_s = F.element_at(F.col("codes"), s + 1)
-        term = F.element_at(F.col(f"_lut{s}"), code_s + 1)
-        nterm = F.element_at(nsq, code_s + 1)
-        num = term if num is None else num + term
-        den_sq = nterm if den_sq is None else den_sq + nterm
-    den = F.col("_nq") * F.sqrt(den_sq)
-    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+        code_s = f"element_at(`codes`, {s + 1})"
+        num_terms.append(f"element_at(`_lut{s}`, {code_s} + 1)")
+        den_terms.append(f"element_at(array({nsq}), {code_s} + 1)")
+    num = " + ".join(num_terms)
+    den = f"(`_nq` * sqrt({' + '.join(den_terms)}))"
+    return F.expr(
+        f"CASE WHEN {den} > 0 THEN ({num}) / {den} ELSE 0.0D END"
+    )
 
 
 def pq_topk(
@@ -2513,10 +2569,16 @@ def ivfpq_search_index(
     probe_rows = probes_plan.collect()
     probes = spark.createDataFrame(probe_rows, probes_plan.schema)
     probe_cids = sorted({r.cid for r in probe_rows})
-    qlut = _pq_qlut(
-        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
-        cb, dim, query_id_col,
+    # Dedup the per-query vectors DRIVER-side: the rows are already
+    # collected, so a dropDuplicates here would spend a whole exchange +
+    # sort-aggregate pair on a (queries × n_probe)-sized frame (r15 plan
+    # diet; same rows — one (query_id, qvec) per query either way).
+    uniq = list({r[query_id_col]: r for r in probe_rows}.values())
+    qframe = spark.createDataFrame(
+        [(r[query_id_col], r["qvec"]) for r in uniq],
+        probes_plan.select(query_id_col, "qvec").schema,
     )
+    qlut = _pq_qlut(qframe, cb, dim, query_id_col)
     idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
     if where is not None:
         idx = idx.filter(F.expr(where))
@@ -2569,15 +2631,18 @@ def _res_adc_cos(subs: list) -> Column:
     — same LUT mechanics as ``_pq_cos`` with the coarse centroid folded
     into both the numerator (one extra scalar per probe) and the
     reconstructed norm (the precomputed ``_dsq`` lookup)."""
-    num: Column = F.col("_qc")
-    den_sq = None
+    num_terms = ["`_qc`"]
+    den_terms = []
     for s in subs:
-        code_s = F.element_at(F.col("codes"), s + 1)
-        num = num + F.element_at(F.col(f"_lut{s}"), code_s + 1)
-        nterm = F.element_at(F.col(f"_dsq{s}"), code_s + 1)
-        den_sq = nterm if den_sq is None else den_sq + nterm
-    den = F.col("_nq") * F.sqrt(den_sq)
-    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+        code_s = f"element_at(`codes`, {s + 1})"
+        num_terms.append(f"element_at(`_lut{s}`, {code_s} + 1)")
+        den_terms.append(f"element_at(`_dsq{s}`, {code_s} + 1)")
+    num = " + ".join(num_terms)
+    den = f"(`_nq` * sqrt({' + '.join(den_terms)}))"
+    # one JVM-parsed string — the _pq_qlut/_pq_cos py4j-cost rationale
+    return F.expr(
+        f"CASE WHEN {den} > 0 THEN ({num}) / {den} ELSE 0.0D END"
+    )
 
 
 def ivfpq_res_topk(
@@ -2895,10 +2960,14 @@ def ivfpq_res_search_index(
     probes_qc = probes.join(F.broadcast(coarse), on="cid").select(
         query_id_col, "cid", dot(F.col("qvec"), F.col("cent")).alias("_qc")
     )
-    qlut = _pq_qlut(
-        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
-        cb, dim, query_id_col,
+    # Driver-side dedup of the per-query vectors — the rows are already
+    # collected; see ivfpq_search_index (same exchange-free shape).
+    uniq = list({r[query_id_col]: r for r in probe_rows}.values())
+    qframe = spark.createDataFrame(
+        [(r[query_id_col], r["qvec"]) for r in uniq],
+        probes_plan.select(query_id_col, "qvec").schema,
     )
+    qlut = _pq_qlut(qframe, cb, dim, query_id_col)
     densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
     idx = spark.read.parquet(f"{path}/codes").filter(F.col("cid").isin(probe_cids))
     if where is not None:

@@ -36,10 +36,27 @@ def get_spark(app_name: str = "laradb-spark", shuffle_partitions: int | None = N
         # ones, convert sort-merge → broadcast when a side turns out small.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing knobs pinned at their defaults DELIBERATELY (r15
+        # A/B): parallelismFirst=false + the 64m advisory — the docs'
+        # recommendation — was re-measured here and LOST on this harness
+        # (min-of-3: token_shard_stats 3.7 vs 3.0 s, bm25_prf_serve_steady
+        # 8.5 vs 6.4 s): collapsing KB-sized shuffles to one task
+        # serializes multi-stage pipelines for no I/O win. At 100 TB the
+        # flag is moot — post-shuffle partitions exceed the advisory size,
+        # so AQE sizes by bytes either way.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dimension tables (region/nation/supplier/part at any SF that fits)
         # should broadcast, never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1): same rows, no sort.
+        # Identical results — join strategy never changes values.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Stored indexes / compacted layouts: zstd beats snappy at similar
+        # read speed (guide §6) — build-time write cost, serving-read win.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
