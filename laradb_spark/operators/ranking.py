@@ -27,6 +27,7 @@ window is already parallel and cheaper; keep it there.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from collections.abc import Sequence
 
@@ -34,7 +35,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..util import persist_once, plan_size_bytes
+from ..util import (
+    max_leaf_size_bytes,
+    persist_once,
+    plan_has_python_eval,
+    plan_size_bytes,
+)
 
 
 # Guard for the offset-table collect: n_partitions + n_groups − 1 rows is
@@ -51,6 +57,17 @@ MAX_OFFSET_ROWS = 1_000_000
 # fewer tasks. Ranks are partition-count-independent by construction
 # (two-phase offsets), so this is pure cost, never semantics.
 RANK_BYTES_PER_PART = 64 * 1024 * 1024
+
+# Below this Catalyst size estimate the whole two-phase apparatus (range
+# exchange + persist + offsets-collect job + broadcast join) costs more
+# than the problem: a provably-small frame ranks in ONE plain window pass
+# (one hash exchange, no extra action, no pin). Identical ranks — the
+# caller-required total order makes row_number agree between the two
+# formulations (r15 route gate; the _topk_per_query many-groups flip and
+# the expr-vs-Arrow twin gates are the precedent). A misestimate only
+# costs sort spill in a wide-ish window task, never correctness, and at
+# corpus scale every estimate is far above the gate.
+RANK_WINDOW_MAX_BYTES = 32 * 1024 * 1024
 
 
 def grouped_rank(
@@ -88,10 +105,43 @@ def grouped_rank(
     which is the documented scale path everywhere this is used.
     """
     spark = df.sparkSession
+    order_exprs_gate = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     nparts = num_partitions
     if nparts is None:
         dp = spark.sparkContext.defaultParallelism
         est = plan_size_bytes(df)
+        # The small-frame gate reads the MAX-LEAF estimate, not the plan
+        # estimate: rank inputs routinely join a driver-literal query
+        # frame (LogicalRDD, unknown stats → Long.MaxValue), and join
+        # stats multiply — the honest corpus-scale signal is the biggest
+        # file leaf (see util.max_leaf_size_bytes). Explode fanout can
+        # make the true frame some multiple of the leaf bytes; the gate
+        # has that headroom (a miss costs sort spill in a window task,
+        # never correctness).
+        leaf_est = max_leaf_size_bytes(df)
+        if (
+            leaf_est is not None
+            and leaf_est <= RANK_WINDOW_MAX_BYTES
+            # test/audit override: the plan-shape tests assert the
+            # AT-SCALE route (every ranking window sharded by _pid) on
+            # gate-sized fixtures — this pins the two-phase path so the
+            # audit inspects what a real corpus would get
+            and not os.environ.get("LARADB_RANK_TWO_PHASE_ONLY")
+        ):
+            # Small-frame route (see RANK_WINDOW_MAX_BYTES): one window
+            # pass, bit-identical (rank cast to long to keep the
+            # two-phase schema: _off + row_number is BIGINT there).
+            # A Python-eval child still gets pinned: the two-phase path's
+            # persist doubled as the DEVNOTES #3 recompute guard (Arrow
+            # subplans execute once PER CONSUMER), and a gate-sized frame
+            # makes the pin near-free.
+            if plan_has_python_eval(df):
+                df = persist_once(df)
+            wc = Window.partitionBy(*group_cols)
+            w = wc.orderBy(*order_exprs_gate)
+            return df.withColumn(count_col, F.count(F.lit(1)).over(wc)).withColumn(
+                rank_col, F.row_number().over(w).cast("long")
+            )
         # floor 2, not 1: a provably-tiny frame still avoids the
         # Exchange SinglePartition shape the plan guard (and scale
         # hygiene) forbids, at the cost of one extra near-empty task
@@ -99,17 +149,23 @@ def grouped_rank(
             dp if est is None
             else max(2, min(dp, -(-est // RANK_BYTES_PER_PART)))
         )
-    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+    order_exprs = order_exprs_gate
     sort_exprs = [F.asc(c) for c in group_cols] + order_exprs
-    # Persist the INPUT too (released below): a range exchange executes its
-    # child TWICE — once for the range-bounds sampling job, once for the
-    # real shuffle map — so an unpersisted scored pipeline (Arrow scorers,
-    # join chains) pays its full cost twice per ranking. With the input
-    # pinned, the sampling pass materializes the cache and the shuffle map
-    # reads it (guide §1.2: don't compute things twice). Track whether WE
-    # created the pin so a caller's own persist is never released here.
+    # Pin the INPUT (released below) when it contains a Python-eval stage:
+    # a range exchange executes its child TWICE — once for the range-bounds
+    # sampling job, once for the real shuffle map — so an unpinned Arrow
+    # scorer pays its whole serialize→Python→deserialize cost twice per
+    # ranking (guide §1.2/§4; measured r15: semantic_dedup_fast 9.6→3.6 s
+    # from this pin alone). For pure-JVM children the trade INVERTS: the
+    # recompute is a codegen pass at scan speed, while the pin writes a
+    # corpus-sized frame through the block manager — measured r15 as a
+    # ~25% REGRESSION on ccnet_lm_buckets — so those keep the recompute.
+    # Track whether WE created the pin so a caller's own persist is never
+    # released here.
     input_was_cached = df.storageLevel.useMemory or df.storageLevel.useDisk
-    df = persist_once(df)
+    own_pin = not input_was_cached and plan_has_python_eval(df)
+    if own_pin:
+        df = df.persist()
     ranged = persist_once(
         df.repartitionByRange(nparts, *sort_exprs).withColumn(
             "_pid", F.spark_partition_id()
@@ -127,9 +183,10 @@ def grouped_rank(
     )
     # The offsets collect above fully materialized the ``ranged`` cache
     # (and its shuffle files), so the input pin has served its purpose —
-    # release it unless the caller owned it. A later eviction of a ranged
-    # block recomputes from the retained shuffle output, not the child.
-    if not input_was_cached:
+    # release it (a caller's own persist is never released here). A later
+    # eviction of a ranged block recomputes from the retained shuffle
+    # output, not the child.
+    if own_pin:
         df.unpersist()
     if len(counts) > MAX_OFFSET_ROWS:
         raise ValueError(

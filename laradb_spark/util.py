@@ -157,6 +157,79 @@ def fan_out(
     return df
 
 
+#: Leaf classes whose Catalyst size estimate is honest: file scans carry
+#: file bytes, local/range relations their literal payload, an in-memory
+#: relation its (possibly materialized) child estimate.
+_ESTIMABLE_LEAVES = (
+    "LogicalRelation",
+    "DataSourceV2ScanRelation",
+    "DataSourceV2Relation",
+    "LocalRelation",
+    "Range",
+    "OneRowRelation",
+    "InMemoryRelation",
+    "HiveTableRelation",
+)
+
+
+def max_leaf_size_bytes(df: DataFrame) -> "int | None":
+    """Largest honest LEAF size estimate in ``df``'s optimized plan — the
+    size signal ``plan_size_bytes`` cannot give for plans containing a
+    driver-built frame: a ``createDataFrame`` leaf is a LogicalRDD with
+    UNKNOWN stats (Long.MaxValue), and join stats multiply, so one query-
+    literal frame poisons the whole plan's estimate to "huge". Here the
+    corpus-scale signal is carried by the biggest FILE leaf instead;
+    LogicalRDD leaves contribute nothing, which is sound in this library
+    because every RDD-backed frame in a query path is a driver literal
+    (queries, collected feedback rows, offset tables) — bounded by
+    construction. None when NO estimable leaf exists (can't bound the
+    frame honestly) or on any introspection failure."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        best: "int | None" = None
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() in _ESTIMABLE_LEAVES:
+                size = int(leaf.stats().sizeInBytes())
+                if best is None or size > best:
+                    best = size
+        return best
+    except Exception:
+        return None
+
+
+#: Logical-plan markers for a Python-evaluated stage (pandas/Arrow UDF,
+#: mapInPandas/mapInArrow, grouped-map). Matched against the OPTIMIZED
+#: logical plan's string form — physical spellings (ArrowEvalPython,
+#: BatchEvalPython) are included defensively should a caller hand us an
+#: executed-plan string instead.
+_PY_EVAL_MARKERS = (
+    "pythonUDF",
+    "PythonUDF",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+)
+
+
+def plan_has_python_eval(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan contains a Python-eval
+    stage (pandas/Arrow UDF, mapInPandas, ...). Used to decide whether a
+    frame is catastrophically expensive to COMPUTE TWICE: a JVM-codegen
+    subtree recomputes at scan speed, but a Python stage pays the whole
+    serialize→worker→deserialize round trip again. Unknown (Connect,
+    analysis failure) errs on True — the caller's mitigation (a persist)
+    is safe either way, just not free."""
+    try:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return any(m in s for m in _PY_EVAL_MARKERS)
+
+
 def persist_once(df: DataFrame) -> DataFrame:
     """persist() unless the CacheManager already holds this logical plan.
 

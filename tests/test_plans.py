@@ -114,11 +114,15 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted
 
 
-def test_quartiles_no_global_single_partition_window(spark, sfq):
+def test_quartiles_no_global_single_partition_window(spark, sfq, monkeypatch):
     """customer_spend_quartiles must not funnel all rows through one task:
     no SinglePartition exchange, no partition-less Window sort — the
     two-phase rank (range partition + local row_number + offsets) keeps
-    every stage parallel."""
+    every stage parallel. The env pin audits the AT-SCALE route: on a
+    gate-sized fixture grouped_rank would take its small-frame window
+    (legitimately per-group-partitioned), which is not the shape this
+    test exists to certify."""
+    monkeypatch.setenv("LARADB_RANK_TWO_PHASE_ONLY", "1")
     qs, sf = sfq
     df = qs["customer_spend_quartiles"](spark, sf)
     plan = _plan(df)
@@ -129,11 +133,14 @@ def test_quartiles_no_global_single_partition_window(spark, sfq):
             assert "_pid" in line
 
 
-def test_grouped_rank_queries_no_low_cardinality_window(spark, sfq):
+def test_grouped_rank_queries_no_low_cardinality_window(spark, sfq, monkeypatch):
     """median_value_by_type and trim_length_outliers rank via the two-phase
     grouped_rank, not Window.partitionBy(<5-or-20-value key>): every
     row_number window in their plans must be sharded by _pid, so no task
-    ever sorts a whole group regardless of group cardinality."""
+    ever sorts a whole group regardless of group cardinality. Env pin:
+    audit the at-scale route, not the small-frame window the gate picks
+    on a fixture-sized input."""
+    monkeypatch.setenv("LARADB_RANK_TWO_PHASE_ONLY", "1")
     qs, sf = sfq
     for qname in ("median_value_by_type", "trim_length_outliers"):
         plan = _plan(qs[qname](spark, sf))
@@ -159,14 +166,16 @@ ANN_FAMILY = (
 )
 
 
-def test_ann_family_no_per_query_ranking_window(spark, sfq):
+def test_ann_family_no_per_query_ranking_window(spark, sfq, monkeypatch):
     """The ANN/hard-negatives/tfidf family ranks via the two-phase
     grouped_rank: with few queries against a huge corpus, a
     Window.partitionBy(query_id) over the scored candidates would sort
     each query's whole candidate set in ONE task. Every row_number window
     in these plans must be sharded by _pid — except IVF's probe-selection
     window, whose input is queries × centroids (ordered by _cc), bounded
-    by the centroid count, never the corpus."""
+    by the centroid count, never the corpus. Env pin: audit the at-scale
+    route (see test_grouped_rank_queries_no_low_cardinality_window)."""
+    monkeypatch.setenv("LARADB_RANK_TWO_PHASE_ONLY", "1")
     qs, sf = sfq
     for qname in ANN_FAMILY:
         plan = _plan(qs[qname](spark, sf))
@@ -198,6 +207,39 @@ def test_grouped_rank_matches_naive_window(spark):
     key = lambda r: (r["g"] or "", r["id"])
     assert sorted(map(tuple, two.select("g", "id", "v", "_r", "_n").collect()), key=lambda t: (t[0] or "", t[1])) == sorted(
         map(tuple, naive.select("g", "id", "v", "_r", "_n").collect()), key=lambda t: (t[0] or "", t[1])
+    )
+
+
+def test_grouped_rank_small_frame_route_parity(spark, monkeypatch, tmp_path):
+    """The r15 size gate routes provably-small frames through one plain
+    window instead of the two-phase machinery — ranks, counts, schema
+    (both BIGINT) and column order must be identical between the routes
+    on a fixture with NULL groups and ties. The fixture is parquet-backed
+    because the gate reads the max FILE-leaf estimate (a driver-built
+    frame alone has no estimable leaf and conservatively stays
+    two-phase)."""
+    from laradb_spark.operators.ranking import grouped_rank
+
+    rows = [(g, i, (i * 7) % 5) for g in ["a", "b", None] for i in range(200)]
+    spark.createDataFrame(rows, "g string, id int, v int").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "rank_fixture"))
+    df = spark.read.parquet(str(tmp_path / "rank_fixture"))
+    monkeypatch.delenv("LARADB_RANK_TWO_PHASE_ONLY", raising=False)
+    small = grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")])
+    # a createDataFrame plan has a size estimate well under the gate —
+    # prove the route actually flipped (no _pid-sharded window)
+    assert "_pid" not in small.columns
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" not in plan
+    monkeypatch.setenv("LARADB_RANK_TWO_PHASE_ONLY", "1")
+    two = grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")])
+    assert small.columns == two.columns
+    assert small.schema["_r"].dataType == two.schema["_r"].dataType
+    assert small.schema["_n"].dataType == two.schema["_n"].dataType
+    key = lambda t: (t[0] or "", t[1])
+    assert sorted(map(tuple, small.collect()), key=key) == sorted(
+        map(tuple, two.collect()), key=key
     )
 
 
