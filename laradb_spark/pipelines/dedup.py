@@ -321,10 +321,55 @@ def minhash_signature(hashes: Column, num_perm: int = NUM_PERM) -> Column:
     not once per permutation — higher-order functions run interpreted (no
     whole-stage-codegen subexpression elimination), so a fused expression
     tree would recompute the shingle hashing ``num_perm`` times (measured
-    ~40× slowdown)."""
+    ~40× slowdown).
+
+    When the input is a bare column reference the ``num_perm`` transform
+    folds are built as ONE SQL string parsed JVM-side (``F.expr``): the
+    per-permutation Python-lambda construction was ~30 ms of py4j round
+    trips EACH — ~2 s of pure DRIVER time per signature call site, twice
+    that for the two-sided decontamination paths (measured r15, the
+    ``_pq_qlut`` precedent). The parsed tree is the same Catalyst
+    ``array_min(transform(...))`` with the same integer literals, so
+    signatures are bit-identical; non-trivial column expressions keep the
+    original construction."""
+    import re
+
+    name = None
+    try:
+        name = hashes._jc.toString()
+    except Exception:
+        pass
+    if name and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        terms = ",".join(
+            f"array_min(transform(`{name}`,"
+            f" h -> ({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}))"
+            for i in range(num_perm)
+        )
+        return F.expr(f"array({terms})")
     return F.array(
         *[F.array_min(F.transform(hashes, _perm(_A[i], _B[i]))) for i in range(num_perm)]
     )
+
+
+def _banded_explode(sig_name: str, num_perm: int, bands: int) -> Column:
+    """``explode(array(named_struct('band', b, 'bh', md5(concat_ws(',',
+    sig[b·rows] .. )))))`` over a signature column — ONE JVM-parsed SQL
+    string instead of bands × rows per-element py4j column construction
+    (~1.6 s of driver time per call site at the 8×4 default; the
+    ``minhash_signature`` / ``_pq_qlut`` r15 lesson). Identical Catalyst
+    tree: Spark SQL ``sig[i]`` is 0-based extraction exactly like
+    ``F.col("sig")[i]``, and named_struct ≡ F.struct with aliased
+    fields."""
+    rows = num_perm // bands
+    parts = []
+    for bi in range(bands):
+        cols = ",".join(
+            f"cast(`{sig_name}`[{bi * rows + r}] as string)" for r in range(rows)
+        )
+        parts.append(
+            f"named_struct('band', {bi}, 'bh', md5(concat_ws(',', {cols})))"
+        )
+    return F.expr(f"explode(array({','.join(parts)}))")
 
 
 def minhash_band_buckets(
@@ -333,7 +378,6 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """(id, band_idx, band_hash) — one row per band; docs sharing a
     (band_idx, band_hash) bucket are near-dup candidates."""
-    rows = num_perm // bands
     # Heavy per-row map (shingles → md5 → num_perm HOF folds): fan the
     # scan out to core count first — one small parquet file otherwise
     # runs this whole stream in ONE task (util.fan_out).
@@ -346,16 +390,9 @@ def minhash_band_buckets(
         F.transform(word_shingles(F.col(text_col), n), shingle_hash).alias("hs"),
     )
     with_sig = hashed.select("id", minhash_signature(F.col("hs"), num_perm).alias("sig"))
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)])).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    return with_sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    return with_sig.select(
+        "id", _banded_explode("sig", num_perm, bands).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
 # In-bucket pair expansion is quadratic in bucket size and happens inside
@@ -491,7 +528,6 @@ def minhash_band_buckets_vectorized(
 ) -> DataFrame:
     """minhash_band_buckets with the NumPy signature kernel (bit-identical
     output; the fast path for wide corpora)."""
-    rows = num_perm // bands
     df = fan_out(df, CPU_HEAVY)  # heavy map stage — see minhash_band_buckets
     # The token array is staged as a REAL column (not word_shingles'
     # bind_once wrap): the shingle stream feeds a pandas_udf, and a UDF
@@ -508,16 +544,9 @@ def minhash_band_buckets_vectorized(
         F.transform(_shingles_of(F.col("_toks"), n), shingle_hash).alias("hs"),
     )
     with_sig = hashed.select("id", minhash_signature_vectorized(num_perm)(F.col("hs")).alias("sig"))
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)])).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    return with_sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    return with_sig.select(
+        "id", _banded_explode("sig", num_perm, bands).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
 def minhash_lsh_pairs_vectorized(
@@ -1175,19 +1204,9 @@ def bands_of_signatures(
 ) -> DataFrame:
     """(id, band, bh) from an (id, sig) frame — the same band-hash
     construction ``minhash_band_buckets`` fuses inline."""
-    rows = num_perm // bands
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
-                )
-            ).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+    return sigs.select(
+        "id", _banded_explode("sig", num_perm, bands).alias("b")
+    ).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
 
