@@ -507,6 +507,10 @@ def minhash_signature_vectorized(num_perm: int = NUM_PERM):
 
     a = np.asarray(_A[:num_perm], dtype=np.int64)[:, None]
     b = np.asarray(_B[:num_perm], dtype=np.int64)[:, None]
+    # NB: the per-row broadcast-matmul loop was A/B'd against a batched
+    # concat + np.minimum.reduceat formulation (r15): reduceat's generic
+    # segment loop was >100× SLOWER than these per-row whole-matrix mins
+    # — keep the loop.
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hs: pd.Series) -> pd.Series:

@@ -137,6 +137,18 @@ def _word_symbols(word: Column, merges: list[tuple[str, str]]) -> Column:
     return sym
 
 
+#: fan_out sizing for the expression-path merge-chain COUNT stages: each
+#: input byte runs the full len(merges) sequential literal-replace chain
+#: (a demo table is already ~40 passes over every pretoken), so the
+#: honest per-byte cost is ~an order of magnitude above the tokenize+md5
+#: streams CPU_MODERATE models — size tasks accordingly (guide §2: match
+#: partitioning to the WORK). Measured r15: the bpe_byte_token_count
+#: stage under token_shard_stats ran 7-wide on 32 cores at the default.
+#: At corpus scale the scan has thousands of splits and fan_out is a
+#: no-op either way.
+BPE_COUNT_BYTES_PER_TASK = 8 << 10
+
+
 def _symbol_count(sym: Column) -> Column:
     """Symbols in a wrapped string: split on the \\x1f\\x1f boundary; ''
     (a word that was nothing but reserved chars) has zero symbols."""
@@ -161,7 +173,9 @@ def bpe_token_count(
     lambda), then one docs-sized count aggregate with map-side combine.
     The corpus text never shuffles."""
     merges = DEMO_BPE_MERGES if merges is None else bpe_validate_merges(merges)
-    w = fan_out(df).select("doc_id", F.explode(tokens(F.col(text))).alias("_w"))
+    w = fan_out(df, BPE_COUNT_BYTES_PER_TASK).select(
+        "doc_id", F.explode(tokens(F.col(text))).alias("_w")
+    )
     cnt = _symbol_count(_word_symbols(F.col("_w"), merges))
     return (
         w.select("doc_id", cnt.alias("_c"))
@@ -1270,7 +1284,7 @@ def bpe_byte_token_count(
     Expression path: demo/oracle-sized merge tables; real ~50k vocabs
     take :func:`bpe_byte_token_count_arrow` (or the auto route)."""
     bpe_validate_merges(merges)
-    p = fan_out(df).select(
+    p = fan_out(df, BPE_COUNT_BYTES_PER_TASK).select(
         "doc_id", F.explode(pretokens(F.col(text))).alias("_p")
     )
     cnt = _symbol_count(_mapped_symbols(_byte_mapped(F.col("_p")), merges))
@@ -1410,7 +1424,7 @@ def bpe_fertility(
     Groups whose docs yield zero pretokens (all-empty text) drop out
     with the inner join rather than emitting a 0/0 ratio."""
     bpe_validate_merges(merges)
-    p = fan_out(df).select(
+    p = fan_out(df, BPE_COUNT_BYTES_PER_TASK).select(
         F.col(group_col).alias("_g"), F.explode(pretokens(F.col(text))).alias("_p")
     )
     cnt = _symbol_count(_mapped_symbols(_byte_mapped(F.col("_p")), merges))
