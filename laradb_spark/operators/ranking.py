@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..util import (
+    literal_frame,
     max_leaf_size_bytes,
     persist_once,
     plan_has_python_eval,
@@ -126,7 +127,8 @@ def grouped_rank(
             # AT-SCALE route (every ranking window sharded by _pid) on
             # gate-sized fixtures — this pins the two-phase path so the
             # audit inspects what a real corpus would get
-            and not os.environ.get("LARADB_RANK_TWO_PHASE_ONLY")
+            and os.environ.get("LARADB_RANK_TWO_PHASE_ONLY", "").strip().lower()
+            not in ("1", "true", "yes", "on")
         ):
             # Small-frame route (see RANK_WINDOW_MAX_BYTES): one window
             # pass, bit-identical (rank cast to long to keep the
@@ -210,7 +212,7 @@ def grouped_rank(
         + [df.schema[g] for g in group_cols]
         + [StructField("_off", LongType(), False), StructField(count_col, LongType(), False)]
     )
-    off_df = spark.createDataFrame(rows, schema)
+    off_df = literal_frame(spark, rows, schema)
     # Null-safe equality on the group keys: a NULL group is a real group to
     # window semantics, and a plain equi-join would silently drop its rows.
     cond = ranged["_pid"] == off_df["_pid"]

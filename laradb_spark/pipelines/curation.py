@@ -30,7 +30,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import bind_once, fan_out, md5_mod, persist_once
+from ..util import bind_once, fan_out, literal_frame, md5_mod, persist_once
 from .text import TOKEN_SEP, bigram_arrays, tokens
 
 # Fraction denominators: splits are decided by md5(key) mod BUCKETS.
@@ -479,7 +479,7 @@ def global_exclusive_cumsum(
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += int(totals[pid])
-    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    off_df = literal_frame(df.sparkSession, offsets or [(0, 0)], "_pid int, _off long")
     lw = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -634,7 +634,11 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).alias("tc"))
     )
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
-    hist = (
+    # hist persists (≤ n_buckets rows, bounded at any corpus scale): it
+    # feeds BOTH the totals aggregate and the Δ projection — unpinned,
+    # the whole target feature stream + raw histogram re-computed once
+    # per consumer inside the nested broadcast subtrees (r16 profile).
+    hist = persist_once(
         buckets.join(tgt_hist, on="b", how="left")
         .join(raw_hist, on="b", how="left")
         .select(
@@ -700,7 +704,9 @@ def train_quality_weights(
         .agg(F.count(F.lit(1)).alias("nc"))
     )
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
-    hist = (
+    # hist persists (≤ n_buckets rows, bounded): it feeds both the totals
+    # aggregate and the weight projection — the dsir_importance fix (r16).
+    hist = persist_once(
         buckets.join(ph, on="b", how="left")
         .join(nh, on="b", how="left")
         .select(
@@ -1237,12 +1243,22 @@ def multiclass_classify(
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # bounded collect: the class list (≤ a few hundred labels) — the
-    # centroid/offset-table precedent. rank: smaller label ↔ LARGER rank
-    # so max(struct(score, rank)) tie-breaks to the smallest label.
-    classes = sorted(r.label for r in class_stats.select("label").distinct().collect())
+    # bounded collect: the whole class table (≤ a few hundred rows) — the
+    # centroid/offset-table precedent. Collected ONCE and rebuilt as a
+    # literal frame (r16): as a plan, the two broadcast consumers below
+    # each re-aggregated the class stats from the trainer's cached count
+    # frame, and the distinct-labels collect was a third pass. rank:
+    # smaller label ↔ LARGER rank so max(struct(score, rank)) tie-breaks
+    # to the smallest label.
+    stats_rows = sorted(
+        ({(r["label"], int(r["n_feats"]), int(r["floor_w"])) for r in class_stats.collect()}),
+    )
+    classes = sorted({lab for lab, _, _ in stats_rows})
     if not classes:
         raise ValueError("class_stats is empty — train on a non-empty corpus")
+    class_stats = literal_frame(
+        df.sparkSession, stats_rows, "label string, n_feats long, floor_w long"
+    )
     rank_of = {lab: len(classes) - i for i, lab in enumerate(classes)}
     label_of = F.create_map(
         *[x for lab in classes for x in (F.lit(rank_of[lab]), F.lit(lab))]

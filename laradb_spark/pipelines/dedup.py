@@ -336,7 +336,13 @@ def minhash_signature(hashes: Column, num_perm: int = NUM_PERM) -> Column:
 
     name = None
     try:
-        name = hashes._jc.toString()
+        # ADVICE r15: only an UNRESOLVED attribute may take the SQL-string
+        # fast path — a bound Column (df['hs'] from one side of a
+        # self-join) also prints as a bare name, but rebuilding it as
+        # F.expr('`hs`') would lose the binding (AMBIGUOUS_REFERENCE or
+        # wrong-side resolution in two-sided plans).
+        if hashes._jc.node().getClass().getSimpleName() == "UnresolvedAttribute":
+            name = hashes._jc.toString()
     except Exception:
         pass
     if name and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..util import CPU_LIGHT, dense_matrix_fn, fan_out
+from ..util import CPU_LIGHT, dense_matrix_fn, fan_out, literal_frame
 
 MICRO = 1_000_000
 
@@ -115,7 +115,7 @@ def whiten_embeddings(
     if n == 0:
         # empty in → empty out (the covariance of nothing is undefined;
         # crashing a pipeline on an empty incremental batch is worse)
-        return emb.sparkSession.createDataFrame(
+        return literal_frame(emb.sparkSession, 
             [], f"{id_col} long, whitened array<double>"
         )
     gram_rows = embedding_gram_int(emb, dim, vec_col).collect()  # ≤ d(d+1)/2 rows
@@ -185,7 +185,7 @@ def pca_project(
         )
     n = emb.count()
     if n == 0:
-        return emb.sparkSession.createDataFrame(
+        return literal_frame(emb.sparkSession, 
             [], f"{id_col} long, {out_col} array<double>"
         )
     gram_rows = embedding_gram_int(emb, dim, vec_col).collect()  # ≤ d(d+1)/2 rows

@@ -168,7 +168,9 @@ def semantic_decontaminate_vectorized(
     out_schema = f"{id_col} long, n_hits long"
     brows = benchmark.select(F.col(vec_col).cast("array<double>")).collect()
     if not brows:
-        return corpus.sparkSession.createDataFrame([], out_schema)
+        from ..util import literal_frame
+
+        return literal_frame(corpus.sparkSession, [], out_schema)
     if any(r[0] is None or any(x is None for x in r[0]) for r in brows):
         raise ValueError(
             "semantic_decontaminate_vectorized: benchmark embeddings must be "

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranking import grouped_rank
-from ..util import fan_out, persist_once
+from ..util import fan_out, literal_frame, persist_once
 from .text import tokenize_str, tokens
 
 K1_MILLI = 1200  # k1 = 1.2
@@ -111,7 +111,7 @@ def _query_terms_df(spark: SparkSession, queries) -> DataFrame:
     # dedup driver-side: queries are a driver-side list already, so a
     # dropDuplicates() here would spend a whole shuffle exchange on a
     # human-sized frame (plan-diet, VERDICT r11 #5)
-    return spark.createDataFrame(qrows, "query_id int, term string")
+    return literal_frame(spark, qrows, "query_id int, term string")
 
 
 def bm25_scores(
@@ -671,7 +671,7 @@ def bm25_search_index(
     if len(qterms) <= inlist_max_terms:
         dfreq = termstats.filter(F.col("term").isin(qterms))
     else:
-        qt = spark.createDataFrame([(t,) for t in qterms], "term string")
+        qt = literal_frame(spark, [(t,) for t in qterms], "term string")
         dfreq = termstats.join(F.broadcast(qt), on="term")
     stats = spark.read.parquet(f"{path}/stats")
     scored = (
@@ -851,7 +851,7 @@ def bm25_prf_search_index(
         if len(terms) <= inlist_max_terms:
             dfreq = termstats.filter(F.col("term").isin(terms))
         else:
-            tl = spark.createDataFrame([(t,) for t in terms], "term string")
+            tl = literal_frame(spark, [(t,) for t in terms], "term string")
             dfreq = termstats.join(F.broadcast(tl), on="term")
         scored = (
             hits.join(F.broadcast(qterms), on="term")
@@ -863,7 +863,7 @@ def bm25_prf_search_index(
     qrows = sorted(
         {(int(qid), w) for qid, qtext in queries for w in tokenize_str(str(qtext))}
     )
-    q1 = spark.createDataFrame(
+    q1 = literal_frame(spark, 
         [(qid, t, 1000) for qid, t in qrows],
         "query_id int, term string, w_milli int",
     )
@@ -875,7 +875,7 @@ def bm25_prf_search_index(
         .collect()  # (queries × fb_docs)-bounded by construction; the
         # driver literal is what lets the doc_tf scan partition-prune
     )
-    fb = spark.createDataFrame(
+    fb = literal_frame(spark, 
         [(int(r["query_id"]), r["id"]) for r in fb_rows],
         s1.select("query_id", F.col(id_col).alias("id")).schema,
     )
@@ -913,7 +913,7 @@ def bm25_prf_search_index(
         (int(r["query_id"]), str(r["term"]), int(expansion_weight_milli))
         for r in exp_rows
     )
-    q2 = spark.createDataFrame(q2_rows, "query_id int, term string, w_milli int")
+    q2 = literal_frame(spark, q2_rows, "query_id int, term string, w_milli int")
     s2 = score_pass(q2, sorted({t for _, t, _ in q2_rows}))
     ranked = grouped_rank(s2, ["query_id"], [F.desc("score_ppm"), F.asc(id_col)])
     return ranked.filter(F.col("_r") <= k).select(

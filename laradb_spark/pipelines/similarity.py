@@ -29,6 +29,7 @@ from ..util import (
     CPU_LIGHT,
     bind_once,
     fan_out,
+    literal_frame,
     persist_once,
     plan_size_bytes,
 )
@@ -345,7 +346,7 @@ def _collect_query_matrix(queries, query_id_col, vec_col):
 
 
 def _empty_topk(spark, query_id_col, rank_col="rank"):
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [], f"{query_id_col} long, neighbor_id long, {rank_col} int"
     )
 
@@ -587,6 +588,23 @@ def lsh_topk_multiprobe(
 LLOYD_CUT_EVERY = 2
 
 
+def _attach_rows(df: DataFrame, rows: list) -> DataFrame:
+    """Remember a driver-literal frame's rows on the DataFrame object so
+    consumers that need them driver-side again skip the parallelize →
+    collect round trip (a ~0.3 s 32-slice job for a 64-row literal at
+    local core counts; r16 profile). Purely an attribute — any derived
+    frame (filter/select) loses it and falls back to a real collect."""
+    df._laradb_literal_rows = rows
+    return df
+
+
+def _collect_rows(df: DataFrame) -> list:
+    """``df.collect()``, short-circuited to the attached literal rows
+    when ``df`` is a frame ``_attach_rows`` built this session."""
+    rows = getattr(df, "_laradb_literal_rows", None)
+    return rows if rows is not None else df.collect()
+
+
 def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
     """Arrow twin of ``_assign`` — BIT-IDENTICAL assignments by
     construction, at NumPy speed instead of the interpreted per-(vector ×
@@ -630,13 +648,13 @@ def _assign_vectorized(c: DataFrame, cents: DataFrame) -> DataFrame:
     import pandas as pd
 
     rows = sorted(
-        ((r["cid"], None if r["cent"] is None else list(r["cent"])) for r in cents.collect()),
+        ((r["cid"], None if r["cent"] is None else list(r["cent"])) for r in _collect_rows(cents)),
         key=lambda t: t[0],
     )
     if not rows:
         # empty corpus → empty centroid set → empty assignment (the
         # expression twin's empty join does the same)
-        return c.sparkSession.createDataFrame(
+        return literal_frame(c.sparkSession, 
             [], "cid long, neighbor_id long, cvec array<double>"
         )
     cids = np.asarray([t[0] for t in rows], dtype=np.int64)
@@ -794,25 +812,62 @@ def _train_centroids(
     # needs it; recomputing the 128-dim HOF fold per round doubles the loop)
     if not vectorized and lloyd_iters > 0 and "_nv" not in c.columns:
         c = persist_once(c.withColumn("_nv", norm(F.col("cvec"))))
-    cents = (
-        c.orderBy("neighbor_id").limit(n_centroids)
-        .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
-    )
-    for i in range(lloyd_iters):
-        assigned = (_assign_vectorized if vectorized else _assign)(c, cents)
-        # new centroid = element-wise mean of members (posexplode + avg)
+    # try/finally: an exception between persist() and the release would
+    # otherwise leak the pin — and a lingering cache of exactly ``c``
+    # flips downstream plan_size_bytes gates for the rest of the session.
+    try:
         cents = (
-            assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-            .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
+            c.orderBy("neighbor_id").limit(n_centroids)
+            .select(F.col("neighbor_id").alias("cid"), F.col("cvec").alias("cent"))
         )
-        if vectorized or i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
-            cents = spark.createDataFrame(cents.collect(), cents.schema)
-    if own_pin:
-        c.unpersist()
+        for i in range(lloyd_iters):
+            assigned = (_assign_vectorized if vectorized else _assign)(c, cents)
+            # new centroid = element-wise mean of members (posexplode + avg)
+            if vectorized:
+                # The vectorized path collects every round anyway (the next
+                # round's scorer needs the centroids driver-side), so the
+                # per-cid array assembly — previously a second groupBy +
+                # array_sort(collect_list(struct)) aggregate, i.e. one more
+                # Exchange + AQE stage-job per round — happens HERE on the
+                # (k × dim)-bounded means rows instead: sort by d within
+                # cid replicates array_sort(struct(d, m)) exactly (d is
+                # unique per cid), values untouched (r16, guide §2.4).
+                from pyspark.sql import Row
+
+                means = (
+                    assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
+                    .groupBy("cid", "d")
+                    .agg(F.avg("x").alias("m"))
+                    .collect()
+                )
+                agg: dict = {}
+                for r in means:
+                    agg.setdefault(r["cid"], {})[int(r["d"])] = r["m"]
+                rows = [
+                    Row(cid=cid, cent=[m for _, m in sorted(vals.items())])
+                    for cid, vals in sorted(agg.items())
+                ]
+                cents = _attach_rows(
+                    literal_frame(spark, rows, "cid long, cent array<double>"),
+                    rows,
+                )
+                continue
+            cents = (
+                assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+                .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
+            )
+            if i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
+                rows = cents.collect()
+                cents = _attach_rows(
+                    literal_frame(spark, rows, cents.schema), rows
+                )
+    finally:
+        if own_pin:
+            c.unpersist()
     return cents
 
 
@@ -1423,7 +1478,7 @@ def ivf_search_index(
     # (each batch is a new plan; the merge_upsert lesson). A literal
     # local relation has no cache entry and no lineage to recompute.
     probe_rows = probes_plan.collect()
-    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probes = literal_frame(spark, probe_rows, probes_plan.schema)
     probe_cids = sorted({r.cid for r in probe_rows})
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("cid").isin(probe_cids))
     if where is not None:
@@ -1486,7 +1541,7 @@ def lsh_search_index(
     # list needs a collect anyway, and a per-call persist in a serving
     # loop accumulates unreleased CacheManager entries.
     q_rows = q_plan.collect()
-    q = spark.createDataFrame(q_rows, q_plan.schema)
+    q = literal_frame(spark, q_rows, q_plan.schema)
     probe_buckets = sorted({r.bucket for r in q_rows})
     idx = spark.read.parquet(f"{path}/corpus").filter(F.col("bucket").isin(probe_buckets))
     scored = (
@@ -1998,12 +2053,25 @@ def pq_train_codebooks(
         if not (lvl.useMemory or lvl.useDisk):
             c = c.persist()
             own_pin = True
+    # try/finally from here on: an exception mid-training would leak the
+    # pin, and a lingering cache of exactly ``c`` flips downstream
+    # plan_size_bytes gates for the rest of the session.
+    try:
+        return _pq_train_codebooks_pinned(
+            spark, c, dim, m, sd, k_sub, lloyd_iters, metric, coarse
+        )
+    finally:
+        if own_pin:
+            c.unpersist()
+
+
+def _pq_train_codebooks_pinned(
+    spark, c, dim, m, sd, k_sub, lloyd_iters, metric, coarse
+) -> DataFrame:
     init = c.orderBy("neighbor_id").limit(k_sub).collect()
     schema = "sub int, code int, cid long, cent array<double>"
     if not init:
-        if own_pin:
-            c.unpersist()
-        return spark.createDataFrame([], schema)
+        return _attach_rows(literal_frame(spark, [], schema), [])
     cbook = _coarse_book(coarse, dim) if coarse is not None else None
     init_vecs = [
         None if r["cvec"] is None else [float(x) for x in r["cvec"]] for r in init
@@ -2067,19 +2135,20 @@ def pq_train_codebooks(
             ]
             for s in range(m)
         ]
-    if own_pin:
-        c.unpersist()
+    from pyspark.sql import Row
+
     rows = []
     for s in range(m):
         for code, (cid, cent) in enumerate(sorted(state[s], key=lambda t: t[0])):
-            rows.append((s, code, cid, cent))
-    return spark.createDataFrame(rows, schema)
+            rows.append(Row(sub=s, code=code, cid=cid, cent=cent))
+    return _attach_rows(literal_frame(spark, rows, schema), rows)
 
 
 def _pq_codebook_rows(codebooks: DataFrame) -> list:
     """Collect a codebook frame driver-side, sorted (sub, code) — bounded
-    by m·k_sub rows by construction."""
-    return sorted(codebooks.collect(), key=lambda r: (r["sub"], r["code"]))
+    by m·k_sub rows by construction. A trainer-built literal frame skips
+    the parallelize → collect round trip (``_attach_rows``)."""
+    return sorted(_collect_rows(codebooks), key=lambda r: (r["sub"], r["code"]))
 
 
 def pq_encode(
@@ -2102,7 +2171,7 @@ def pq_encode(
     subspace count."""
     cb = _pq_codebook_rows(codebooks)
     if not cb:
-        return corpus.sparkSession.createDataFrame(
+        return literal_frame(corpus.sparkSession, 
             [], "neighbor_id long, codes array<int>"
         )
     subs = sorted({r["sub"] for r in cb})
@@ -2154,7 +2223,7 @@ def _pq_adc_topk(
     in ``_pq_cos``."""
     if not cb:
         qt = queries.schema[query_id_col].dataType.simpleString()
-        return queries.sparkSession.createDataFrame(
+        return literal_frame(queries.sparkSession, 
             [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
         )
     qlut = _pq_qlut(queries, cb, dim, query_id_col)
@@ -2177,6 +2246,15 @@ def _sql_d(x: float) -> str:
     if x == float("-inf"):
         return "CAST('-Infinity' AS DOUBLE)"
     return f"{x!r}D"
+
+
+def _nan_safe_key(v):
+    """Dict key for driver-side row dedup that collapses float NaNs the
+    way Spark's dropDuplicates does (NaN = NaN in grouping) — distinct
+    NaN objects hash unequal as plain dict keys."""
+    if isinstance(v, float) and v != v:
+        return ("__laradb_nan__",)
+    return v
 
 
 def _pq_qlut(
@@ -2343,7 +2421,7 @@ def pq_encode_res(
     ``pq_encode``."""
     cb = _pq_codebook_rows(codebooks)
     if not cb:
-        return corpus.sparkSession.createDataFrame(
+        return literal_frame(corpus.sparkSession, 
             [], "cid long, neighbor_id long, codes array<int>"
         )
     subs = sorted({r["sub"] for r in cb})
@@ -2567,14 +2645,14 @@ def ivfpq_search_index(
     )
     probes_plan = _ivfpq_probes(q, coarse, n_probe, query_id_col)
     probe_rows = probes_plan.collect()
-    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probes = literal_frame(spark, probe_rows, probes_plan.schema)
     probe_cids = sorted({r.cid for r in probe_rows})
     # Dedup the per-query vectors DRIVER-side: the rows are already
     # collected, so a dropDuplicates here would spend a whole exchange +
     # sort-aggregate pair on a (queries × n_probe)-sized frame (r15 plan
     # diet; same rows — one (query_id, qvec) per query either way).
-    uniq = list({r[query_id_col]: r for r in probe_rows}.values())
-    qframe = spark.createDataFrame(
+    uniq = list({_nan_safe_key(r[query_id_col]): r for r in probe_rows}.values())
+    qframe = literal_frame(spark, 
         [(r[query_id_col], r["qvec"]) for r in uniq],
         probes_plan.select(query_id_col, "qvec").schema,
     )
@@ -2617,7 +2695,7 @@ def _res_densq_frame(
             row.append(arr)
         rows.append(tuple(row))
     schema = "cid long, " + ", ".join(f"_dsq{s} array<double>" for s in subs)
-    return spark.createDataFrame(rows, schema), subs
+    return literal_frame(spark, rows, schema), subs
 
 
 def _res_adc_cos(subs: list) -> Column:
@@ -2683,20 +2761,38 @@ def ivfpq_res_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    coarse = _train_centroids(c, n_centroids, lloyd_iters)
-    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
-    cb_df = pq_train_codebooks(
-        corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
-        id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
-    )
-    cb = _pq_codebook_rows(cb_df)
+    # ONE pin shared by BOTH trainers (r16, guide §1.2): the coarse and
+    # residual-PQ trainers derive the identical (neighbor_id, cvec) plan,
+    # so pinning it here lets pq_train_codebooks' CacheManager lookup hit
+    # this cache instead of re-scanning + re-fanning-out the corpus to
+    # build a second identical one. Released before returning (the
+    # returned frame is lazy; the encode pass re-reads the files once at
+    # action time, exactly as before) — same no-lingering-cache
+    # discipline as the trainers' own pins.
+    own_pin = False
+    if lloyd_iters > 0:
+        lvl = c.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            c = c.persist()
+            own_pin = True
+    try:
+        coarse = _train_centroids(c, n_centroids, lloyd_iters)
+        coarse_rows = [(r["cid"], list(r["cent"])) for r in _collect_rows(coarse)]
+        cb_df = pq_train_codebooks(
+            corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
+            id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
+        )
+        cb = _pq_codebook_rows(cb_df)
+    finally:
+        if own_pin:
+            c.unpersist()
     spark = corpus.sparkSession
     if not cb or not coarse_rows:
         # empty training corpus → empty coarse/codebook tables; mirror
         # _pq_adc_topk's typed short-circuit instead of dividing by a
         # zero subspace count in _res_densq_frame
         qt = queries.schema[query_id_col].dataType.simpleString()
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
         )
     coded = pq_encode_res(
@@ -2705,16 +2801,27 @@ def ivfpq_res_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    probes = _ivfpq_probes(q, coarse, n_probe, query_id_col)
+    # Collect the (queries × n_probe)-bounded probe set ONCE and rebuild
+    # it as a literal frame (the ivfpq_search_index serving pattern, r16):
+    # as a lazy plan it fed TWO broadcast subtrees (probes_qc and the
+    # qlut input), each re-running the crossJoin + window ranking, plus a
+    # dropDuplicates Exchange — now one bounded job, zero re-computation.
+    probes_plan = _ivfpq_probes(q, coarse, n_probe, query_id_col)
+    probe_rows = probes_plan.collect()
+    probes = literal_frame(spark, probe_rows, probes_plan.schema)
     # q·c per probe: the numerator's coarse term, evaluated once per
     # (query, probed list) on the tiny probes frame
     probes_qc = probes.join(F.broadcast(coarse), on="cid").select(
         query_id_col, "cid", dot(F.col("qvec"), F.col("cent")).alias("_qc")
     )
-    qlut = _pq_qlut(
-        probes.select(query_id_col, "qvec").dropDuplicates([query_id_col]),
-        cb, dim, query_id_col,
+    # Driver-side per-query dedup of the LUT input (the serve paths'
+    # r15 plan-diet move — same rows, no Exchange + SortAggregate pair).
+    uniq = list({_nan_safe_key(r[query_id_col]): r for r in probe_rows}.values())
+    qframe = literal_frame(spark, 
+        [(r[query_id_col], r["qvec"]) for r in uniq],
+        probes_plan.select(query_id_col, "qvec").schema,
     )
+    qlut = _pq_qlut(qframe, cb, dim, query_id_col)
     densq, subs = _res_densq_frame(spark, coarse_rows, cb, dim)
     scored = (
         coded.join(F.broadcast(probes_qc), on="cid")
@@ -2761,7 +2868,7 @@ def ivfpq_res_probe_curve(
     )
     max_probe = max(probe_levels)
     coarse = _train_centroids(c, n_centroids, lloyd_iters)
-    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in _collect_rows(coarse)]
     cb_df = pq_train_codebooks(
         corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
@@ -2770,7 +2877,7 @@ def ivfpq_res_probe_curve(
     spark = corpus.sparkSession
     if not cb or not coarse_rows:
         qt = queries.schema[query_id_col].dataType.simpleString()
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [], f"n_probe int, {query_id_col} {qt}, hits int, recall double"
         )
     coded = pq_encode_res(
@@ -2807,7 +2914,7 @@ def ivfpq_res_probe_curve(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", "_pr", _res_adc_cos(subs).alias("cos"))
     )
-    levels = spark.createDataFrame(
+    levels = literal_frame(spark, 
         [(int(p),) for p in sorted(probe_levels)], "n_probe int"
     )
     wlq = Window.partitionBy("n_probe", query_id_col).orderBy(
@@ -2864,7 +2971,7 @@ def ivfpq_res_build_index(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     coarse = _train_centroids(c, n_centroids, lloyd_iters)
-    coarse_rows = [(r["cid"], list(r["cent"])) for r in coarse.collect()]
+    coarse_rows = [(r["cid"], list(r["cent"])) for r in _collect_rows(coarse)]
     cb_df = pq_train_codebooks(
         corpus, dim, m=m, k_sub=k_sub, lloyd_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col, metric="l2", coarse=coarse_rows,
@@ -2947,7 +3054,7 @@ def ivfpq_res_search_index(
         # an index built from an empty corpus stores empty tables;
         # serve the same typed empty frame the inline path returns
         qt = queries.schema[query_id_col].dataType.simpleString()
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [], f"{query_id_col} {qt}, neighbor_id long, cos double, rank int"
         )
     q = queries.select(
@@ -2955,15 +3062,15 @@ def ivfpq_res_search_index(
     )
     probes_plan = _ivfpq_probes(q, coarse, n_probe, query_id_col)
     probe_rows = probes_plan.collect()
-    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    probes = literal_frame(spark, probe_rows, probes_plan.schema)
     probe_cids = sorted({r.cid for r in probe_rows})
     probes_qc = probes.join(F.broadcast(coarse), on="cid").select(
         query_id_col, "cid", dot(F.col("qvec"), F.col("cent")).alias("_qc")
     )
     # Driver-side dedup of the per-query vectors — the rows are already
     # collected; see ivfpq_search_index (same exchange-free shape).
-    uniq = list({r[query_id_col]: r for r in probe_rows}.values())
-    qframe = spark.createDataFrame(
+    uniq = list({_nan_safe_key(r[query_id_col]): r for r in probe_rows}.values())
+    qframe = literal_frame(spark, 
         [(r[query_id_col], r["qvec"]) for r in uniq],
         probes_plan.select(query_id_col, "qvec").schema,
     )
@@ -3195,7 +3302,7 @@ def _compact_partitioned_locked(
     total_rows = sum(n for n, _s in want.values())
     avg_row_bytes = max(1, total_bytes // max(1, total_rows))
     records_per_file = max(1, target_bytes // avg_row_bytes)
-    splits = spark.createDataFrame(
+    splits = literal_frame(spark, 
         [(cid, max(1, math.ceil(b / max(1, target_bytes)))) for cid, b in bytes_by_cid.items()],
         f"{part_col} long, _nsplit int",
     )

@@ -529,7 +529,9 @@ def bigram_lm_score(df: DataFrame, text: str = "text") -> DataFrame:
     doc_bg = persist_once(
         bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     )
-    cb = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    # cb persisted (vocabulary-sized, bounded): cw re-aggregated it from
+    # the doc_bg cache otherwise — same fix as kn_bigram_score (r16).
+    cb = persist_once(doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("cb")))
     cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
     scored = (
         doc_bg.join(cb, on=["w1", "w2"])
@@ -620,7 +622,13 @@ def kn_bigram_score(
         )
     )
     train_bg = doc_bg.filter("_train")
-    cb = train_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    # cb persists too (vocabulary-sized, bounded at any corpus scale —
+    # the doc_bg discipline one derivation up): heads, pre AND the type
+    # count each re-aggregated cb from the doc_bg cache otherwise — the
+    # r16 plan showed cb's Exchange + HashAggregate pair FOUR times in
+    # one query (guide §2.4: two ops keyed the same way share one
+    # exchange; here four consumers share one cached aggregate).
+    cb = persist_once(train_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12")))
     heads = cb.groupBy("w1").agg(
         F.sum("c12").alias("cw"), F.count(F.lit(1)).alias("npost")
     )

@@ -53,7 +53,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import bind_once, fan_out
+from ..util import bind_once, fan_out, literal_frame
 from .text import tokens
 
 BPE_SEP = "\x1f"
@@ -881,7 +881,7 @@ def bpe_save_merges(
     once (offline or via the test-suite trainer), apply everywhere.
     Rank IS the file's authority on order; row order on disk is not."""
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(
+    literal_frame(spark, rows, "rank int, a string, b string").coalesce(
         1
     ).write.mode("overwrite").parquet(path)
 
@@ -2498,7 +2498,7 @@ def unigram_train_sampled(
         r["ch"]
         for r in words.select(F.explode(subs1).alias("ch")).distinct().collect()
     }
-    sample_df = spark.createDataFrame(
+    sample_df = literal_frame(spark, 
         [(r["pw"], int(r["c"])) for r in sample], "pw string, c long"
     )
     vocab = _unigram_train_over(
@@ -2576,7 +2576,7 @@ def wordpiece_save_vocab(spark, vocab: "list[str]", path: str) -> None:
     records the list order (base pieces then learned merges) though
     greedy encoding itself is order-independent."""
     rows = [(i, p) for i, p in enumerate(vocab)]
-    spark.createDataFrame(rows, "idx int, piece string").coalesce(1).write.mode(
+    literal_frame(spark, rows, "idx int, piece string").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -2604,7 +2604,7 @@ def unigram_save_vocab(
     """Persist a scored Unigram-LM vocabulary as ``(piece, cost_milli)``
     parquet — the artifact :func:`unigram_encode` consumes; cost is the
     authority, row order is not."""
-    spark.createDataFrame(
+    literal_frame(spark, 
         list(vocab), "piece string, cost_milli long"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -103,14 +103,18 @@ class LaraTable:
     @staticmethod
     def from_rows(spark: SparkSession, rows: Iterable[tuple], schema: LaraSchema) -> "LaraTable":
         """LoadData: in-memory source (reference: api/TupleOp.kt:829-846)."""
-        t = LaraTable(spark.createDataFrame(list(rows), schema.to_struct()), schema)
+        from .util import literal_frame
+
+        t = LaraTable(literal_frame(spark, list(rows), schema.to_struct()), schema)
         t._base = True
         return t
 
     @staticmethod
     def empty(spark: SparkSession, schema: LaraSchema) -> "LaraTable":
         """Empty relation (reference: api/TupleOp.kt:285-290)."""
-        t = LaraTable(spark.createDataFrame([], schema.to_struct()), schema)
+        from .util import literal_frame
+
+        t = LaraTable(literal_frame(spark, [], schema.to_struct()), schema)
         t._base = True
         return t
 

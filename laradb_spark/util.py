@@ -230,6 +230,107 @@ def plan_has_python_eval(df: DataFrame) -> bool:
     return any(m in s for m in _PY_EVAL_MARKERS)
 
 
+class _UnsupportedLiteral(Exception):
+    pass
+
+
+def _sql_double_lit(x, t: str) -> str:
+    """Exact SQL literal for a float: repr round-trips (shortest decimal
+    that parses back to the same IEEE double), non-finite via the exact
+    spellings Java's Double.parseDouble accepts."""
+    x = float(x)
+    if x != x:
+        return f"CAST('NaN' AS {t})"
+    if x == float("inf"):
+        return f"CAST('Infinity' AS {t})"
+    if x == float("-inf"):
+        return f"CAST('-Infinity' AS {t})"
+    return f"CAST('{x!r}' AS {t})"
+
+
+def _sql_cell(v, dt) -> str:
+    """Render one Python value as a type-exact Spark SQL literal
+    expression. Raises _UnsupportedLiteral for types literal_frame does
+    not cover (caller falls back to createDataFrame)."""
+    from pyspark.sql import types as T
+
+    ddl = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ddl})"
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return f"CAST({int(v)} AS {ddl})"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return _sql_double_lit(v, ddl)
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, T.StringType):
+        # hex round trip: exact for ANY content — no quote/backslash
+        # escaping rules to get wrong (escapedStringLiterals, unicode)
+        b = str(v).encode("utf-8")
+        return f"CAST(unhex('{b.hex()}') AS STRING)" if b else "''"
+    if isinstance(dt, T.ArrayType):
+        inner = [_sql_cell(e, dt.elementType) for e in v]
+        return f"CAST(array({','.join(inner)}) AS {ddl})"
+    raise _UnsupportedLiteral(ddl)
+
+
+# Above this many cells the VALUES string's parse cost outgrows the
+# parallelize job it replaces; bounded driver-literal frames in the
+# query paths (query terms, probe sets, codebooks, offsets) sit far
+# below it.
+LITERAL_FRAME_MAX_CELLS = 50_000
+
+
+def literal_frame(spark, rows, schema) -> DataFrame:
+    """Driver-literal DataFrame as a true LocalRelation (one JVM-parsed
+    ``SELECT ... FROM VALUES``), instead of ``createDataFrame``'s
+    Python-RDD parallelize.
+
+    Why (r16, guide §5 — the driver does no work, and neither should 32
+    executors doing none): a parallelized literal lands as a LogicalRDD
+    with ``defaultParallelism`` slices, so every downstream job over it
+    — every broadcast-exchange build, every collect — dispatches that
+    many near-empty tasks THROUGH PYTHON WORKERS (measured: ~0.3 s per
+    broadcast future at local[32], ~0.015 s as a LocalRelation, which
+    broadcasts driver-side with no job at all). At cluster scale the
+    waste is worse: N empty tasks over the network per bounded literal.
+
+    Values are rendered as type-exact SQL literals (ints, repr-exact
+    doubles, hex-round-tripped strings, arrays thereof, typed NULLs) and
+    every cell is CAST to the schema's type, so the resulting frame is
+    value- and schema-identical to the createDataFrame twin. Any row
+    content outside the covered types, any oversized frame
+    (LITERAL_FRAME_MAX_CELLS), or any parse surprise falls back to plain
+    ``createDataFrame`` — this helper is a dispatch optimization, never
+    a semantics change."""
+    from pyspark.sql.types import StructType
+
+    try:
+        st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+        n_cols = len(st.fields)
+        if n_cols == 0 or (max(len(rows), 1) * n_cols) > LITERAL_FRAME_MAX_CELLS:
+            return spark.createDataFrame(rows, schema)
+        if any("`" in f.name for f in st.fields):
+            return spark.createDataFrame(rows, schema)
+        names = ", ".join(
+            f"c{i} AS `{f.name}`" for i, f in enumerate(st.fields)
+        )
+        if not rows:
+            sel = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in st.fields
+            )
+            return spark.sql(f"SELECT {sel} WHERE 1=0")
+        body = ",".join(
+            "(" + ",".join(_sql_cell(r[i], st.fields[i].dataType) for i in range(n_cols)) + ")"
+            for r in rows
+        )
+        cols = ",".join(f"c{i}" for i in range(n_cols))
+        return spark.sql(f"SELECT {names} FROM VALUES {body} AS t({cols})")
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def persist_once(df: DataFrame) -> DataFrame:
     """persist() unless the CacheManager already holds this logical plan.
 

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..util import persist_once
+from ..util import literal_frame, persist_once
 from . import load
 from .relational import money2, _iscale
 
@@ -108,7 +108,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(sizes):
         offsets.append((pid, acc))
         acc += sizes[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    off_df = literal_frame(spark, offsets or [(0, 0)], "_pid int, _off long")
 
     base, rem = n // 4, n % 4
     lw = Window.partitionBy("_pid").orderBy(F.desc("_cents"), F.asc("o_custkey"))
@@ -1027,7 +1027,7 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (name, n, agg[f"_v_{i}"], 1_000_000 * agg[f"_v_{i}"] // max(n, 1))
         for i, name in enumerate(rules)
     ] + [("customer_fk", n, orphans, 1_000_000 * orphans // max(n, 1))]
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         rows, "rule string, n_rows long, n_violations long, violation_ppm long"
     )
 

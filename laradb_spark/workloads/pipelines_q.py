@@ -18,7 +18,7 @@ from ..pipelines import shards as shd
 from ..pipelines import similarity as sim
 from ..pipelines import text as tx
 from ..pipelines import tokenizer as tk
-from ..util import persist_once
+from ..util import literal_frame, persist_once
 from . import load
 
 # ---------------------------------------------------------------------------
@@ -942,7 +942,7 @@ def ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(rep["n_centroids_after"])).cast("long").alias("k_after"),
         )
         rows = out.collect()  # √N-bounded; decouples the result from root
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             rows, "cid long, n_members long, share_ppm long, k_after long"
         )
     finally:
@@ -2286,7 +2286,7 @@ def bm25_prf_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             expansion_weight_milli=PRF_EXP_W_MILLI,
         )
         rows = out.collect()  # (queries × k)-bounded by construction
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             rows, "query_id int, doc_id long, rank int, score_ppm long"
         )
     finally:
@@ -2415,7 +2415,7 @@ def bm25_maintenance_cycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_compact_index(spark, path, min_files=2)
         out = bm25_search_index(spark, path, BM25_QUERIES, k=BM25_K)
         rows = out.collect()  # (queries × k)-bounded by construction
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             rows, "query_id int, doc_id long, rank int, score_ppm long"
         )
     finally:
@@ -2738,7 +2738,7 @@ def sketch_source_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_5pct"),
         )
         rows = out.collect()  # source-count-bounded by construction
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             rows, "source string, exact_distinct long, est_within_5pct boolean"
         )
     finally:

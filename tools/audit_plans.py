@@ -110,6 +110,7 @@ def main() -> None:
 
     sections = []
     summary = []
+    shj_hits: list[str] = []
     for name in audit_list:
         df = qs[name](spark, args.sf_dir)
         # Materialize once first: queries that persist() a shared subtree
@@ -121,6 +122,13 @@ def main() -> None:
         n_exchange = plan.count("Exchange")
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
+        # preferSortMergeJoin=false (session.py) lets the planner pick
+        # shuffled-hash joins, whose build side CANNOT spill — at 100 TB a
+        # skewed/misestimated build partition OOMs where SMJ would have
+        # spilled. Guard: every SHJ in any audited plan is surfaced here
+        # (currently zero across the registry); a regen that flips one on
+        # makes the risk visible for review instead of silent.
+        n_shj = plan.count("ShuffledHashJoin")
         n_cache = plan.count("InMemoryTableScan")
         cartesian = "CartesianProduct" in plan
         pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
@@ -133,8 +141,11 @@ def main() -> None:
         summary.append(
             f"| {name}{' (local)' if local else ''} | "
             f"{n_exchange}{'*' if n_cache else ''} | {n_bhj} | {n_smj} | "
+            f"{'⚠️ ' if n_shj else ''}{n_shj} | "
             f"{n_cache} | {'yes' if pushed else '—'} | {'⚠️ YES' if cartesian else 'no'} |"
         )
+        if n_shj:
+            shj_hits.append(name)
         # keep plans readable: strip the verbose ReadSchema/Location lines tail
         trimmed = "\n".join(l for l in plan.splitlines() if len(l) < 300)[:4000]
         sections.append(f"## {name}\n\n```\n{trimmed}\n```\n")
@@ -154,9 +165,20 @@ def main() -> None:
         "`(local)` rows return bounded driver-collected results (lifecycle "
         "reports); their distributed serving paths are the `*_maintained` "
         "rows.\n\n"
-        "| query | exchanges | broadcast joins | sort-merge joins | cache reuse | pushdown | cartesian |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "| query | exchanges | broadcast joins | sort-merge joins | shuffled-hash joins | cache reuse | pushdown | cartesian |\n"
+        "|---|---|---|---|---|---|---|---|\n"
         + "\n".join(summary)
+        + (
+            "\n\n**⚠️ ShuffledHashJoin guard** (preferSortMergeJoin=false, "
+            "session.py): SHJ build sides cannot spill — review each hit for "
+            "a bounded build side before shipping at scale: "
+            + ", ".join(shj_hits)
+            if shj_hits
+            else "\n\n**ShuffledHashJoin guard** (preferSortMergeJoin=false, "
+            "session.py): zero SHJ across every audited plan — the conf is "
+            "currently inert on these shapes; any future regen that flips "
+            "one on flags ⚠️ in the column above."
+        )
         + "\n\n*Exchange counts marked `*` are inflated by display: plans with "
         "`InMemoryTableScan` (persisted shared subtrees, e.g. the covariance "
         "pipeline's X) print the cached subtree's definition at every reuse "
