@@ -312,7 +312,7 @@ def shard_ingest_stream(
 
     from ..pipelines.curation import global_exclusive_cumsum
     from ..pipelines.tokenizer import bpe_byte_encode_ids, bpe_validate_merges
-    from ..util import persist_once
+    from ..util import literal_frame, persist_once
 
     bpe_validate_merges(merges)
     L = int(context_len)
@@ -363,7 +363,7 @@ def shard_ingest_stream(
             F.size("token_ids").alias("_n"), "token_ids",
         )
         if partial:
-            carry = spark.createDataFrame(
+            carry = literal_frame(spark, 
                 [(0, -1, len(partial), partial)],
                 "_ord int, doc_id long, _n long, token_ids array<int>",
             )
@@ -418,7 +418,7 @@ def shard_ingest_stream(
                     if g // L < complete:
                         sd.setdefault(g // L, []).append((int(g % L), d))
                 if sd:
-                    sf = spark.createDataFrame(
+                    sf = literal_frame(spark, 
                         [(p, sorted(v)) for p, v in sd.items()],
                         StructType(
                             [
@@ -452,7 +452,7 @@ def shard_ingest_stream(
             new_partial_starts = sorted(
                 (int(g % L), d) for g, d in starts_all if g // L >= complete
             )
-            spark.createDataFrame(
+            literal_frame(spark, 
                 [(new_total, new_partial, new_partial_starts, int(_batch_id))],
                 state_schema,
             ).coalesce(1).write.mode("overwrite").parquet(state_path)

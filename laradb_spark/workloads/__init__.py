@@ -63,79 +63,26 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose plan/SQL changed this round come first; long-green unchanged queries
 # fill the tail and fall out of the window harmlessly.
 _PRIORITY = [
-    # --- r15 window head (the driver oracles the FIRST 50) ------------------
-    # (a) the one registry query with NO driver row yet (new in r14,
-    # checker-certified at all 3 SFs on landing; VERDICT r14 #1):
-    #       bm25_prf_serve
-    # (b) the 3 r10-era rows r14's budget could not fit (pinned to this
-    # window front by r14's test_registry):
-    #       sliding_event_stats  sql_front_door_q  tfidf_top_terms
-    # (c) fill to exactly 50 with the stalest remaining evidence: 46 of
-    # the 50 rows whose freshest green row is r11-era (alphabetical; the
-    # remaining 4 lead the r16 window below). No pre-existing oracled
-    # query's SQL or plan changes in r15 — the round's changes are
-    # maintenance/crash-safety paths (txn markers, recenter gating,
-    # writer locks, doclens compaction flag) — so the rest of the window
-    # goes to stale-evidence rotation. After this window the registry
-    # staleness floor becomes r12 (plus the 4 r11 leftovers below).
-    "bm25_prf_serve",
-    "sliding_event_stats",
-    "sql_front_door_q",
-    "tfidf_top_terms",
-    "ann_brute_force",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
-    "ann_sq8_topk",
-    "bigram_lm",
-    "bpe_byte_token_count",
-    "bpe_contraction_parity",
-    "contamination_report",
-    "decontaminate_docs",
-    "dedup_embedding",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_simhash_fast",
-    "dsir_importance",
-    "dup_span_census",
-    "event_transitions",
-    "event_trigram_paths",
-    "gopher_funnel",
-    "gopher_quality",
-    "grouping_sets_revenue",
-    "hard_negatives",
-    "knn_label_noise_ivf",
-    "label_centroid_outliers",
-    "mad_outliers_by_type",
-    "median_value_by_type",
-    "mix_sources_counts",
-    "moments_by_type",
-    "monthly_revenue_mom",
-    "orders_segment_at_day",
-    "pack_sequences_q",
-    "semantic_decon",
-    "semantic_decon_fast",
-    "semantic_dedup",
-    "semantic_dedup_fast",
-    "span_source_matrix",
-    "split_leakage",
-    "strip_dup_spans",
-    "supplier_copart_triangles",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    # --- front of the r16 window (test_registry pins this allocation):
-    # the 4 r11-era rows the 50-slot budget could not fit, the two
-    # pre-existing queries whose behavior changed in r15 (the doc_tf
-    # mirror entered bm25_maintenance_cycle's lifecycle; bm25_prf_topk's
-    # expansion anti-join went broadcast — both checker-certified at 2-3
-    # SFs on landing), and the two r15-new queries with no driver row
-    # yet (decon_hashscreen, sketch_source_census — both certified at
-    # all 3 SFs on landing) -----------------------------------------------
+    # --- r16 window head (the driver oracles the FIRST 50) ------------------
+    # (a) the 8 rows r15 pinned to this window's front (4 r11-era
+    # leftovers + 2 r15-behavior-changed + 2 r15-new with no driver row):
+    #     token_apportionment topk_parts_per_brand tumbling_event_stats
+    #     user_retention_cohorts bm25_maintenance_cycle bm25_prf_topk
+    #     decon_hashscreen sketch_source_census
+    # (b) the PQ/IVF-PQ family whose score expressions were rewritten in
+    # r15 (F.expr LUTs) and whose trainer/probe machinery changed again
+    # in r16 (driver-side mean assembly, shared training pin, collected
+    # probes) — VERDICT r15 #5 requires their driver rows this round:
+    #     ann_pq_topk ann_pq_recall ann_ivfpq_topk ann_ivfpq_res_topk
+    #     ann_ivfpq_res_recall ann_probe_sweep
+    # (c) every other query whose construction changed in r16 (trainer
+    # mean assembly: ivf/knn/semantic/maintenance; persisted bounded
+    # aggregates: kn/bigram/dsir/quality; collected class stats:
+    # lang_*; literal-frame front doors and spend quartiles; bm25
+    # literal query frames: bm25_topk, hybrid_rrf_topk) — all
+    # checker-certified at sf0.01 on landing (206/206 green);
+    # (d) fill to exactly 50 with the stalest remaining evidence
+    # (r12-era rows, staleness order). ---------------------------------------
     "token_apportionment",
     "topk_parts_per_brand",
     "tumbling_event_stats",
@@ -144,17 +91,35 @@ _PRIORITY = [
     "bm25_prf_topk",
     "decon_hashscreen",
     "sketch_source_census",
-    # --- tail: fresher rows, staleness-ordered (r12 first, then r13,
-    # then r14 = the r14 window), fall out harmlessly ---------------------
-    "ann_ivf_list_skew",
-    "hybrid_rrf_topk",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_res_recall",
+    "ann_probe_sweep",
+    "ann_ivf_topk",
+    "knn_label_noise_ivf_auto",
+    "ivf_maintenance_cycle",
+    "semantic_dedup",
+    "semantic_dedup_fast",
+    "hard_negatives",
     "kn_lm_score",
+    "bigram_lm",
+    "dsir_importance",
+    "quality_classifier",
+    "quality_classifier_eval",
+    "lang_classifier",
+    "lang_confusion",
+    "hybrid_rrf_topk",
+    "bm25_topk",
+    "customer_spend_quartiles",
+    "raco_front_door_q",
+    "sql_front_door_q",
+    "ann_ivf_list_skew",
     "ann_ivf_filtered",
     "dedup_lsh_recall",
     "wordpiece_stats",
     "unigram_stats",
-    "knn_label_noise_ivf_auto",
-    "ivf_maintenance_cycle",
     "bpe_byte_token_count_fast",
     "bpe_fertility",
     "token_shard_stats",
@@ -168,28 +133,27 @@ _PRIORITY = [
     "doc_boilerplate_ppm",
     "fuzzy_cross_batch",
     "heavy_hitters",
+    # --- front of the r17 window (test_registry pins this allocation):
+    # the next-stalest r12-era rows the 50-slot budget could not fit --------
     "ngram_diversity",
     "q19_disjunctive_revenue",
-    "quality_classifier",
-    "quality_classifier_eval",
     "all_account_balances",
     "alpha_mixture",
     "asof_last_order",
     "bm25_topk_fast",
     "bpe_token_apportionment",
     "bpe_token_count",
+    # --- tail: fresher rows, staleness-ordered (remaining r12/r13/r14-era
+    # rows in prior order, then the r15-window greens last) -----------------
     "ccnet_lm_buckets",
     "corpus_integrity",
     "corpus_line_dedup",
     "cube_order_stats",
     "customer_order_counts_left",
-    "customer_spend_quartiles",
     "d4m_set_filter",
     "graph_brand_degree",
     "graph_brand_gram",
     "knn_label_noise",
-    "lang_classifier",
-    "lang_confusion",
     "lara_cross_grid",
     "lara_union_quarters",
     "line_profile",
@@ -217,11 +181,7 @@ _PRIORITY = [
     "vocab_coverage",
     "ann_brute_force_fast",
     "ann_hamming_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_recall",
-    "ann_pq_topk",
     "ann_sq8_fast",
-    "bm25_topk",
     "bpe_token_count_auto",
     "cap_docs_per_source",
     "chunk_documents_q",
@@ -248,7 +208,6 @@ _PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "raco_front_door_q",
     "repeat_customers_96_97",
     "small_quantity_revenue",
     "status_except_all",
@@ -257,9 +216,6 @@ _PRIORITY = [
     "unpivot_order_measures",
     "url_canonicalize",
     "url_dedup",
-    "ann_ivfpq_res_recall",
-    "ann_ivfpq_res_topk",
-    "ann_probe_sweep",
     "customer_merge_upsert",
     "customer_order_gaps",
     "customers_without_orders",
@@ -294,6 +250,49 @@ _PRIORITY = [
     "sensor_covariance_events",
     "session_window_stats",
     "sessionize_events",
+    "bm25_prf_serve",
+    "sliding_event_stats",
+    "tfidf_top_terms",
+    "ann_brute_force",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "bpe_byte_token_count",
+    "bpe_contraction_parity",
+    "contamination_report",
+    "decontaminate_docs",
+    "dedup_embedding",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dup_span_census",
+    "event_transitions",
+    "event_trigram_paths",
+    "gopher_funnel",
+    "gopher_quality",
+    "grouping_sets_revenue",
+    "knn_label_noise_ivf",
+    "label_centroid_outliers",
+    "mad_outliers_by_type",
+    "median_value_by_type",
+    "mix_sources_counts",
+    "moments_by_type",
+    "monthly_revenue_mom",
+    "orders_segment_at_day",
+    "pack_sequences_q",
+    "semantic_decon",
+    "semantic_decon_fast",
+    "span_source_matrix",
+    "split_leakage",
+    "strip_dup_spans",
+    "supplier_copart_triangles",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
 ]
 
 

@@ -23,40 +23,33 @@ def test_changed_queries_inside_oracle_window():
     # so a registry edit can't silently drop a changed query out of both
     # windows.
     changed_in_window = {
-        # r15: the one registry query with no driver row yet (new in r14;
-        # VERDICT r14 #1)...
-        "bm25_prf_serve",
-        # ...the 3 r10-era rows r14 pinned to this window's front...
-        "sliding_event_stats", "sql_front_door_q", "tfidf_top_terms",
-        # ...plus 46 of the 50 rows whose freshest green row is r11-era
-        # (alphabetical; the remaining 4 lead the r16 window below)
-        "ann_brute_force", "ann_ivf_topk", "ann_lsh_multiprobe",
-        "ann_lsh_topk", "ann_sq8_topk", "bigram_lm", "bpe_byte_token_count",
-        "bpe_contraction_parity", "contamination_report",
-        "decontaminate_docs", "dedup_embedding", "dedup_minhash_lsh",
-        "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_fast",
-        "dsir_importance", "dup_span_census", "event_transitions",
-        "event_trigram_paths", "gopher_funnel", "gopher_quality",
-        "grouping_sets_revenue", "hard_negatives", "knn_label_noise_ivf",
-        "label_centroid_outliers", "mad_outliers_by_type",
-        "median_value_by_type", "mix_sources_counts", "moments_by_type",
-        "monthly_revenue_mom", "orders_segment_at_day", "pack_sequences_q",
-        "semantic_decon", "semantic_decon_fast", "semantic_dedup",
-        "semantic_dedup_fast", "span_source_matrix", "split_leakage",
-        "strip_dup_spans", "supplier_copart_triangles", "text_fingerprint",
-        "text_langid", "text_normalize", "text_quality", "text_repetition",
-        "text_token_counts",
-    }
-    # r16 window front: the 4 r11-era rows the r15 budget could not fit
-    # (after r15, every other row is r12+), the two pre-existing queries
-    # whose behavior changed in r15 (doc_tf mirror in the bm25 lifecycle;
-    # broadcast PRF expansion anti-join), and the two r15-new queries
-    # with no driver row yet — all checker-certified on landing.
-    next_window = {
+        # r16: (a) the 8 rows r15 pinned to this window's front (4 r11-era
+        # leftovers + 2 r15-behavior-changed + 2 r15-new)...
         "token_apportionment", "topk_parts_per_brand",
         "tumbling_event_stats", "user_retention_cohorts",
         "bm25_maintenance_cycle", "bm25_prf_topk",
         "decon_hashscreen", "sketch_source_census",
+        # ...(b) the PQ/IVF-PQ family (r15 F.expr LUT rewrite + r16
+        # trainer/probe restructure — VERDICT r15 #5)...
+        "ann_pq_topk", "ann_pq_recall", "ann_ivfpq_topk",
+        "ann_ivfpq_res_topk", "ann_ivfpq_res_recall", "ann_probe_sweep",
+        # ...(c) every other r16-changed construction (trainer mean
+        # assembly, persisted bounded aggregates, collected class stats,
+        # literal frames) — checker-certified 206/206 on landing
+        "ann_ivf_topk", "knn_label_noise_ivf_auto", "ivf_maintenance_cycle",
+        "semantic_dedup", "semantic_dedup_fast", "hard_negatives",
+        "kn_lm_score", "bigram_lm", "dsir_importance",
+        "quality_classifier", "quality_classifier_eval",
+        "lang_classifier", "lang_confusion", "hybrid_rrf_topk",
+        "bm25_topk", "customer_spend_quartiles",
+        "raco_front_door_q", "sql_front_door_q",
+    }
+    # r17 window front: the next-stalest r12-era rows the r16 budget
+    # could not fit.
+    next_window = {
+        "ngram_diversity", "q19_disjunctive_revenue",
+        "all_account_balances", "alpha_mixture", "asof_last_order",
+        "bm25_topk_fast", "bpe_token_apportionment", "bpe_token_count",
     }
     names = list(all_specs())
     head = set(names[:DRIVER_ORACLE_WINDOW])
@@ -66,7 +59,7 @@ def test_changed_queries_inside_oracle_window():
         names[DRIVER_ORACLE_WINDOW : DRIVER_ORACLE_WINDOW + len(next_window)]
     )
     assert next_window == next_slots, (
-        "the leftover r10-era rows must lead the r15 window: "
+        "the leftover r12-era rows must lead the r17 window: "
         f"{next_window ^ next_slots}"
     )
 
