@@ -1074,7 +1074,12 @@ def split_leakage_report(
             "split", F.explode(word_ngrams(F.col(text), n)).alias("_g")
         )
     )
-    val_g = grams.filter(F.col("split") == "val").select("_g").distinct()
+    # val_g persists (vocabulary-bounded): it feeds both the leak
+    # semi-join and the val count — unpinned, each consumer re-ran the
+    # distinct aggregate over the corpus-sized gram cache (r16).
+    val_g = persist_once(
+        grams.filter(F.col("split") == "val").select("_g").distinct()
+    )
     train_g = grams.filter(F.col("split") == "train").select("_g").distinct()
     leaked = val_g.join(train_g, on="_g", how="left_semi")
     return (

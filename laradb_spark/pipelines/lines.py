@@ -103,6 +103,12 @@ def c4_line_clean(
     shuffle-free scan (see module docstring). Dropped documents are
     absent from the output (the ``quality_classifier_score``
     keep-frame discipline)."""
+    # Heavy per-row map: full-text lower+split+arrays_overlap plus an
+    # interpreted HOF filter per line — fan the scan out so one small
+    # parquet file does not run the whole stream in ONE task (r16: the
+    # 8-vs-32-core scaling probe measured this query at ratio 1.02, i.e.
+    # serial; util.fan_out's gate makes this a no-op at corpus scale).
+    df = fan_out(df)
     lw = F.lower(F.col(text))
     # Split on the [ \n] whitespace CLASS, not ' ' alone: with a
     # space-only split, the last word of one line and the first word of
