@@ -331,6 +331,15 @@ def literal_frame(spark, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+# NEGATIVE RESULT (r16), recorded so it is not retried: eagerly
+# materializing a persisted frame with a noop write before an action
+# whose broadcast futures race through it (kn_lm_score's cb → doc_bg
+# chain ran the same map stage 5× side by side) LOST ~0.1 s back-to-back
+# — the per-block cache locks already serialize the duplicate compute,
+# and the extra action's job+gap costs more than the racing stages' lock
+# waits. Keep persists lazy.
+
+
 def persist_once(df: DataFrame) -> DataFrame:
     """persist() unless the CacheManager already holds this logical plan.
 

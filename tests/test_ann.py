@@ -1200,6 +1200,7 @@ def test_append_without_meta_to_meta_layout_raises(spark, clustered, tmp_path):
     sim.ivf_append_index(new, p4)
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_ivf_compact_index_splits_hot_list(spark, clustered, tmp_path):
     """A hot list bigger than target_bytes must compact to MULTIPLE files
     (⌈bytes/target⌉), not one giant file per cid (ADVICE r11: repartition

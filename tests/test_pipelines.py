@@ -222,6 +222,7 @@ def _bucket_rows(spark, n_big, n_small=4):
     return spark.createDataFrame(rows, "id long, band int, bh string")
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_lsh_giant_bucket_join_path_matches_expansion(spark):
     """oversize='join' must produce exactly the pairs the unbounded
     expansion would — here verified on a 10^4-member bucket, far above the

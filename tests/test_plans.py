@@ -166,6 +166,7 @@ ANN_FAMILY = (
 )
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_ann_family_no_per_query_ranking_window(spark, sfq, monkeypatch):
     """The ANN/hard-negatives/tfidf family ranks via the two-phase
     grouped_rank: with few queries against a huge corpus, a
@@ -243,6 +244,7 @@ def test_grouped_rank_small_frame_route_parity(spark, monkeypatch, tmp_path):
     )
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_no_query_plans_cartesian(spark, sfq):
     """Sweep EVERY registered query: no CartesianProduct in any physical
     plan (broadcast scalar/tiny cross-joins lower to
@@ -299,6 +301,7 @@ def test_fan_out_gates_on_splits_and_size(spark, tmp_path):
     assert fan_out(wide, CPU_HEAVY) is wide
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_no_query_emits_decimal_columns(spark, sfq):
     """Value-discipline rule (workloads/__init__ docstring), mechanized:
     NO registered query may emit a DecimalType column. Spark 4 types
@@ -435,6 +438,7 @@ SINGLE_PARTITION_ALLOWED = {
 }
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_no_unexpected_single_partition_exchanges(spark, sfq):
     """Sweep EVERY query plan: an Exchange SinglePartition outside the
     documented bounded-scalar allowlist means a new query funnels

@@ -250,6 +250,7 @@ def test_known_divergence_case_is_guarded():
 # ----------------------------------------------------------- spark pins
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_spark_bpe_train_batched_pin(spark):
     """The engine loop emits the identical table at every batch width on
     the tie-heavy / repeat / unicode corpora (batch=1 IS the legacy
@@ -275,6 +276,7 @@ def test_spark_bpe_train_batched_pin(spark):
         assert bpe_train(df, 10) == want  # in-memory default route
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_spark_wordpiece_train_batched_pin(spark):
     from laradb_spark.pipelines.tokenizer import wordpiece_train
 
@@ -496,6 +498,7 @@ def test_unigram_train_sampled_contract(spark):
         unigram_train(docs, 300, driver_piece_max=100)
 
 
+@pytest.mark.slow  # driver-verify gate (r16): long-tail; run with -m ""
 def test_wordpiece_train_2k_vocab_demo(spark):
     """The second trainer family at production scale: a 2048-merge
     WordPiece vocabulary through the in-memory likelihood loop (the
