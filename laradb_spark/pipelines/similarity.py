@@ -823,23 +823,26 @@ def _train_centroids(
         for i in range(lloyd_iters):
             assigned = (_assign_vectorized if vectorized else _assign)(c, cents)
             # new centroid = element-wise mean of members (posexplode + avg)
-            if vectorized:
-                # The vectorized path collects every round anyway (the next
-                # round's scorer needs the centroids driver-side), so the
-                # per-cid array assembly — previously a second groupBy +
-                # array_sort(collect_list(struct)) aggregate, i.e. one more
-                # Exchange + AQE stage-job per round — happens HERE on the
-                # (k × dim)-bounded means rows instead: sort by d within
-                # cid replicates array_sort(struct(d, m)) exactly (d is
-                # unique per cid), values untouched (r16, guide §2.4).
+            means_frame = (
+                assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(F.avg("x").alias("m"))
+            )
+            if vectorized or i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
+                # Collect-and-assemble rounds (the vectorized path every
+                # round — the next round's scorer needs the centroids
+                # driver-side anyway — and the expression path's cut
+                # rounds): the per-cid array assembly — previously a
+                # second groupBy + array_sort(collect_list(struct))
+                # aggregate, i.e. one more Exchange + AQE stage-job per
+                # collected round — happens HERE on the (k × dim)-bounded
+                # means rows instead: sort by d within cid replicates
+                # array_sort(struct(d, m)) exactly (d is unique per cid),
+                # values untouched (r16, guide §2.4).
                 from pyspark.sql import Row
 
-                means = (
-                    assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
-                    .groupBy("cid", "d")
-                    .agg(F.avg("x").alias("m"))
-                    .collect()
-                )
+                cid_t = means_frame.schema["cid"].dataType.simpleString()
+                means = means_frame.collect()
                 agg: dict = {}
                 for r in means:
                     agg.setdefault(r["cid"], {})[int(r["d"])] = r["m"]
@@ -848,23 +851,17 @@ def _train_centroids(
                     for cid, vals in sorted(agg.items())
                 ]
                 cents = _attach_rows(
-                    literal_frame(spark, rows, "cid long, cent array<double>"),
+                    literal_frame(spark, rows, f"cid {cid_t}, cent array<double>"),
                     rows,
                 )
                 continue
+            # lazily-chained (non-cut) expression rounds keep the frame
+            # shape — no action runs here at all
             cents = (
-                assigned.select("cid", F.posexplode("cvec").alias("d", "x"))
-                .groupBy("cid", "d")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cid")
+                means_frame.groupBy("cid")
                 .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                 .select("cid", F.transform(F.col("dm"), lambda s: s["m"]).alias("cent"))
             )
-            if i + 1 == lloyd_iters or (i + 1) % LLOYD_CUT_EVERY == 0:
-                rows = cents.collect()
-                cents = _attach_rows(
-                    literal_frame(spark, rows, cents.schema), rows
-                )
     finally:
         if own_pin:
             c.unpersist()
