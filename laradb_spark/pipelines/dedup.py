@@ -516,7 +516,13 @@ def minhash_signature_vectorized(num_perm: int = NUM_PERM):
     # NB: the per-row broadcast-matmul loop was A/B'd against a batched
     # concat + np.minimum.reduceat formulation (r15): reduceat's generic
     # segment loop was >100× SLOWER than these per-row whole-matrix mins
-    # — keep the loop.
+    # — keep the loop. r16 second negative result (VERDICT r15 #8): the
+    # padded-2D formulation (pad ragged rows into one dense batch×maxlen
+    # block, mask pads to MINHASH_PRIME, num_perm vectorized passes) was
+    # also SLOWER — 1.61 s vs 1.45 s avg over three alternating
+    # back-to-back dedup_minhash_lsh_fast A/B pairs: the per-row Python
+    # padding/mask assignments cost more than the per-row compute loop
+    # they replace at these shingle counts. Do not retry either batching.
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hs: pd.Series) -> pd.Series:
